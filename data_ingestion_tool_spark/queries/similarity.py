@@ -1,0 +1,61 @@
+"""Similarity-search queries over ``embeddings`` (north-star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as SIM
+from ..sources.parquet_io import read_table
+from .registry import query
+
+N_QUERY_VECS = 10
+TOP_K = 5
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) *
+                     sqrt(list_dot_product(cv, cv))) AS score
+           FROM q, c WHERE q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: query block broadcast, corpus
+    streamed partition-local (the 100 TB shape — the corpus never
+    shuffles)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return SIM.cosine_topk(emb, queries, k=TOP_K)
+
+
+@query("similarity_topk_lsh")  # rows-only: approximate (recall < 1)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: sub-linear candidate generation,
+    exact re-rank inside buckets. Deterministic under the fixed seed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return SIM.lsh_topk(emb, queries, k=TOP_K).orderBy("query_id", "rank")
+
+
+@query("dedup_embedding_cosine")  # rows-only
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (score >= 0.95) via LSH buckets."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )

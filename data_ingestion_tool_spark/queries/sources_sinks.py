@@ -1,0 +1,102 @@
+"""Source/sink + catalog queries (reference R1/R2/R5-R9).
+
+The CSV roundtrips exercise the engine's reference-compatible reader/
+writer semantics end-to-end: distributed write to a scratch dir, then a
+distributed re-read, checked against DuckDB reading the original
+parquet. ``ingest_append_count`` exercises the auto-create + append
+policy (R8/R9)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import columns_df
+from ..sources import (
+    ingest_append,
+    read_csv_compat,
+    read_csv_inferred,
+    read_table,
+    write_csv,
+)
+from .registry import query
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"{name}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "csv_roundtrip_strings",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+           CAST(c_nationkey AS VARCHAR) AS c_nationkey, c_mktsegment
+    FROM customer
+    """,
+)
+def csv_roundtrip_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6+R7 compat roundtrip: export to CSV, re-read all-string
+    (``dtype=str, na_filter=False`` semantics — empty stays '')."""
+    out = _scratch("csvrt")
+    try:
+        c = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
+        write_csv(c, out)
+        return read_csv_compat(spark, out).select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+
+
+@query(
+    "csv_infer_types",
+    oracle="SELECT c_custkey, c_acctbal, c_mktsegment FROM customer",
+)
+def csv_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same roundtrip with real inference — the behavior the reference's
+    dead type-mapping (main.py:250-256) intended. Doubles round-trip
+    exactly (shortest-repr write, exact parse)."""
+    out = _scratch("csvinf")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_csv(c, out)
+    df = read_csv_inferred(spark, out)
+    return df.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+
+
+@query(
+    "ingest_append_count",
+    oracle="SELECT CAST(2 * COUNT(*) AS BIGINT) AS cnt FROM orders",
+)
+def ingest_append_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8+R9: auto-create on first append, append again (first-writer-
+    defines-schema policy), count the result."""
+    out = os.path.join(_scratch("ingest"), "orders_tbl")
+    o = read_table(spark, sf_dir, "orders")
+    ingest_append(o, out, max_records_per_file=10_000)
+    ingest_append(o, out, max_records_per_file=10_000)
+    n = spark.read.parquet(out).count()
+    return spark.createDataFrame([(n,)], "cnt bigint")
+
+
+@query("catalog_list_columns")  # rows-only: catalog shape, not data
+def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 DESCRIBE equivalent as a DataFrame of (col_name, data_type)."""
+    return columns_df(spark, read_table(spark, sf_dir, "lineitem"))

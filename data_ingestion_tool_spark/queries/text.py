@@ -1,0 +1,99 @@
+"""Text-analysis queries over ``documents`` (north-star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..sources.parquet_io import read_table
+from .registry import query
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents) t
+    WHERE word <> ''
+    GROUP BY word HAVING COUNT(*) >= 5
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → count: the classic text-analysis shape. Stays
+    in codegen until the single count shuffle (partial-aggregated)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_text,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','that'], x)))
+                  AS BIGINT) AS sw_hits
+      FROM documents)
+    SELECT doc_id, n_chars_text, n_tokens,
+           CAST(sw_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+             AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length, token count, stopword ratio — all
+    codegen'd column expressions (see operators.text.quality_features
+    for the full feature set)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("content_hash"))
+
+
+@query("text_langid")  # rows-only: heuristic classifier, not SQL-expressible
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (operators.text.lang_id) → per-language
+    document counts."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        TX.lang_id(d)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

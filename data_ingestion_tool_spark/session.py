@@ -1,0 +1,73 @@
+"""SparkSession factory for the engine.
+
+The reference (`/root/reference/backend/main.py:64-87`) pools
+`clickhouse_connect` clients keyed by host:port:db:user; in a Spark-first
+design that collapses into a single shared :class:`SparkSession` per
+process (``getOrCreate`` is the pool). All scale-relevant defaults live
+here so every entry point (tests, bench, driver) runs the same way:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  on a 1000-executor cluster this is what absorbs skewed keys and
+  mis-estimated shuffle sizes.
+- ``spark.sql.shuffle.partitions`` sized from the local core count; on a
+  real cluster AQE's coalescing makes the static number a ceiling, not a
+  tuning knob.
+- Session timezone pinned UTC so timestamp semantics are stable across
+  driver/executors and match the DuckDB oracle.
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return f"local[{cpus}]"
+
+
+def get_spark(
+    app_name: str = "data-ingestion-tool-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession with engine defaults."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or _default_master())
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver passes us its own SparkSession in ``entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # non-runtime-settable on some builds; static conf already covers ours
+    return spark

@@ -1,0 +1,84 @@
+"""CSV source/sink with reference-compatible semantics.
+
+Reference behavior being re-expressed (all cites into
+`/root/reference/backend/main.py`):
+
+- Ingest reads with ``pd.read_csv(..., delimiter=d, dtype=str,
+  na_filter=False)`` (main.py:234-239): every column is a string and an
+  empty cell stays ``''`` — never NULL. Spark's CSV reader maps empty to
+  null by default, so compat mode pins ``inferSchema=False`` and maps
+  nulls back to ``''`` post-read (Spark 4 treats an unquoted empty field
+  as null regardless of ``emptyValue``).
+- Only ``.csv`` / ``.txt`` uploads are accepted (main.py:227-231).
+- Export emits UTF-8 **with BOM** (``encoding='utf-8-sig'``,
+  main.py:194), header row = exactly the selected column list, no index.
+
+Scale note: :func:`read_csv_compat`/:func:`read_csv_inferred` are
+distributed scans (executors read splits — the reference's
+whole-file-into-backend-memory at main.py:233 is gone).
+:func:`export_csv_string` intentionally collects (it reproduces the
+reference's inline-response API for small results); :func:`write_csv` is
+the scale path.
+"""
+
+from __future__ import annotations
+
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALLOWED_UPLOAD_EXTENSIONS = (".csv", ".txt")
+
+
+def validate_upload_extension(filename: str) -> None:
+    """Extension gate, reference main.py:227-231."""
+    if not filename.lower().endswith(ALLOWED_UPLOAD_EXTENSIONS):
+        raise ValueError("Only CSV and TXT files are supported")
+
+
+def read_csv_compat(
+    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+) -> DataFrame:
+    """All-string read; empty cells are ``''``, never NULL (compat with
+    ``dtype=str, na_filter=False``)."""
+    df = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("inferSchema", False)
+        .option("nullValue", "\u0000NEVER\u0000")  # nothing maps to null
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    # Spark still yields null for truly-missing trailing fields; pin ''.
+    return df.select(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in df.columns]
+    )
+
+
+def read_csv_inferred(
+    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+) -> DataFrame:
+    """Real schema inference — what the reference's dead pandas→CH
+    type-mapping (main.py:250-256) intended."""
+    return (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("inferSchema", True)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
+    """Distributed CSV sink (the 100 TB path — one file per task)."""
+    df.write.mode("overwrite").option("header", True).option("sep", delimiter).csv(path)
+
+
+def export_csv_string(df: DataFrame, columns: list[str] | None = None) -> str:
+    """API-compatible inline export: UTF-8 with BOM, header = selected
+    columns, no index (reference main.py:193-194). Collects — use only
+    for bounded results, like the reference's inline JSON responses."""
+    pdf = df.select(*columns).toPandas() if columns else df.toPandas()
+    buf = io.StringIO()
+    pdf.to_csv(buf, index=False)
+    return "\ufeff" + buf.getvalue()
