@@ -1,0 +1,82 @@
+"""Benchmark harness — the driver's per-round performance probe.
+
+Runs the headline query set (every DuckDB-hash-checked key from
+SURVEY.md §2.B, i.e. ``oracle_sql()``'s keys) at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Timing methodology (BASELINE.md protocol): per query, one warm-up run
+then median of ``$SPARK_GRAFT_BENCH_REPS`` (default 3) timed runs.
+Execution is forced with the ``noop`` sink — full plan runs on the
+executors, nothing is collected to the driver, so the number measures
+the engine, not Python row deserialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from data_ingestion_tool_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = E.queries(), E.oracle_sql()
+    headline = [k for k in qs if k in oracles]
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        try:
+            run_once(fn)  # warm-up
+            timings[name] = round(
+                statistics.median(run_once(fn) for _ in range(REPS)), 4
+            )
+        except Exception as e:  # a broken query must not hide the rest
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
+                "reps": REPS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Unit tests for the operator library on tiny literal DataFrames:
+nulls, empties, duplicates, unicode — plus property-style checks
+(dedup idempotence, union additivity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators import dedup as DD
+from data_ingestion_tool_spark.operators import similarity as SIM
+from data_ingestion_tool_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty
+        (6, "   "),  # whitespace only
+        (7, "unicode déjà vu naïve café"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tokens_empty_and_whitespace(spark, docs):
+    out = docs.select("doc_id", TX.token_count("text").alias("n")).collect()
+    n = {r["doc_id"]: r["n"] for r in out}
+    assert n[5] == 0 and n[6] == 0
+    assert n[1] == 9
+    assert n[7] == 5
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello World  "), (2, "hello world")], "id int, text string"
+    )
+    hashes = [r[0] for r in df.select(TX.fingerprint("text")).collect()]
+    assert hashes[0] == hashes[1]
+
+
+def test_exact_dedup_by_content(spark, docs):
+    out = DD.exact_dedup_by_content(docs)
+    rows = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1+2 collapse, min id kept
+    assert 2 not in rows
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = DD.exact_dedup(docs, ["text"])
+    twice = DD.exact_dedup(once, ["text"])
+    assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+        r["doc_id"] for r in twice.collect()
+    )
+
+
+def test_minhash_finds_near_dup_not_distinct(spark, docs):
+    pairs = DD.minhash_near_dup_pairs(
+        docs.filter("doc_id <= 4"), jaccard_threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)  # distinct doc stays out
+
+
+def test_simhash_exact_dup_zero_distance(spark, docs):
+    pairs = DD.simhash_near_dup_pairs(docs.filter("doc_id <= 4"), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_dup_is_one(spark, docs):
+    pairs = DD.ngram_jaccard_pairs(
+        docs.filter("doc_id <= 4"), threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is not"),
+            (2, "der Hund ist nicht in der Schule und das ist gut"),
+            (3, "le chat est dans la maison et le chien est las"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = SIM.cosine_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+    assert not any(r["neighbor_id"] == 1 for r in out)  # self excluded
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    assert c.unionAll(s).count() == c.count() + s.count()

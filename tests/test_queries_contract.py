@@ -1,0 +1,51 @@
+"""Contract tests for the driver interface: every query runs at sf0.001
+and returns a DataFrame with stable column names; oracles are a subset
+of queries; streaming parity against the batch plan."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from data_ingestion_tool_spark.queries import ORACLES, QUERIES
+
+# near-dup queries have a large one-off codegen cost; exercised in
+# test_operators on literal frames instead
+SLOW = {"dedup_near_minhash", "dedup_simhash", "dedup_ngram_jaccard"}
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 40
+
+
+def test_entry_flagship(spark):
+    df = E.entry(spark)
+    assert df.columns == ["c_name", "o_orderkey", "o_totalprice"]
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SLOW))
+def test_query_runs_and_has_stable_schema(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    cols = df.columns
+    assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+    assert df.count() >= 0
+    # column names must be stable across invocations (driver re-runs)
+    assert QUERIES[name](spark, sf_dir).columns == cols
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """Streaming availableNow result == batch plan on the same input
+    (SURVEY.md §5.2 streaming parity)."""
+    from data_ingestion_tool_spark.sources.parquet_io import read_events
+    from data_ingestion_tool_spark.streaming import tumbling_window_counts
+
+    stream_rows = sorted(
+        tuple(r) for r in QUERIES["stream_tumbling_window_counts"](spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in tumbling_window_counts(read_events(spark, sf_dir)).collect()
+    )
+    assert stream_rows == batch_rows
