@@ -1,0 +1,409 @@
+"""Advanced relational coverage: statistical/grouping-set aggregation,
+pivot, full outer join, analytic windows, scalar subqueries, regexp/null
+/JSON scalar functions, arrays, sessionization, argmax.
+
+All stock DataFrame ops (SURVEY.md §4.2: zero custom Catalyst rules);
+determinism follows the registry's decimal-exact aggregation pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.parquet_io import read_events, read_table
+from .registry import davg, dsum, query, sql_davg, sql_dsum
+
+# --- aggregation depth ----------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           {sql_davg('o_totalprice', 2)} AS mean_price,
+           SQRT(({sql_dsum('o_totalprice * o_totalprice', 4)}
+                 - {sql_dsum('o_totalprice')} * {sql_dsum('o_totalprice')} / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev via exact decimal sums (sum, sum-of-squares) so the
+    result is order-independent — a streaming one-pass stddev differs in
+    final ulps between engines."""
+    o = read_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    s = dsum("o_totalprice")
+    sq = F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(18,4)")
+    ).cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        davg("o_totalprice", 2).alias("mean_price"),
+        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT o_orderstatus, MEDIAN(o_totalprice) AS med_price,
+           QUANTILE_CONT(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) median/percentile — order statistics are
+    deterministic, unlike floating sums."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
+             AS urgent_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 200000.0, 1)).alias("n_big"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("urgent_total"),
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, o_totalprice) AS top_orderkey,
+           ARG_MIN(o_orderkey, o_totalprice) AS bottom_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale, naming the pivot
+    values skips the extra distinct-values scan Spark otherwise runs."""
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+# --- joins / subqueries ---------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer FULL JOIN
+         (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "subquery_scalar_avg",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT {sql_davg('o_totalprice', 2)} FROM orders)
+    """,
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a broadcast single-row cross join — the
+    aggregate runs once, its result ships to every executor; no second
+    scan of the fact table per row."""
+    o = read_table(spark, sf_dir, "orders")
+    avg_df = o.agg(davg("o_totalprice", 2).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- analytic windows -----------------------------------------------------
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "window_ntile_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS quartile,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct
+    FROM orders
+    """,
+)
+def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w_global = Window.orderBy("o_totalprice", "o_orderkey")
+    w_part = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_global).cast("bigint").alias("quartile"),
+        F.dense_rank().over(w_part).cast("bigint").alias("prio_rank"),
+        F.percent_rank().over(w_global).alias("pct"),
+    )
+
+
+# --- scalar functions: regexp / null / json / arrays ----------------------
+
+
+@query(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '0+', '-', 'g') AS squeezed,
+           split_part(c_name, '#', 2) AS after_hash,
+           CASE WHEN regexp_matches(c_name, '^Customer#') THEN 1 ELSE 0 END
+             AS is_customer
+    FROM customer
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "0+", "-").alias("squeezed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.when(F.col("c_name").rlike("^Customer#"), 1).otherwise(0).alias(
+            "is_customer"
+        ),
+    )
+
+
+@query(
+    "scalar_null_funcs",
+    oracle="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_filled,
+           CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END
+             AS was_building
+    FROM customer
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("REDACTED")).alias("seg_filled"),
+        F.when(seg_or_null.isNull(), 1).otherwise(0).alias("was_building"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events ``props`` column — the
+    semi-structured half of ingest."""
+    e = read_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS min_val
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.element_at(F.sort_array("embedding"), 1).cast("double").alias("min_val"),
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName aligns on column names, not positions."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("acctbal"),  # deliberately different order
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s)
+
+
+# --- sessionization (events) ----------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag → running
+    sum → per-session rollup. One shuffle on user_id; every window
+    reuses the same partitioning."""
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(wrun).cast("bigint").alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

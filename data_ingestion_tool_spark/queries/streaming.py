@@ -41,3 +41,107 @@ def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_table(
         spark, os.path.join(sf_dir, "events.parquet"), schema, transform
     )
+
+
+@query(
+    "stream_sliding_window_counts",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS cnt FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+             event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+             event_type FROM events)
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    overlapping windows (which is exactly what the UNION-ALL oracle
+    enumerates)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        return (
+            e.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "cnt")
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
+
+
+@query(
+    "stream_dedup_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (state keyed on the dedup columns) then
+    a windowless aggregate in complete mode — distinct users per event
+    type over the whole stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return (
+            stream.select("event_type", "user_id")
+            .dropDuplicates(["event_type", "user_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
+
+
+@query(
+    "stream_stateful_running_max",
+    oracle="""
+    SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (max, count) kept in the state store. The memory sink holds
+    one update row per user per micro-batch; the final state per user is
+    the last emission (max-of-maxes aggregates it batch-independently)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_max_per_key
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return running_max_per_key(stream)
+
+    out = run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform,
+        output_mode="update",
+    )
+    # collapse per-micro-batch updates to the final state per key
+    return out.groupBy("user_id").agg(
+        F.max("max_value").alias("max_value"), F.max("n_seen").alias("n_seen")
+    )

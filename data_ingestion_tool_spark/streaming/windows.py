@@ -45,6 +45,7 @@ def run_stream_to_table(
     schema,
     transform,
     table_name: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run a finite streaming job: readStream(parquet) → transform →
     memory sink with an AvailableNow trigger; returns the materialized
@@ -67,7 +68,7 @@ def run_stream_to_table(
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
