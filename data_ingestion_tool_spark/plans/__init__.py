@@ -1,0 +1,25 @@
+from .inspect import (
+    codegen_subtree_count,
+    exchange_count,
+    formatted_plan,
+    has_cartesian_product,
+    has_partial_aggregation,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    scan_columns,
+    simple_plan,
+)
+
+__all__ = [
+    "codegen_subtree_count",
+    "exchange_count",
+    "formatted_plan",
+    "has_cartesian_product",
+    "has_partial_aggregation",
+    "join_strategies",
+    "pushed_filters",
+    "read_schemas",
+    "scan_columns",
+    "simple_plan",
+]

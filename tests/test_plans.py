@@ -1,0 +1,112 @@
+"""Scale-readiness assertions: pin the physical-plan properties that
+matter at 100 TB so regressions fail here instead of on a cluster.
+
+Each test documents WHY the property matters at 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_tool_spark.plans import (
+    codegen_subtree_count,
+    exchange_count,
+    has_cartesian_product,
+    has_partial_aggregation,
+    join_strategies,
+    pushed_filters,
+    scan_columns,
+)
+from data_ingestion_tool_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+def test_comma_join_recovers_equi_join(q):
+    """The flagship R4 comma-join (crossJoin + filter) MUST be rewritten
+    by Catalyst to a hash equi-join. A cartesian product on orders ×
+    customer at 100 TB is ~10^17 row pairs — plan death."""
+    df = q("join_theta_comma")
+    assert not has_cartesian_product(df)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_multiway_join_broadcasts_dims(q):
+    """lineitem ⋈ orders ⋈ customer: the dim sides fit under the
+    broadcast threshold, so no shuffle of the big fact table just to
+    join — zero shuffle exchanges in the whole plan."""
+    df = q("join_multiway")
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") == len(strategies) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_filter_pushdown_reaches_scan(q):
+    """Predicates must reach the parquet reader (row-group pruning +
+    fewer rows deserialized). At 100 TB, an unpushed filter reads the
+    whole table off disk."""
+    assert any("l_quantity" in f for f in pushed_filters(q("filter_comparison")))
+    assert any(
+        "o_orderstatus" in f or "o_totalprice" in f
+        for f in pushed_filters(q("filter_in_like_between_null"))
+    )
+
+
+def test_column_pruning_shrinks_scan(q):
+    """A projection over 2 columns must not read all 16 lineitem
+    columns — ReadSchema is the contract."""
+    cols = scan_columns(q("scan_parquet_project"))
+    assert "l_comment" not in cols
+    assert len(cols) <= 6
+
+
+def test_groupby_has_mapside_combine(q):
+    """Partial (map-side) aggregation shrinks the shuffle from
+    O(rows) to O(groups × partitions)."""
+    df = q("agg_groupby_basic")
+    assert has_partial_aggregation(df)
+    assert exchange_count(df) == 1  # exactly one shuffle: by group key
+
+
+def test_sessionize_single_shuffle(q):
+    """lag → running-sum → per-session rollup all share the user_id
+    partitioning: one shuffle, not three."""
+    assert exchange_count(q("sessionize_events")) <= 2
+
+
+def test_hot_paths_stay_in_codegen(spark, sf_dir):
+    """Relational plans must compile to WholeStageCodegen — falling out
+    (e.g. via a row-at-a-time Python UDF) is a 10-100x slowdown.
+
+    AQE defers codegen for exchange-bearing plans until runtime, so the
+    check builds the plan with AQE off — same operators, static plan.
+    """
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("filter_comparison", "agg_groupby_basic", "join_multiway",
+                     "scalar_string_funcs", "text_token_count"):
+            df = QUERIES[name](spark, sf_dir)
+            assert codegen_subtree_count(df) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_anti_joins_broadcast(q):
+    """Existence checks against small build sides must broadcast."""
+    for name in ("join_semi", "join_anti"):
+        assert "BroadcastHashJoin" in join_strategies(q(name)), name
+
+
+def test_topk_no_global_sort_shuffle(q):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — per-
+    partition top-k then a driver merge of k-row heaps, not a full
+    range-partitioned global sort of the table."""
+    from data_ingestion_tool_spark.plans import simple_plan
+
+    assert "TakeOrderedAndProject" in simple_plan(q("sort_limit_topk"))
