@@ -1,0 +1,86 @@
+"""As-of (time-travel) join — a temporal operator Spark lacks built-in.
+
+``asof_join(left, right, ...)`` matches each left row to the most
+recent right row with ``right.ts <= left.ts`` within the same key —
+the classic "price as of trade time" / "latest order before this
+event" join (DuckDB spells it ``ASOF JOIN``, which is the oracle).
+
+Spark-first plan — union + ordered window, NOT a range join:
+
+    left(key, ts, ...)  ─┐
+                         ├─ unionByName ─ Window(partitionBy key,
+    right(key, ts, ...) ─┘                 orderBy ts, side)
+                                           last(right_payload,
+                                                ignorenulls=True)
+                                           → filter(side = left)
+
+One shuffle (by key), one sort within partitions, then a linear pass —
+O(n log n) per partition and no row-pair blowup. The naive alternative
+(non-equi join ``l.ts >= r.ts`` + argmax) materializes every
+(left, earlier-right) pair: quadratic per key, plan death at 100 TB.
+Skewed keys follow the same AQE skew-split path as any windowed op.
+
+Determinism note: when several right rows share (key, ts), which one's
+payload wins is tie-ordered by the payload itself (greatest wins) so the
+result is deterministic; DuckDB's ASOF has the same ambiguity and the
+oracle queries carry tie-insensitive payloads (e.g. the matched
+timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    right_on: str | None = None,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Left as-of-backward join (inclusive: ``right_ts <= left_ts``).
+
+    ``on``: key column on the left; ``right_on``: key on the right
+    (defaults to ``on``). ``payload`` maps right column → output alias
+    for the columns carried from the matched right row. Left rows with
+    no earlier right row keep NULL payload (LEFT ASOF semantics).
+    """
+    out_cols = [*left.columns, *payload.values()]
+    lhs = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).alias(f"__p_{dst}") for dst in payload.values()],
+    )
+    rhs = right.select(
+        F.col(right_on or on).alias(on),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(src).alias(f"__p_{dst}") for src, dst in payload.items()],
+    )
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    u = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # right rows sort before left rows at equal ts → inclusive <=;
+    # payload columns as trailing sort keys pin ties deterministically.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", *[f"__p_{d}" for d in payload.values()])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"__p_{dst}", ignorenulls=True).over(w).alias(dst)
+            for dst in payload.values()
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(*out_cols)

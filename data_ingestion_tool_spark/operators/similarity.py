@@ -210,3 +210,107 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def _sq_dist(a, b) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return dot(d, d)
+
+
+def _nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids (ties → smaller id)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n).getField("cid")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF codebook: seed with the ``n_centroids``
+    lowest-id vectors, then ``refine_iters`` distributed Lloyd steps
+    (assign → per-dimension mean via posexplode → collect the tiny
+    codebook). The corpus is only ever scanned, never shuffled by
+    vector — the per-cell means shuffle (cell, dim, partial-sum)
+    triples, O(n_centroids × dim) final state.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(_as_double(vec_col).alias("v"))
+        .collect()
+    )
+    cents = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        assigned = corpus.select(
+            _as_double(vec_col).alias("v")
+        ).withColumn("cid", _nearest_cells(F.col("v"), cents, 1)[0])
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("v"))
+            .collect()
+        )
+        cents = sorted((int(r.cid), list(r.v)) for r in means)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, score each query only against its ``n_probe``
+    nearest cells, exact cosine re-rank inside the probed cells.
+
+    Scale shape: the corpus is assigned to cells in one codegen'd pass
+    (no shuffle — the cell id is a column expression over a broadcast
+    codebook); queries explode to (query, cell) pairs and broadcast;
+    the candidate join touches ~n_probe/n_centroids of the corpus.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cid", _nearest_cells(F.col("cv"), cents, 1)[0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("cid", F.explode(_nearest_cells(F.col("qv"), cents, n_probe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -29,5 +29,6 @@ from . import similarity  # noqa: F401
 from . import streaming  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import advanced  # noqa: F401
+from . import temporal  # noqa: F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

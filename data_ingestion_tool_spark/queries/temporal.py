@@ -1,0 +1,141 @@
+"""Temporal + layout queries: as-of join, streaming session windows,
+partition-pruned ingest, IVF similarity.
+
+The as-of join and session windows are operators the reference engine
+class typically adds beyond plain SQL; DuckDB expresses both (ASOF JOIN
+/ gap sessionization) so they stay oracle-checked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.parquet_io import (
+    enable_nanos_as_long,
+    nanos_to_timestamp,
+    read_events,
+    read_table,
+)
+from ..streaming.windows import run_stream_to_table
+from .registry import query, sql_dsum
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the most recent click by the same user at
+    or before it — LEFT ASOF JOIN, planned as union + ordered window
+    (one shuffle on user_id; see operators/asof.py for why not a
+    range join)."""
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "last_click_ts"},
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min inactivity gap) via the
+    built-in ``session_window`` — state-store-backed session merging,
+    the streaming twin of the batch gap-sessionization oracle."""
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        return (
+            e.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
+
+
+@query(
+    "ingest_partitioned_prune",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS cnt, {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+)
+def ingest_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned ingest + partition-pruned read: write orders
+    ``partitionBy(o_orderstatus)``, read back filtered to one partition.
+    The filter prunes whole directories at planning time (zero I/O for
+    other partitions) — the layout choice that replaces the reference's
+    ``ORDER BY tuple()`` no-layout policy for 100 TB tables."""
+    out = os.path.join(tempfile.gettempdir(), "ditspark_part_orders")
+    o = read_table(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    from .registry import dsum
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@query("similarity_topk_ivf")  # approximate → rows-only check
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors: 16-cell codebook
+    (one distributed Lloyd refinement), probe the 4 nearest cells per
+    query, exact cosine re-rank inside probed cells."""
+    from ..operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

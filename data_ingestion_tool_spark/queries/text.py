@@ -97,3 +97,31 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "sql_function_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           md5(lower(trim(text))) AS content_hash
+    FROM documents
+    """,
+)
+def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's registered SQL UDFs driven purely through
+    ``spark.sql`` — proves the SQL surface exists and that the SQL-UDF
+    bodies inline (no Python boundary; see functions/register.py)."""
+    from ..functions import register_sql_functions
+
+    register_sql_functions(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               dit_token_count(text) AS n_tokens,
+               dit_fingerprint(text) AS content_hash
+        FROM documents
+        """
+    )

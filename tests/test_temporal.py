@@ -1,0 +1,90 @@
+"""Unit tests: as-of join edge cases, IVF recall vs brute force,
+partition pruning reaches the scan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.asof import asof_join
+from data_ingestion_tool_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), "a"),   # exact-tie match
+            (1, ts("2024-01-01T11:00:00"), "b"),   # later match wins
+            (2, ts("2024-01-01T09:00:00"), "c"),   # no earlier right row
+            (3, ts("2024-01-01T12:00:00"), "d"),   # key absent on right
+        ],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 100.0),
+            (1, ts("2024-01-01T10:30:00"), 200.0),
+            (2, ts("2024-01-01T09:30:00"), 300.0),
+        ],
+        "k long, t timestamp, price double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        payload={"price": "asof_price"},
+    )
+    got = {r.tag: r.asof_price for r in out.collect()}
+    assert got == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+    assert out.columns == ["k", "t", "tag", "asof_price"]
+
+
+def test_asof_join_row_preserving(spark, sf_dir):
+    """LEFT ASOF never duplicates or drops left rows."""
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    df = QUERIES["join_asof_last_click"](spark, sf_dir)
+    from data_ingestion_tool_spark.sources.parquet_io import read_events
+
+    n_errors = (
+        read_events(spark, sf_dir).filter(F.col("event_type") == "error").count()
+    )
+    assert df.count() == n_errors
+    assert df.select("event_id").distinct().count() == n_errors
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Approximate ANN must actually approximate: recall@5 against the
+    exact answer well above chance (50 corpus cells → chance ≈ 0.25)."""
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    """The partitioned-ingest read must prune directories at plan time:
+    the scan's PartitionFilters carries the o_orderstatus predicate."""
+    from data_ingestion_tool_spark.plans import formatted_plan
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    df = QUERIES["ingest_partitioned_prune"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1)
