@@ -6,23 +6,32 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas functions over ``mapInPandas`` so each task processes a batch of
 payloads without ever collecting to the driver.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-:func:`extract_binary_metadata` computes real, deterministic metadata
-(byte length, sha256) via the same mapInPandas plumbing a real decoder
-would use, and :func:`decode_image_stub` raises ``NotImplementedError``
-exactly where a codec (PIL/ffmpeg) would plug in. The Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested.
+The container has no image/audio codecs, so the *codec call* is behind
+a seam: each operator takes a ``decoder`` callable; the default is
+:func:`fake_decode` — a deterministic stand-in that derives plausible
+(height, width, channels, pixel-stats) from the payload bytes — and
+:func:`codec_decode` raises ``NotImplementedError`` exactly where
+PIL/ffmpeg would plug in. Everything around the seam (schemas, Arrow
+batch shapes, the one-row-to-many frame explode, partition behavior) is
+real, production-shaped, and tested.
+
+At 100 TB: payloads ride executor-local (parquet binary column, no
+driver transit); mapInPandas streams Arrow batches, so peak memory per
+task is one batch, not one partition; frame sampling fans out rows
+inside the executor with no shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+Decoder = Callable[[bytes], dict]
 
 
 def with_binary_payload(df: DataFrame, src_col: str, out_col: str = "payload") -> DataFrame:
@@ -66,26 +75,125 @@ def extract_binary_metadata(
     return df.select(id_col, payload_col).mapInPandas(meta_batches, METADATA_SCHEMA)
 
 
-def decode_image_stub(
-    df: DataFrame, payload_col: str = "payload"
-) -> DataFrame:
-    """Where PIL/libjpeg would decode payload → (height, width, pixels).
+# --- the codec seam -------------------------------------------------------
 
-    STUB: no image codecs in this environment. The mapInPandas
-    signature/schema below is the production contract.
-    """
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image codec: digest-derived
+    dimensions + pixel stats. CLEARLY FAKE — swap for a PIL/libjpeg
+    decode in production; the surrounding plumbing is unchanged."""
+    d = hashlib.sha256(payload).digest()
+    return {
+        "height": 16 + d[0] % 16 * 16,          # 16..256, deterministic
+        "width": 16 + d[1] % 16 * 16,
+        "channels": 1 if d[2] % 4 == 0 else 3,
+        "mean_pixel": d[3] / 255.0,
+        "n_frames": 1 + d[4] % 8,               # video payloads: 1..8
+    }
+
+
+def codec_decode(payload: bytes) -> dict:  # pragma: no cover - by design
+    """The production seam: PIL/ffmpeg goes here."""
     raise NotImplementedError(
-        "image decode requires a codec library (e.g. PIL); not available "
-        "in this environment. Use extract_binary_metadata for the "
-        "codec-free metadata path."
+        "no image/audio codec in this environment; pass decoder=fake_decode "
+        "(deterministic) or plug in a real codec callable"
     )
 
 
-def frame_sample_stub(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 30
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Decoder = fake_decode,
 ) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_image_stub."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings; not available in "
-        "this environment."
+    """Decode payloads → typed image features, one output row per
+    payload, Arrow-batched, executor-local."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decoder(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").values,
+                    "height": [m["height"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "mean_pixel": [m["mean_pixel"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODE_SCHEMA)
+
+
+def resize_plan(
+    decoded: DataFrame, max_side: int = 64
+) -> DataFrame:
+    """Resize planning over decoded dims — pure column math (codegen),
+    no second decode pass: scale factor + target dims per image."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("height"), F.col("width")).cast("double"),
     )
+    return decoded.withColumns(
+        {
+            "scale": scale,
+            "out_height": F.greatest(
+                F.floor(F.col("height") * scale).cast("bigint"), F.lit(1)
+            ),
+            "out_width": F.greatest(
+                F.floor(F.col("width") * scale).cast("bigint"), F.lit(1)
+            ),
+        }
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+    decoder: Decoder = fake_decode,
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to ~n_frames/every_n
+    output rows *inside the executor* (mapInPandas emits more rows than
+    it receives — no shuffle, no driver). frame_sha stands in for the
+    frame tensor a real ffmpeg extraction would yield."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, shas = [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                raw = bytes(b)
+                n = decoder(raw)["n_frames"]
+                for f_idx in range(0, n, every_n):
+                    ids.append(i)
+                    idxs.append(f_idx)
+                    shas.append(
+                        hashlib.sha256(raw + f_idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,84 @@
+"""Skew mitigation: salted two-phase aggregation and salted joins.
+
+AQE's skew-join splitting (on in session.py) handles skewed *joins* at
+runtime, but nothing built-in saves a ``groupBy`` whose hot key routes
+30% of a 100 TB table through one reducer. The classic fix is salting —
+spread each hot key across N sub-keys, aggregate twice:
+
+    phase 1: groupBy(key, salt)  — N-way parallel, absorbs the hot key
+    phase 2: groupBy(key)        — merges N tiny partials
+
+Salts are DETERMINISTIC (hash of a unique column, not ``rand()``) so
+results are reproducible and retried tasks don't double-count — a
+``rand()`` salt breaks exactly-once semantics under task retry, because
+a retried map task would re-salt rows differently than the partial
+aggregates already shuffled from its first attempt.
+
+For joins where one side's hot keys are known (or AQE is unavailable),
+:func:`salted_join` replicates the small side N× and salts the big side
+— the general pre-AQE pattern, kept here because it also works for
+aggregation-like join fan-ins AQE can't split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_salt(unique_col: str | Column, n_salts: int) -> Column:
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.hash(c), F.lit(n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max}. Phase-1 partials per (key, salt), phase-2
+    merge per key: sum/count re-sum, min/max re-min/max. (avg would
+    decompose to sum+count — compose it from those.)
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    p1 = [
+        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(src)).alias(out)
+        for out, (src, fn) in aggs.items()
+    ]
+    partial = (
+        df.withColumn("__salt", deterministic_salt(salt_from, n_salts))
+        .groupBy(*keys, "__salt")
+        .agg(*p1)
+    )
+    p2 = [
+        merge_fn[fn](out).alias(out) for out, (_, fn) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*p2)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_from: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side deterministically,
+    replicate the small side across all salts, join on (key, salt).
+    The hot key's rows land on ``n_salts`` reducers instead of one;
+    the small side grows N× (fine — it's small)."""
+    b = big.withColumn("__salt", deterministic_salt(salt_from, n_salts))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [on, "__salt"], how).drop("__salt")

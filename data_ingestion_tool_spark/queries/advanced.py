@@ -407,3 +407,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over the low-cardinality (= every
+    key is hot) event_type column: partials per (key, salt) then a merge
+    per key. Same answer as a direct groupBy — the oracle proves it —
+    with the hot keys spread across 16 reducers in phase 1."""
+    from ..operators.skew import salted_agg
+    from ..sources.parquet_io import read_events
+
+    e = read_events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "cnt": ("value", "count"),
+            "sum_value_dec": ("value_dec", "sum"),
+            "max_value": ("value", "max"),
+        },
+        salt_from="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "max_value",
+    )

@@ -30,3 +30,32 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes — the Pandas-UDF plumbing must produce bit-identical output."""
     d = read_table(spark, sf_dir, "documents")
     return extract_binary_metadata(with_binary_payload(d, "text"))
+
+
+@query("multimodal_decode_resize")  # rows-only: fake-decoder features
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode (deterministic fake codec behind the production seam) →
+    resize planning as pure column math. One mapInPandas pass, then
+    codegen'd arithmetic."""
+    from ..operators.multimodal import decode_images, resize_plan
+
+    d = read_table(spark, sf_dir, "documents")
+    decoded = decode_images(with_binary_payload(d, "text"))
+    return resize_plan(decoded, max_side=64)
+
+
+@query("multimodal_frame_sample")  # rows-only: executor-side fan-out
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each payload fans out to its sampled
+    frames inside the executor (mapInPandas emits more rows than it
+    gets — no shuffle), then a per-document frame count."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d, "text"), every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.min("frame_sha").alias("first_sha"),
+    )

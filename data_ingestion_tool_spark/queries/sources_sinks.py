@@ -100,3 +100,38 @@ def ingest_append_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 DESCRIBE equivalent as a DataFrame of (col_name, data_type)."""
     return columns_df(spark, read_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: distributed write of nation to
+    newline-delimited JSON, schema-pinned re-read (no sampling pass —
+    at scale, explicit schemas make JSON reads single-pass)."""
+    out = _scratch("jsonrt")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json(out)
+
+
+@query(
+    "orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source — the third columnar interchange format a
+    switcher might hold data in (schema travels in the ORC footer)."""
+    out = _scratch("orcrt")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -1,0 +1,68 @@
+"""Multimodal plumbing: determinism, fan-out shape, and the codec seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.multimodal import (
+    codec_decode,
+    decode_images,
+    fake_decode,
+    resize_plan,
+    sample_frames,
+    with_binary_payload,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return with_binary_payload(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "a much longer document body")],
+            "doc_id long, text string",
+        ),
+        "text",
+    )
+
+
+def test_decode_deterministic(docs):
+    a = {r.doc_id: tuple(r) for r in decode_images(docs).collect()}
+    b = {r.doc_id: tuple(r) for r in decode_images(docs).collect()}
+    assert a == b
+    assert set(a) == {1, 2, 3}
+    for _, h, w, c, m in a.values():
+        assert 16 <= h <= 256 and 16 <= w <= 256
+        assert c in (1, 3)
+        assert 0.0 <= m <= 1.0
+
+
+def test_resize_plan_bounds(docs):
+    out = resize_plan(decode_images(docs), max_side=64).collect()
+    for r in out:
+        assert max(r.out_height, r.out_width) <= 64
+        assert r.out_height >= 1 and r.out_width >= 1
+        assert 0 < r.scale <= 1.0
+        # aspect ratio preserved within rounding
+        if r.scale < 1.0:
+            assert abs(r.out_height / r.height - r.out_width / r.width) < 0.1
+
+
+def test_frame_sample_fanout(docs):
+    frames = sample_frames(docs, every_n=1)
+    got = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    expect = {
+        r.doc_id: fake_decode(bytes(r.payload))["n_frames"]
+        for r in docs.collect()
+    }
+    assert {r.doc_id: r.n for r in got} == expect
+    # every_n=2 halves (ceil) the sampled frames
+    half = sample_frames(docs, every_n=2)
+    got2 = {r.doc_id: r.n for r in
+            half.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got2 == {k: (v + 1) // 2 for k, v in expect.items()}
+
+
+def test_codec_seam_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        codec_decode(b"\xff\xd8\xff")
