@@ -145,3 +145,64 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("max_value").alias("max_value"), F.max("n_seen").alias("n_seen")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every error paired with same-user
+    clicks in the preceding 10 minutes. Both sides carry watermarks and
+    the join carries a time-range condition — that bound is what lets
+    the state store EVICT rows older than the range (without it,
+    stream-stream join state grows forever). availableNow over the
+    finite input makes the result batch-equivalent (the oracle)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        errors = (
+            e.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "30 minutes")
+        )
+        clicks = (
+            e.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        joined = errors.join(
+            clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("e_ts")),
+            "inner",
+        )
+        return joined.select(
+            "error_id", "click_id", F.col("e_user").alias("user_id")
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform,
+        output_mode="append",
+    )
