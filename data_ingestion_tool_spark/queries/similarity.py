@@ -30,17 +30,20 @@ TOP_K = 5
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
            FROM scored)
-    SELECT query_id, neighbor_id, score, rank FROM ranked
+    SELECT query_id, neighbor_id, ROUND(score, 9) AS score, rank FROM ranked
     WHERE rank <= {TOP_K}
     """,
 )
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k: query block broadcast, corpus
-    streamed partition-local (the 100 TB shape — the corpus never
-    shuffles)."""
+    """Exact brute-force cosine top-k: query block broadcast (in the
+    mapInPandas closure), corpus streamed partition-local with numpy
+    matmul scoring (the 100 TB shape — the corpus never shuffles).
+    Scores rounded to 9 decimals on both sides: BLAS matmul vs the
+    oracle's sequential fold drift only in the last couple of ulps."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return SIM.cosine_topk(emb, queries, k=TOP_K)
+    out = SIM.cosine_topk(emb, queries, k=TOP_K)
+    return out.withColumn("score", F.round("score", 9))
 
 
 @query("similarity_topk_lsh")  # rows-only: approximate (recall < 1)

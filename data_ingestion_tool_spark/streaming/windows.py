@@ -39,6 +39,9 @@ def tumbling_window_counts(
     )
 
 
+DEFAULT_STATE_PARTITIONS = 8
+
+
 def run_stream_to_table(
     spark: SparkSession,
     source_path: str,
@@ -46,6 +49,7 @@ def run_stream_to_table(
     transform,
     table_name: str | None = None,
     output_mode: str = "complete",
+    state_partitions: int = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """Run a finite streaming job: readStream(parquet) → transform →
     memory sink with an AvailableNow trigger; returns the materialized
@@ -54,6 +58,15 @@ def run_stream_to_table(
     ``source_path`` may be a single file: the file-stream source only
     accepts directories, so a file path is split into (parent dir,
     pathGlobFilter=filename).
+
+    ``state_partitions`` sizes the streaming state store: a stateful
+    query creates one state store per shuffle partition PER STATEFUL
+    OPERATOR per micro-batch, so state width should track state volume,
+    not the relational shuffle width (inheriting 32 costs ~2x wall
+    clock on modest streams; a high-volume production stream would set
+    this to cores×executors). The partition count is baked into the
+    checkpoint at first start — it is a per-stream, not per-restart,
+    choice, which is why it's a parameter here and not session state.
     """
     name = table_name or f"stream_out_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(schema)
@@ -65,13 +78,18 @@ def run_stream_to_table(
     ckpt = os.path.join(
         tempfile.gettempdir(), "spark-graft-ckpt", uuid.uuid4().hex
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
