@@ -153,7 +153,9 @@ def import_flatfile(
     try:
         tmp.write(contents)
         tmp.close()
-        df = read_csv_compat(spark, tmp.name, delimiter=delimiter)
+        # multiline=True: uploads are single bounded files (faithful to
+        # pandas' whole-file parse); splittability doesn't matter here
+        df = read_csv_compat(spark, tmp.name, delimiter=delimiter, multiline=True)
         if df.isEmpty() or not df.columns:
             raise ApiError(400, "File is empty or invalid format")
         # append-wins / IF NOT EXISTS policy: first writer defines the

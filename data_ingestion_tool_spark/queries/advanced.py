@@ -528,3 +528,42 @@ def ingest_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_orderstatus"),
         F.coalesce(F.col("u_price"), F.col("o_totalprice")).alias("o_totalprice"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube:
+    one scan, one expand, one shuffle for every grouping combination."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM (SELECT * FROM customer WHERE c_custkey <= 50) t
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    under parallelism, so determinism comes from sorting the collected
+    array before joining — the distributed-safe LISTAGG pattern."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+    )

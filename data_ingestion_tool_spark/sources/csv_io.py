@@ -38,16 +38,32 @@ def validate_upload_extension(filename: str) -> None:
 
 
 def read_csv_compat(
-    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """All-string read; empty cells are ``''``, never NULL (compat with
-    ``dtype=str, na_filter=False``)."""
+    ``dtype=str, na_filter=False``).
+
+    Quoting is RFC-4180 (``""`` inside a quoted field = one ``"``),
+    matching pandas' reader in the reference (main.py:234) -- Spark's
+    default backslash escape would mis-read doubled quotes.
+
+    ``multiline=True`` additionally accepts quoted embedded newlines --
+    but makes files UNSPLITTABLE (one task per file, no intra-file
+    parallelism), so it's opt-in: the API-compat upload path uses it
+    (single bounded file), the 100 TB scan path must not.
+    """
     df = (
         spark.read.option("header", header)
         .option("sep", delimiter)
         .option("inferSchema", False)
         .option("nullValue", "\u0000NEVER\u0000")  # nothing maps to null
         .option("emptyValue", "")
+        .option("escape", '"')
+        .option("multiLine", multiline)
         .csv(path)
     )
     # Spark still yields null for truly-missing trailing fields; pin ''.
@@ -65,13 +81,26 @@ def read_csv_inferred(
         spark.read.option("header", header)
         .option("sep", delimiter)
         .option("inferSchema", True)
+        .option("escape", '"')
         .csv(path)
     )
 
 
 def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
-    """Distributed CSV sink (the 100 TB path — one file per task)."""
-    df.write.mode("overwrite").option("header", True).option("sep", delimiter).csv(path)
+    """Distributed CSV sink (the 100 TB path — one file per task).
+    Writes RFC-4180 quote doubling so round-trips through
+    :func:`read_csv_compat` (and pandas/DuckDB readers) are lossless."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", delimiter)
+        .option("escape", '"')
+        # Spark's CSV *writer* trims cell whitespace by default --
+        # pandas' to_csv (the reference exporter) does not; be lossless
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
 def export_csv_string(df: DataFrame, columns: list[str] | None = None) -> str:

@@ -1,0 +1,142 @@
+"""Property-based checks (hypothesis): operators vs naive Python
+oracles on randomized small inputs — the cheap way to hit edge shapes
+(empty groups, all-ties, single rows, unicode) no hand-written case
+covers. Example counts are small: each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from data_ingestion_tool_spark.operators.asof import asof_join
+from data_ingestion_tool_spark.operators.skew import salted_agg
+from data_ingestion_tool_spark.operators.text import fingerprint
+
+SETTINGS = dict(max_examples=10, deadline=None)
+
+keys = st.integers(min_value=0, max_value=3)
+tss = st.integers(min_value=0, max_value=86_400)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, tss), min_size=0, max_size=12),
+    right=st.lists(st.tuples(keys, tss, st.floats(0, 100)), max_size=12),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    """asof payload == max-ts right row with ts <= left ts, per key."""
+    lf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(99, 0, -1)],
+        "k long, t long, row_id long",
+    )
+    rf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(98, 0, 0.0)],
+        "k long, t long, v double",
+    )
+    out = asof_join(
+        lf, rf, on="k", left_ts="t", right_ts="t", payload={"v": "asof_v"}
+    )
+    got = {r.row_id: r.asof_v for r in out.collect() if r.row_id >= 0}
+
+    def naive(k, t):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        if not cands:
+            return None
+        best_t = max(rt for rt, _ in cands)
+        # ties on ts: operator pins greatest payload deterministically
+        return max(v for rt, v in cands if rt == best_t)
+
+    want = {i: naive(k, t) for i, (k, t) in enumerate(left)}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+def test_salted_agg_equals_naive(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v double"
+    )
+    got = {
+        r.k: (r.cnt, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"cnt": ("v", "count"), "mx": ("v", "max")},
+            salt_from="id", n_salts=n_salts,
+        ).collect()
+    }
+    want = {}
+    for k, v in rows:
+        c, m = want.get(k, (0, float("-inf")))
+        want[k] = (c + 1, max(m, v))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fingerprint_dedup_idempotent_and_consistent(spark, texts):
+    """dedup(dedup(x)) == dedup(x); fingerprint equality == equality of
+    normalized text (md5 collision-free at these sizes)."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    d1 = df.withColumn("fp", fingerprint("text")).dropDuplicates(["fp"])
+    d2 = d1.dropDuplicates(["fp"])
+    assert sorted(r.fp for r in d1.collect()) == sorted(r.fp for r in d2.collect())
+    # SQL trim removes spaces only (unlike Python str.strip) — the
+    # operator matches DuckDB's trim, so the oracle must too
+    want = len({t.lower().strip(" ") for t in texts})
+    assert d1.count() == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\r\n"
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_csv_compat_roundtrip_preserves_strings(spark, tmp_path_factory, vals):
+    """Arbitrary unicode (incl. delimiters and quotes in values)
+    survives write→compat-read byte-identically on the splittable
+    (multiline=False) scan path."""
+    from data_ingestion_tool_spark.sources.csv_io import read_csv_compat, write_csv
+
+    out = str(tmp_path_factory.mktemp("csvprop"))
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s string")
+    write_csv(df, out)
+    back = read_csv_compat(spark, out)
+    got = {int(r.i): r.s for r in back.collect()}
+    assert got == {i: v for i, v in enumerate(vals)}
+
+
+def test_csv_compat_multiline_newlines(spark, tmp_path):
+    """Quoted embedded newlines need the opt-in multiline mode (which
+    trades file splittability — documented in read_csv_compat)."""
+    from data_ingestion_tool_spark.sources.csv_io import read_csv_compat, write_csv
+
+    out = str(tmp_path / "ml")
+    df = spark.createDataFrame(
+        [(1, "line1\nline2"), (2, 'quote " and\nnewline')], "i long, s string"
+    )
+    write_csv(df, out)
+    got = {int(r.i): r.s for r in read_csv_compat(spark, out, multiline=True).collect()}
+    assert got == {1: "line1\nline2", 2: 'quote " and\nnewline'}
