@@ -24,16 +24,18 @@ from .registry import davg, dsum, query, sql_davg, sql_dsum
     SELECT o_orderstatus,
            COUNT(*) AS n,
            {sql_davg('o_totalprice', 2)} AS mean_price,
-           SQRT(({sql_dsum('o_totalprice * o_totalprice', 4)}
+           ROUND(SQRT(({sql_dsum('o_totalprice * o_totalprice', 4)}
                  - {sql_dsum('o_totalprice')} * {sql_dsum('o_totalprice')} / COUNT(*))
-                / (COUNT(*) - 1)) AS stddev_price
+                / (COUNT(*) - 1)), 6) AS stddev_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev via exact decimal sums (sum, sum-of-squares) so the
     result is order-independent — a streaming one-pass stddev differs in
-    final ulps between engines."""
+    final ulps between engines. The sqrt-of-difference still drifts in
+    the last ulp across engines at larger n (≈3e-11 absolute at sf0.1),
+    so both sides round to 6 decimals."""
     o = read_table(spark, sf_dir, "orders")
     n = F.count(F.lit(1))
     s = dsum("o_totalprice")
@@ -43,7 +45,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         n.alias("n"),
         davg("o_totalprice", 2).alias("mean_price"),
-        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_price"),
+        F.round(
+            F.sqrt((sq - s * s / n) / (n - F.lit(1))), 6
+        ).alias("stddev_price"),
     )
 
 
