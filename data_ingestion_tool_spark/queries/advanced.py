@@ -571,3 +571,49 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
     )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count estimate per event_type. THE 100 TB
+    cardinality operator: fixed ~small sketch per group mergeable across
+    partitions, vs exact count-distinct's full shuffle of every distinct
+    value. rsd=0.01 ≈ 1% error; accuracy vs exact is unit-tested
+    (tests/test_approx.py) since sketches differ across engines."""
+    from ..sources.parquet_io import read_events
+
+    e = read_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query("agg_approx_quantiles")  # rows-only: t-digest boundaries are engine-specific
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles (p50/p95/p99) of order totals —
+    single pass, bounded memory, vs exact percentile's full sort.
+    Accuracy vs exact is unit-tested."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+            "pcts"
+        )
+    ).select(
+        "o_orderstatus",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+    )
+
+
+@query("sample_seeded")  # rows-only: Bernoulli sampling is engine-specific
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + aggregate — the exploratory pattern
+    that reads 1% of 100 TB instead of all of it. Deterministic under
+    the fixed seed (same rows every run; reproducibility unit-tested)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
