@@ -206,3 +206,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"), schema, transform,
         output_mode="append",
     )
+
+
+@query(
+    "stream_ingest_to_table",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def stream_ingest_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest end-to-end: readStream(events) -> foreachBatch
+    -> partitioned parquet table (replay-idempotent batch-id guard),
+    then aggregate the landed table. Proves the streaming load path
+    writes exactly the batch answer."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ingest import stream_ingest_parquet
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+    dest = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"si-{uuid.uuid4().hex[:8]}"
+    )
+    stream_ingest_parquet(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        schema,
+        dest,
+        transform=lambda s: s.select("event_id", "event_type"),
+    )
+    landed = spark.read.parquet(dest)
+    return landed.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,3 +1,8 @@
-from .windows import tumbling_window_counts, run_stream_to_table
+from .ingest import stream_ingest_parquet
+from .windows import run_stream_to_table, tumbling_window_counts
 
-__all__ = ["tumbling_window_counts", "run_stream_to_table"]
+__all__ = [
+    "run_stream_to_table",
+    "stream_ingest_parquet",
+    "tumbling_window_counts",
+]
