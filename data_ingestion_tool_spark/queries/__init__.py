@@ -30,5 +30,6 @@ from . import streaming  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import advanced  # noqa: F401
 from . import temporal  # noqa: F401
+from . import tpch  # noqa: F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]
