@@ -617,3 +617,61 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 50000.0 PRECEDING AND 50000.0 FOLLOWING)
+             AS BIGINT) AS n_similar_priced
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per order, how many of the same customer's
+    orders fall within ±50k of its price — a value-based frame (RANGE),
+    not a row-count frame (ROWS)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, 50000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_similar_priced"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(o_totalprice * o_orderkey) / SUM(o_orderkey), 6)
+             AS weighted_avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a grouped-agg pandas UDF: orderkey-weighted mean
+    price. Arrow ships each group's columns to one vectorized numpy
+    reduction — the shape for custom aggregates Spark lacks. Rounded on
+    both sides (pandas sums in a different order than DuckDB)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: postponed annotations (PEP 563, active in
+    # this module) defeat pandas_udf's signature-based type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg(price, weight):
+        return float((price * weight).sum() / weight.sum())
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(
+            weighted_avg("o_totalprice", "o_orderkey"), 6
+        ).alias("weighted_avg_price")
+    )

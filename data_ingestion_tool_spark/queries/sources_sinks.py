@@ -135,3 +135,37 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "datasource_python_connector",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(amount AS DECIMAL(18,1))) AS DOUBLE) AS total_amount
+    FROM (SELECT i AS event_id, i % 97 AS user_id,
+                 (i * 31) % 1000 / 10.0 AS amount
+          FROM range(10000) t(i))
+    GROUP BY user_id
+    """,
+)
+def datasource_python_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end: register the connector,
+    plan 8 row-range partitions driver-side, generate executor-side,
+    aggregate. The oracle replays the connector's pure arithmetic over
+    DuckDB's range() — a hash-checked connector correctness gate."""
+    from ..sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("amount").cast("decimal(18,1)")).cast("double").alias(
+            "total_amount"
+        ),
+    )
