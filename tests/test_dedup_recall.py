@@ -1,0 +1,122 @@
+"""Planted near-duplicate recall: mutate real documents slightly, then
+require the LSH pipelines to find the planted pairs. Catches silent
+recall collapse (bad banding, broken signatures) that rows-only driver
+checks can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from data_ingestion_tool_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """50 docs + a near-dup clone of each (one word appended): clone id
+    = original id + 10_000."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 100)
+        .limit(50)
+        .select("doc_id", "text")
+        .cache()
+    )
+    clones = d.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return d.unionByName(clones), {r.doc_id for r in d.collect()}
+
+
+def test_minhash_recall_on_planted_pairs(planted):
+    docs, orig_ids = planted
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    found = sum((i, i + 10_000) in pairs for i in orig_ids)
+    assert found / len(orig_ids) >= 0.9, f"minhash recall {found}/{len(orig_ids)}"
+
+
+def test_simhash_recall_on_planted_pairs(spark, sf_dir):
+    """SimHash hamming shift scales with the RELATIVE feature change, so
+    plant the one-word mutation in long documents (>300 chars ≈ 60+
+    shingles → few bits flip). Short docs legitimately spread to
+    hamming 5-12 — that's the fingerprint working, not a bug."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 300)
+        .limit(50)
+        .select("doc_id", "text")
+        .cache()
+    )
+    clones = d.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    orig_ids = {r.doc_id for r in d.collect()}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(d.unionByName(clones), max_hamming=3).collect()
+    }
+    found = sum((i, i + 10_000) in pairs for i in orig_ids)
+    assert found / len(orig_ids) >= 0.7, f"simhash recall {found}/{len(orig_ids)}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """Precision: every pair MinHash reports at threshold 0.8 must have
+    a high EXACT shingle Jaccard too (the test corpus contains genuine
+    generator-planted near-dups, so asserting zero pairs would be
+    wrong — asserting estimate quality is the real property)."""
+    from data_ingestion_tool_spark.operators.dedup import (
+        hashed_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 100)
+        .limit(100)
+        .select("doc_id", "text")
+    )
+    est = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_near_dup_pairs(d, jaccard_threshold=0.8).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, threshold=0.0).collect()
+    }
+    assert est, "corpus should contain generator-planted near-dups"
+    for pair, e in est.items():
+        assert exact.get(pair, 0.0) >= 0.55, (pair, e, exact.get(pair))
+
+
+def test_embedding_near_dup_planted(spark, sf_dir):
+    """Perturb embeddings by ~1%: every (orig, clone) pair must clear a
+    0.99-cosine threshold via the LSH-bucketed self-join."""
+    e = read_table(spark, sf_dir, "embeddings").limit(30).select(
+        "vec_id", "embedding"
+    )
+    clones = e.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    both = e.unionByName(clones)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(both, threshold=0.99).collect()
+    }
+    orig = {r.vec_id for r in e.collect()}
+    found = sum((i, i + 10_000) in pairs for i in orig)
+    # scaling a vector doesn't change cosine; LSH bucketing must not
+    # lose identical-direction pairs
+    assert found / len(orig) >= 0.95, f"embedding recall {found}/{len(orig)}"
