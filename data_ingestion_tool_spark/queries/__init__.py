@@ -31,5 +31,6 @@ from . import multimodal  # noqa: F401
 from . import advanced  # noqa: F401
 from . import temporal  # noqa: F401
 from . import tpch  # noqa: F401
+from . import sql_surface  # noqa: F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

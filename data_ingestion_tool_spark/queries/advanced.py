@@ -675,3 +675,36 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighted_avg("o_totalprice", "o_orderkey"), 6
         ).alias("weighted_avg_price")
     )
+
+
+@query(
+    "scalar_map_struct",
+    oracle="""
+    SELECT c_custkey,
+           struct_extract(struct_pack(name := c_name, bal := c_acctbal), 'name')
+             AS s_name,
+           CAST(struct_extract(struct_pack(name := c_name, bal := c_acctbal), 'bal')
+             AS DOUBLE) AS s_bal,
+           map(['segment'], [c_mktsegment])['segment'][1] AS m_segment,
+           CAST(cardinality(map(['a','b'], [c_custkey, c_nationkey])) AS BIGINT) AS m_size
+    FROM customer
+    """,
+)
+def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types as expressions: build struct/map, extract fields.
+    Output columns are primitives so the value hash compares cleanly
+    across engines (struct/map literals themselves serialize
+    differently)."""
+    c = read_table(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"))
+    m = F.create_map(F.lit("segment"), F.col("c_mktsegment"))
+    m2 = F.create_map(
+        F.lit("a"), F.col("c_custkey"), F.lit("b"), F.col("c_nationkey")
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("s_name"),
+        s.getField("bal").cast("double").alias("s_bal"),
+        m.getItem("segment").alias("m_segment"),
+        F.size(m2).cast("bigint").alias("m_size"),
+    )

@@ -1,0 +1,80 @@
+"""Pure-SQL surface queries: the SAME ANSI SQL text runs on Spark
+(`spark.sql`) and DuckDB (the oracle is the identical string). The
+reference's users interact through SQL fragments
+(`backend/main.py:176-180`), so dialect-portable SQL over registered
+views is part of the compat surface — these prove CTEs, EXISTS/IN
+subqueries, and windowed SQL all parse and agree end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.parquet_io import read_table
+from .registry import query
+
+_TABLES = ("customer", "orders", "lineitem", "nation", "region")
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+SQL_CTE_WINDOW = """
+WITH cust_orders AS (
+  SELECT c_custkey, c_name, o_orderkey, o_totalprice
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_totalprice > 100000.0
+),
+ranked AS (
+  SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM cust_orders
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, rnk
+FROM ranked WHERE rnk <= 2
+"""
+
+SQL_EXISTS_IN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000.0)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = 2)
+"""
+
+SQL_CASE_AGG = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sql_cte_window", oracle=SQL_CTE_WINDOW)
+def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE chain + partitioned window, identical SQL text on both
+    engines (top-2 orders per customer)."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_CTE_WINDOW)
+
+
+@query("sql_exists_in_subquery", oracle=SQL_EXISTS_IN)
+def sql_exists_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN — Catalyst rewrites both to
+    semi-joins (no per-row re-execution)."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_EXISTS_IN)
+
+
+@query("sql_case_agg", oracle=SQL_CASE_AGG)
+def sql_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + CASE aggregation as plain SQL text."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_CASE_AGG)
