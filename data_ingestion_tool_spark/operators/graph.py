@@ -1,0 +1,111 @@
+"""Iterative graph operator: connected components (hash-min label
+propagation) — turns near-duplicate PAIRS into dedup CLUSTERS.
+
+A near-dup pipeline ends with "keep one document per duplicate
+cluster", and clusters are the connected components of the pair graph.
+Spark has no built-in CC; this is the canonical iterative-DataFrame
+implementation:
+
+    label(v) = v initially
+    repeat: label(v) = min(label(v), min(label(u)) over edges u~v)
+    until no label changes
+
+Each iteration is one join + one aggregate (all codegen'd); the loop
+lives on the driver with a convergence check on a count. Iterations
+needed = graph diameter (near-dup clusters are tiny and dense, so 2-4
+in practice). At 100 TB the same loop runs with the edge list
+partitioned by vertex — the standard BSP hash-min algorithm — with
+``persist``/``localCheckpoint`` per round to cut the growing lineage
+(without it, iteration N replays all N-1 prior joins and the plan
+grows superlinearly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component id =
+    min node id in the component. Deterministic.
+
+    ``num_partitions`` sizes the per-iteration shuffles — size it to the
+    EDGE LIST (usually tiny relative to the corpus: only near-dup pairs),
+    not the session default; every iteration pays it twice.
+    """
+    spark = edges.sparkSession
+    parts = num_partitions or max(
+        2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+    )
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .repartition(parts, "u")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # min neighbor label per node, then min with own label
+        nbr = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup resolution: near-dup pairs → components → one keeper
+    (min id) per cluster; singletons keep themselves. Returns
+    (doc_id, keeper_id, cluster_size)."""
+    comp = connected_components(pairs)
+    ids = all_ids.select(F.col(id_col).alias("node")).distinct()
+    labeled = ids.join(comp, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+    sizes = labeled.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min("node").alias("keeper_id"),
+    )
+    return labeled.join(sizes, "comp").select(
+        F.col("node").alias(id_col), "keeper_id", "cluster_size"
+    )

@@ -47,3 +47,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.8 over LSH-pruned candidate pairs."""
     d = read_table(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query("dedup_resolve_clusters")  # rows-only: iterative, not SQL-expressible
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: minhash near-dup pairs → connected
+    components (iterative hash-min) → one keeper per cluster. The
+    non-SQL-expressible iterative operator class; correctness is
+    unit-tested on known graphs (tests/test_graph.py)."""
+    from ..operators.dedup import minhash_near_dup_pairs
+    from ..operators.graph import dedup_clusters
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_dup_pairs(d, jaccard_threshold=0.5)
+    out = dedup_clusters(pairs, d, "doc_id")
+    return out.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("keeper_id").alias("min_keeper"),
+    )
