@@ -55,6 +55,11 @@ def read_csv_compat(
     but makes files UNSPLITTABLE (one task per file, no intra-file
     parallelism), so it's opt-in: the API-compat upload path uses it
     (single bounded file), the 100 TB scan path must not.
+
+    Known limitation: NUL bytes (``\\x00``) inside QUOTED fields are
+    stripped by Spark's uniVocity parser ('\\0' is its internal
+    "no character" sentinel; no read option disables that). Unquoted
+    NULs survive. Data with embedded NULs should use parquet/JSON.
     """
     df = (
         spark.read.option("header", header)
