@@ -1,5 +1,6 @@
-"""Composite TPC-H-shaped analytics (Q3/Q5/Q10 adapted to the test
-schema — it lacks o_shippriority/partsupp, so those columns are
+"""Composite TPC-H-shaped analytics (Q1/Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q18/Q19
+adapted to the test schema — it lacks o_shippriority/partsupp/
+l_shipmode/l_commitdate/l_receiptdate/p_container, so those columns are
 substituted; the join/agg shapes are the classic ones).
 
 These are the realistic multi-join benchmark queries: fact⋈fact
@@ -139,4 +140,288 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: full pricing summary report — the classic scan-heavy
+    single-table aggregate. One pass over lineitem, map-side partial
+    agg into 6 groups; decimal-exact accumulation keeps the double
+    sums partition-order-independent (CLAUDE.md determinism rule)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge multiplies in DECIMAL: the triple double-product
+    # e*(1-d)*(1+t) rounds differently per-row across engines, and ~50
+    # of 200k rows then flip the decimal quantization boundary.
+    # price/discount/tax are exactly 2-decimal, so disc_price at scale
+    # 4 and (1+tax) at scale 2 are EXACT casts (no rounding at all);
+    # the scale-6 product sum's integer form stays < 2^53 through
+    # sf0.1, so the final decimal→double cast is correctly rounded in
+    # both engines (DuckDB divides the int by 10^scale in doubles).
+    charge = disc_price.cast("decimal(18,4)") * (
+        F.lit(1) + F.col("l_tax")
+    ).cast("decimal(8,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_disc"),
+            cnt.cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 adapted (schema lacks l_commitdate/l_receiptdate: "late" =
+    shipped >30 days after order date): orders-per-priority having at
+    least one late line. Instead of a semi join that would shuffle the
+    whole lineitem table, the quarter-filtered orders slice (tiny)
+    BROADCASTS into the lineitem scan and count_distinct(o_orderkey)
+    deduplicates — shuffle carries only distinct (priority, orderkey)
+    pairs after partial agg."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    late = l.join(
+        F.broadcast(o),
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_orderkey").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure filter + global aggregate — the predicate-pushdown
+    showcase. All four predicates reach the parquet scan as
+    PushedFilters; no shuffle at all (partial agg → single-row final)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adapted (no l_shipmode/l_commitdate: groups by l_linestatus,
+    "late" = shipped >60 days after order): priority-split line counts
+    for late shipments. Year-filtered lineitem joins orders on the
+    orderkey; the late predicate is a post-join theta filter Catalyst
+    keeps with the equi-join."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      6) AS promo_pct,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share for one month (p_type = 'PROMO' — the
+    test schema's p_type is the bare class, no trailing words). Part
+    broadcasts into the month-filtered lineitem; ratio of two
+    decimal-exact double sums is ROUNDed to 6 on both sides because
+    the division orders differ."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = read_table(spark, sf_dir, "part")
+    dec = "decimal(18,4)"
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(dec))
+    ).cast("double")
+    total = F.sum(disc_price).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * promo / total, 6).alias("promo_pct"),
+            total.alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: top-100 large-volume orders (total qty > 200). The HAVING
+    subquery's key set is a ~0.9% slice of orders — it self-aggregates
+    lineitem then BROADCASTS back as a semi-join filter (bound: ~1% of
+    orders even at 100 TB, well under broadcast limits; quantities are
+    integral doubles so the >200 compare is exact). Tie-break on
+    o_orderkey makes the LIMIT deterministic."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {REVENUE} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 adapted (no p_container/l_shipmode: brand+size+quantity
+    bands): revenue under a 3-way disjunctive join predicate. Part
+    pre-filters to the brand union (pushed to its scan), broadcasts,
+    and the disjunction evaluates inside the broadcast hash join —
+    no CartesianProduct (checked in tests/test_plans.py)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#13", "Brand#23", "Brand#25")
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & band)
+        .agg(
+            _revenue().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )
