@@ -708,3 +708,26 @@ def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("segment").alias("m_segment"),
         F.size(m2).cast("bigint").alias("m_size"),
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    ) ORDER BY p_partkey, metric
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (pivot's inverse) via the native ``unpivot``
+    (SQL ``UNPIVOT`` / pandas ``melt``). Narrow-only scan: ReadSchema
+    carries just the id + value columns; no shuffle at all (unpivot is
+    a per-row flatMap, oracle is the UNION ALL equivalent)."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.col("p_retailprice").cast("double"), F.col("p_size").cast("double"))
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )

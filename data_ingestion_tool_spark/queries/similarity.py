@@ -65,3 +65,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle="""
+    SELECT label, pos,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column as (label, pos,
+    centroid_val) rows — the vector aggregate under k-means/IVF
+    codebook training. posexplode fans each vector into (pos, value)
+    pairs that partial-aggregate map-side before the (label, pos)
+    shuffle — shuffle rows = labels x dims, independent of corpus
+    size, so the shape holds at 100 TB. Values widen float→double
+    (exact) BEFORE the decimal(18,6) quantization — the engines round
+    float→decimal differently — then decimal-exact accumulate; NO
+    final ROUND (the engines' round() disagree at exact .5 boundaries;
+    the raw sum/count division of identical doubles is deterministic)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cnt = F.count(F.lit(1))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / cnt
+            ).alias("centroid_val"),
+            cnt.cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("int").alias("pos"),
+            "centroid_val",
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
