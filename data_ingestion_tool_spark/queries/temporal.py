@@ -22,7 +22,7 @@ from ..sources.parquet_io import (
     read_table,
 )
 from ..streaming.windows import run_stream_to_table
-from .registry import query, sql_dsum
+from .registry import dsum, query, sql_dsum
 
 
 @query(
@@ -139,3 +139,45 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS bucket_hour,
+           event_type, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                            (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-type event
+    counts/sums at BOTH hour and day granularity in one pass (the
+    timescale/druid rollup shape). GROUPING SETS expands once and
+    shuffles once — vs two scans for two GROUP BYs; day-level rows
+    carry NULL bucket_hour. Output rows ≈ types x hours, independent
+    of event volume, so the aggregate itself is the compaction step a
+    100 TB event table needs before serving."""
+    ev = read_events(spark, sf_dir)
+    d = ev.select(
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "event_type",
+        "value",
+    )
+    return d.groupingSets(
+        [
+            ["bucket_day", "event_type"],
+            ["bucket_day", "bucket_hour", "event_type"],
+        ],
+        "bucket_day",
+        "bucket_hour",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
