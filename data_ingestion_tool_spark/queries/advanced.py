@@ -731,3 +731,46 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "val")
         .orderBy("p_partkey", "metric")
     )
+
+
+@query(
+    "agg_corr_from_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND((COUNT(*) * {sql_dsum('l_quantity * l_extendedprice')}
+                  - {sql_dsum('l_quantity', 0)} * {sql_dsum('l_extendedprice')})
+                 / (SQRT(COUNT(*) * {sql_dsum('l_quantity * l_quantity', 0)}
+                         - {sql_dsum('l_quantity', 0)} * {sql_dsum('l_quantity', 0)})
+                    * SQRT(COUNT(*) * {sql_dsum('l_extendedprice * l_extendedprice', 4)}
+                           - {sql_dsum('l_extendedprice')} * {sql_dsum('l_extendedprice')})),
+                 6) AS corr_qty_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation composed from decimal-exact raw moments —
+    NOT F.corr: engines disagree in final ulps on one-pass vs two-pass
+    corr, but n·Sxy−Sx·Sy over exact sums is the same arithmetic on
+    both sides (qty is integral, price exactly 2-decimal, so every
+    moment is exact; ROUND 6 absorbs the final double composition).
+    One scan, map-side partials, 3-group shuffle."""
+    l = read_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = dsum("l_quantity", 0)
+    sy = dsum("l_extendedprice")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,2)")).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,0)")).cast("double")
+    syy = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ).alias("corr_qty_price"),
+            n.cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

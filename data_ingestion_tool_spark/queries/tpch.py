@@ -151,9 +151,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -182,16 +182,22 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) + F.col("l_tax")
     ).cast("decimal(8,2)")
     cnt = F.count(F.lit(1))
+    # avgs derive from the SAME scale-2 sums (qty/price/disc are
+    # exactly 2-decimal, so the scale-2 accumulate is already exact):
+    # 5 decimal aggregates instead of 7 → ~30% faster at sf0.1.
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sum_price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            sum_qty.alias("sum_qty"),
+            sum_price.alias("sum_base_price"),
             F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_disc"),
+            (sum_qty / cnt).alias("avg_qty"),
+            (sum_price / cnt).alias("avg_price"),
+            (sum_disc / cnt).alias("avg_disc"),
             cnt.cast("bigint").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
