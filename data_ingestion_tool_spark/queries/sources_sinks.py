@@ -24,7 +24,7 @@ from ..sources import (
     read_table,
     write_csv,
 )
-from .registry import query
+from .registry import dsum, query, sql_dsum
 
 
 def _scratch(name: str) -> str:
@@ -168,4 +168,36 @@ def datasource_python_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("amount").cast("decimal(18,1)")).cast("double").alias(
             "total_amount"
         ),
+    )
+
+
+@query(
+    "ingest_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ingest_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over BUCKETED tables: both sides pre-hashed into
+    8 buckets on the join key at ingest, so the SortMergeJoin runs with
+    NO Exchange on either side (tests/test_plans.py asserts it) — at
+    100 TB this converts the dominant per-query shuffle into a one-time
+    ingest cost. merge hint keeps the comparison honest (a broadcast
+    would hide the layout win at toy scale)."""
+    from ..operators.bucketing import ensure_bucketed
+
+    lb = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    ob = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
     )

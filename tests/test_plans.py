@@ -110,3 +110,18 @@ def test_topk_no_global_sort_shuffle(q):
     from data_ingestion_tool_spark.plans import simple_plan
 
     assert "TakeOrderedAndProject" in simple_plan(q("sort_limit_topk"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed fact⋈fact join must read both sides' bucket layout as
+    its partitioning: ZERO Exchange in the join subtree. At 100 TB the
+    lineitem⋈orders shuffle is the single biggest per-query cost —
+    bucketing pays it once at ingest. (The groupBy AFTER the join still
+    exchanges its 5-group partials; assert on the bare join.)"""
+    from data_ingestion_tool_spark.operators.bucketing import ensure_bucketed
+
+    lb = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    ob = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    assert exchange_count(joined) == 0
+    assert "SortMergeJoin" in join_strategies(joined)
