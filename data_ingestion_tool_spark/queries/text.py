@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
@@ -124,4 +124,61 @@ def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                dit_fingerprint(text) AS content_hash
         FROM documents
         """
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    feature-weighting primitive. Shape: explode → (doc,term) partial
+    agg → term-level doc-frequency agg (tiny, broadcasts back) → one
+    window per doc. The corpus-size scalar rides a 1-row broadcast
+    cross join, never a collect. Window ORDER BY uses the ROUNDED
+    score + term tie-break so ranks match the oracle exactly (raw
+    ln() differs in final ulps across libms)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
     )
