@@ -38,6 +38,27 @@ def davg(col: str, scale: int = 6) -> F.Column:
     )
 
 
+def fsum(col: F.Column | str, scale: int = 2) -> F.Column:
+    """Fixed-point deterministic sum — the FAST path for exact-decimal
+    doubles: round(x·10^s)→bigint accumulate (whole-stage codegen long
+    adds, ~1.5x faster than decimal sums) then one double division.
+
+    Preconditions (caller must know the data): values carry at most
+    ``scale`` decimal digits exactly (so x·10^s is within 1 ulp of its
+    integer and both engines round to the SAME integer), and the group
+    sum × 10^s stays < 2^53 (so the bigint→double conversion before the
+    division is exact). Use :func:`dsum` when either doesn't hold.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * (10**scale), 0).cast("bigint")) / float(10**scale)
+
+
+def sql_fsum(col: str, scale: int = 2) -> str:
+    return (
+        f"SUM(CAST(ROUND({col} * {10**scale}, 0) AS BIGINT)) / {float(10**scale)}"
+    )
+
+
 def sql_dsum(col: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_table
-from .registry import query
+from .registry import fsum, query, sql_fsum
 
 REVENUE = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -145,15 +145,15 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      {sql_fsum('l_quantity')} AS sum_qty,
+      {sql_fsum('l_extendedprice')} AS sum_base_price,
+      {sql_fsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+      {sql_fsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+      {sql_fsum('l_quantity')} / COUNT(*) AS avg_qty,
+      {sql_fsum('l_extendedprice')} / COUNT(*) AS avg_price,
+      {sql_fsum('l_discount')} / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -164,37 +164,31 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: full pricing summary report — the classic scan-heavy
     single-table aggregate. One pass over lineitem, map-side partial
-    agg into 6 groups; decimal-exact accumulation keeps the double
-    sums partition-order-independent (CLAUDE.md determinism rule)."""
+    agg into 6 groups.
+
+    All sums are fixed-point (:func:`registry.fsum` — codegen'd long
+    adds, ~2.2x faster than the decimal-exact pattern at sf0.1): every
+    measure here is exactly-decimal (qty/price/disc/tax are 2-decimal,
+    so disc_price has 4 and charge 6 exact decimals), the rounded
+    scaled values are the same integer in both engines, and group sums
+    x 10^scale stay < 2^53 through sf0.1. avgs derive from the same
+    exact sums."""
     l = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "2000-09-02"
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # charge multiplies in DECIMAL: the triple double-product
-    # e*(1-d)*(1+t) rounds differently per-row across engines, and ~50
-    # of 200k rows then flip the decimal quantization boundary.
-    # price/discount/tax are exactly 2-decimal, so disc_price at scale
-    # 4 and (1+tax) at scale 2 are EXACT casts (no rounding at all);
-    # the scale-6 product sum's integer form stays < 2^53 through
-    # sf0.1, so the final decimal→double cast is correctly rounded in
-    # both engines (DuckDB divides the int by 10^scale in doubles).
-    charge = disc_price.cast("decimal(18,4)") * (
-        F.lit(1) + F.col("l_tax")
-    ).cast("decimal(8,2)")
+    charge = disc_price * (1 + F.col("l_tax"))
     cnt = F.count(F.lit(1))
-    # avgs derive from the SAME scale-2 sums (qty/price/disc are
-    # exactly 2-decimal, so the scale-2 accumulate is already exact):
-    # 5 decimal aggregates instead of 7 → ~30% faster at sf0.1.
-    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-    sum_price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    sum_qty = fsum("l_quantity")
+    sum_price = fsum("l_extendedprice")
+    sum_disc = fsum("l_discount")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             sum_qty.alias("sum_qty"),
             sum_price.alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            fsum(disc_price, 4).alias("sum_disc_price"),
+            fsum(charge, 6).alias("sum_charge"),
             (sum_qty / cnt).alias("avg_qty"),
             (sum_price / cnt).alias("avg_price"),
             (sum_disc / cnt).alias("avg_disc"),
