@@ -65,3 +65,51 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("keeper_id").alias("min_keeper"),
     )
+
+
+@query("pipeline_training_data_prep")  # rows-only: contains iterative CC
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep — the engine's component operators
+    chained the way a 100 TB corpus pipeline runs them:
+
+      language-ID → quality gates → minhash near-dup pairs →
+      connected-components cluster resolution → keep one doc per
+      cluster → per-source corpus stats.
+
+    Every stage is the already-verified operator (text.lang_id,
+    text.quality_features, dedup.minhash_near_dup_pairs,
+    graph.dedup_clusters); this query pins their composition. Scale
+    shape: the gates are codegen'd column filters (prune early, before
+    the expensive signature stage); the CC loop shuffles only the
+    near-dup PAIR list, never the corpus. Rows-only by necessity
+    (iterative CC is not SQL-expressible) — components each carry
+    oracle or accuracy tests."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.text import lang_id, quality_features
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = (
+        quality_features(lang_id(d))
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    pairs = DD.minhash_near_dup_pairs(
+        gated.select("doc_id", "text"), jaccard_threshold=0.5
+    )
+    resolved = dedup_clusters(pairs, gated, "doc_id")
+    kept = gated.join(
+        resolved.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
+        "doc_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
