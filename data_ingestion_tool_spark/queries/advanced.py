@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.parquet_io import read_events, read_table
-from .registry import davg, dsum, query, sql_davg, sql_dsum
+from .registry import davg, dsum, fsum, query, sql_davg, sql_dsum, sql_fsum
 
 # --- aggregation depth ----------------------------------------------------
 
@@ -737,31 +737,37 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_from_moments",
     oracle=f"""
     SELECT l_returnflag,
-           ROUND((COUNT(*) * {sql_dsum('l_quantity * l_extendedprice')}
-                  - {sql_dsum('l_quantity', 0)} * {sql_dsum('l_extendedprice')})
-                 / (SQRT(COUNT(*) * {sql_dsum('l_quantity * l_quantity', 0)}
-                         - {sql_dsum('l_quantity', 0)} * {sql_dsum('l_quantity', 0)})
-                    * SQRT(COUNT(*) * {sql_dsum('l_extendedprice * l_extendedprice', 4)}
-                           - {sql_dsum('l_extendedprice')} * {sql_dsum('l_extendedprice')})),
+           ROUND((COUNT(*) * {sql_fsum('l_quantity * l_extendedprice')}
+                  - {sql_fsum('l_quantity', 0)} * {sql_fsum('l_extendedprice')})
+                 / (SQRT(COUNT(*) * {sql_fsum('l_quantity * l_quantity', 0)}
+                         - {sql_fsum('l_quantity', 0)} * {sql_fsum('l_quantity', 0)})
+                    * SQRT(COUNT(*) * {sql_fsum('l_extendedprice * l_extendedprice', 4)}
+                           - {sql_fsum('l_extendedprice')} * {sql_fsum('l_extendedprice')})),
                  6) AS corr_qty_price,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def agg_corr_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation composed from decimal-exact raw moments —
+    """Pearson correlation composed from fixed-point-exact raw moments —
     NOT F.corr: engines disagree in final ulps on one-pass vs two-pass
     corr, but n·Sxy−Sx·Sy over exact sums is the same arithmetic on
-    both sides (qty is integral, price exactly 2-decimal, so every
-    moment is exact; ROUND 6 absorbs the final double composition).
-    One scan, map-side partials, 3-group shuffle."""
+    both sides. All five moments take the fsum fast path (3x faster
+    than decimal sums): qty is integral, price exactly 2-decimal, so
+    qty·price has exactly 2 and price² exactly 4 decimals — the scaled
+    values are exact integers (never rounding ties), and the price²
+    sum (~4e16 at sf0.1) converts long→double identically on both
+    engines (single int64, IEEE round-to-nearest — unlike wide
+    DECIMAL, whose int/10^scale division double-rounds). ROUND 6
+    absorbs the final composition. One scan, map-side partials,
+    3-group shuffle."""
     l = read_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
-    sx = dsum("l_quantity", 0)
-    sy = dsum("l_extendedprice")
-    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,2)")).cast("double")
-    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,0)")).cast("double")
-    syy = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    sx = fsum("l_quantity", 0)
+    sy = fsum("l_extendedprice")
+    sxy = fsum(F.col("l_quantity") * F.col("l_extendedprice"), 2)
+    sxx = fsum(F.col("l_quantity") * F.col("l_quantity"), 0)
+    syy = fsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 4)
     return (
         l.groupBy("l_returnflag")
         .agg(
