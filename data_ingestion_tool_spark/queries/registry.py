@@ -25,9 +25,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def dsum(col: str, scale: int = 2) -> F.Column:
+def dsum(col: F.Column | str, scale: int = 2) -> F.Column:
     """Order-independent double sum: exact decimal accumulate → double."""
-    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def davg(col: str, scale: int = 6) -> F.Column:

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from ..api.models import ColumnSelection, build_export_dataframe
 from ..sources.parquet_io import read_table
-from .registry import davg, dsum, query, sql_davg, sql_dsum
+from .registry import davg, dsum, fsum, query, sql_davg, sql_dsum, sql_fsum
 
 # --- scan / filter / project (reference R3, R4's WHERE) -------------------
 
@@ -258,9 +258,9 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_basic",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
-           {sql_dsum('l_extendedprice')} AS sum_base_price,
-           {sql_davg('l_discount')} AS avg_disc,
+           {sql_fsum('l_quantity')} AS sum_qty,
+           {sql_fsum('l_extendedprice')} AS sum_base_price,
+           {sql_fsum('l_discount')} / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -275,9 +275,9 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            davg("l_discount").alias("avg_disc"),
+            fsum("l_quantity").alias("sum_qty"),
+            fsum("l_extendedprice").alias("sum_base_price"),
+            (fsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -17,17 +17,14 @@ from pyspark.sql import functions as F
 from ..sources.parquet_io import read_table
 from .registry import fsum, query, sql_fsum
 
-REVENUE = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+# revenue = disc_price summed fixed-point: price/discount are exactly
+# 2-decimal so the product has exactly 4 — fsum's long adds beat the
+# decimal accumulate ~2x and stay deterministic (see registry.fsum).
+REVENUE = sql_fsum("l_extendedprice * (1 - l_discount)", 4)
 
 
 def _revenue() -> F.Column:
-    return (
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        ).cast("double")
-    )
+    return fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
 
 
 @query(
@@ -239,8 +236,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q6_revenue_forecast",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {sql_fsum('l_extendedprice * l_discount', 4)} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -260,9 +257,7 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return l.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
+        fsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
 
@@ -310,14 +305,12 @@ def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "tpch_q14_promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT ROUND(
-      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      100.0 * ({sql_fsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+      / ({REVENUE}),
       6) AS promo_pct,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      {REVENUE} AS total_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -328,19 +321,18 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: promo revenue share for one month (p_type = 'PROMO' — the
     test schema's p_type is the bare class, no trailing words). Part
     broadcasts into the month-filtered lineitem; ratio of two
-    decimal-exact double sums is ROUNDed to 6 on both sides because
-    the division orders differ."""
+    fixed-point-exact double sums is ROUNDed to 6 on both sides
+    because the division orders differ."""
     l = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01")
         & (F.col("l_shipdate") < "1997-10-01")
     )
     p = read_table(spark, sf_dir, "part")
-    dec = "decimal(18,4)"
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(dec))
-    ).cast("double")
-    total = F.sum(disc_price).cast("double")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = fsum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)), 4
+    )
+    total = _revenue()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
@@ -352,9 +344,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q18_large_volume_customer",
-    oracle="""
+    oracle=f"""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           {sql_fsum('l_quantity')} AS sum_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
@@ -386,7 +378,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .agg(fsum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

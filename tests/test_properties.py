@@ -157,3 +157,30 @@ def test_csv_nul_in_quoted_field(spark, tmp_path):
     got = {int(r.i): r.s for r in read_csv_compat(spark, out).collect()}
     assert got[1] == "a\x00b"  # unquoted: lossless
     assert got[0] == '"'  # quoted: NUL stripped by the parser
+
+
+def test_fsum_matches_dsum_on_exact_decimal_data(spark, sf_dir):
+    """The fixed-point fast path must produce the IDENTICAL double as
+    the decimal-exact path wherever its preconditions hold (exactly
+    s-decimal values, group sum·10^s < 2^53) — it's a drop-in
+    replacement, not an approximation."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.queries.registry import dsum, fsum
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    row = (
+        l.groupBy("l_returnflag")
+        .agg(
+            dsum("l_extendedprice").alias("d2"),
+            fsum("l_extendedprice").alias("f2"),
+            dsum(disc_price, 4).alias("d4"),
+            fsum(disc_price, 4).alias("f4"),
+        )
+        .collect()
+    )
+    for r in row:
+        assert r.d2 == r.f2, (r.d2, r.f2)
+        assert r.d4 == r.f4, (r.d4, r.f4)
