@@ -780,3 +780,37 @@ def agg_corr_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "window_cume_dist_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           CUME_DIST() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) AS cd,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key
+    FROM orders
+    """,
+)
+def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + FIRST/LAST_VALUE over an explicit full-partition
+    frame (LAST_VALUE's default frame ends at CURRENT ROW — the classic
+    trap — so both sides pin UNBOUNDED..UNBOUNDED). cume_dist is
+    count-ratio arithmetic: identical integer divisions both engines.
+    Unique-key tie-break per the determinism rule."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"),
+    )

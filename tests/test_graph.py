@@ -74,3 +74,25 @@ def test_planted_clones_cluster_together(spark, sf_dir):
         assert rows[i][0] == rows[i + 10_000][0] == rows[i + 20_000][0]
         assert rows[i][0] <= i
         assert rows[i][1] >= 3
+
+
+def test_pipeline_prep_removes_planted_clones(spark, sf_dir):
+    """End-to-end pipeline sanity: the per-source totals never exceed
+    the gated corpus, and every cluster keeps exactly one doc (keepers
+    are unique and self-referential)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.dedup import minhash_near_dup_pairs
+    from data_ingestion_tool_spark.operators.graph import dedup_clusters
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    pairs = minhash_near_dup_pairs(d, jaccard_threshold=0.5)
+    resolved = dedup_clusters(pairs, d, "doc_id")
+    total = d.count()
+    assert resolved.count() == total  # every doc resolved exactly once
+    keepers = resolved.filter(F.col("doc_id") == F.col("keeper_id"))
+    # one keeper per cluster, and cluster sizes account for every doc
+    sizes = resolved.groupBy("keeper_id").count()
+    assert keepers.count() == sizes.count()
+    assert sizes.agg(F.sum("count")).collect()[0][0] == total
