@@ -50,6 +50,7 @@ def run_stream_to_table(
     table_name: str | None = None,
     output_mode: str = "complete",
     state_partitions: int = DEFAULT_STATE_PARTITIONS,
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Run a finite streaming job: readStream(parquet) → transform →
     memory sink with an AvailableNow trigger; returns the materialized
@@ -70,6 +71,9 @@ def run_stream_to_table(
     """
     name = table_name or f"stream_out_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)  # e.g. maxFilesPerTrigger for
+        # multi-micro-batch runs (AvailableNow honors it as rate limit)
     if os.path.isfile(source_path):
         reader = reader.option("pathGlobFilter", os.path.basename(source_path))
         source_path = os.path.dirname(source_path)
