@@ -1,0 +1,46 @@
+"""Small-file compaction — the table-maintenance operator every
+long-running ingest needs: streaming/batched appends (reference
+main.py:273-286 appends 10k-row batches) accumulate thousands of tiny
+parquet files, and at 100 TB the resulting scan-task explosion (one
+task per file, driver listing cost, NameNode/object-store pressure)
+dominates query latency.
+
+Compaction rewrites a directory to ~target-sized files. It uses
+``coalesce`` (narrow, NO shuffle — each output task concatenates whole
+input files) rather than ``repartition`` (full shuffle of every byte);
+the tradeoff is no redistribution of skewed file sizes, which is the
+right default for append-generated files of similar size.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS-ish block per file
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory."""
+    files = [
+        p for p in Path(path).rglob("*.parquet") if not p.name.startswith("_")
+    ]
+    return len(files), sum(p.stat().st_size for p in files)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> DataFrame:
+    """Rewrite ``src`` into ``dst`` with ~``target_bytes`` files; returns
+    the compacted DataFrame. Shuffle-free: coalesce concatenates input
+    splits into n output tasks."""
+    _, total = parquet_file_stats(src)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)

@@ -201,3 +201,29 @@ def ingest_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("ingest_compact_small_files")  # rows-only: file-layout op, not SQL
+def ingest_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance: fragment orders into 64 tiny appended files
+    (the shape a micro-batched ingest leaves behind), compact to
+    ~4 MB targets, and report layout before/after + content checksum.
+    Compaction is coalesce-based — NO shuffle (operators/compaction.py);
+    the checksum (count + keysum) proves the rewrite is lossless."""
+    from ..operators.compaction import compact_parquet, parquet_file_stats
+
+    o = read_table(spark, sf_dir, "orders")
+    frag = _scratch("frag")
+    dst = _scratch("compact")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before, _ = parquet_file_stats(frag)
+    compacted = compact_parquet(spark, frag, dst, 4 * 1024 * 1024)
+    n_after, _ = parquet_file_stats(dst)
+    return spark.createDataFrame(
+        [(n_before, n_after)], "n_files_before int, n_files_after int"
+    ).crossJoin(
+        compacted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("keysum"),
+        )
+    )
