@@ -814,3 +814,29 @@ def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.last("o_orderkey").over(wf).alias("priciest_key"),
     )
+
+
+@query(
+    "agg_bool_any_every",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000.0) AS every_over_1k,
+           BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+           COUNT(*) FILTER (WHERE o_totalprice > 300000.0) AS n_large
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bool_any_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any — SQL BOOL_AND/BOOL_OR): set-level
+    predicates without a self-join; partial-aggregable like any AND/OR
+    monoid, so the shuffle carries one boolean per group."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("every_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count(F.when(F.col("o_totalprice") > 300000.0, 1)).alias("n_large"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -78,3 +78,33 @@ def sql_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + CASE aggregation as plain SQL text."""
     _register(spark, sf_dir)
     return spark.sql(SQL_CASE_AGG)
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    WHERE c.c_custkey <= 500
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer priciest order) through
+    the SQL surface. Catalyst DECORRELATES it — the physical plan is a
+    per-key row_number window + one hash join, not a per-row re-scan,
+    so it scales like the hand-written top-1-per-group. Unique-key
+    tie-break keeps the LIMIT 1 deterministic."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        WHERE c.c_custkey <= 500
+        """
+    )
