@@ -182,3 +182,44 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+@query(
+    "text_bigram_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> x <> ''), 1) AS pos
+      FROM documents),
+    big AS (
+      SELECT term || ' ' || LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM tok)
+    SELECT bigram, COUNT(*) AS cnt FROM big
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram HAVING COUNT(*) >= 20
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram LM / collocation prep). The
+    Spark side pairs adjacent tokens ARRAY-SIDE with a two-arg
+    transform lambda (index + element) — zero per-document shuffle,
+    unlike the oracle's LEAD-window formulation which must cluster by
+    doc; only the final bigram count shuffles, partial-aggregated.
+    (The two-param lambda arity is intentional — PySpark dispatches the
+    index on arity, per the CLAUDE.md lambda rule.)"""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+    )
