@@ -21,6 +21,74 @@ from data_ingestion_tool_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver records CORRECTNESS verdicts for the first 50 ``queries()``
+# entries per round. Order the inventory so that window always covers
+# the declared SURVEY.md §2.B contract first, then the headline
+# composites (TPC-H) and every streaming query; the remainder follows in
+# registry order and rotates into the window in later rounds.
+_WINDOW_PRIORITY = [
+    # §2.B declared contract (33 keys, VERDICT r1 table order)
+    "scan_parquet_project",
+    "csv_roundtrip_strings",
+    "csv_infer_types",
+    "ingest_append_count",
+    "catalog_list_columns",
+    "filter_comparison",
+    "filter_in_like_between_null",
+    "project_expressions",
+    "join_theta_comma",
+    "join_equi_inner",
+    "join_multiway",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_nonequi",
+    "agg_groupby_basic",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "dedup_exact",
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    "sort_limit_topk",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_case",
+    "text_tokenize_wordcount",
+    "dedup_near_minhash",
+    "similarity_topk_cosine",
+    "stream_tumbling_window_counts",
+    # TPC-H composites (10)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    # remaining streaming queries (6)
+    "stream_sliding_window_counts",
+    "stream_dedup_distinct_users",
+    "stream_stateful_running_max",
+    "stream_stream_join",
+    "stream_ingest_to_table",
+    "stream_session_window",
+    # headline custom operator (1) → exactly 50 entries in-window
+    "events_hypertable_rollup",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _WINDOW_PRIORITY if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -34,11 +102,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-entry correctness window covers the declared
+    contract, TPC-H, and streaming first (see ``_WINDOW_PRIORITY``)."""
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin per hash-checked query; keys absent
     here (but present in ``queries()``) are rows-only-checked ops."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

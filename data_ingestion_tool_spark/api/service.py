@@ -43,7 +43,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from ..catalog import MAX_LIST_TABLES, schema_to_columns
-from ..sources.csv_io import export_csv_string, read_csv_compat
+from ..sources.csv_io import export_csv_rows, read_csv_compat
 from .models import ColumnSelection, ConnectionInfo, build_export_dataframe
 
 
@@ -93,8 +93,9 @@ def export_flatfile(
     spark: SparkSession, conn: ConnectionInfo, selection: ColumnSelection
 ) -> dict[str, Any]:
     """Query → inline CSV (main.py:163-208): zero-row short-circuit
-    without materializing (main.py:185-191), else UTF-8-BOM CSV string,
-    header = exactly the selected columns.
+    without materializing (main.py:185-191), else CSV string with header
+    = exactly the selected columns (BOM-less, matching the reference's
+    actual response body — see csv_io.export_csv_rows).
 
     The ``query`` echo field reproduces the SQL text the reference
     would have generated (main.py:176-180) — the actual execution is
@@ -112,8 +113,10 @@ def export_flatfile(
         if df.isEmpty():
             return {"status": "success", "data": "", "count": 0,
                     "message": "No data found"}
-        csv_data = export_csv_string(df)
-        count = csv_data.count("\n") - 1  # rows = lines minus header
+        # row count from the collected frame, like the reference's
+        # len(result_rows) — counting '\n' in the CSV overcounts when
+        # field values carry quoted embedded newlines
+        csv_data, count = export_csv_rows(df)
         return {
             "status": "success",
             "data": csv_data,

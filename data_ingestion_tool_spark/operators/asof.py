@@ -51,36 +51,42 @@ def asof_join(
     for the columns carried from the matched right row. Left rows with
     no earlier right row keep NULL payload (LEFT ASOF semantics).
     """
-    out_cols = [*left.columns, *payload.values()]
+    # All payload columns ride ONE never-null struct per right row, so
+    # `last(ignorenulls=True)` skips only rows of the wrong side — a
+    # genuinely-NULL payload value in the matched right row stays NULL
+    # (and every output column comes from the SAME matched row; filling
+    # per-column would silently substitute older rows' values).
     lhs = left.select(
         "*",
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).alias(f"__p_{dst}") for dst in payload.values()],
+        F.lit(None).alias("__p"),
     )
     rhs = right.select(
         F.col(right_on or on).alias(on),
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(src).alias(f"__p_{dst}") for src, dst in payload.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("__p"),
     )
     for c in lhs.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None))
     u = lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort before left rows at equal ts → inclusive <=;
-    # payload columns as trailing sort keys pin ties deterministically.
+    # right rows sort before left rows at equal ts → inclusive <=; the
+    # struct as trailing sort key pins (key, ts)-ties deterministically
+    # (greatest payload struct wins, matching the oracle note above).
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", *[f"__p_{d}" for d in payload.values()])
+        .orderBy("__ts", "__side", "__p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(f"__p_{dst}", ignorenulls=True).over(w).alias(dst)
-            for dst in payload.values()
-        ],
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__m")
     )
-    return filled.filter(F.col("__side") == 1).select(*out_cols)
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__m.{dst}").alias(dst) for dst in payload.values()],
+    )

@@ -85,6 +85,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means labels are still
+        # moving — silently returning would yield SPLIT components (one
+        # real cluster reported as several); keep the failure loud.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise "
+            "max_iter — near-dup cluster graphs normally converge in "
+            "2-4 rounds"
+        )
     sym.unpersist()
     return labels.select("node", "comp")
 

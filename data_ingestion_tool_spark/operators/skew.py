@@ -76,7 +76,20 @@ def salted_join(
     """Skew-safe equi-join: salt the big side deterministically,
     replicate the small side across all salts, join on (key, salt).
     The hot key's rows land on ``n_salts`` reducers instead of one;
-    the small side grows N× (fine — it's small)."""
+    the small side grows N× (fine — it's small).
+
+    Only big-side-preserving joins are supported: the small side is
+    replicated N×, so 'right'/'full' would emit every unmatched
+    small-side row n_salts times.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi",
+               "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated "
+            f"small side would duplicate unmatched rows; use one of "
+            f"{sorted(allowed)}"
+        )
     b = big.withColumn("__salt", deterministic_salt(salt_from, n_salts))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

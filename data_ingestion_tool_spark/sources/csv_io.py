@@ -10,15 +10,17 @@ Reference behavior being re-expressed (all cites into
   nulls back to ``''`` post-read (Spark 4 treats an unquoted empty field
   as null regardless of ``emptyValue``).
 - Only ``.csv`` / ``.txt`` uploads are accepted (main.py:227-231).
-- Export emits UTF-8 **with BOM** (``encoding='utf-8-sig'``,
-  main.py:194), header row = exactly the selected column list, no index.
+- Export: header row = exactly the selected column list, no index, NO
+  BOM — main.py:194 asks for ``utf-8-sig`` but ``to_csv`` without a
+  path ignores ``encoding``, so the reference's actual response body is
+  BOM-less (see :func:`export_csv_rows`).
 
 Scale note: :func:`read_csv_compat`/:func:`read_csv_inferred` are
 distributed scans (executors read splits — the reference's
 whole-file-into-backend-memory at main.py:233 is gone).
-:func:`export_csv_string` intentionally collects (it reproduces the
-reference's inline-response API for small results); :func:`write_csv` is
-the scale path.
+:func:`export_csv_rows` intentionally collects (it reproduces the
+reference's inline-response API) with an enforced row bound;
+:func:`write_csv` is the scale path.
 """
 
 from __future__ import annotations
@@ -108,11 +110,43 @@ def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
     )
 
 
-def export_csv_string(df: DataFrame, columns: list[str] | None = None) -> str:
-    """API-compatible inline export: UTF-8 with BOM, header = selected
-    columns, no index (reference main.py:193-194). Collects — use only
-    for bounded results, like the reference's inline JSON responses."""
-    pdf = df.select(*columns).toPandas() if columns else df.toPandas()
+EXPORT_MAX_ROWS = 100_000
+
+
+def export_csv_rows(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_rows: int = EXPORT_MAX_ROWS,
+) -> tuple[str, int]:
+    """API-compatible inline export → ``(csv_string, row_count)``.
+
+    Header = selected columns, no index (reference main.py:193-194).
+    NO BOM: the reference passes ``encoding='utf-8-sig'`` but calls
+    ``to_csv`` without a path, which returns a ``str`` where encoding is
+    ignored — its actual JSON ``data`` field carries no BOM, so neither
+    do we (behavior over documented intent).
+
+    Collects to the driver, so the bound is ENFORCED: more than
+    ``max_rows`` result rows raises ``ValueError`` (the API layer maps
+    it to a 500, mirroring the reference's implicit inline-response
+    ceiling at main.py:233). The unbounded path is :func:`write_csv`.
+    """
+    bounded = df.select(*columns) if columns else df
+    pdf = bounded.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"inline CSV export exceeds max_rows={max_rows}; "
+            "use write_csv() for unbounded results"
+        )
     buf = io.StringIO()
     pdf.to_csv(buf, index=False)
-    return "\ufeff" + buf.getvalue()
+    return buf.getvalue(), len(pdf)
+
+
+def export_csv_string(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_rows: int = EXPORT_MAX_ROWS,
+) -> str:
+    """String-only variant of :func:`export_csv_rows`."""
+    return export_csv_rows(df, columns, max_rows)[0]

@@ -54,11 +54,44 @@ def test_export_single_table(catalog):
     sel = ColumnSelection("customer", ["c_custkey", "c_name"])
     out = service.export_flatfile(catalog, CONN, sel)
     assert out["status"] == "success"
-    assert out["data"].startswith("﻿")  # UTF-8 BOM, main.py:194
-    header = out["data"].lstrip("﻿").splitlines()[0]
+    # NO BOM: main.py:194's encoding='utf-8-sig' is ignored by to_csv
+    # without a path — the reference's actual body is BOM-less
+    assert not out["data"].startswith("﻿")
+    header = out["data"].splitlines()[0]
     assert header == "c_custkey,c_name"
     assert out["count"] == out["data"].count("\n") - 1
     assert out["query"] == "SELECT c_custkey, c_name FROM customer"
+
+
+def test_export_count_with_embedded_newlines(catalog):
+    """count must equal the row count even when field values carry
+    quoted embedded newlines (newline-counting would overcount)."""
+    catalog.createDataFrame(
+        [(1, "line1\nline2"), (2, "plain")], "id int, note string"
+    ).createOrReplaceTempView("notes_nl")
+    out = service.export_flatfile(
+        catalog, CONN, ColumnSelection("notes_nl", ["id", "note"])
+    )
+    assert out["count"] == 2
+    assert out["data"].count("\n") == 4  # header + 2 rows + 1 embedded
+
+
+def test_export_over_limit_maps_to_500(catalog, monkeypatch):
+    """The bounded-collect guard surfaces as the reference's blanket
+    500, not an unbounded driver collect."""
+    from data_ingestion_tool_spark.sources.csv_io import export_csv_rows
+
+    monkeypatch.setattr(
+        service,
+        "export_csv_rows",
+        lambda df, columns=None: export_csv_rows(df, columns, max_rows=1),
+    )
+    with pytest.raises(ApiError) as e:
+        service.export_flatfile(
+            catalog, CONN, ColumnSelection("customer", ["c_custkey"])
+        )
+    assert e.value.status_code == 500
+    assert "max_rows" in e.value.detail
 
 
 def test_export_comma_join(catalog):

@@ -60,13 +60,25 @@ def test_extension_gate():
         validate_upload_extension("data.parquet")
 
 
-def test_export_bom_and_header(spark):
+def test_export_no_bom_and_header(spark):
     df = spark.createDataFrame([(1, "café"), (2, "naïve")], "id int, name string")
     s = export_csv_string(df, ["name", "id"])
-    assert s.startswith("﻿")  # utf-8-sig, main.py:194
-    lines = s.lstrip("﻿").strip().splitlines()
+    # reference parity: to_csv without a path ignores encoding='utf-8-sig',
+    # so the actual response body carries NO BOM (main.py:193-194)
+    assert not s.startswith("﻿")
+    lines = s.strip().splitlines()
     assert lines[0] == "name,id"  # header = selected column order
     assert "café,1" in lines
+
+
+def test_export_row_bound_enforced(spark):
+    from data_ingestion_tool_spark.sources.csv_io import export_csv_rows
+
+    df = spark.range(100).selectExpr("id", "concat('v', id) AS v")
+    csv, n = export_csv_rows(df, max_rows=100)
+    assert n == 100 and csv.count("\n") == 101
+    with pytest.raises(ValueError, match="max_rows=99"):
+        export_csv_rows(df, max_rows=99)
 
 
 def test_csv_unicode_roundtrip(spark, tmp_path):

@@ -30,6 +30,18 @@ def test_cc_long_chain_converges(spark):
     assert len(comp) == 16
 
 
+def test_cc_nonconvergence_raises(spark):
+    """Exhausting max_iter before labels settle must be LOUD — a silent
+    return would hand downstream dedup split clusters."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_keeper_and_singletons(spark):
     pairs = spark.createDataFrame([(10, 20), (20, 30)], "id_a long, id_b long")
     all_ids = spark.createDataFrame(

@@ -66,6 +66,15 @@ def test_salted_join_matches_direct(spark, skewed):
     assert salted == direct
 
 
+def test_salted_join_rejects_small_side_outer(spark, skewed):
+    import pytest
+
+    dim = spark.createDataFrame([("hot", 1)], "k string, tag int")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(skewed, dim, "k", salt_from="id", how=how)
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """bucketBy(8, key) on both sides → SortMergeJoin with ZERO shuffle
     exchanges: the bucket layout IS the shuffle, paid once at write

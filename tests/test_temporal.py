@@ -42,6 +42,35 @@ def test_asof_join_semantics(spark):
     assert out.columns == ["k", "t", "tag", "asof_price"]
 
 
+def test_asof_join_null_payload_stays_attached(spark):
+    """A NULL payload value in the MATCHED right row must come through as
+    NULL (not be back-filled from an older right row), and with multiple
+    payload columns every output column must come from the same matched
+    row — DuckDB ASOF JOIN semantics."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T12:00:00"), "x")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            # older row: fully populated
+            (1, ts("2024-01-01T10:00:00"), 100.0, "old"),
+            # most recent match: price is NULL, src differs
+            (1, ts("2024-01-01T11:00:00"), None, "new"),
+        ],
+        "k long, t timestamp, price double, src string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        payload={"price": "asof_price", "src": "asof_src"},
+    )
+    row = out.collect()[0]
+    assert row.asof_src == "new"
+    assert row.asof_price is None, (
+        "NULL payload of the matched row was substituted by an older row"
+    )
+
+
 def test_asof_join_row_preserving(spark, sf_dir):
     """LEFT ASOF never duplicates or drops left rows."""
     from data_ingestion_tool_spark.queries import QUERIES
