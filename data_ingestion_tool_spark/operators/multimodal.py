@@ -77,6 +77,13 @@ def extract_binary_metadata(
 
 # --- the codec seam -------------------------------------------------------
 
+try:  # optional dep (CLAUDE.md: no pip install — import-gated only)
+    from PIL import Image as _PILImage  # noqa: N813
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+HAS_REAL_CODEC = _PILImage is not None
+
 
 def fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for an image codec: digest-derived
@@ -92,12 +99,46 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
-def codec_decode(payload: bytes) -> dict:  # pragma: no cover - by design
-    """The production seam: PIL/ffmpeg goes here."""
+def pil_decode(payload: bytes) -> dict:
+    """Real image decode via PIL (only when the env provides it).
+    Emits the same dict shape as :func:`fake_decode`, so the two are
+    drop-in interchangeable behind the same mapInPandas plumbing."""
+    if _PILImage is None:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "PIL not available in this environment; use fake_decode"
+        )
+    import io
+
+    import numpy as np
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        n_frames = int(getattr(img, "n_frames", 1))
+        arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+        return {
+            "height": int(arr.shape[0]),
+            "width": int(arr.shape[1]),
+            "channels": int(arr.shape[2]),
+            "mean_pixel": float(arr.mean() / 255.0),
+            "n_frames": n_frames,
+        }
+
+
+def codec_decode(payload: bytes) -> dict:
+    """The production seam: a REAL codec when the environment has one
+    (PIL, import-gated above), else a loud NotImplementedError telling
+    the caller to use the deterministic stand-in."""
+    if HAS_REAL_CODEC:
+        return pil_decode(payload)
     raise NotImplementedError(
         "no image/audio codec in this environment; pass decoder=fake_decode "
         "(deterministic) or plug in a real codec callable"
     )
+
+
+def default_decoder() -> Decoder:
+    """Best available decoder: real codec if the env provides one, else
+    the deterministic stand-in (keeps test results reproducible)."""
+    return pil_decode if HAS_REAL_CODEC else fake_decode
 
 
 DECODE_SCHEMA = T.StructType(

@@ -261,6 +261,64 @@ def _nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int) -> Col
     return F.slice(F.array_sort(scored), 1, n).getField("cid")
 
 
+# Above this many codebook literals (n_centroids × dim) the expression
+# path stops being viable: Catalyst folds the whole codebook into the
+# plan and codegen degrades super-linearly (a production 65k×768
+# codebook would be ~50M literals). Past the budget, cell assignment
+# switches to a numpy scorer in mapInPandas with the codebook held in
+# the task closure — same answer, plan stays O(1) in codebook size.
+IVF_MAX_CODEBOOK_LITERALS = 4096
+
+
+def _assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    n: int,
+    out_col: str,
+    use_numpy: bool | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = array of the ``n`` nearest centroid ids (ties →
+    smaller id) for ``df[vec_col]`` (array<double>).
+
+    ``use_numpy=None`` auto-selects: column expressions while the
+    codebook fits :data:`IVF_MAX_CODEBOOK_LITERALS` (faster at small
+    sizes — stays in whole-stage codegen), numpy mapInPandas beyond.
+    """
+    cents = sorted(centroids)
+    dim = len(cents[0][1])
+    if use_numpy is None:
+        use_numpy = len(cents) * dim > IVF_MAX_CODEBOOK_LITERALS
+    if not use_numpy:
+        return df.withColumn(out_col, _nearest_cells(F.col(vec_col), cents, n))
+
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)  # ascending
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cn2 = (cmat * cmat).sum(axis=1)
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            d2 = (vmat * vmat).sum(1)[:, None] - 2.0 * (vmat @ cmat.T) + cn2[None, :]
+            # cents ascend by cid, so a stable argsort breaks distance
+            # ties toward the smaller cid — same rule as _nearest_cells
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            pdf = pdf.copy()
+            pdf[out_col] = [cids[row].tolist() for row in order]
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -283,9 +341,9 @@ def ivf_centroids(
     )
     cents = [(i, list(r.v)) for i, r in enumerate(seeds)]
     for _ in range(refine_iters):
-        assigned = corpus.select(
-            _as_double(vec_col).alias("v")
-        ).withColumn("cid", _nearest_cells(F.col("v"), cents, 1)[0])
+        assigned = _assign_cells(
+            corpus.select(_as_double(vec_col).alias("v")), "v", cents, 1, "cids"
+        ).withColumn("cid", F.col("cids")[0])
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -312,21 +370,26 @@ def ivf_topk(
     centroid cells, score each query only against its ``n_probe``
     nearest cells, exact cosine re-rank inside the probed cells.
 
-    Scale shape: the corpus is assigned to cells in one codegen'd pass
-    (no shuffle — the cell id is a column expression over a broadcast
-    codebook); queries explode to (query, cell) pairs and broadcast;
-    the candidate join touches ~n_probe/n_centroids of the corpus.
+    Scale shape: the corpus is assigned to cells in one local pass (no
+    shuffle — the codebook rides the plan as expressions while small,
+    or the task closure as a numpy matrix past
+    IVF_MAX_CODEBOOK_LITERALS; see :func:`_assign_cells`); queries
+    explode to (query, cell) pairs and broadcast; the candidate join
+    touches ~n_probe/n_centroids of the corpus.
     """
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cid", _nearest_cells(F.col("cv"), cents, 1)[0])
-    q = (
+    c = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        ),
+        "cv", cents, 1, "cids",
+    ).withColumn("cid", F.col("cids")[0]).drop("cids")
+    q = _assign_cells(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-        )
-        .withColumn("cid", F.explode(_nearest_cells(F.col("qv"), cents, n_probe)))
-    )
+        ),
+        "qv", cents, n_probe, "cids",
+    ).withColumn("cid", F.explode("cids")).drop("cids")
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -64,6 +64,51 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*p2)
 
 
+def sentinel_bypass_join(
+    big: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    sentinel,
+) -> DataFrame:
+    """LEFT equi-join where rows whose key is NULL or equals
+    ``sentinel`` bypass the join entirely.
+
+    The classic fact⋈fact skew killer is a surrogate "unknown" key —
+    anonymous users, unparsed ids — carried by a large fraction of the
+    big fact. Those rows can never match (the sentinel has no row on
+    the right), yet a plain join shuffles ALL of them onto one reducer:
+    at 100 TB with a 40% sentinel share, one task gets 40 TB. Since
+    their LEFT-join output is statically known (right payload = NULL),
+    route them AROUND the shuffle with a union and join only real keys
+    — the join's key distribution is then the organic one, no single
+    partition bound to the hot key. AQE skew-split can't save this
+    case as cheaply: it would still shuffle + sort the sentinel rows,
+    splitting them across tasks of the same sort-merge join.
+
+    Output columns: ``big.* + right payload`` (right columns minus its
+    key). Equivalent SQL: ``big LEFT JOIN right ON on = right_on``
+    (assuming the right side never carries the sentinel key — caller's
+    contract, like a dimension of real users only).
+    """
+    payload = [c for c in right.columns if c != right_on]
+    hot = F.col(on).isNull() | (F.col(on) == F.lit(sentinel))
+    # `hot` is never NULL: isNull() short-circuits the NULL comparison
+    matched = (
+        big.filter(~hot)
+        .join(right, F.col(on) == F.col(right_on), "left")
+        .select(*big.columns, *payload)
+    )
+    bypass = big.filter(hot).select(
+        *big.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+    )
+    return matched.unionByName(bypass)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1,6 +1,7 @@
 from .inspect import (
     codegen_subtree_count,
     exchange_count,
+    executed_plan,
     formatted_plan,
     has_cartesian_product,
     has_partial_aggregation,
@@ -14,6 +15,7 @@ from .inspect import (
 __all__ = [
     "codegen_subtree_count",
     "exchange_count",
+    "executed_plan",
     "formatted_plan",
     "has_cartesian_product",
     "has_partial_aggregation",

@@ -83,6 +83,22 @@ def codegen_subtree_count(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def executed_plan(df: DataFrame) -> str:
+    """The FINAL adaptive physical plan, after running the query.
+
+    `formatted_plan` shows the static plan AQE starts from; the
+    decisions that matter at scale (broadcast demotion/promotion, skew
+    split, partition coalescing) are made at runtime per shuffle stage.
+    Executing through the Dataset's own QueryExecution finalizes its
+    AdaptiveSparkPlan, so the returned string carries
+    ``isFinalPlan=true`` plus the re-planned operators (AQEShuffleRead,
+    ``skew=true`` SMJ variants...). Collects — call on bounded results
+    only (tests).
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan contains a map-side (partial) HashAggregate —
     the pre-shuffle combine that keeps a 100 TB groupBy's shuffle small."""

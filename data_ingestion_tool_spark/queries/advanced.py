@@ -455,6 +455,60 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skewed_sentinel",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id,
+             CASE WHEN event_type IN ('signup','error') THEN -1
+                  ELSE user_id END AS join_uid,
+             value
+      FROM events
+    ),
+    user_purchases AS (
+      SELECT user_id,
+             COUNT(*) AS n_purchases,
+             {sql_fsum('value')} AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT t.event_id, t.join_uid, t.value,
+           u.n_purchases, u.purchase_value
+    FROM tagged t LEFT JOIN user_purchases u ON t.join_uid = u.user_id
+    """,
+)
+def join_skewed_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈fact join: ~40% of the event fact carries the
+    anonymous-user sentinel (-1) as its join key — the 100 TB classic
+    where a plain join funnels the hot key through ONE reducer. The
+    sentinel can never match the per-user purchase fact, so
+    sentinel_bypass_join routes those rows around the shuffle and the
+    join sees only the organic (near-uniform) key distribution; the
+    LEFT JOIN oracle proves the rewrite is answer-preserving.
+    tests/test_skew_bucketing.py asserts the hot key never enters the
+    join and bounds the joined side's max key share."""
+    from ..operators.skew import sentinel_bypass_join
+
+    e = read_events(spark, sf_dir)
+    tagged = e.select(
+        "event_id",
+        F.when(F.col("event_type").isin("signup", "error"), F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("join_uid"),
+        "value",
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            fsum("value").alias("purchase_value"),
+        )
+    )
+    return sentinel_bypass_join(
+        tagged, purchases, on="join_uid", right_on="user_id", sentinel=-1
+    )
+
+
+@query(
     "grouped_pandas_zscore",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -125,3 +125,94 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
     assert exchange_count(joined) == 0
     assert "SortMergeJoin" in join_strategies(joined)
+
+
+# --- AQE runtime plan verification ---------------------------------------
+
+
+def test_aqe_final_plans_hold_broadcasts(spark, sf_dir):
+    """Runtime (post-AQE) verification for the most expensive batch
+    queries: the FINAL adaptive plan must keep the static plan's scale
+    decisions — broadcasts stay broadcasts, no join degrades to a
+    cartesian product, and AQE actually re-planned (isFinalPlan=true)."""
+    import re
+
+    from data_ingestion_tool_spark.plans import executed_plan
+
+    expensive = (
+        "tpch_q1_pricing_summary",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q18_large_volume_customer",
+        "text_tfidf_top_terms",
+        "agg_corr_from_moments",
+    )
+    for name in expensive:
+        plan = executed_plan(QUERIES[name](spark, sf_dir))
+        assert "isFinalPlan=true" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # spot-check join strategy survival where it matters most:
+    # q5's five-way star join must still broadcast every dim at runtime
+    q5 = executed_plan(QUERIES["tpch_q5_local_supplier_volume"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", q5)) >= 4
+    # q18's semi-join against the big-volume groupBy stays non-cartesian
+    q18 = executed_plan(
+        QUERIES["tpch_q18_large_volume_customer"](spark, sf_dir)
+    )
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", q18)
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE partition coalescing must engage at runtime: sf0.01 shuffle
+    outputs are far below the advisory size, so the static 32-partition
+    shuffle read collapses (AQEShuffleRead coalesced)."""
+    from data_ingestion_tool_spark.plans import executed_plan
+
+    plan = executed_plan(QUERIES["agg_groupby_basic"](spark, sf_dir))
+    assert "AQEShuffleRead coalesced" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, demonstrated end-to-end: a fact⋈fact
+    sort-merge join whose left side routes ~80% of rows through ONE key
+    must come out of AQE with the oversized partition SPLIT (skew=true
+    on the SMJ) instead of one straggler task — the runtime half of the
+    engine's skew story (the planned half is salted_agg /
+    sentinel_bypass_join)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.plans import executed_plan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # payload must survive pruning AND resist shuffle compression,
+        # or the hot partition's bytes stay under the skew threshold
+        big = spark.range(150_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(30_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = (
+            big.join(right, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.max("payload"), F.max("w"))
+        )
+        plan = executed_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

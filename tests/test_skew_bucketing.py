@@ -75,6 +75,61 @@ def test_salted_join_rejects_small_side_outer(spark, skewed):
             salted_join(skewed, dim, "k", salt_from="id", how=how)
 
 
+def test_sentinel_bypass_join_semantics(spark):
+    """Bypass rewrite == plain LEFT join when the right side never
+    carries the sentinel; NULL keys also ride the bypass."""
+    from data_ingestion_tool_spark.operators.skew import sentinel_bypass_join
+
+    big = spark.createDataFrame(
+        [(1, 10), (2, -1), (3, 20), (4, None), (5, -1), (6, 30)],
+        "row_id long, k int",
+    )
+    right = spark.createDataFrame(
+        [(10, "a"), (20, "b")], "rk int, tag string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sentinel_bypass_join(
+            big, right, on="k", right_on="rk", sentinel=-1
+        ).select("row_id", "k", "tag").collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in big.join(right, big.k == right.rk, "left")
+        .select("row_id", "k", "tag")
+        .collect()
+    )
+    assert got == direct
+    assert (1, 10, "a") in got and (4, None, None) in got
+
+
+def test_sentinel_join_hot_key_never_shuffles(spark, sf_dir):
+    """The scale property behind join_skewed_sentinel: the hot sentinel
+    (~40% of the fact) must not enter the join — the joined side's max
+    key share stays near-uniform, so no reducer partition is bound to
+    the hot key at any scale."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.parquet_io import read_events
+
+    e = read_events(spark, sf_dir)
+    tagged = e.select(
+        F.when(F.col("event_type").isin("signup", "error"), F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("join_uid")
+    )
+    total = tagged.count()
+    hot = tagged.filter(F.col("join_uid") == -1).count()
+    assert hot / total > 0.3  # the skew is real in the raw fact
+    joined_side = tagged.filter(F.col("join_uid") != -1)
+    freq = joined_side.groupBy("join_uid").count()
+    mx, n_keys, joined_total = freq.agg(
+        F.max("count"), F.count(F.lit(1)), F.sum("count")
+    ).collect()[0]
+    # max key share within 3x of perfectly uniform
+    assert mx <= 3 * joined_total / n_keys
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """bucketBy(8, key) on both sides → SortMergeJoin with ZERO shuffle
     exchanges: the bucket layout IS the shuffle, paid once at write

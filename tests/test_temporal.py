@@ -104,6 +104,59 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_assign_paths_agree(spark, sf_dir):
+    """The expression path and the numpy mapInPandas path of IVF cell
+    assignment must produce identical (id → cells) maps."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        ivf_centroids,
+    )
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(300)
+    cents = ivf_centroids(emb, n_centroids=8)
+    base = emb.select(
+        F.col("vec_id"), _as_double("embedding").alias("v")
+    )
+    expr = {
+        r.vec_id: r.cells
+        for r in _assign_cells(
+            base, "v", cents, 3, "cells", use_numpy=False
+        ).collect()
+    }
+    npy = {
+        r.vec_id: r.cells
+        for r in _assign_cells(
+            base, "v", cents, 3, "cells", use_numpy=True
+        ).collect()
+    }
+    assert expr == npy
+
+
+def test_ivf_recall_large_codebook(spark, sf_dir):
+    """256-centroid codebook (256×64 literals > IVF_MAX_CODEBOOK_LITERALS
+    → numpy auto-path): recall must stay well above the probed fraction."""
+    from data_ingestion_tool_spark.operators import similarity as S
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    assert 256 * 64 > S.IVF_MAX_CODEBOOK_LITERALS
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=256, n_probe=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 too low at 256 cells: {recall:.2f}"
+
+
 def test_partition_pruning_in_plan(spark, sf_dir):
     """The partitioned-ingest read must prune directories at plan time:
     the scan's PartitionFilters carries the o_orderstatus predicate."""
