@@ -1,4 +1,4 @@
-"""Composite TPC-H-shaped analytics (Q1/Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q18/Q19
+"""Composite TPC-H-shaped analytics (Q1/Q3-Q8/Q10/Q12-Q15/Q17-Q19/Q21/Q22
 adapted to the test schema — it lacks o_shippriority/partsupp/
 l_shipmode/l_commitdate/l_receiptdate/p_container, so those columns are
 substituted; the join/agg shapes are the classic ones).
@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_table
-from .registry import fsum, query, sql_fsum
+from .registry import davg, fsum, query, sql_davg, sql_fsum
 
 # revenue = disc_price summed fixed-point: price/discount are exactly
 # 2-decimal so the product has exactly 4 — fsum's long adds beat the
@@ -416,4 +416,350 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _revenue().alias("revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {REVENUE} AS revenue FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume between two nations per ship year.
+    Both nation dims broadcast twice (supplier side, customer side);
+    the disjunctive nation-pair predicate evaluates post-join; only
+    lineitem⋈orders shuffles."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+      ROUND(({sql_fsum("CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0 END", 4)})
+        / ({sql_fsum('volume', 4)}), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <= TIMESTAMP '1997-12-31'
+        AND p_type = 'STANDARD'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of STANDARD-part volume sold into the
+    AMERICA region per order year. Eight-table star: every dim
+    broadcasts; the share is a ratio of two fixed-point-exact sums
+    (ROUND 6 on both sides — the division orders differ)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = fsum(
+        F.when(F.col("supp_nation") == "NATION_0", volume).otherwise(F.lit(0.0)), 4
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(F.round(target / fsum(volume, 4), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 adapted (no o_comment: the excluded class is '1-URGENT'
+    orders): order-count histogram over customers including zeros.
+    Scale shape: orders pre-aggregates to (custkey, count) BEFORE
+    touching customers (map-side combine shrinks the fact to one row
+    per customer), then the LEFT join against the customer dim fills
+    zeros — joining raw orders to customers first would shuffle the
+    whole fact and need the fact side broadcast at scale."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_cust = c.join(
+        per_cust_orders, c.c_custkey == F.col("o_custkey"), "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, {REVENUE} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with max quarterly revenue. The per-supplier
+    revenue aggregate is computed ONCE (the classic view); its max
+    rides back as a one-row broadcast (no second lineitem scan on the
+    comparison side), and the equality is exact because both values
+    are the same fixed-point-exact double."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    revenue0 = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue().alias("total_revenue")
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue0.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_fsum('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 adapted (no p_container: brand-only part filter): revenue
+    lost to small-quantity orders. The correlated per-part average
+    decorrelates to an aggregate over ONLY the brand's parts (semi-join
+    pruned before the avg — at 100 TB the per-part stats of a 1/25
+    brand slice are small enough to broadcast). Quantities are
+    integral doubles, so the average and the 0.2x threshold compare
+    identically on both engines."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    keys = p.select("p_partkey")
+    part_avg = (
+        l.join(F.broadcast(keys), l.l_partkey == keys.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (fsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                 THEN 1 ELSE 0 END) AS supp_late
+      FROM lineitem, orders
+      WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    po AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo, po, supplier, nation
+    WHERE lo.l_orderkey = po.l_orderkey AND lo.supp_late = 1
+      AND po.n_supp >= 2 AND po.n_late = 1
+      AND s_suppkey = lo.l_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def tpch_q21_suppliers_who_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21 adapted (no l_receiptdate/l_commitdate: "late" = shipped
+    >60 days after order date): suppliers who were the SOLE late
+    supplier on a finished multi-supplier order. The classic
+    EXISTS/NOT-EXISTS pair decorrelates to two aggregates — per
+    (order, supplier) lateness, then per-order counts — so the whole
+    query is two shuffles over (orderkey, suppkey) pairs instead of
+    two correlated lineitem self-probes."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    late = F.when(
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("supp_late"))
+    )
+    po = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
+    )
+    return (
+        lo.filter(F.col("supp_late") == 1)
+        .join(
+            po,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS numcust,
+           {sql_fsum('c_acctbal')} AS totacctbal
+    FROM customer, nation,
+         (SELECT {sql_davg('c_acctbal')} AS ab
+          FROM customer WHERE c_acctbal > 0.0) avg_bal
+    WHERE c_nationkey = n_nationkey AND c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 adapted (no c_phone: grouped by nation; and in this data
+    every customer has SOME order, so "never ordered" becomes "never
+    placed an URGENT order"): wealthy low-engagement customers. The
+    scalar average rides a one-row broadcast (decimal-exact: raw
+    double averages differ in final ulps between engines and would
+    flip boundary customers); the NOT EXISTS is an anti-join on the
+    urgent-order custkeys."""
+    c = read_table(spark, sf_dir, "customer")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    n = read_table(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
     )

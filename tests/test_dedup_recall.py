@@ -120,3 +120,28 @@ def test_embedding_near_dup_planted(spark, sf_dir):
     # scaling a vector doesn't change cosine; LSH bucketing must not
     # lose identical-direction pairs
     assert found / len(orig) >= 0.95, f"embedding recall {found}/{len(orig)}"
+
+
+def test_minhash_candidates_scale_linearly(spark, sf_dir):
+    """The scale property behind the LSH design: growing the corpus n×
+    with DISTINCT content must grow the banded self-join's candidate
+    set ~n×, never ~n² (all-pairs would be 16× here). Distinctness
+    matters — cloned text would plant quadratic duplicate clusters and
+    measure the data, not the algorithm."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from soak_dedup import scaled_documents
+
+    from data_ingestion_tool_spark.operators.dedup import minhash_near_dup_pairs
+
+    def candidates(mult: int) -> int:
+        docs = scaled_documents(spark, sf_dir, mult)
+        return minhash_near_dup_pairs(docs, jaccard_threshold=0.0).count()
+
+    c1, c4 = candidates(1), candidates(4)
+    assert c1 > 0
+    # linear growth with slack; quadratic would be ~16x
+    assert c4 <= 4 * c1 * 1.8, f"candidates superlinear: {c1} -> {c4}"
+    assert c4 >= 2 * c1  # the corpus really did grow

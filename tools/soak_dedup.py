@@ -1,0 +1,149 @@
+"""Scaling soak for the dedup/ANN stack — empirical sub-quadratic proof.
+
+The recall tests pin CORRECTNESS at sf0.01/sf0.1; this tool pins the
+SCALE claim: the bucketed self-joins behind MinHash-LSH, SimHash and
+IVF must grow their candidate sets ~linearly in corpus size (an
+all-pairs design would grow quadratically and die at 100 TB).
+
+Corpora are derived repo-locally from the read-only testdata:
+copy ``c`` of the documents table re-ids every row (+c·10^7) and
+suffixes every word token with ``q{c}``, so shingles NEVER collide
+across copies — the corpus grows n× while the planted near-dup
+structure stays per-copy. A clone-style scale-up (identical text)
+would plant n²-growing duplicate clusters and prove nothing about the
+algorithm. Embeddings copies get a tiny deterministic per-copy offset
+for the same reason.
+
+Usage:  python tools/soak_dedup.py [mult ...]      (default: 1 5 25)
+Writes tools/soak_results.json; ``tools/plan_report.py`` embeds it into
+PLANS.md as the scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = Path(__file__).resolve().parent / "soak_results.json"
+
+
+def scaled_documents(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [base]
+    for c in range(1, mult):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\w+)", f"$1q{c}").alias("text"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def scaled_embeddings(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    parts = [base]
+    for c in range(1, mult):
+        off = float(c) * 1e-3
+        parts.append(
+            base.select(
+                (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x + F.lit(off)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def timed_count(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [1, 5, 25]
+
+    from data_ingestion_tool_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from data_ingestion_tool_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from data_ingestion_tool_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="soak-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for mult in mults:
+        docs = scaled_documents(spark, SF_DIR, mult).persist()
+        n_docs = docs.count()
+
+        secs, pairs = timed_count(minhash_near_dup_pairs(docs))
+        _, cands = timed_count(
+            minhash_near_dup_pairs(docs, jaccard_threshold=0.0)
+        )
+        rows.append(
+            {"op": "minhash_lsh", "mult": mult, "n_rows": n_docs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
+
+        secs, pairs = timed_count(simhash_near_dup_pairs(docs))
+        _, cands = timed_count(simhash_near_dup_pairs(docs, max_hamming=64))
+        rows.append(
+            {"op": "simhash", "mult": mult, "n_rows": n_docs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
+        docs.unpersist()
+
+        emb = scaled_embeddings(spark, SF_DIR, mult).persist()
+        n_vecs = emb.count()
+        queries = emb.orderBy("vec_id").limit(10)
+        secs, pairs = timed_count(ivf_topk(emb, queries, k=5))
+        # candidate set = (corpus row, probing query) join pairs
+        cents = ivf_centroids(emb)
+        c = _assign_cells(
+            emb.select(_as_double("embedding").alias("cv")), "cv", cents, 1, "cids"
+        ).select(F.col("cids")[0].alias("cid"))
+        q = _assign_cells(
+            queries.select(_as_double("embedding").alias("qv")),
+            "qv", cents, 4, "cids",
+        ).select(F.explode("cids").alias("cid"))
+        _, cands = timed_count(c.join(F.broadcast(q), "cid"))
+        rows.append(
+            {"op": "ivf_ann", "mult": mult, "n_rows": n_vecs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
+        emb.unpersist()
+        print(f"mult={mult} done: {[r for r in rows if r['mult'] == mult]}",
+              file=sys.stderr)
+
+    OUT.write_text(json.dumps({"sf_dir": SF_DIR, "rows": rows}, indent=1) + "\n")
+    print(json.dumps({"sf_dir": SF_DIR, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
