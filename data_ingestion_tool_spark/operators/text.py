@@ -78,6 +78,104 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.trim(c)))
 
 
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings, array-side (codegen).
+
+    Built by zipping ``n`` staggered slices of the token array — each
+    slice has length ``max(0, n_tokens - (n-1))``, so documents shorter
+    than ``n`` tokens yield NO grams (matching the SQL LEAD-window
+    formulation, which NULLs out tail grams). Never ``F.get(toks, i+k)``
+    inside a transform — that re-embeds the tokenizer per element
+    (the O(tokens²) trap, see text_bigram_freq)."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check — the eval-leak gate every
+    training-data pipeline needs: per document, the fraction of its
+    DISTINCT word n-grams that appear anywhere in the benchmark corpus.
+
+    Scale shape: the benchmark's distinct gram set is the SMALL side
+    (eval suites are a few thousand items even when the corpus is
+    100 TB) and broadcasts; documents explode to (id, gram) and take a
+    broadcast LEFT join — the corpus never shuffles, and the per-doc
+    aggregate is partial-combined. Returns
+    (id, n_grams, n_hits, contamination)."""
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "gram"
+            ),
+        )
+
+    bench = grams_of(bench_docs).select("gram").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    g = grams_of(docs).join(F.broadcast(bench), "gram", "left")
+    return (
+        g.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact email addresses and phone-shaped tokens, counting the
+    redactions per row — pure codegen'd regexp work (patterns chosen to
+    behave identically under Java regex and RE2-style engines: no
+    lookaround, no backrefs)."""
+    c = F.col(text_col)
+    n_redactions = (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE))
+        + F.regexp_count(c, F.lit(PII_PHONE_RE))
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.withColumns({out_col: scrubbed, "n_redactions": n_redactions})
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 - distinct_tokens/total_tokens — the cheap repetition signal
+    (boilerplate, keyword stuffing, decode loops) quality filters gate
+    on; 0.0 for empty documents."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Stopword-hit language ID.
 

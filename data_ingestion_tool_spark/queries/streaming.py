@@ -242,3 +242,45 @@ def stream_ingest_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     landed = spark.read.parquet(dest)
     return landed.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+           COUNT(*) AS cnt
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY date_trunc('hour', ts), c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical "join the event
+    stream to a dimension" pattern: the static side is a plain batch
+    DataFrame (re-read per micro-batch, broadcast by size), needs NO
+    watermark and holds NO state; only the windowed count keeps state.
+    Counts per (hour window, customer segment)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+    segments = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def transform(stream):
+        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        enriched = e.join(
+            F.broadcast(segments), e.user_id == segments.c_custkey
+        )
+        return (
+            enriched.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"), "c_mktsegment", "cnt")
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )

@@ -226,3 +226,119 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 20)
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS repetition
+    FROM t
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token ratio per document — the boilerplate/stuffing
+    signal quality filters gate on. Pure column expressions, no
+    shuffle at all."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.repetition_ratio("text").alias("repetition"),
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH toklist AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM toklist),
+    tri AS (
+      SELECT doc_id,
+             term || ' ' || LEAD(term, 1) OVER w || ' '
+                  || LEAD(term, 2) OVER w AS gram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grams AS (SELECT DISTINCT doc_id, gram FROM tri WHERE gram IS NOT NULL),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+    FROM scored
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scores: the held-out slice (doc_id % 50
+    = 0) plays the eval suite; every training doc reports the fraction
+    of its distinct trigrams that leak from it. The benchmark gram set
+    broadcasts (eval suites stay small at any corpus scale); the
+    corpus explodes locally and never shuffles before the per-doc
+    aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return TX.contamination_scores(train, bench)
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at '
+               || lower(replace(c_name, '#', '.')) || '@corp.example'
+               || ' or call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS contact
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b555-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(contact,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(contact, '\\b555-\\d{4}\\b'))
+              AS BIGINT) AS n_redactions
+    FROM synth
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone-shaped tokens) — the corpus text
+    carries no PII, so both engines synthesize the same contact string
+    from customer fields and the differential check exercises the
+    actual scrub regexes. Pure regexp codegen, no shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    synth = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("reach "),
+            F.col("c_name"),
+            F.lit(" at "),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@corp.example or call 555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("contact"),
+    )
+    return TX.pii_scrub(synth, "contact").select(
+        "c_custkey", "scrubbed", "n_redactions"
+    )
