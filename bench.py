@@ -50,6 +50,21 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Global JVM prewarm: run a few representative plan shapes untimed
+    # so JIT/codegen warm-up costs don't land on whichever queries
+    # happen to run first (per-query numbers become position-
+    # independent; the per-query warm-up below still handles
+    # plan-specific compilation).
+    for name in (
+        "filter_comparison", "agg_groupby_basic", "join_multiway",
+        "window_running_sum", "csv_roundtrip_strings",
+    ):
+        if name in qs:
+            try:
+                run_once(qs[name])
+            except Exception:  # noqa: BLE001 - prewarm must never abort bench
+                pass
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]

@@ -12,6 +12,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,10 +28,26 @@ from ..sources import (
 from .registry import dsum, query, sql_dsum
 
 
+_SCRATCH_TTL_SECONDS = 2 * 3600
+
+
 def _scratch(name: str) -> str:
-    d = os.path.join(
-        tempfile.gettempdir(), "spark-graft-scratch", f"{name}-{uuid.uuid4().hex[:8]}"
-    )
+    """Unique scratch dir for a sink/roundtrip query.
+
+    The caller returns a LAZY DataFrame over the scratch path, so the
+    query itself can never clean up — instead each call best-effort
+    prunes SIBLING dirs older than the TTL (no in-flight reader holds a
+    path that old; without this, repeated bench/verify runs leak
+    hundreds of dirs)."""
+    root = os.path.join(tempfile.gettempdir(), "spark-graft-scratch")
+    now = time.time()
+    try:
+        for entry in os.scandir(root):
+            if now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS:
+                shutil.rmtree(entry.path, ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(root, f"{name}-{uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
     return d
 
