@@ -121,6 +121,87 @@ def _srp_bucket(vec, planes: list[list[float]]) -> Column:
     return key
 
 
+def _with_srp_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+    out_id: str,
+    use_numpy: bool | None = None,
+) -> DataFrame:
+    """(out_id, out_id_v, tbl, bkt) — one row per (vector, hash table).
+
+    Same scale story as IVF's ``_assign_cells``: the hyperplanes ride
+    the plan as literal expressions while small (n_tables × n_planes ×
+    dim ≤ IVF_MAX_CODEBOOK_LITERALS — whole-stage codegen, fastest at
+    toy sizes), and switch to one numpy matmul per Arrow batch in
+    mapInPandas beyond that (a production 768-dim embedding with 4×16
+    planes is ~50k literals — codegen death)."""
+    v = _as_double(vec_col)
+    n_tables = len(tables)
+    n_literals = n_tables * len(tables[0]) * len(tables[0][0])
+    if use_numpy is None:
+        use_numpy = n_literals > IVF_MAX_CODEBOOK_LITERALS
+    vcol = f"{out_id}_v"
+    if not use_numpy:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(vcol),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _srp_bucket(v, tables[t]).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, vcol, "tb.tbl", "tb.bkt")
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pmats = [np.array(t, dtype=np.float64) for t in tables]
+    pows = [2 ** np.arange(len(t), dtype=np.int64) for t in tables]
+    base = df.select(F.col(id_col).alias(out_id), v.alias(vcol))
+    schema = StructType(
+        [
+            base.schema[out_id],
+            StructField(vcol, ArrayType(DoubleType())),
+            StructField("tbl", IntegerType()),
+            StructField("bkt", LongType()),
+        ]
+    )
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vcol].map(np.asarray).values)
+            out = []
+            for t, (pm, pw) in enumerate(zip(pmats, pows)):
+                # sign bit per plane; >= 0 matches the expression path
+                bits = (vmat @ pm.T) >= 0
+                part = pdf[[out_id, vcol]].copy()
+                part["tbl"] = t
+                part["bkt"] = bits @ pw
+                out.append(part)
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(buckets, schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,26 +225,8 @@ def lsh_topk(
         for _ in range(n_tables)
     ]
 
-    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
-        v = _as_double(vec_col)
-        return df.select(
-            F.col(id_col).alias(out_id),
-            v.alias(f"{out_id}_v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _srp_bucket(v, tables[t]).alias("bkt"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(out_id, f"{out_id}_v", "tb.tbl", "tb.bkt")
-
-    cb = with_buckets(corpus, "neighbor_id")
-    qb = with_buckets(queries, "query_id")
+    cb = _with_srp_buckets(corpus, id_col, vec_col, tables, "neighbor_id")
+    qb = _with_srp_buckets(queries, id_col, vec_col, tables, "query_id")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -204,21 +267,9 @@ def embedding_near_dup_pairs(
         [rng.standard_normal(dim).tolist() for _ in range(n_planes)]
         for _ in range(n_tables)
     ]
-    v = _as_double(vec_col)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), _srp_bucket(v, tables[t]).alias("bkt")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "tb.tbl", "tb.bkt")
+    b = _with_srp_buckets(df, id_col, vec_col, tables, "id").withColumnRenamed(
+        "id_v", "v"
+    )
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(

@@ -134,6 +134,34 @@ def test_ivf_assign_paths_agree(spark, sf_dir):
     assert expr == npy
 
 
+def test_srp_bucket_paths_agree(spark, sf_dir):
+    """Expression-path and numpy-path SRP bucketing must emit the same
+    (id, table, bucket) set."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.similarity import _with_srp_buckets
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    rng = np.random.RandomState(42)
+    tables = [
+        [rng.standard_normal(64).tolist() for _ in range(8)] for _ in range(4)
+    ]
+    emb = read_table(spark, sf_dir, "embeddings").limit(300)
+    expr = {
+        (r.vid, r.tbl, r.bkt)
+        for r in _with_srp_buckets(
+            emb, "vec_id", "embedding", tables, "vid", use_numpy=False
+        ).collect()
+    }
+    npy = {
+        (r.vid, r.tbl, r.bkt)
+        for r in _with_srp_buckets(
+            emb, "vec_id", "embedding", tables, "vid", use_numpy=True
+        ).collect()
+    }
+    assert expr == npy
+
+
 def test_ivf_recall_large_codebook(spark, sf_dir):
     """256-centroid codebook (256×64 literals > IVF_MAX_CODEBOOK_LITERALS
     → numpy auto-path): recall must stay well above the probed fraction."""
