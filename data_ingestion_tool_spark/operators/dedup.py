@@ -256,32 +256,66 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    scheme: str = "chunks",
 ) -> DataFrame:
-    """SimHash near-dup: fingerprint as a 64-bit array, bucketed by its
-    four 16-bit chunks (pigeonhole: any pair with hamming<=3 shares at
-    least one exact chunk), self-join per chunk, verify with the exact
-    bit-difference count."""
+    """SimHash near-dup: 64-bit fingerprint, pigeonhole-bucketed
+    self-join, exact hamming verify within candidates.
+
+    Two bucketing schemes, identical OUTPUT (verify filters to the
+    exact hamming bound either way); they differ only in chance-
+    collision candidate volume:
+
+    - ``chunks`` (default): four 16-bit chunks — hamming<=3 leaves >=1
+      chunk intact. Chance candidates ~ 4·n²/2^16: fine to ~10^5 docs
+      (the soak table in PLANS.md measures it).
+    - ``chunk_pairs``: six ~11-bit chunks, bucket on every PAIR of
+      chunks (C(6,2)=15 keys/doc) — hamming<=3 leaves >=3 chunks
+      intact, hence >=3 intact pairs, so recall stays exact while a
+      chance collision now needs ~21-22 matching bits instead of 16:
+      ~15·n²/2^21.3, an order of magnitude fewer false candidates for
+      ~4x more (tiny) bucket rows. The 100 TB default.
+    """
     feats = hashed_shingles(df, text_col, id_col, shingle_n)
     bits = feats.select("id", simhash_bits_udf()("feats").alias("bits"))
 
-    def chunk_key(c: int) -> Column:
+    if scheme == "chunks":
+        bounds = [(i * 16, 16) for i in range(4)]  # (start, width)
+    elif scheme == "chunk_pairs":
+        widths = [11, 11, 11, 11, 10, 10]
+        starts = [sum(widths[:i]) for i in range(6)]
+        bounds = list(zip(starts, widths))
+    else:
+        raise ValueError(f"unknown simhash scheme: {scheme!r}")
+
+    def chunk_key(start: int, width: int) -> Column:
         return F.aggregate(
-            F.slice("bits", c * 16 + 1, 16),
+            F.slice("bits", start + 1, width),
             F.lit(0).cast("long"),
             lambda acc, x: acc * 2 + x,
         )
 
+    if scheme == "chunks":
+        keys = [
+            F.struct(F.lit(i).alias("chunk"), chunk_key(s, w).alias("key"))
+            for i, (s, w) in enumerate(bounds)
+        ]
+    else:
+        singles = [chunk_key(s, w) for s, w in bounds]
+        keys = [
+            F.struct(
+                F.lit(pi).alias("chunk"),
+                # combined pair key: k_i·2^width_j + k_j (disjoint bits)
+                (singles[i] * (2 ** bounds[j][1]) + singles[j]).alias("key"),
+            )
+            for pi, (i, j) in enumerate(
+                (i, j) for i in range(6) for j in range(i + 1, 6)
+            )
+        ]
+
     chunks = bits.select(
         "id",
         "bits",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("chunk"), chunk_key(i).alias("key"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.array(*keys)).alias("ck"),
     ).select("id", "bits", "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

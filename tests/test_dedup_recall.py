@@ -145,3 +145,26 @@ def test_minhash_candidates_scale_linearly(spark, sf_dir):
     # linear growth with slack; quadratic would be ~16x
     assert c4 <= 4 * c1 * 1.8, f"candidates superlinear: {c1} -> {c4}"
     assert c4 >= 2 * c1  # the corpus really did grow
+
+
+def test_simhash_schemes_agree_and_pairs_prune(spark, sf_dir):
+    """chunk_pairs must return EXACTLY the same verified pairs as the
+    4x16 scheme (both pigeonhole-exact for hamming<=3) while generating
+    strictly fewer chance candidates."""
+    from data_ingestion_tool_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p4 = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(d, scheme="chunks").collect()
+    }
+    p6 = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(d, scheme="chunk_pairs").collect()
+    }
+    assert p4 == p6 and len(p4) > 0
+    # candidate volume: max_hamming=64 disables the verify filter, so
+    # the counts expose raw candidate sets
+    c4 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunks").count()
+    c6 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunk_pairs").count()
+    assert c6 <= c4

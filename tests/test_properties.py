@@ -7,6 +7,7 @@ covers. Example counts are small: each example runs Spark jobs.
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.asof import asof_join
 from data_ingestion_tool_spark.operators.skew import salted_agg
@@ -184,3 +185,57 @@ def test_fsum_matches_dsum_on_exact_decimal_data(spark, sf_dir):
     for r in row:
         assert r.d2 == r.f2, (r.d2, r.f2)
         assert r.d4 == r.f4, (r.d4, r.f4)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                whitelist_characters="@.-_+%!?",
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """After scrubbing, a second scrub finds nothing (idempotence:
+    no email/phone pattern survives, and the replacement tokens never
+    re-trigger the patterns)."""
+    from data_ingestion_tool_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    once = pii_scrub(df, "s").select(
+        F.col("scrubbed").alias("s"), F.col("n_redactions").alias("n1")
+    )
+    twice = pii_scrub(once, "s")
+    rows = twice.collect()
+    assert all(r.n_redactions == 0 for r in rows)
+    assert all(r.scrubbed == r.s for r in rows)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", max_size=40), min_size=1, max_size=8
+    )
+)
+def test_repetition_and_contamination_bounds(spark, texts):
+    """repetition_ratio ∈ [0,1); contamination ∈ [0,1], and a corpus
+    checked against ITSELF is 100% contaminated for every doc that has
+    any grams."""
+    from data_ingestion_tool_spark.operators.text import (
+        contamination_scores,
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    reps = [r.r for r in df.select(repetition_ratio("text").alias("r")).collect()]
+    assert all(0.0 <= r < 1.0 for r in reps)
+    scored = contamination_scores(df, df).collect()
+    assert all(r.contamination == 1.0 and r.n_hits == r.n_grams for r in scored)

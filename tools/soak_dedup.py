@@ -117,6 +117,16 @@ def main() -> None:
             {"op": "simhash", "mult": mult, "n_rows": n_docs,
              "secs": secs, "candidates": cands, "pairs": pairs}
         )
+        secs, pairs = timed_count(
+            simhash_near_dup_pairs(docs, scheme="chunk_pairs")
+        )
+        _, cands = timed_count(
+            simhash_near_dup_pairs(docs, max_hamming=64, scheme="chunk_pairs")
+        )
+        rows.append(
+            {"op": "simhash_pairs", "mult": mult, "n_rows": n_docs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
         docs.unpersist()
 
         emb = scaled_embeddings(spark, SF_DIR, mult).persist()
