@@ -84,8 +84,36 @@ _WINDOW_PRIORITY = [
 ]
 
 
+def _driver_verified_keys() -> set[str]:
+    """Keys with a verdict in any round's CORRECTNESS_r*.json."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = Path(__file__).resolve().parent
+    for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        try:
+            seen.update(json.loads(Path(p).read_text()))
+        except Exception:  # noqa: BLE001 - a malformed artifact must not break entry
+            pass
+    return seen
+
+
+def _window_priority(all_keys) -> list[str]:
+    """Current window: the static priority list until the driver has
+    recorded verdicts for all of it, then automatic rotation — keys
+    with NO driver verdict yet come first (registry order), so each
+    round's 50-entry correctness window covers fresh ground."""
+    seen = _driver_verified_keys()
+    if not seen.issuperset(_WINDOW_PRIORITY):
+        return _WINDOW_PRIORITY
+    return [k for k in all_keys if k not in seen]
+
+
 def _ordered(mapping: dict) -> dict:
-    head = {k: mapping[k] for k in _WINDOW_PRIORITY if k in mapping}
+    head = {
+        k: mapping[k] for k in _window_priority(QUERIES) if k in mapping
+    }
     tail = {k: v for k, v in mapping.items() if k not in head}
     return {**head, **tail}
 
