@@ -108,3 +108,49 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 500
         """
     )
+
+
+@query(
+    "udtf_token_positions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM t WHERE doc_id < 100
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL surface (LATERAL table function) —
+    completes the user-extensibility triad beside SQL UDFs
+    (functions/register.py) and pandas UDAFs (udaf_pandas_grouped_agg).
+    One input row fans out to one row per token with its position.
+
+    This is the EXTENSIBILITY demo, not the perf path: a Python UDTF is
+    row-at-a-time across the Python boundary; the codegen'd equivalent
+    (posexplode over operators.text.tokens) is what the engine uses in
+    hot paths. Python's no-arg str.split() matches tokens()' semantics
+    (split on whitespace runs, drop empties)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class TokenPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.lower().split()):
+                yield i, t
+
+    spark.udtf.register("token_positions", TokenPositions)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL token_positions(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
