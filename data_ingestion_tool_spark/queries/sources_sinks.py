@@ -244,3 +244,49 @@ def ingest_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("bigint").alias("keysum"),
         )
     )
+
+
+@query(
+    "quality_profile_table",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    """,
+)
+def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem (completeness, cardinality,
+    range per column) in ONE scan — all metrics live in a single agg()
+    so a 100 TB table pays one pass, not one per column. The oracle's
+    four-scan UNION ALL computes the same numbers the slow way."""
+    from ..operators.profile import profile_table
+
+    l = read_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        l, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    )

@@ -117,3 +117,32 @@ def test_union_all_count_additivity(spark, sf_dir):
         F.col("s_nationkey").alias("k")
     )
     assert c.unionAll(s).count() == c.count() + s.count()
+
+
+def test_profile_expectations(spark, sf_dir):
+    """profile_table metrics + expect() violation semantics."""
+    from data_ingestion_tool_spark.operators.profile import expect, profile_table
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (2, None, 3.0)],
+        "id int, s string, v double",
+    )
+    prof = profile_table(df)
+    p = {r.col_name: r for r in prof.collect()}
+    assert p["id"].n_rows == 3 and p["id"].n_nulls == 0
+    assert p["id"].n_distinct == 2 and p["id"].min_num == 1.0
+    assert p["s"].n_nulls == 1 and p["s"].min_str == "a" and p["s"].max_str == "b"
+    assert p["v"].n_nulls == 1 and p["v"].max_num == 3.0
+    # expectations: id unique fails (dup 2), v range [0, 10] holds
+    assert expect(prof, "id", unique=True).count() == 1
+    assert expect(prof, "v", min_num=0.0, max_num=10.0).count() == 0
+    assert expect(prof, "v", max_num=2.0).count() == 1
+    assert expect(prof, "s", max_null_fraction=0.1).count() == 1
+    # one-scan property on a real table: single aggregate job
+    from data_ingestion_tool_spark.plans import exchange_count
+
+    real = profile_table(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_returnflag"]
+    )
+    assert exchange_count(real) <= 2  # partial agg + count_distinct expand
