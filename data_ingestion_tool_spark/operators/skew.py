@@ -91,6 +91,13 @@ def sentinel_bypass_join(
     (assuming the right side never carries the sentinel key — caller's
     contract, like a dimension of real users only).
     """
+    overlap = set(big.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"sentinel_bypass_join: column name collision {sorted(overlap)} — "
+            "the equality condition would be ambiguous; alias the right "
+            "side's columns first"
+        )
     payload = [c for c in right.columns if c != right_on]
     hot = F.col(on).isNull() | (F.col(on) == F.lit(sentinel))
     # `hot` is never NULL: isNull() short-circuits the NULL comparison

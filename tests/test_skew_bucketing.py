@@ -158,3 +158,14 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sentinel_bypass_join_rejects_name_collision(spark):
+    import pytest
+
+    from data_ingestion_tool_spark.operators.skew import sentinel_bypass_join
+
+    big = spark.createDataFrame([(1, 10)], "row_id long, k int")
+    right = spark.createDataFrame([(10, "a")], "k int, tag string")
+    with pytest.raises(ValueError, match="collision"):
+        sentinel_bypass_join(big, right, on="k", right_on="k", sentinel=-1)
