@@ -32,26 +32,33 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     non-numeric, non-string types (dates, timestamps) profile counts
     only (range columns NULL) to stay engine-portable."""
     names = cols or df.columns
+    dtypes = dict(df.dtypes)
+    kind = {
+        c: (
+            "num"
+            if dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal")
+            else "str" if dtypes[c] == "string" else "other"
+        )
+        for c in names
+    }
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in names:
-        dt = dict(df.dtypes)[c]
-        is_num = dt in _NUMERIC or dt.startswith("decimal")
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        if is_num:
+        if kind[c] == "num":
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
-        elif dt == "string":
+        elif kind[c] == "str":
             aggs.append(F.min(F.col(c)).alias(f"__mns_{c}"))
             aggs.append(F.max(F.col(c)).alias(f"__mxs_{c}"))
     wide = df.agg(*aggs)
 
     rows = []
     for c in names:
-        dt = dict(df.dtypes)[c]
-        is_num = dt in _NUMERIC or dt.startswith("decimal")
+        is_num = kind[c] == "num"
+        is_str = kind[c] == "str"
         rows.append(
             F.struct(
                 F.lit(c).alias("col_name"),
@@ -65,11 +72,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                     "max_num"
                 ),
                 (
-                    F.col(f"__mns_{c}") if dt == "string"
+                    F.col(f"__mns_{c}") if is_str
                     else F.lit(None).cast("string")
                 ).alias("min_str"),
                 (
-                    F.col(f"__mxs_{c}") if dt == "string"
+                    F.col(f"__mxs_{c}") if is_str
                     else F.lit(None).cast("string")
                 ).alias("max_str"),
             )
@@ -88,8 +95,28 @@ def expect(
 ) -> DataFrame:
     """Expectation check over a :func:`profile_table` result: returns
     the (tiny) frame of VIOLATIONS — empty means the expectation holds.
-    Runs driver-light: the profile is one row per column already."""
+    Runs driver-light: the profile is one row per column already.
+
+    Misconfigured expectations fail LOUDLY instead of passing: a column
+    absent from the profile (typo, not in the profiled ``cols``) raises,
+    and a numeric-range expectation on a column with no numeric range
+    (string/temporal or all-NULL) raises — an empty violations frame
+    must always mean the data was actually checked."""
     p = profile.filter(F.col("col_name") == column)
+    rows = p.collect()
+    if not rows:
+        raise ValueError(
+            f"expect: column {column!r} is not in the profile — "
+            "check the name and the profiled cols list"
+        )
+    if (min_num is not None or max_num is not None) and (
+        rows[0].min_num is None or rows[0].max_num is None
+    ):
+        raise ValueError(
+            f"expect: column {column!r} has no numeric range in the "
+            "profile (non-numeric or all-NULL) — a min_num/max_num "
+            "expectation cannot be checked"
+        )
     conds = []
     if max_null_fraction is not None:
         conds.append(

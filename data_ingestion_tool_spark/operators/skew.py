@@ -91,6 +91,16 @@ def sentinel_bypass_join(
     (assuming the right side never carries the sentinel key — caller's
     contract, like a dimension of real users only).
     """
+    if sentinel is None:
+        # F.col(on) == lit(None) is NULL for every non-null key, which
+        # would drop those rows from BOTH branches (filter(hot) and
+        # filter(~hot) each exclude NULL conditions) — silent data loss.
+        # NULL keys always ride the bypass anyway, so a None sentinel
+        # adds nothing a real sentinel value doesn't.
+        raise ValueError(
+            "sentinel_bypass_join: sentinel must be a concrete value "
+            "(NULL keys are always routed around the join)"
+        )
     overlap = set(big.columns) & set(right.columns)
     if overlap:
         raise ValueError(

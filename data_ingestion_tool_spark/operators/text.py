@@ -155,13 +155,16 @@ def pii_scrub(
     behave identically under Java regex and RE2-style engines: no
     lookaround, no backrefs)."""
     c = F.col(text_col)
+    email_scrubbed = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    # phones are counted on the EMAIL-scrubbed text — the same string
+    # the phone replacement actually runs over — so n_redactions equals
+    # the number of substitutions made even when a phone-shaped token
+    # sits inside an email match (e.g. '555-1234@corp.example')
     n_redactions = (
         F.regexp_count(c, F.lit(PII_EMAIL_RE))
-        + F.regexp_count(c, F.lit(PII_PHONE_RE))
+        + F.regexp_count(email_scrubbed, F.lit(PII_PHONE_RE))
     ).cast("bigint")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    scrubbed = F.regexp_replace(email_scrubbed, PII_PHONE_RE, "<PHONE>")
     return df.withColumns({out_col: scrubbed, "n_redactions": n_redactions})
 
 

@@ -29,6 +29,7 @@ from .registry import dsum, query, sql_dsum
 
 
 _SCRATCH_TTL_SECONDS = 2 * 3600
+_SCRATCH_OWNED: set[str] = set()
 
 
 def _scratch(name: str) -> str:
@@ -36,19 +37,26 @@ def _scratch(name: str) -> str:
 
     The caller returns a LAZY DataFrame over the scratch path, so the
     query itself can never clean up — instead each call best-effort
-    prunes SIBLING dirs older than the TTL (no in-flight reader holds a
-    path that old; without this, repeated bench/verify runs leak
-    hundreds of dirs)."""
+    prunes SIBLING dirs older than the TTL (without this, repeated
+    bench/verify runs leak hundreds of dirs). Dirs created by THIS
+    process are never pruned, however old: a long session may lazily
+    re-evaluate a DataFrame hours after its scratch was written.
+    Residual risk is confined to a >TTL-old dir of another STILL-LIVE
+    process re-evaluating late — acceptable for test scratch."""
     root = os.path.join(tempfile.gettempdir(), "spark-graft-scratch")
     now = time.time()
     try:
         for entry in os.scandir(root):
-            if now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS:
+            if (
+                entry.path not in _SCRATCH_OWNED
+                and now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS
+            ):
                 shutil.rmtree(entry.path, ignore_errors=True)
     except OSError:
         pass
     d = os.path.join(root, f"{name}-{uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
+    _SCRATCH_OWNED.add(d)
     return d
 
 

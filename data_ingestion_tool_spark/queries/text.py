@@ -317,7 +317,11 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              '\\b555-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed,
            CAST(len(regexp_extract_all(contact,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(contact, '\\b555-\\d{4}\\b'))
+              + len(regexp_extract_all(
+                  regexp_replace(contact,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\\b555-\\d{4}\\b'))
               AS BIGINT) AS n_redactions
     FROM synth
     """,

@@ -113,3 +113,14 @@ def test_repetition_ratio_edges(spark):
     )
     got = [r.r for r in df.select(repetition_ratio("s").alias("r")).collect()]
     assert got[0] == 0.75 and got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.5
+
+
+def test_pii_scrub_overlapping_match_counts_once(spark):
+    """A phone-shaped token inside an email match is consumed by the
+    email replacement — n_redactions must equal actual substitutions."""
+    from data_ingestion_tool_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([("reach 555-1234@corp.example",)], "s string")
+    row = pii_scrub(df, "s").collect()[0]
+    assert row.scrubbed == "reach <EMAIL>"
+    assert row.n_redactions == 1

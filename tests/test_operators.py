@@ -146,3 +146,30 @@ def test_profile_expectations(spark, sf_dir):
         read_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_returnflag"]
     )
     assert exchange_count(real) <= 2  # partial agg + count_distinct expand
+
+
+def test_profile_expect_misconfiguration_raises(spark):
+    """expect() must fail loudly on a typo'd column or a numeric-range
+    expectation over a non-numeric column — never silently pass."""
+    import pytest
+
+    from data_ingestion_tool_spark.operators.profile import expect, profile_table
+
+    prof = profile_table(
+        spark.createDataFrame([(1, "a")], "id int, s string")
+    )
+    with pytest.raises(ValueError, match="not in the profile"):
+        expect(prof, "id_typo", unique=True)
+    with pytest.raises(ValueError, match="no numeric range"):
+        expect(prof, "s", min_num=0.0)
+
+
+def test_sentinel_bypass_join_rejects_none_sentinel(spark):
+    import pytest
+
+    from data_ingestion_tool_spark.operators.skew import sentinel_bypass_join
+
+    big = spark.createDataFrame([(1, 10)], "row_id long, k int")
+    right = spark.createDataFrame([(10, "a")], "rk int, tag string")
+    with pytest.raises(ValueError, match="concrete value"):
+        sentinel_bypass_join(big, right, on="k", right_on="rk", sentinel=None)
