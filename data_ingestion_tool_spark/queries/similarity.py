@@ -113,3 +113,41 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "similarity_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE label IN (1, 3, 7)),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) *
+                     sqrt(list_dot_product(cv, cv))) AS score
+           FROM q, c WHERE q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(score, 9) AS score, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production-hard case: a metadata
+    predicate restricts the corpus BEFORE scoring (pre-filtering), so
+    top-k is exact over the allowed subset. Post-filtering (top-k first,
+    filter after) silently under-fills k when neighbors get excluded —
+    this query is the correct composition. The predicate sits on the
+    corpus scan (parquet pushdown at 100 TB); scoring shape is the same
+    broadcast-queries / corpus-never-shuffles matmul as
+    similarity_topk_cosine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label").isin(1, 3, 7))
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.cosine_topk(corpus, queries, k=TOP_K)
+    return out.withColumn("score", F.round("score", 9))
