@@ -84,30 +84,52 @@ _WINDOW_PRIORITY = [
 ]
 
 
-def _driver_verified_keys() -> set[str]:
-    """Keys with a verdict in any round's CORRECTNESS_r*.json."""
+def _driver_verdicts() -> tuple[set[str], set[str]]:
+    """(seen, failed): keys with any verdict in CORRECTNESS_r*.json, and
+    keys whose MOST RECENT verdict was a failure (hash/rows/schema false
+    or an error other than the intentional no_oracle)."""
     import glob
     import json
 
     seen: set[str] = set()
+    latest: dict[str, dict] = {}
     here = Path(__file__).resolve().parent
     for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
         try:
-            seen.update(json.loads(Path(p).read_text()))
+            data = json.loads(Path(p).read_text())
         except Exception:  # noqa: BLE001 - a malformed artifact must not break entry
-            pass
-    return seen
+            continue
+        seen.update(data)
+        if isinstance(data, dict):
+            for k, v in data.items():
+                if isinstance(v, dict):
+                    latest[k] = v
+
+    def is_fail(v: dict) -> bool:
+        err = v.get("err")
+        if err not in (None, "no_oracle"):
+            return True
+        return any(
+            v.get(f) is False for f in ("rows_match", "schema_match", "hash_match")
+        )
+
+    failed = {k for k, v in latest.items() if is_fail(v)}
+    return seen, failed
 
 
 def _window_priority(all_keys) -> list[str]:
     """Current window: the static priority list until the driver has
     recorded verdicts for all of it, then automatic rotation — keys
-    with NO driver verdict yet come first (registry order), so each
-    round's 50-entry correctness window covers fresh ground."""
-    seen = _driver_verified_keys()
+    whose latest driver verdict FAILED come first (so fixes get
+    re-verified next round), then keys with NO driver verdict yet
+    (registry order), so each round's 50-entry correctness window
+    covers fresh ground."""
+    seen, failed = _driver_verdicts()
     if not seen.issuperset(_WINDOW_PRIORITY):
         return _WINDOW_PRIORITY
-    return [k for k in all_keys if k not in seen]
+    refresh = [k for k in all_keys if k in failed]
+    fresh = [k for k in all_keys if k not in seen]
+    return refresh + fresh
 
 
 def _ordered(mapping: dict) -> dict:

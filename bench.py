@@ -94,8 +94,11 @@ def main() -> None:
     Path(__file__).resolve().parent.joinpath("BENCH.json").write_text(
         json.dumps(full, indent=1) + "\n"
     )
-    # Compact summary line FIRST (short, always parseable), then the full
-    # contract line with 3-digit per-query values.
+    # Full contract line first, compact summary line LAST: the driver
+    # keeps the output TAIL, so the final line must be short enough to
+    # survive any line/byte cap (r1+r2 both recorded parsed:null when a
+    # long line sat last).
+    print(json.dumps(full))
     print(
         json.dumps(
             {
@@ -110,7 +113,6 @@ def main() -> None:
             }
         )
     )
-    print(json.dumps(full))
 
 
 if __name__ == "__main__":

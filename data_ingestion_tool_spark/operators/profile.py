@@ -8,9 +8,20 @@ and range (min/max), computed in ONE pass over the table.
 
 Scale shape: a single aggregate job — every per-column metric is one
 aggregate expression in the same `agg()`, so a 100 TB table is scanned
-once with map-side partial aggregation, not once per column. Output is
-long-format (one row per column) so downstream expectation checks are
-plain filters over a tiny frame.
+once with map-side partial aggregation, not once per column.
+
+Cardinality is ``approx_count_distinct`` (HyperLogLog++) by DEFAULT:
+exact ``count_distinct`` over k columns makes Catalyst plan an Expand
+that replicates every input row once per distinct aggregate (~k× the
+shuffle volume) and shuffles every distinct value of every column —
+at 100 TB that is k full-table shuffles for a "profiling pass". The
+HLL sketch is one pass, fixed width (no Expand, no extra shuffle), at
+a configurable relative error (default rsd=0.02, i.e. ~2% typical
+error). Pass ``exact_distinct=True`` only when exact cardinality is
+worth k× the I/O (small tables, oracle checks, uniqueness audits).
+
+Output is long-format (one row per column) so downstream expectation
+checks are plain filters over a tiny frame.
 
 Numeric ranges are reported as doubles and string ranges as strings
 (separate columns) — cross-engine double→string formatting is NOT
@@ -25,12 +36,25 @@ from pyspark.sql import functions as F
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
     """Long-format profile: (col_name, n_rows, n_nulls, n_distinct,
     min_num, max_num, min_str, max_str) — one row per profiled column,
     one scan total. Decimal columns profile through double; other
     non-numeric, non-string types (dates, timestamps) profile counts
-    only (range columns NULL) to stay engine-portable."""
+    only (range columns NULL) to stay engine-portable.
+
+    ``n_distinct`` is HLL-approximate by default (see module docstring
+    for the Expand-cost rationale); ``exact_distinct=True`` opts into
+    exact ``count_distinct`` (k× shuffle volume for k columns — fine on
+    small/medium tables, not for a 100 TB profiling pass). ``rsd`` is
+    the HLL maximum relative standard deviation (ignored when exact).
+    """
     names = cols or df.columns
     dtypes = dict(df.dtypes)
     kind = {
@@ -46,7 +70,10 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}"))
         if kind[c] == "num":
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
@@ -95,42 +122,47 @@ def expect(
 ) -> DataFrame:
     """Expectation check over a :func:`profile_table` result: returns
     the (tiny) frame of VIOLATIONS — empty means the expectation holds.
-    Runs driver-light: the profile is one row per column already.
+
+    The profile job runs exactly ONCE: the single row for ``column`` is
+    collected here, the conditions are evaluated in Python against it,
+    and the returned frame is rebuilt from that row via
+    ``createDataFrame`` — so counting/collecting the result does NOT
+    re-trigger the profile scan (it would otherwise re-run the full
+    one-pass aggregate per evaluation).
+
+    ``unique`` compares ``n_distinct + n_nulls`` against ``n_rows`` —
+    on a default (HLL-approximate) profile this check is approximate
+    too; build the profile with ``exact_distinct=True`` for uniqueness
+    audits.
 
     Misconfigured expectations fail LOUDLY instead of passing: a column
     absent from the profile (typo, not in the profiled ``cols``) raises,
     and a numeric-range expectation on a column with no numeric range
     (string/temporal or all-NULL) raises — an empty violations frame
     must always mean the data was actually checked."""
-    p = profile.filter(F.col("col_name") == column)
-    rows = p.collect()
+    rows = profile.filter(F.col("col_name") == column).collect()
     if not rows:
         raise ValueError(
             f"expect: column {column!r} is not in the profile — "
             "check the name and the profiled cols list"
         )
+    r = rows[0]
     if (min_num is not None or max_num is not None) and (
-        rows[0].min_num is None or rows[0].max_num is None
+        r.min_num is None or r.max_num is None
     ):
         raise ValueError(
             f"expect: column {column!r} has no numeric range in the "
             "profile (non-numeric or all-NULL) — a min_num/max_num "
             "expectation cannot be checked"
         )
-    conds = []
-    if max_null_fraction is not None:
-        conds.append(
-            F.col("n_nulls").cast("double") / F.col("n_rows") > max_null_fraction
-        )
+    violated = False
+    if max_null_fraction is not None and r.n_rows:
+        violated = violated or (r.n_nulls / r.n_rows > max_null_fraction)
     if unique:
-        conds.append(F.col("n_distinct") + F.col("n_nulls") < F.col("n_rows"))
+        violated = violated or (r.n_distinct + r.n_nulls < r.n_rows)
     if min_num is not None:
-        conds.append(F.col("min_num") < min_num)
+        violated = violated or (r.min_num < min_num)
     if max_num is not None:
-        conds.append(F.col("max_num") > max_num)
-    if not conds:
-        return p.limit(0)
-    bad = conds[0]
-    for c in conds[1:]:
-        bad = bad | c
-    return p.filter(bad)
+        violated = violated or (r.max_num > max_num)
+    spark = profile.sparkSession
+    return spark.createDataFrame([r] if violated else [], profile.schema)

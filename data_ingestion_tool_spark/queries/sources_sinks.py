@@ -259,7 +259,6 @@ def ingest_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
            CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
            CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
@@ -267,34 +266,70 @@ def ingest_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
            CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
            CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            MIN(l_returnflag), MAX(l_returnflag)
     FROM lineitem
     """,
 )
 def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality profile of lineitem (completeness, cardinality,
-    range per column) in ONE scan — all metrics live in a single agg()
-    so a 100 TB table pays one pass, not one per column. The oracle's
-    four-scan UNION ALL computes the same numbers the slow way."""
+    """Data-quality profile of lineitem (completeness + range per
+    column) in ONE scan — all metrics live in a single agg() so a
+    100 TB table pays one pass, not one per column, and the DEFAULT
+    approx-distinct path plans NO Expand (exact count_distinct over k
+    columns replicates every row k times — the r2 scale-killer).
+
+    ``n_distinct`` is HLL-approximate here, so it is dropped from the
+    hash-compared output (cross-engine HLL values differ); its accuracy
+    is pinned by a unit test and its exact twin is oracle-checked on
+    `quality_profile_exact_distinct`. The oracle's four-scan UNION ALL
+    computes the same numbers the slow way."""
     from ..operators.profile import profile_table
 
     l = read_table(spark, sf_dir, "lineitem")
     return profile_table(
         l, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    ).drop("n_distinct")
+
+
+@query(
+    "quality_profile_exact_distinct",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+)
+def quality_profile_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cardinality profile (``exact_distinct=True``) on the
+    smaller orders table — the opt-in path for uniqueness audits where
+    exact distinct counts are worth the Expand (k× shuffle volume for k
+    profiled columns; fine here, not for a 100 TB profiling pass)."""
+    from ..operators.profile import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_custkey", "o_orderstatus"], exact_distinct=True
     )

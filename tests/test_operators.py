@@ -145,7 +145,30 @@ def test_profile_expectations(spark, sf_dir):
     real = profile_table(
         read_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_returnflag"]
     )
-    assert exchange_count(real) <= 2  # partial agg + count_distinct expand
+    assert exchange_count(real) <= 2  # partial agg, no Expand (approx distinct)
+    assert "Expand" not in real._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_approx_distinct_accuracy(spark, sf_dir):
+    """Default (HLL) n_distinct stays within 5% of exact on real
+    lineitem columns — the accuracy contract for the no-Expand default
+    path (rsd=0.02)."""
+    from data_ingestion_tool_spark.operators.profile import profile_table
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+    l = read_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.col_name: r.n_distinct for r in profile_table(l, cols).collect()
+    }
+    exact = {
+        r.col_name: r.n_distinct
+        for r in profile_table(l, cols, exact_distinct=True).collect()
+    }
+    for c in cols:
+        assert exact[c] > 0
+        rel_err = abs(approx[c] - exact[c]) / exact[c]
+        assert rel_err < 0.05, f"{c}: approx={approx[c]} exact={exact[c]}"
 
 
 def test_profile_expect_misconfiguration_raises(spark):

@@ -42,6 +42,82 @@ def norm_cell(v):
     return str(v)
 
 
+# DuckDB oracle output types must land in the same TYPE FAMILY as the
+# Spark result dtypes — the driver's value hash is type-sensitive even
+# when the local stringified compare isn't (round-2 lesson: SUM(CASE...)
+# types as HUGEINT in DuckDB vs BIGINT in Spark and the driver flagged it
+# while this gate passed). Driver-green history pins the tolerance level:
+# bigint↔INTEGER and timestamp_ntz↔TIMESTAMP were hash-GREEN (r01/r02:
+# json_roundtrip, tpch_q3/q18), so widths within a family are fine; only
+# cross-family drift and exotic types (HUGEINT/DECIMAL/UHUGEINT) fail.
+_DUCK_FAMILY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "BOOLEAN": "boolean",
+    "BLOB": "binary",
+}
+_SPARK_FAMILY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+
+
+def _family(t: str, table: dict):
+    t = t.strip()
+    if table is _DUCK_FAMILY and t.endswith("[]"):
+        inner = _family(t[:-2], table)
+        return None if inner is None else f"array<{inner}>"
+    if table is _SPARK_FAMILY and t.startswith("array<") and t.endswith(">"):
+        inner = _family(t[6:-1], table)
+        return None if inner is None else f"array<{inner}>"
+    return table.get(t)
+
+
+def type_problems(sdtypes, duck_desc):
+    """Compare Spark (name, dtype) pairs against DuckDB DESCRIBE rows by
+    type FAMILY; exotic oracle output types (HUGEINT, DECIMAL, ...) are
+    always a failure — cast them in the oracle SQL."""
+    spark_types = dict(sdtypes)
+    problems = []
+    for dname, dtype in duck_desc:
+        dfam = _family(dtype, _DUCK_FAMILY)
+        if dfam is None:
+            problems.append(
+                f"oracle col {dname!r} has exotic/unmapped type {dtype} "
+                "(cast it: HUGEINT/DECIMAL outputs hash-mismatch at the driver)"
+            )
+            continue
+        if dname not in spark_types:
+            continue  # column-name mismatch is reported separately
+        sfam = _family(spark_types[dname], _SPARK_FAMILY)
+        if sfam != dfam:
+            problems.append(
+                f"type-family mismatch col {dname!r}: "
+                f"spark={spark_types[dname]} ({sfam}) oracle={dtype} ({dfam})"
+            )
+    return problems
+
+
 def value_hash(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -74,6 +150,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -91,7 +168,16 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        problems = []
+        try:
+            ddesc = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            ]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb describe error: {type(e).__name__}: {e}")
+            continue
+        problems = type_problems(sdtypes, ddesc)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
