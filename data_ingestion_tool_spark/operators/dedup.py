@@ -257,9 +257,16 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     scheme: str = "chunks",
+    allow_recall_loss: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint, pigeonhole-bucketed
     self-join, exact hamming verify within candidates.
+
+    ``max_hamming`` beyond the scheme's pigeonhole guarantee (chunks:
+    <=3, chunk_pairs: <=4) silently loses recall — a pair can differ in
+    every bucket key yet still satisfy the hamming bound — so it RAISES
+    unless ``allow_recall_loss=True`` is passed explicitly (candidate-
+    volume studies like tools/soak_dedup.py opt in deliberately).
 
     Two bucketing schemes, identical OUTPUT (verify filters to the
     exact hamming bound either way); they differ only in chance-
@@ -280,12 +287,20 @@ def simhash_near_dup_pairs(
 
     if scheme == "chunks":
         bounds = [(i * 16, 16) for i in range(4)]  # (start, width)
+        guaranteed = 3  # 4 chunks: hamming<=3 leaves >=1 chunk intact
     elif scheme == "chunk_pairs":
         widths = [11, 11, 11, 11, 10, 10]
         starts = [sum(widths[:i]) for i in range(6)]
         bounds = list(zip(starts, widths))
+        guaranteed = 4  # 6 chunks: hamming<=4 leaves >=2 intact => >=1 pair
     else:
         raise ValueError(f"unknown simhash scheme: {scheme!r}")
+    if max_hamming > guaranteed and not allow_recall_loss:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {scheme!r} scheme's "
+            f"pigeonhole recall guarantee (<={guaranteed}); pass "
+            "allow_recall_loss=True to accept incomplete candidate recall"
+        )
 
     def chunk_key(start: int, width: int) -> Column:
         return F.aggregate(

@@ -1,0 +1,198 @@
+"""Event-analytics queries: time-series gap-fill, funnel conversion,
+cohort retention, heavy hitters.
+
+The reference is pitched as an ingest/analytics bridge
+(`backend/main.py` moves tables; the analytics happen downstream) —
+these are the downstream questions every event table eventually gets
+asked, expressed Spark-first with DuckDB oracle twins.
+
+Determinism notes: every aggregate here is MIN/MAX/COUNT over
+timestamps, dates, or exact values (no float summation), so results
+hash identically cross-engine without decimal detours; the heavy-hitter
+threshold is integer math (see operators/frequency.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_events, read_table
+from .registry import query
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS day_max
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(
+               CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+               CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    grid AS (
+      SELECT u.user_id, days.day
+      FROM (SELECT DISTINCT user_id FROM events) u, days
+    )
+    SELECT grid.user_id, grid.day,
+           last_value(daily.day_max IGNORE NULLS) OVER (
+             PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid LEFT JOIN daily
+      ON grid.user_id = daily.user_id AND grid.day = daily.day
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular time series: one row per (user, day) over
+    the observed span, daily max value, gaps filled by carrying the last
+    observation forward (LOCF — days before a user's first observation
+    stay NULL).
+
+    Scale shape: the grid is users × days (generated, never shuffled
+    from the fact side — the 1-row span broadcasts onto the distinct
+    users); the LOCF window shuffles once on user_id, the same key as
+    the daily pre-aggregate, and the daily MAX collapses the fact table
+    BEFORE any join, so the big side moves exactly once. Daily MAX (not
+    "last value that day") keeps the fill deterministic without a
+    per-day tie-break."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.max("value").alias("day_max"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT s.user_id, s.signup_ts, MIN(p.ts) AS first_purchase_ts
+    FROM s JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+     AND p.ts >= s.signup_ts AND p.ts < s.signup_ts + INTERVAL 7 DAY
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step: users whose first signup converts to a purchase
+    within 7 days, with the conversion timestamp.
+
+    Scale shape: stage one collapses the fact table to one row per
+    signup user BEFORE the join (MIN pre-aggregate); the purchase side
+    is filtered by event_type at the scan. The equi-join shuffles on
+    user_id only — the time predicate rides along as a join residual,
+    never a range-join explosion — and the final MIN re-uses the same
+    user_id partitioning. MIN over timestamps is exact, so no rounding
+    is needed anywhere."""
+    ev = read_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(DATEDIFF('day', f.cohort_day, a.act_day) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN firstd f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    as active per whole-week offset from their cohort day — the
+    day-arithmetic form (``datediff // 7``) so no engine-specific
+    week-truncation semantics leak into the result.
+
+    Scale shape: both stages pre-aggregate on user_id (first day, then
+    distinct activity days) before the cohort join, so the join moves
+    one row per user-day, not per event; the final count-distinct is
+    over a (cohort_day, week_offset, user_id)-deduped frame whose
+    cardinality is bounded by users × span-weeks."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("act_day")
+    )
+    firstd = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(firstd, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(F.datediff("act_day", "cohort_day") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "heavy_hitters_brand",
+    oracle="""
+    SELECT p_brand AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) * 1000 >= 41 * (SELECT COUNT(*) FROM part
+                                    WHERE p_brand IS NOT NULL)
+    """,
+)
+def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (share >= 4.1%) over part brands via the
+    two-phase Misra-Gries operator — per-partition bounded-memory
+    candidates, then exact verification of candidates only (the full
+    column never shuffles; see operators/frequency.py). The oracle is
+    the brute-force GROUP BY ... HAVING with the same integer-math
+    threshold, proving the candidate phase loses no recall."""
+    from ..operators.frequency import frequent_items
+
+    p = read_table(spark, sf_dir, "part")
+    return frequent_items(p, "p_brand", min_share=0.041)

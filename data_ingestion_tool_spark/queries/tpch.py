@@ -627,10 +627,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     """Q17 adapted (no p_container: brand-only part filter): revenue
     lost to small-quantity orders. The correlated per-part average
     decorrelates to an aggregate over ONLY the brand's parts (semi-join
-    pruned before the avg — at 100 TB the per-part stats of a 1/25
-    brand slice are small enough to broadcast). Quantities are
-    integral doubles, so the average and the 0.2x threshold compare
-    identically on both engines."""
+    pruned before the avg). The explicit broadcasts are sized for bench
+    scale factors — a 1/25 brand slice at 100 TB is hundreds of
+    millions of part rows, NOT broadcastable; at production scale drop
+    the hints and let AQE pick shuffle joins (the decorrelation shape —
+    prune-then-aggregate, one stats row per brand part — is what
+    carries over). Quantities are integral doubles, so the average and
+    the 0.2x threshold compare identically on both engines."""
     l = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     keys = p.select("p_partkey")

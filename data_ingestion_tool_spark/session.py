@@ -54,7 +54,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
+        # per-process warehouse: two concurrent sessions (pytest + a
+        # verify/bench run) sharing one dir race on managed-table
+        # overwrites — reader hits FILE_NOT_EXIST mid-scan. A real
+        # deployment uses a shared metastore with atomic commits; the
+        # local in-memory catalog has no such protocol, so isolate.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -165,6 +165,25 @@ def test_simhash_schemes_agree_and_pairs_prune(spark, sf_dir):
     assert p4 == p6 and len(p4) > 0
     # candidate volume: max_hamming=64 disables the verify filter, so
     # the counts expose raw candidate sets
-    c4 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunks").count()
-    c6 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunk_pairs").count()
+    c4 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunks", allow_recall_loss=True).count()
+    c6 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunk_pairs", allow_recall_loss=True).count()
     assert c6 <= c4
+
+
+def test_simhash_rejects_bound_beyond_pigeonhole_guarantee(spark):
+    """max_hamming past the scheme's recall guarantee (chunks<=3,
+    chunk_pairs<=4) must raise unless recall loss is explicitly
+    accepted — silent incomplete results are worse than an error."""
+    import pytest
+
+    from data_ingestion_tool_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(d, max_hamming=4, scheme="chunks")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(d, max_hamming=5, scheme="chunk_pairs")
+    # within guarantee: fine
+    simhash_near_dup_pairs(d, max_hamming=4, scheme="chunk_pairs")
+    # explicit opt-out: fine
+    simhash_near_dup_pairs(d, max_hamming=6, scheme="chunks", allow_recall_loss=True)

@@ -216,3 +216,38 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_filtered_vector_search_pushes_predicate_to_corpus_scan(q):
+    """similarity_filtered_topk pre-filters then ranks: the metadata
+    predicate must reach the embeddings parquet scan — post-filtering
+    after ranking both under-fills k and, at 100 TB, scores vectors the
+    filter would have skipped entirely."""
+    df = q("similarity_filtered_topk")
+    assert any("label" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_contamination_broadcasts_benchmark_side(q):
+    """text_contamination_check: the benchmark n-gram set is tiny and
+    must broadcast; the document corpus must never shuffle before its
+    per-doc aggregate. A shuffle join here moves 100 TB of shingles."""
+    df = q("text_contamination_check")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert not has_cartesian_product(df)
+
+
+def test_profile_default_plans_no_expand(spark, sf_dir):
+    """profile_table's default (approx-distinct) plan must not contain
+    an Expand node — exact multi-column count_distinct replicates every
+    scanned row once per profiled column (k full-table shuffles at
+    100 TB)."""
+    from data_ingestion_tool_spark.operators.profile import profile_table
+    from data_ingestion_tool_spark.plans import executed_plan
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    prof = profile_table(
+        read_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+    assert "Expand" not in executed_plan(prof)
