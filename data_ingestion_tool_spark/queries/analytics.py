@@ -196,3 +196,28 @@ def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_table(spark, sf_dir, "part")
     return frequent_items(p, "p_brand", min_share=0.041)
+
+
+@query("agg_sketch_mergeable_distinct")  # sketch estimate → rows-only check
+def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Datasketches HLL): build one
+    user_id sketch PER DAY, then union-merge the 30 daily sketches into
+    the span-level distinct estimate — no rescan of the events.
+
+    This is the 100 TB incremental pattern: a daily ingest job
+    materializes fixed-width sketches alongside its partition, and any
+    date-range distinct-users question becomes a merge over sketches
+    (bytes per day) instead of a count-distinct shuffle over raw events.
+    The estimate is deterministic (hash-based, no RNG) but engine-
+    specific, so the driver checks rows-only; accuracy vs exact is
+    pinned <5% in tests/test_frequency.py."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users"),
+    )

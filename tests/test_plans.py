@@ -251,3 +251,51 @@ def test_profile_default_plans_no_expand(spark, sf_dir):
         ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
     )
     assert "Expand" not in executed_plan(prof)
+
+
+def test_runtime_bloom_filter_prunes_fact_side_when_not_broadcastable(
+    spark, sf_dir
+):
+    """When a selective dim join is too big to broadcast (forced here by
+    disabling broadcast), Spark must inject a runtime bloom filter from
+    the dim side into the fact-side scan — at 100 TB this prunes most
+    fact rows BEFORE the shuffle instead of shuffling them to die at the
+    join. Pins that our session config keeps the feature enabled."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.plans import executed_plan
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # test tables are tiny; relax the size gates so the rule fires
+        # (creation side must stay UNDER its threshold, application
+        # side must be OVER its — at real scale the 10MB/10GB defaults
+        # gate it to joins where pruning pays)
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = read_table(spark, sf_dir, "lineitem")
+        s = read_table(spark, sf_dir, "supplier").filter(
+            F.col("s_nationkey") == 3
+        )
+        j = (
+            l.join(s, l.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .count()
+        )
+        assert "bloom" in executed_plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
