@@ -43,14 +43,27 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: dict[str, str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join (inclusive: ``right_ts <= left_ts``).
+    """Left as-of join, inclusive either direction:
+
+    - ``direction="backward"`` (default): most recent right row with
+      ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN`` / pandas
+      ``merge_asof(direction="backward")``);
+    - ``direction="forward"``: earliest right row with
+      ``right_ts >= left_ts`` (pandas ``direction="forward"``; the
+      "next event after" join — DuckDB has no forward ASOF, so oracles
+      use a correlated MIN subquery).
 
     ``on``: key column on the left; ``right_on``: key on the right
     (defaults to ``on``). ``payload`` maps right column → output alias
     for the columns carried from the matched right row. Left rows with
-    no earlier right row keep NULL payload (LEFT ASOF semantics).
+    no matching right row keep NULL payload (LEFT ASOF semantics).
+    Both directions are the same one-shuffle union + ordered-window
+    plan (module docstring); forward just scans the other way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # All payload columns ride ONE never-null struct per right row, so
     # `last(ignorenulls=True)` skips only rows of the wrong side — a
     # genuinely-NULL payload value in the matched right row stays NULL
@@ -75,17 +88,27 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None))
     u = lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort before left rows at equal ts → inclusive <=; the
-    # struct as trailing sort key pins (key, ts)-ties deterministically
-    # (greatest payload struct wins, matching the oracle note above).
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side", "__p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*", F.last("__p", ignorenulls=True).over(w).alias("__m")
-    )
+    # Backward: right rows sort before left rows at equal ts → inclusive
+    # <=, scan back with last(ignorenulls). Forward: right rows sort
+    # AFTER left rows at equal ts → inclusive >=, scan ahead with
+    # first(ignorenulls). The struct as trailing sort key pins
+    # (key, ts)-ties deterministically (greatest payload struct wins in
+    # both directions, matching the oracle note above).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__side", "__p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = F.last("__p", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", F.col("__side").desc(), F.col("__p").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = F.first("__p", ignorenulls=True)
+    filled = u.select("*", fill.over(w).alias("__m"))
     return filled.filter(F.col("__side") == 1).select(
         *left.columns,
         *[F.col(f"__m.{dst}").alias(dst) for dst in payload.values()],

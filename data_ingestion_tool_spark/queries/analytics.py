@@ -221,3 +221,40 @@ def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("est_users"),
     )
+
+
+@query(
+    "join_asof_next_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT MIN(c.ts) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts >= e.ts) AS next_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every error event, the EARLIEST click by
+    the same user at or after it — pandas merge_asof(direction=
+    "forward") semantics, which DuckDB's (backward-only) ASOF JOIN
+    cannot express, so the oracle is a correlated MIN subquery.
+
+    Same one-shuffle union + ordered-window plan as the backward as-of
+    (operators/asof.py) scanned the other way; the payload is the
+    matched timestamp itself, which is tie-insensitive."""
+    from ..operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "next_click_ts"},
+        direction="forward",
+    )

@@ -239,3 +239,68 @@ def test_repetition_and_contamination_bounds(spark, texts):
     assert all(0.0 <= r < 1.0 for r in reps)
     scored = contamination_scores(df, df).collect()
     assert all(r.contamination == 1.0 and r.n_hits == r.n_grams for r in scored)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, tss), min_size=0, max_size=12),
+    right=st.lists(st.tuples(keys, tss, st.floats(0, 100)), max_size=12),
+)
+def test_asof_join_forward_matches_naive(spark, left, right):
+    """forward asof payload == min-ts right row with ts >= left ts,
+    per key (ties on ts: greatest payload, same pin as backward)."""
+    lf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(99, 0, -1)],
+        "k long, t long, row_id long",
+    )
+    rf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(98, 0, 0.0)],
+        "k long, t long, v double",
+    )
+    out = asof_join(
+        lf, rf, on="k", left_ts="t", right_ts="t",
+        payload={"v": "asof_v"}, direction="forward",
+    )
+    got = {r.row_id: r.asof_v for r in out.collect() if r.row_id >= 0}
+
+    def naive(k, t):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt >= t]
+        if not cands:
+            return None
+        best_t = min(rt for rt, _ in cands)
+        return max(v for rt, v in cands if rt == best_t)
+
+    want = {i: naive(k, t) for i, (k, t) in enumerate(left)}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.text(min_size=0, max_size=6), st.booleans()),
+        min_size=1,
+        max_size=40,
+    ),
+    denom=st.integers(min_value=2, max_value=10),
+)
+def test_frequent_items_matches_naive(spark, rows, denom):
+    """frequent_items == brute-force threshold count on random data
+    (random strings, random partitioning, random 1/denom threshold)."""
+    from data_ingestion_tool_spark.operators.frequency import frequent_items
+
+    df = spark.createDataFrame(
+        [(s if keep else None,) for s, keep in rows], "k string"
+    ).repartition(4)
+    got = {
+        (r.item, r.cnt)
+        for r in frequent_items(df, "k", 1.0 / denom).collect()
+    }
+    counts: dict[str, int] = {}
+    for s, keep in rows:
+        if keep:
+            counts[s] = counts.get(s, 0) + 1
+    total = sum(counts.values())
+    want = {
+        (s, c) for s, c in counts.items() if c * denom >= total
+    }
+    assert got == want

@@ -129,6 +129,35 @@ def main() -> None:
         )
         docs.unpersist()
 
+        # frequency: CLONE scaling (identical copies, new ids) is correct
+        # here — token shares are scale-invariant under cloning, so the
+        # heavy-hitter result set must stay CONSTANT while Misra-Gries
+        # candidates stay bounded by partitions x k, independent of n.
+        from data_ingestion_tool_spark.operators.frequency import (
+            _misra_gries_partition,
+            frequent_items,
+        )
+        from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+        base_docs = read_table(spark, SF_DIR, "documents").select("text")
+        clones = reduce(
+            lambda a, b: a.unionByName(b), [base_docs] * mult
+        )
+        toks = clones.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+        secs, hitters = timed_count(frequent_items(toks, "tok", 0.005))
+        _, cands = timed_count(
+            toks.mapInPandas(
+                _misra_gries_partition("tok", 200), schema=toks.schema
+            ).distinct()
+        )
+        rows.append(
+            {"op": "heavy_hitters_mg", "mult": mult,
+             "n_rows": toks.count(), "secs": secs,
+             "candidates": cands, "pairs": hitters}
+        )
+
         emb = scaled_embeddings(spark, SF_DIR, mult).persist()
         n_vecs = emb.count()
         queries = emb.orderBy("vec_id").limit(10)
