@@ -258,3 +258,49 @@ def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"ts": "next_click_ts"},
         direction="forward",
     )
+
+
+@query(
+    "events_error_click_proximity",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           CAST((SELECT COUNT(*) FROM events c
+                  WHERE c.event_type = 'click'
+                    AND c.ts >= e.ts - INTERVAL 15 MINUTE
+                    AND c.ts <= e.ts + INTERVAL 15 MINUTE) AS BIGINT)
+             AS n_near_clicks
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def events_error_click_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, how many clicks (any user) happened within
+    +-15 minutes — a pure time-range join with NO equi-key, which would
+    plan as a nested loop over every (error, click) pair. The bucketed
+    interval join (operators/intervals.py) restores an equi-key from
+    30-minute time buckets: each +-15min window touches <=2 buckets, so
+    the plan is an ordinary hash join whose degree is clicks-per-half-
+    hour (time locality), not corpus size. LEFT keeps zero-click errors.
+    """
+    from ..operators.intervals import bucketed_interval_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    j = bucketed_interval_join(
+        errors,
+        clicks,
+        start="w_start",
+        end="w_end",
+        point_ts="click_ts",
+        bucket_width_s=1800,
+        how="left",
+    )
+    return j.groupBy("error_id").agg(
+        F.count("click_ts").cast("bigint").alias("n_near_clicks")
+    )

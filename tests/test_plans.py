@@ -299,3 +299,17 @@ def test_runtime_bloom_filter_prunes_fact_side_when_not_broadcastable(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(q):
+    """The bucketed interval join's reason to exist: a keyless
+    time-range join must become a bucket HASH join, never a nested loop
+    over every (interval, point) pair — O(n*m) plan death at 100 TB."""
+    df = q("events_error_click_proximity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    strategies = join_strategies(df)
+    assert not has_cartesian_product(df)
+    # the containment join itself must be hash-based on the bucket id;
+    # the only BNLJ-free requirement: no nested loop anywhere
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert any(s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for s in strategies), strategies

@@ -304,3 +304,47 @@ def test_frequent_items_matches_naive(spark, rows, denom):
         (s, c) for s, c in counts.items() if c * denom >= total
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    ivs=st.lists(
+        st.tuples(tss, st.integers(min_value=0, max_value=7200)),
+        min_size=0, max_size=15,
+    ),
+    pts=st.lists(tss, min_size=0, max_size=25),
+    width=st.sampled_from([60, 600, 3600]),
+)
+def test_bucketed_interval_join_matches_naive(spark, ivs, pts, width):
+    """Bucketed interval join == naive O(n*m) containment scan for any
+    bucket width, including intervals spanning many buckets and ends
+    exactly on bucket boundaries."""
+    from data_ingestion_tool_spark.operators.intervals import (
+        bucketed_interval_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(ivs)] or [(-1, 0, 0)],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("w_start"),
+        F.timestamp_seconds("e").alias("w_end"),
+    )
+    pt = spark.createDataFrame(
+        [(t,) for t in pts] or [(-10,)], "t long"
+    ).select(F.timestamp_seconds("t").alias("p_ts"))
+    out = bucketed_interval_join(
+        iv, pt, start="w_start", end="w_end", point_ts="p_ts",
+        bucket_width_s=width, how="left",
+    )
+    got = sorted(
+        (r.iid, int(r.p_ts.timestamp()) if r.p_ts is not None else None)
+        for r in out.collect()
+        if r.iid >= 0
+    )
+    want = []
+    for i, (s, d) in enumerate(ivs):
+        hits = [t for t in pts if s <= t <= s + d]
+        want.extend((i, t) for t in hits) if hits else want.append((i, None))
+    assert got == sorted(want)
