@@ -304,3 +304,47 @@ def events_error_click_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("error_id").agg(
         F.count("click_ts").cast("bigint").alias("n_near_clicks")
     )
+
+
+@query(
+    "text_entropy_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+    e AS (SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS slc
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(ln(n) - slc / n, 6) AS token_entropy
+    FROM e
+    """,
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) —
+    the repetition/diversity quality signal LLM corpus filters use
+    (low entropy = boilerplate/spam; H = ln(n) - sum(c*ln(c))/n over
+    per-token counts c).
+
+    Scale shape: explode → (doc, token) count → per-doc aggregate, all
+    partial-aggregated map-side; the shuffle carries (doc_id, token)
+    counts, never raw text. Composed float math is ROUNDed to 6
+    decimals on both engines (summation order differs)."""
+    from ..operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    cnts = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    e = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("slc"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(F.log("n") - F.col("slc") / F.col("n"), 6).alias(
+            "token_entropy"
+        ),
+    )

@@ -59,3 +59,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_frames"),
         F.min("frame_sha").alias("first_sha"),
     )
+
+
+@query("multimodal_audio_features")  # executor-side fan-out: rows-only
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction over binary payloads treated as
+    int8 PCM (no codec needed — the bytes are the samples): windowed
+    RMS + zero-crossing rate executor-side, then a per-document
+    profile. Accuracy vs a pure-Python reference is unit-tested
+    (tests/test_multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import audio_window_features
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = audio_window_features(with_binary_payload(d, "text"))
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.round(F.avg("rms"), 6).alias("mean_rms"),
+        F.round(F.avg("zcr"), 6).alias("mean_zcr"),
+    )

@@ -97,3 +97,60 @@ def test_default_decoder_selection():
     assert m1 == m2
     assert set(m1) == {"height", "width", "channels", "mean_pixel", "n_frames"}
     assert fake_decode(b"other") != m1
+
+
+def test_audio_window_features_match_pure_python(spark):
+    """Windowed RMS/ZCR from the mapInPandas operator == a pure-Python
+    reference on synthetic PCM with real sign changes (unlike UTF-8
+    payloads, whose int8 bytes are all positive)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    rng = random.Random(7)
+    payloads = {
+        1: bytes((rng.randrange(256) for _ in range(1000))),
+        2: bytes((rng.randrange(256) for _ in range(37))),  # short tail
+        3: b"",  # empty payload -> zero rows
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "doc_id long, payload binary"
+    )
+    got = {
+        (r.doc_id, r.window_idx): (r.n_samples, r.rms, r.zcr)
+        for r in audio_window_features(df, window=64).collect()
+    }
+
+    def signed(b):  # int8 view
+        return b - 256 if b >= 128 else b
+
+    want = {}
+    for did, raw in payloads.items():
+        xs = [float(signed(b)) for b in raw]
+        for w in range(0, len(xs), 64):
+            seg = xs[w : w + 64]
+            rms = round(math.sqrt(sum(v * v for v in seg) / len(seg)), 6)
+            zc = (
+                round(
+                    sum(
+                        (a < 0) != (b < 0)
+                        for a, b in zip(seg[:-1], seg[1:])
+                    )
+                    / (len(seg) - 1),
+                    6,
+                )
+                if len(seg) > 1
+                else 0.0
+            )
+            want[(did, w // 64)] = (len(seg), rms, zc)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k
+        assert abs(got[k][2] - want[k][2]) < 1e-6, k
+    assert (3, 0) not in got  # empty payload contributes nothing
