@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.parquet_io import (
     enable_nanos_as_long,
     nanos_to_timestamp,
+    read_events,
     read_table,
 )
 from ..streaming import run_stream_to_table, tumbling_window_counts
@@ -284,3 +285,40 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, os.path.join(sf_dir, "events.parquet"), schema, transform
     )
+
+
+@query(
+    "stream_continuous_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup (continuous
+    aggregate): events stream in over multiple micro-batches
+    (maxFilesPerTrigger=1 over a 2-file split; the 3-batch
+    incrementality proof lives in tests/test_streaming_watermark.py), each batch UPSERTS only
+    its changed (hour, type) rows into a versioned parquet rollup, and
+    the compacted latest-version view equals the batch answer — readers
+    pay O(windows), the raw history is never rescanned
+    (streaming/continuous_agg.py)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.continuous_agg import continuous_rollup, rollup_view
+
+    ev = read_events(spark, sf_dir).select("ts", "event_type")
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"cagg-{uuid.uuid4().hex[:8]}"
+    )
+    src = os.path.join(scratch, "src")
+    dest = os.path.join(scratch, "rollup")
+    # ts-ranged 2-file split => 2 micro-batches at maxFilesPerTrigger=1
+    ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src)
+    continuous_rollup(
+        spark, src, "ts timestamp, event_type string", dest
+    )
+    return rollup_view(spark, dest)
