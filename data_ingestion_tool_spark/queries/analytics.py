@@ -348,3 +348,65 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy"
         ),
     )
+
+
+@query(
+    "window_trailing_7d_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS trailing_7d_value
+    FROM events
+    """,
+)
+def window_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling sum per user — a TIME-range window frame
+    (every row's frame is [ts-7d, ts], not a fixed row count). Spark
+    range frames need a numeric order column, so both engines order by
+    epoch MICROSECONDS with the frame as an integer-µs bound — second-
+    truncation at the boundary would silently disagree with the
+    oracle's interval arithmetic. The sum is fixed-point (value is
+    2-decimal): bigint accumulate, one division, exact both sides;
+    RANGE frames include all ts-ties so no tie-break is needed."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).over(w)
+            / 100.0
+        ).alias("trailing_7d_value"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, NULLIF(n_regionkey, 0) AS nk FROM nation) n
+    JOIN (SELECT r_name, NULLIF(r_regionkey, 0) AS rk FROM region) r
+      ON n.nk IS NOT DISTINCT FROM r.rk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, and Spark still plans a
+    HASH join on the null-safe comparison (nulls co-hash) — semantics a
+    plain equi-join silently drops. Keys are NULLIF-derived so both
+    engines see identical NULL patterns."""
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("nk")
+    )
+    r = read_table(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk")
+    )
+    return n.join(r, n.nk.eqNullSafe(r.rk)).select("n_name", "r_name")

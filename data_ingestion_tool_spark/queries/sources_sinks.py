@@ -333,3 +333,46 @@ def quality_profile_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFram
     return profile_table(
         o, ["o_custkey", "o_orderstatus"], exact_distinct=True
     )
+
+
+@query(
+    "ingest_zorder_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+    FROM lineitem
+    WHERE l_partkey <= 100 AND l_suppkey <= 10
+    """,
+)
+def ingest_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout round-trip: lineitem re-written
+    clustered on (l_partkey, l_suppkey), then a two-dimensional filter
+    aggregated from the copy — values must equal the original-table
+    oracle exactly. The LAYOUT benefit (every file a tight bounding box
+    in both dims, so footer stats prune on either predicate — plain
+    ORDER BY only prunes its first key) is measured against parquet
+    metadata in tests/test_zorder.py; at 100 TB this is the OPTIMIZE
+    ZORDER BY primitive that turns multi-dim point queries from
+    full-table scans into a handful of files."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.zorder import zorder_write
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"zo-{uuid.uuid4().hex[:8]}"
+    )
+    zorder_write(l, ["l_partkey", "l_suppkey"], dest)
+    z = spark.read.parquet(dest).filter(
+        (F.col("l_partkey") <= 100) & (F.col("l_suppkey") <= 10)
+    )
+    return z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_c"),
+    )
