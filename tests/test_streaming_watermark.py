@@ -139,3 +139,50 @@ def test_continuous_rollup_is_genuinely_incremental(spark, tmp_path):
         ("2024-01-01 00:00:00", "view"): 1,
         ("2024-01-01 01:00:00", "click"): 1,
     }
+
+
+def test_continuous_rollup_replay_is_idempotent(spark, tmp_path):
+    """Re-running the whole stream against the SAME rollup table (fresh
+    checkpoint => every batch id replays) must overwrite versions in
+    place, not double-append — the dynamic-partition batch-id guard is
+    the exactly-once story for plain-parquet sinks."""
+    from data_ingestion_tool_spark.streaming.continuous_agg import (
+        continuous_rollup,
+        rollup_view,
+    )
+
+    def tdf(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tdf(
+        [("2024-01-01 00:10:00", "click"), ("2024-01-01 01:20:00", "view")]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    dest = str(tmp_path / "rollup")
+    opts = {"recursiveFileLookup": "true"}
+
+    continuous_rollup(
+        spark, src, "ts timestamp, event_type string", dest,
+        reader_options=opts,
+    )
+    first = {
+        (str(r.window_start), r.event_type): r.cnt
+        for r in rollup_view(spark, dest).collect()
+    }
+    n_files_first = spark.read.parquet(dest).count()
+
+    # fresh checkpoint => batch 0 replays against the existing table
+    continuous_rollup(
+        spark, src, "ts timestamp, event_type string", dest,
+        reader_options=opts,
+    )
+    second = {
+        (str(r.window_start), r.event_type): r.cnt
+        for r in rollup_view(spark, dest).collect()
+    }
+    assert second == first
+    # overwrote its version partition instead of appending rows
+    assert spark.read.parquet(dest).count() == n_files_first
