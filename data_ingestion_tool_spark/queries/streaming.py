@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.parquet_io import (
     enable_nanos_as_long,
-    nanos_to_timestamp,
+    normalize_ts,
     read_events,
     read_table,
 )
@@ -33,7 +33,7 @@ def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def transform(stream):
         return tumbling_window_counts(
-            stream.withColumn("ts", nanos_to_timestamp("ts")),
+            normalize_ts(stream, "ts"),
             ts_col="ts",
             key_col="event_type",
             window="1 hour",
@@ -68,7 +68,7 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = read_table(spark, sf_dir, "events").schema
 
     def transform(stream):
-        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        e = normalize_ts(stream, "ts")
         return (
             e.withWatermark("ts", "30 minutes")
             .groupBy(
@@ -173,7 +173,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = read_table(spark, sf_dir, "events").schema
 
     def transform(stream):
-        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        e = normalize_ts(stream, "ts")
         errors = (
             e.filter(F.col("event_type") == "error")
             .select(
@@ -271,7 +271,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def transform(stream):
-        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        e = normalize_ts(stream, "ts")
         enriched = e.join(
             F.broadcast(segments), e.user_id == segments.c_custkey
         )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..sources.parquet_io import (
     enable_nanos_as_long,
-    nanos_to_timestamp,
+    normalize_ts,
     read_events,
     read_table,
 )
@@ -83,7 +83,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = read_table(spark, sf_dir, "events").schema
 
     def transform(stream):
-        e = stream.withColumn("ts", nanos_to_timestamp("ts"))
+        e = normalize_ts(stream, "ts")
         return (
             e.withWatermark("ts", "30 minutes")
             .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -49,9 +49,35 @@ def nanos_to_timestamp(col: str):
     return F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS LONG)"))
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType regardless of how
+    this Spark version surfaced the TIMESTAMP(NANOS) parquet source:
+    ns-bigint (<=4.0 with ``nanosAsLong``) → exact ns→µs integer
+    division; TIMESTAMP_NTZ (>=4.1 native) → cast, a pure
+    reinterpretation under the pinned UTC session timezone. Works on
+    batch and streaming DataFrames alike.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, nanos_to_timestamp(col))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` normalized to a proper TimestampType (µs,
-    truncated from ns exactly as DuckDB truncates)."""
+    """``events`` with ``ts`` normalized to a timestamp (µs, truncated
+    from ns exactly as DuckDB truncates).
+
+    Spark-version adaptive: Spark <=4.0 refuses TIMESTAMP(NANOS) parquet
+    unless ``nanosAsLong`` surfaces it as a bigint we convert ourselves;
+    Spark >=4.1 reads it natively as TIMESTAMP_NTZ with the same µs
+    truncation DuckDB applies (verified value-identical). The NTZ column
+    is cast to TimestampType — a pure reinterpretation under the pinned
+    UTC session timezone (session.py:44) — so downstream instant
+    functions (``unix_micros`` etc.) keep working unchanged.
+    """
     enable_nanos_as_long(spark)
-    df = read_table(spark, sf_dir, "events")
-    return df.withColumn("ts", nanos_to_timestamp("ts"))
+    return normalize_ts(read_table(spark, sf_dir, "events"))
