@@ -1,0 +1,492 @@
+"""Statistical / profiling queries: histograms, order-statistic
+quantiles + IQR outliers, per-group mode, percent ranks, Markov event
+transitions, lag-1 autocorrelation, EWMA smoothing, and a blocked
+fuzzy (edit-distance) self-join.
+
+These are the column/series-statistics questions a data-quality or
+feature-engineering pass asks of a 100 TB lake; the reference's scope
+is the ingest bridge (`backend/main.py`), so these extend SURVEY §2.B
+the same way the event-analytics family does.
+
+Determinism strategy (CLAUDE.md rules, applied):
+- every quantity that feeds a comparison or a hash is integer math
+  (cents via DECIMAL(18,2)→BIGINT) or an identical-expression double on
+  both engines (quotients/products of identical integers are bit-equal
+  under IEEE round-to-nearest);
+- order statistics are value-at-index (type-1 quantile), never
+  interpolated — engines disagree on percentile_cont interpolation
+  order, but "the k-th smallest value" is exact;
+- integer division: operands are kept non-negative, where Spark's
+  ``DIV`` (truncating) and DuckDB's ``//`` (flooring) agree;
+- the EWMA fold is a left fold in (ts, event_id) order on both engines
+  with the identical recurrence, rounded to 9 decimals (composed float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_events, read_table
+from .registry import query
+
+# Exact cents for a column that is exactly 2-decimal (events.value,
+# l_extendedprice): decimal quantization is exact, the bigint is the
+# true scaled integer.
+def _cents(col: str) -> F.Column:
+    return F.expr(f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+
+_SQL_CENTS = "CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Histogram with fixed bins
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 90_000  # cents: $900.00 (observed price min is ~$900.68)
+_HIST_W = 520_500  # cents per bin: ($105,000 - $900) / 20
+_HIST_N = 20
+
+
+@query(
+    "histogram_price_fixed_bins",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents FROM lineitem
+    )
+    SELECT CAST((cents - {_HIST_LO}) // {_HIST_W} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM c
+    WHERE cents >= {_HIST_LO} AND cents < {_HIST_LO + _HIST_W * _HIST_N}
+    GROUP BY 1
+    """,
+)
+def histogram_price_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem prices over 20 fixed bins.
+
+    Bin assignment is pure integer math on exact cents — no float
+    boundary wobble, and Spark ``DIV`` == DuckDB ``//`` because the
+    shifted value is kept non-negative by the range filter.
+
+    Scale shape: one map-side-combinable groupBy on a 20-value key; the
+    scan reads one column. Fixed (not data-dependent) bounds mean no
+    extra pass to find min/max — the production pattern for dashboard
+    histograms over append-only data.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    return (
+        li.select(cents.alias("cents"))
+        .where(
+            (F.col("cents") >= _HIST_LO)
+            & (F.col("cents") < _HIST_LO + _HIST_W * _HIST_N)
+        )
+        .select(
+            F.expr(f"CAST((cents - {_HIST_LO}) DIV {_HIST_W} AS INT)").alias(
+                "bucket"
+            ),
+            F.col("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_per_user",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event_type per user. Raw ``mode()`` breaks ties
+    arbitrarily in both engines; ranking (count DESC, value ASC) makes
+    the answer a function of the data.
+
+    Scale shape: counts collapse the fact table first (map-side
+    partials), then the window ranks the *aggregated* (user, type)
+    pairs — cardinality ≈ users × |type|, tiny next to the raw events.
+    """
+    e = read_events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent rank within group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS pct_rank
+    FROM customer
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each customer's balance inside its market
+    segment. ``percent_rank`` = (rank-1)/(n-1) — a quotient of
+    identical small integers, so the doubles are bit-equal cross-engine
+    without rounding; the custkey tie-break pins ranks under equal
+    balances.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection via order statistics (type-1 quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_iqr_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1_cents,
+             MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) AS q3_cents
+      FROM ranked GROUP BY grp
+    )
+    SELECT c.grp, MAX(q.n) AS n, MAX(q.q1_cents) AS q1_cents,
+           MAX(q.q3_cents) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                           OR 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN q ON c.grp = q.grp
+    GROUP BY c.grp
+    """,
+)
+def outlier_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per return flag: Q1/Q3 as exact
+    value-at-index order statistics (index ``(n-1)//4``, the type-1
+    quantile — no interpolation, so no cross-engine float drift), fences
+    compared in doubled-cents integer math (``2x < 5·q1 − 3·q3`` ⟺
+    ``x < q1 − 1.5·IQR``).
+
+    Scale shape: one shuffle on the 3-value group key for the ranking
+    window (at production scale you'd pre-aggregate to a per-group
+    histogram instead — see quality_profile_table for the sketch-based
+    path); the 3-row quartile table broadcasts back onto the scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    q = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 4 + 1"), F.col("cents"))
+        ).alias("q1_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    joined = c.join(F.broadcast(q), "grp")
+    return joined.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("q1_cents").alias("q1_cents"),
+        F.max("q3_cents").alias("q3_cents"),
+        F.sum(
+            F.when(
+                (2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"))
+                | (2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    agg AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM agg
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next = to | current = from). The probability is a quotient of
+    identical bigints on both engines — bit-equal, no rounding needed.
+
+    Scale shape: the lead() window shuffles the events once on user_id
+    (sequences are per-user, so partitions are independent); the
+    transition matrix is |type|² rows, and its normalizing window runs
+    on that tiny aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    agg = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(wt).cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS yc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(yc) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * yc) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * xc) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(yc AS DECIMAL(18,0)) * yc) AS DECIMAL(38,0)) AS syy
+      FROM x WHERE yc IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+    FROM m
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the value series per event type (is the
+    series trending or mean-reverting?). Pearson r over (x_i, x_{i+1})
+    pairs, computed from EXACT integer moments (cents as bigints,
+    moment sums in DECIMAL(38,0)); the only float ops are the final
+    identical-expression casts/divide/sqrt on identical integers, so
+    the doubles agree bit-for-bit cross-engine.
+
+    Scale shape: one shuffle on event_type for the lead() window, then
+    a map-side-combinable moment aggregation to |type| rows. DECIMAL
+    intermediates hold to ~10^38 — no overflow at any realistic scale
+    (int64 would overflow n·Σx² past ~sf3).
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    x = (
+        e.select(
+            "event_type",
+            _cents("value").alias("xc"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("yc", F.lead("xc").over(w))
+        .where(F.col("yc").isNotNull())
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("sx"),
+        F.sum("yc").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("yc")).cast(
+            "decimal(38,0)"
+        ).alias("sxy"),
+        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("xc")).cast(
+            "decimal(38,0)"
+        ).alias("sxx"),
+        F.sum(F.col("yc").cast("decimal(18,0)") * F.col("yc")).cast(
+            "decimal(38,0)"
+        ).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponentially-weighted moving average), final value per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ewma_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * 0.9 + x * 0.1), 9) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α = 0.1) of each user's value series — the classic
+    streaming smoother, evaluated as an exact left fold in (ts,
+    event_id) order on both engines: DuckDB ``list_reduce`` over an
+    ordered list, Spark ``F.aggregate`` over a sorted struct array.
+    Identical recurrence ⇒ identical doubles; rounded to 9 decimals as
+    composed-float hygiene.
+
+    Scale shape: one shuffle on user_id; per-user sequences are short
+    (bounded by user activity, not table size), so the collect_list is
+    a per-group array, never a driver collect. For unbounded sequences
+    the streaming engine's stateful variant (stream_stateful_running_max
+    pattern) is the production path.
+    """
+    e = read_events(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            acc * F.lit(0.9) + x["value"] * F.lit(0.1)
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(fold, 9).alias("ewma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join on edit distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    SELECT a.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 15
+    GROUP BY a.p_brand
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate candidates among part names: pairs within edit
+    distance 15, blocked on (brand, size) so the join is an equi-join
+    with a codegen levenshtein filter — never an all-pairs product.
+    Both engines implement classic Levenshtein (unit costs), so the
+    distances and integer aggregates match exactly.
+
+    Scale shape: the blocking key bounds each hash-join bucket to one
+    (brand, size) group; pair work grows with Σ block² — the standard
+    entity-resolution trade (pick blocks so the quadratic term stays
+    local and bounded, here ≤ ~30 rows per block at sf0.1).
+    """
+    p = read_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_size"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 15)
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
