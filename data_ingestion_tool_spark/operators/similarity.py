@@ -458,3 +458,261 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+# Driver-side training sample is bounded by this many vectors — the
+# codebook must be learnable from a sample regardless of corpus size
+# (the standard PQ practice: train on ~10^4-10^6 vectors even for
+# billion-vector indexes).
+PQ_TRAIN_SAMPLE = 2048
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+):
+    """Train per-subspace PQ codebooks on L2-normalized vectors.
+
+    Deterministic: the training sample is the PQ_TRAIN_SAMPLE
+    lowest-id vectors (bounded driver collect, like the IVF codebook);
+    each subspace k-means seeds from the first ``n_codes`` sample rows
+    and runs a fixed number of Lloyd iterations with stable
+    (lowest-code-wins) tie-breaks.
+
+    Returns ``(codebooks, dim)`` where codebooks is a float64 array of
+    shape (m, n_codes, dim // m).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(PQ_TRAIN_SAMPLE)
+        .select(_as_double(vec_col).alias("v"))
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = np.empty((m, n_codes, d_sub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * d_sub : (s + 1) * d_sub]
+        cents = xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin: first (lowest) code on ties
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[s] = cents
+    return books, dim
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` one-byte codes (nearest sub-centroid
+    per subspace, after L2 normalization). A 768-dim float corpus
+    compresses ~384x at m=8 — the index that makes billion-scale ANN
+    RAM-resident.
+
+    Scale shape: pure mapInPandas over corpus partitions, codebook in
+    the task closure (m × n_codes × d_sub ≈ KBs) — no shuffle, no
+    driver involvement.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, d_sub = books.shape
+    schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            norms = np.linalg.norm(vmat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            vmat = vmat / norms
+            codes = np.empty((len(vmat), m), dtype=np.int64)
+            for s in range(m):
+                xs = vmat[:, s * d_sub : (s + 1) * d_sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; row-constant
+                # ||x||^2 doesn't change the argmin
+                d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            out = pdf[[id_col]].rename(columns={id_col: "neighbor_id"}).copy()
+            out["codes"] = [row.tolist() for row in codes]
+            yield out
+
+    return corpus.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ/ADC approximate top-k cosine neighbors: quantize the corpus
+    to ``m``-byte codes, shortlist ``k × rerank`` candidates per query
+    via per-query lookup tables (asymmetric distance — the query stays
+    exact), then EXACT-cosine re-rank the shortlist. On L2-normalized
+    vectors, squared L2 is monotone in cosine, so the ADC shortlist
+    orders by estimated cosine; the re-rank stage (the standard IVFPQ
+    production pattern) recovers the precision quantization loses —
+    recall is then limited only by true neighbors missing the
+    shortlist, not by code resolution. ``rerank=0`` disables re-ranking
+    (pure ADC scores in ``approx_score``).
+
+    Scale shape: the corpus is scanned once to encode (mapInPandas, no
+    shuffle) and once to score against the broadcast query LUT block
+    (bounded: n_queries × m × n_codes floats); each batch emits only
+    its local shortlist per query, so the global window ranks
+    O(n_partitions × queries × k·rerank) candidate rows, never the
+    corpus. The re-rank fetch is a broadcast semi-join of the tiny
+    candidate id set against the corpus scan (predicate pushdown on
+    id), then queries × shortlist exact scoring.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books, dim = pq_train(corpus, m, n_codes, id_col, vec_col)
+    d_sub = dim // m
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .collect()
+    )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.qv for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qmat = qmat / qn
+    # LUT[q, s, c] = ||q_s - book[s, c]||^2
+    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
+    for s in range(m):
+        qs = qmat[:, s * d_sub : (s + 1) * d_sub]
+        lut[:, s, :] = (
+            (qs ** 2).sum(axis=1)[:, None]
+            - 2.0 * (qs @ books[s].T)
+            + (books[s] ** 2).sum(axis=1)[None, :]
+        )
+
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_score", DoubleType()),
+        ]
+    )
+    sidx = np.arange(m)
+
+    shortlist_k = k * rerank if rerank else k
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray).values)  # (B, m)
+            nids = pdf["neighbor_id"].values
+            # d2[q, b] = sum_s LUT[q, s, codes[b, s]]
+            d2 = lut[:, sidx[None, :], codes].sum(axis=2)  # (Q, B)
+            for qi in range(len(qids)):
+                row = d2[qi]
+                mask = nids != qids[qi]
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                # local prune: keep this batch's shortlist best (ties to
+                # lower id resolved by the global window later)
+                order = cand[np.lexsort((nids[cand], row[cand]))][:shortlist_k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": nids[order],
+                        "approx_score": 1.0 - row[order] / 2.0,
+                    }
+                )
+
+    scored = encoded.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_score").desc(), F.col("neighbor_id")
+    )
+    shortlisted = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if not rerank:
+        return shortlisted.select("query_id", "neighbor_id", "approx_score", "rank")
+
+    # Exact re-rank: fetch the shortlist's true vectors (broadcast the
+    # tiny candidate set onto the corpus scan) and score exact cosine
+    # against the broadcast queries.
+    cand = shortlisted.select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    exact = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,86 @@
+"""Product-quantization ANN: recall vs brute force, determinism, and
+compression shape. PQ is approximate, so its registry entry is
+rows-only — these tests are its accuracy gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_tool_spark.operators.similarity import (
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_recall_vs_bruteforce(spark, emb):
+    """ADC shortlist + exact re-rank (m=16, 32 codes, 8k shortlist)
+    must hold recall@5 >= 0.7 against exact cosine on the 500-vector
+    corpus (chance is 5/499 ~ 1%; measured 0.94)."""
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_pq_pure_adc_orders_reasonably(spark, emb):
+    """rerank=0 (pure ADC) still beats chance handily — the quantized
+    scores alone order the corpus usefully."""
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    adc = pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=0)
+    assert "approx_score" in adc.columns
+    approx = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"pure-ADC recall@5 too low: {recall:.2f}"
+
+
+def test_pq_deterministic(spark, emb):
+    """Same input -> bit-identical codes and top-k across runs (stable
+    seeding, stable tie-breaks — no RNG anywhere in train/encode)."""
+    books1, _ = pq_train(emb, m=8, n_codes=16)
+    books2, _ = pq_train(emb, m=8, n_codes=16)
+    assert (books1 == books2).all()
+
+    codes = lambda: {  # noqa: E731
+        r.neighbor_id: tuple(r.codes) for r in pq_encode(emb, books1).collect()
+    }
+    assert codes() == codes()
+
+    queries = emb.orderBy("vec_id").limit(5)
+    run = lambda: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in pq_topk(emb, queries, k=5).collect()
+    )
+    assert run() == run()
+
+
+def test_pq_codes_shape_and_range(spark, emb):
+    """Every vector encodes to exactly m codes, each in [0, n_codes)."""
+    books, dim = pq_train(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, dim // 8)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_rejects_indivisible_dim(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7, n_codes=16)
