@@ -490,3 +490,164 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("dist").cast("bigint").alias("min_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly counts in exact integer math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * xc) AS DECIMAL(38,0)) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(MAX(m.n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN
+                 (m.n * c.xc - m.s) * (m.n * c.xc - m.s)
+                   > 9 * (m.n * m.ss - m.s * m.s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY c.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count |z| > 3 anomalies per event type WITHOUT any float math:
+    z² > 9 ⟺ (n·x − S)² > 9·(n·SS − S²) over exact cents, with moment
+    products in DECIMAL(38,0) (the cross term n·SS·9 overflows int64
+    past ~10⁵ rows/group — the decimal width is the 100 TB headroom).
+    A float z-score wobbles for points sitting exactly on the fence;
+    integer cross-multiplication cannot (CLAUDE.md threshold rule).
+
+    Scale shape: moments are one map-side-combinable pass to |type|
+    rows; the 5-row moment table broadcasts back onto the scan for the
+    fence test — the fact table moves zero times.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select("event_type", _cents("value").alias("xc"))
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("xc"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    j = c.join(F.broadcast(m), "event_type")
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    fence = dev * dev > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(fence, 1).otherwise(0)).alias("n_anomalies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_twap_per_user",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(CAST(SUM(CAST(xc AS DECIMAL(18,0)) * dt_us) AS DECIMAL(38,0))
+                AS DOUBLE)
+             / CAST(CAST(SUM(dt_us) AS DECIMAL(38,0)) AS DOUBLE)
+             / 100.0 AS twap
+    FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series: each
+    observation is weighted by how long it remained current
+    (hold-until-next-event segments — the standard TWAP/TVWAP over
+    irregular ticks). Numerator and denominator accumulate as EXACT
+    integers (cents × microseconds in DECIMAL(38,0) — the per-row
+    product alone can pass 10^17), and only the final identical
+    division chain runs in doubles.
+
+    Scale shape: one shuffle on user_id for the lead() window, then a
+    map-side-combinable aggregation on the same key — Catalyst reuses
+    the window's partitioning, so the fact table moves once.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "user_id",
+            _cents("value").alias("xc"),
+            F.unix_micros(F.col("ts")).alias("us"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (
+            F.sum(F.col("xc").cast("decimal(18,0)") * F.col("dt_us"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.sum("dt_us").cast("decimal(38,0)").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           CAST(xor(o_orderkey, 1023) AS BIGINT) AS bxor,
+           (o_orderkey & 255) << 4 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (AND/OR/XOR/shifts/popcount) — the ops
+    hash-partitioners, bloom filters, and bitmap indexes are made of.
+    Pure integer in, integer out; the shift operand is pre-masked so
+    results stay far from the int64 edge on both engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.expr("o_orderkey & 255").alias("band"),
+            F.expr("o_orderkey | 4096").alias("bor"),
+            F.expr("o_orderkey ^ 1023").cast("bigint").alias("bxor"),
+            F.expr("shiftleft(o_orderkey & 255, 4)").cast("bigint").alias("shl"),
+            F.expr("shiftright(o_orderkey, 3)").alias("shr"),
+            F.expr("bit_count(o_orderkey)").cast("int").alias("popcnt"),
+        )
+    )
