@@ -1,0 +1,220 @@
+"""Training-data mixing / curation queries over ``documents``:
+deterministic stratified sampling, token-budget mixture selection,
+corpus-mix reporting, and integer-fence quality filtering.
+
+These are the "what goes into the training run" ops of an LLM data
+pipeline: pick N docs per source, fill a per-source token budget,
+report the mixture, drop low-quality docs. All four are oracle-backed
+— sampling is usually rows-only territory, but ordering by
+``md5(doc_id)`` gives a deterministic pseudo-random permutation BOTH
+engines compute identically (same MD5 of the same decimal string), so
+even the samplers hash-match.
+
+Determinism notes: md5-order carries a doc_id tie-break (hash
+collisions are 2^-128 but the rule is free); all shares/fences compare
+integers (CLAUDE.md threshold rule); token counts reuse the exact
+whitespace-token twin from queries/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..sources.parquet_io import read_table
+from .registry import query
+
+# DuckDB twin of operators.text.token_count (same as text_token_count's
+# oracle): whitespace split, empties dropped.
+_SQL_NTOK = (
+    "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " x -> x <> '')) AS BIGINT)"
+)
+
+# Deterministic pseudo-random order shared by both engines.
+_SQL_SHUF = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
+
+def _shuffle_order():
+    return [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+
+
+SAMPLE_PER_SOURCE = 5
+TOKEN_BUDGET = 1500
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {_SQL_SHUF}
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {SAMPLE_PER_SOURCE}
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: N docs per source, drawn by
+    ranking an md5(doc_id) pseudo-random permutation — deterministic,
+    engine-independent, and repeatable across runs (unlike
+    ``TABLESAMPLE``/``df.sample``, whose RNG is engine-private — that
+    variant is ``sample_seeded``, rows-only).
+
+    Scale shape: one shuffle on source for the ranking window; at
+    production scale the md5 rank is a per-partition top-N
+    (rank <= N prunes before the final merge via the window's
+    partial top-k), never a global sort.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(*_shuffle_order())
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= SAMPLE_PER_SOURCE)
+        .select("doc_id", "source", "rn")
+    )
+
+
+@query(
+    "sample_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY {_SQL_SHUF}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a per-source token budget: walk each source's docs in the
+    deterministic md5 order and keep docs while the running token sum
+    stays within budget — how a training mixture hits its target
+    source proportions in tokens (the unit that matters) rather than
+    doc counts. Integer cumsum ⇒ the budget fence cannot wobble.
+
+    Scale shape: same single source-partitioned window as the
+    stratified sampler; the cumulative sum is a running frame, no
+    second pass.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", TX.token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(*_shuffle_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "corpus_mix_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_SQL_NTOK} AS n_tokens, n_chars FROM documents
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM t GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share,
+           CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars
+    FROM agg
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture dashboard: per-source doc counts, token totals,
+    token share of the whole corpus, and mean doc length. Shares and
+    means are quotients of identical bigints — bit-equal cross-engine.
+
+    Scale shape: map-side-combinable aggregation to |source| rows; the
+    share window runs over that tiny aggregate (empty OVER() is a
+    1-partition exchange of |source| rows, not of the corpus).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("source", TX.token_count("text").alias("n_tokens"), "n_chars")
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy()).cast("double")
+        ).alias("token_share"),
+        (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_chars"
+        ),
+    )
+
+
+@query(
+    "filter_quality_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars, {_SQL_NTOK} AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','that'], x)))
+                  AS BIGINT) AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, n_tokens
+    FROM t
+    WHERE n_chars >= 100 AND n_chars <= 20000
+      AND n_tokens >= 10
+      AND sw_hits * 100 >= n_tokens * 2
+    """,
+)
+def filter_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with integer fences: length window, minimum token
+    count, and a stopword floor (≥2% of tokens are English stopwords —
+    gibberish and non-prose fail it). Every fence compares integers
+    (``sw_hits·100 ≥ n_tokens·2``, never a float ratio), so boundary
+    docs are classified identically by both engines — the CLAUDE.md
+    threshold rule applied to the classic C4-style quality filter.
+
+    Scale shape: pure per-row codegen predicates on the scan — no
+    shuffle at all; at 100 TB this runs at I/O speed and prunes the
+    corpus before any downstream dedup/mixing pass.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TX.ENGLISH_STOPWORDS])
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("sw_hits"),
+    )
+    return t.where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 20000)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("sw_hits") * 100 >= F.col("n_tokens") * 2)
+    ).select("doc_id", "source", "n_chars", "n_tokens")
