@@ -651,3 +651,54 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_count(o_orderkey)").cast("int").alias("popcnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INT) AS island
+      FROM daily
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len
+      FROM seq GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the classic
+    gaps-and-islands pattern: ``day − row_number(day)`` is constant
+    exactly within a consecutive run, so runs reduce to a groupBy on
+    that island key. Pure date/integer math end to end.
+
+    Scale shape: the DISTINCT collapses the fact table to (user, day)
+    first; window + both aggregations share the user_id partitioning,
+    so the post-distinct data shuffles once.
+    """
+    e = read_events(spark, sf_dir)
+    daily = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = seq.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+    )

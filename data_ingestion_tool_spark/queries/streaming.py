@@ -322,3 +322,85 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "ts timestamp, event_type string", dest
     )
     return rollup_view(spark, dest)
+
+
+@query(
+    "stream_anomaly_alerts",
+    oracle="""
+    WITH c AS (
+      SELECT event_id,
+             CAST(ts AS DATE) AS day,
+             event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * xc) AS DECIMAL(38,0)) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.day, c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           MIN(c.event_id) AS first_event_id
+    FROM c JOIN m ON c.event_type = m.event_type
+    WHERE (m.n * c.xc - m.s) * (m.n * c.xc - m.s)
+            > 9 * (m.n * m.ss - m.s * m.s)
+    GROUP BY c.day, c.event_type
+    """,
+)
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection: events stream against a STATIC
+    per-type moment profile (the historical baseline, broadcast per
+    micro-batch), alerting on the same integer z²>9 fence as the batch
+    events_anomaly_zscore — so the streaming answer is provably
+    identical to the batch one. Alert counts roll up per (day, type).
+
+    Scale shape: the static side is 5 moment rows (broadcast, no
+    state); the only stateful operator is the final day×type count.
+    Production shape: the profile refreshes on a slow cadence (it is a
+    plain batch table), while the fence test itself is stateless
+    per-row codegen — the 100 TB/day firehose never shuffles before
+    the tiny aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.parquet_io import read_events
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    profile = (
+        read_events(spark, sf_dir)
+        .select("event_type", cents.alias("xc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xc").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("xc").cast("decimal(18,0)") * F.col("xc"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+
+    def transform(stream):
+        e = normalize_ts(stream, "ts").withColumn("xc", cents)
+        dev = F.col("n") * F.col("xc") - F.col("s")
+        fence = dev * dev > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        return (
+            e.join(F.broadcast(profile), "event_type")
+            .where(fence)
+            .groupBy(
+                F.col("ts").cast("date").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_alerts"),
+                F.min("event_id").alias("first_event_id"),
+            )
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
