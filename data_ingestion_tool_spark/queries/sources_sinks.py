@@ -376,3 +376,53 @@ def ingest_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty_c"),
     )
+
+
+@query(
+    "ingest_checksum_validation",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(CONCAT('0x', substring(md5(
+               concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                              CAST(l_linenumber AS VARCHAR),
+                              l_returnflag,
+                              CAST(l_shipdate AS VARCHAR))
+             ), 1, 15)) AS BIGINT) % 1000000007 AS hv
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hv) AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def ingest_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum for migration validation —
+    the step after the reference's row-count check (`backend/main.py`
+    ingest returns only counts): md5 each row's canonical
+    pipe-delimited key-column string, fold the first 15 hex digits to
+    a bigint mod 1e9+7, SUM. Equal counts AND equal checksums ⇒ the
+    copy moved the right rows, not just the right number of rows.
+    Canonical strings stick to int/string/date renderings (identical
+    across engines; float formatting is not).
+
+    Scale shape: embarrassingly parallel map + one scalar aggregate —
+    runs at scan speed, no shuffle beyond the final partial-sum merge.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("string"),
+    )
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', CAST(l_orderkey AS STRING),"
+        " CAST(l_linenumber AS STRING), l_returnflag,"
+        " CAST(l_shipdate AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 1000000007"
+    )
+    return li.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hv").cast("bigint").alias("checksum"),
+    )
