@@ -120,3 +120,67 @@ def dedup_clusters(
     return labeled.join(sizes, "comp").select(
         F.col("node").alias(id_col), "keeper_id", "cluster_size"
     )
+
+
+def hierarchy_closure(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, root_id, depth) for every node of a forest given as
+    (id, parent) rows (parent NULL ⇒ root). Spark has no recursive CTE;
+    this is the pointer-doubling (path-halving) loop: each round, every
+    unresolved node jumps its pointer to its pointer's pointer and adds
+    the distances, so resolved path length DOUBLES per iteration —
+    max_iter=25 covers depth 2^25. The driver loop carries only a
+    convergence count; each round is one self-join (all codegen), with
+    ``localCheckpoint`` cutting the iterative lineage.
+
+    Deterministic: the forest is a function of the input; no RNG, no
+    ordering sensitivity. Raises if unresolved rows remain after
+    max_iter (a parent cycle — not a forest — would otherwise spin
+    forever and silently return garbage).
+    """
+    state = nodes.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "dist"
+        ),
+        F.col(parent_col).isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        pending = state.filter(~F.col("done")).limit(1).count()
+        if pending == 0:
+            break
+        tgt = state.select(
+            F.col("node").alias("t_node"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("dist").alias("t_dist"),
+            F.col("done").alias("t_done"),
+        )
+        state = (
+            state.join(tgt, state.ptr == tgt.t_node, "left")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.col("t_ptr"))
+                .alias("ptr"),
+                F.when(F.col("done"), F.col("dist"))
+                .otherwise(F.col("dist") + F.col("t_dist"))
+                .alias("dist"),
+                F.when(F.col("done"), F.lit(True))
+                .otherwise(F.col("t_done"))
+                .alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"hierarchy_closure did not resolve in {max_iter} pointer-"
+            "doubling rounds (depth > 2^max_iter or a parent cycle)"
+        )
+    return state.select(
+        "node", F.col("ptr").alias("root_id"), F.col("dist").alias("depth")
+    )

@@ -903,3 +903,135 @@ def agg_bool_any_every(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "graph_hierarchy_depth",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id - 1 - (n_chars % 97) >= 0
+                  THEN doc_id - 1 - (n_chars % 97) END AS parent
+      FROM documents
+    ),
+    anc AS (
+      SELECT doc_id, doc_id AS root_id, 0 AS depth FROM t WHERE parent IS NULL
+      UNION ALL
+      SELECT t.doc_id, anc.root_id, anc.depth + 1
+      FROM t JOIN anc ON t.parent = anc.doc_id
+    )
+    SELECT doc_id, CAST(root_id AS BIGINT) AS root_id,
+           CAST(depth AS INT) AS depth
+    FROM anc
+    """,
+)
+def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy closure (root + depth per node) over a forest derived
+    from documents (parent = doc_id − 1 − n_chars mod 97; ids are
+    contiguous so every parent exists). DuckDB answers with a recursive
+    CTE; Spark has none, so the engine runs pointer-doubling
+    (operators/graph.py::hierarchy_closure) — O(log depth) self-join
+    rounds instead of O(depth) recursive steps, the right trade on a
+    cluster where each round is a full distributed join.
+    """
+    from ..operators.graph import hierarchy_closure
+
+    d = read_table(spark, sf_dir, "documents")
+    parent = F.col("doc_id") - 1 - (F.col("n_chars") % 97)
+    nodes = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(parent >= 0, parent).alias("parent"),
+    )
+    out = hierarchy_closure(nodes, "id", "parent")
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("root_id").cast("bigint").alias("root_id"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+@query(
+    "ingest_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey AS key, 1 AS seq, 'U' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 = 3
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000, 2, 'I',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    latest AS (
+      SELECT key, op, price FROM (
+        SELECT key, op, price,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.o_orderkey, l.key) AS o_orderkey,
+           CASE WHEN l.op = 'I' THEN 'INSERTED' ELSE o.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN l.op IN ('U', 'I') THEN l.price
+                ELSE o.o_totalprice END AS o_totalprice
+    FROM orders o FULL JOIN latest l ON o.o_orderkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log (insert/update/delete, multiple ops per
+    key) to a base table: latest sequence number wins per key, 'D'
+    removes the row, 'I' introduces new keys, 'U' overlays values —
+    the full Debezium-style log-compaction semantics, as a pure
+    DataFrame transform (latest-per-key window + one full outer join).
+    The change log here derives deterministically from orders so the
+    oracle replays the identical scenario: update-then-update keys,
+    update-only keys, delete keys, and fresh insert keys.
+
+    Scale shape: the window and the join share the key partitioning —
+    the change log shuffles once, the base once; at 100 TB with a
+    transactional format, the same plan runs as MERGE INTO with the
+    latest-wins dedup as the source subquery.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    u1 = o.filter(key % 5 == 3).select(
+        key.alias("key"), F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        (dec + 100).cast("double").alias("price"),
+    )
+    u2 = o.filter(key % 10 == 3).select(
+        key.alias("key"), F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        (dec * 3).cast("double").alias("price"),
+    )
+    d2 = o.filter(key % 10 == 7).select(
+        key.alias("key"), F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ins = o.filter(key % 1000 == 1).select(
+        (key + 100000).alias("key"), F.lit(2).alias("seq"),
+        F.lit("I").alias("op"), (dec + 1).cast("double").alias("price"),
+    )
+    ch = u1.unionByName(u2).unionByName(d2).unionByName(ins)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "price")
+    )
+    merged = o.join(latest, o.o_orderkey == latest.key, "full")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("o_orderkey"), F.col("key")).alias("o_orderkey"),
+        F.when(F.col("op") == "I", F.lit("INSERTED"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("op").isin("U", "I"), F.col("price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )

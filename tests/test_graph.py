@@ -108,3 +108,45 @@ def test_pipeline_prep_removes_planted_clones(spark, sf_dir):
     sizes = resolved.groupBy("keeper_id").count()
     assert keepers.count() == sizes.count()
     assert sizes.agg(F.sum("count")).collect()[0][0] == total
+
+
+def test_hierarchy_closure_known_forest(spark):
+    """Two hand-built trees: depths and roots must match exactly."""
+    from data_ingestion_tool_spark.operators.graph import hierarchy_closure
+
+    #   0            5
+    #   1            6
+    #  2 3            (chain)
+    #  4
+    rows = [(0, None), (1, 0), (2, 1), (3, 1), (4, 2), (5, None), (6, 5)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    got = {
+        r.node: (r.root_id, r.depth)
+        for r in hierarchy_closure(nodes, "id", "parent").collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (0, 2), 4: (0, 3),
+        5: (5, 0), 6: (5, 1),
+    }
+
+
+def test_hierarchy_closure_deep_chain(spark):
+    """A 200-deep chain resolves in ~8 pointer-doubling rounds."""
+    from data_ingestion_tool_spark.operators.graph import hierarchy_closure
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 200)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    out = hierarchy_closure(nodes, "id", "parent", max_iter=10).collect()
+    assert {r.node: r.depth for r in out}[199] == 199
+    assert all(r.root_id == 0 for r in out)
+
+
+def test_hierarchy_closure_cycle_raises(spark):
+    from data_ingestion_tool_spark.operators.graph import hierarchy_closure
+
+    import pytest
+
+    rows = [(0, 1), (1, 0)]  # 2-cycle, no root
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    with pytest.raises(RuntimeError, match="did not resolve"):
+        hierarchy_closure(nodes, "id", "parent", max_iter=5)
