@@ -218,3 +218,94 @@ def filter_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tokens") >= 10)
         & (F.col("sw_hits") * 100 >= F.col("n_tokens") * 2)
     ).select("doc_id", "source", "n_chars", "n_tokens")
+
+
+@query(
+    "pipeline_prep_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_SQL_NTOK} AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','that'], x)))
+                  AS BIGINT) AS sw_hits,
+             md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, n_tokens, content_hash,
+             (n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 10
+              AND sw_hits * 100 >= n_tokens * 2) AS pass_quality
+      FROM t
+    ),
+    keepers AS (
+      SELECT doc_id, n_tokens, pass_quality,
+             pass_quality AND doc_id = MIN(CASE WHEN pass_quality
+                 THEN doc_id END) OVER (PARTITION BY content_hash)
+               AS is_keeper
+      FROM flagged
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass,
+           CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_docs,
+           CAST(SUM(CASE WHEN is_keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS n_tokens_final
+    FROM keepers
+    """,
+)
+def pipeline_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prep funnel, hash-verified: input count → quality
+    gate (integer fences) → exact content dedup (min-id keeper per
+    md5 of canonical text, chosen among quality passers) → final token
+    inventory. The deterministic sibling of
+    ``pipeline_training_data_prep`` (whose near-dup stage is
+    approximate and rows-only): every number in THIS funnel is exact,
+    so the driver hash-checks the whole pipeline, not just its stages.
+
+    Scale shape: one scan computes all per-doc features; the only
+    shuffle is the content-hash window (same key a production dedup
+    shuffles on); output is one row.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TX.ENGLISH_STOPWORDS])
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("sw_hits"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    flagged = t.select(
+        "doc_id",
+        "n_tokens",
+        "content_hash",
+        (
+            (F.col("n_chars") >= 100)
+            & (F.col("n_chars") <= 20000)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("sw_hits") * 100 >= F.col("n_tokens") * 2)
+        ).alias("pass_quality"),
+    )
+    w = Window.partitionBy("content_hash")
+    keepers = flagged.withColumn(
+        "is_keeper",
+        F.col("pass_quality")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass_quality"), F.col("doc_id"))).over(w)
+        ),
+    )
+    return keepers.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)).alias(
+            "n_quality_pass"
+        ),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("n_unique_docs"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n_tokens")).otherwise(0)).alias(
+            "n_tokens_final"
+        ),
+    )

@@ -346,3 +346,61 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_scrub(synth, "contact").select(
         "c_custkey", "scrubbed", "n_redactions"
     )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS n_sentences,
+             greatest(CAST(len(list_filter(
+                 string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS BIGINT), 1) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch_score
+    FROM t
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    proxy (``[aeiouy]+`` runs — the standard cheap estimator).
+    Sentence/word/syllable counts are integers from identical regexes
+    (plain character classes behave the same under Java regex and
+    RE2), and the score is the identical float expression over
+    identical integers — bit-equal cross-engine, no rounding needed.
+
+    Scale shape: pure per-row codegen — counting regex matches never
+    materializes the match arrays into a shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast("bigint"),
+        F.lit(1),
+    )
+    n_words = F.greatest(TX.token_count("text"), F.lit(1))
+    n_syll = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    return t.withColumn(
+        "flesch_score",
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
+    )
