@@ -702,3 +702,175 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_streak"),
         F.sum("run_len").cast("bigint").alias("n_active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact, from integer rank moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_spearman_corr",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS px,
+             {_SQL_CENTS.format(col='l_quantity')} AS qy
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp,
+             2 * rank() OVER (PARTITION BY grp ORDER BY px)
+               + COUNT(*) OVER (PARTITION BY grp, px) - 1 AS r2x,
+             2 * rank() OVER (PARTITION BY grp ORDER BY qy)
+               + COUNT(*) OVER (PARTITION BY grp, qy) - 1 AS r2y,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    u AS (
+      SELECT grp, n, r2x - (n + 1) AS ux, r2y - (n + 1) AS uy FROM r
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(CAST(SUM(ux * uy) AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(CAST(SUM(ux * ux) AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(SUM(uy * uy) AS BIGINT) AS DOUBLE))
+             AS spearman_rho
+    FROM u GROUP BY grp
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation of price vs quantity per
+    return flag. lineitem has NO unique key (duplicate (orderkey,
+    linenumber) pairs exist), so row_number ranks are engine-arbitrary
+    under ties — instead each row gets its AVERAGE rank, doubled to
+    stay integer (r2 = 2·rank_min + ties − 1), which is a function of
+    the VALUE alone. Centering by the exact mean (n+1) makes ΣuΣv
+    vanish, so rho = Σuv/√(Σu²·Σv²) needs only bigint sums (≤ n³/3 ≈
+    2.7·10^15 at sf0.1; fits int64 through ~sf1) and one identical
+    float expression — no decimal products (their 38-digit cap rounds
+    per-engine in the last ulp; learned from the first draft).
+
+    Scale shape: two ranking windows on the same 3-value partition key
+    plus per-value tie counts (same shuffle), then map-side-combinable
+    moments.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("px"),
+        _cents("l_quantity").alias("qy"),
+    )
+    wx = Window.partitionBy("grp").orderBy("px")
+    wy = Window.partitionBy("grp").orderBy("qy")
+    r = base.select(
+        "grp",
+        (
+            2 * F.rank().over(wx)
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "px"))
+            - 1
+        ).alias("r2x"),
+        (
+            2 * F.rank().over(wy)
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "qy"))
+            - 1
+        ).alias("r2y"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    u = r.select(
+        "grp",
+        "n",
+        (F.col("r2x") - (F.col("n") + 1)).alias("ux"),
+        (F.col("r2y") - (F.col("n") + 1)).alias("uy"),
+    )
+    m = u.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("ux") * F.col("uy")).cast("bigint").alias("suv"),
+        F.sum(F.col("ux") * F.col("ux")).cast("bigint").alias("su2"),
+        F.sum(F.col("uy") * F.col("uy")).cast("bigint").alias("sv2"),
+    )
+    return m.select(
+        "grp",
+        "n",
+        (
+            F.col("suv").cast("double")
+            / F.sqrt(F.col("su2").cast("double") * F.col("sv2").cast("double"))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event type × day of week)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             COUNT(*) AS observed
+      FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE)) + 1
+    ),
+    tot AS (
+      SELECT event_type, dow, observed,
+             CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_total,
+             CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) AS col_total,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      FROM o
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(row_total * col_total AS DOUBLE)
+             / CAST(grand_total AS DOUBLE) AS expected,
+           (CAST(observed AS DOUBLE)
+              - CAST(row_total * col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(row_total * col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           / (CAST(row_total * col_total AS DOUBLE)
+              / CAST(grand_total AS DOUBLE)) AS chi2_term
+    FROM tot
+    """,
+)
+def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency terms for event_type × day-of-week: is
+    event mix independent of weekday? Emits observed, expected
+    (row·col/grand, an identical-expression double over identical
+    bigints), and each cell's (O−E)²/E contribution — summing the
+    column gives the test statistic; per-cell terms localize WHERE the
+    independence breaks. Day-of-week is aligned to Spark's 1=Sunday
+    convention (DuckDB's ``dayofweek`` is 0-based — the oracle adds 1).
+
+    Scale shape: the contingency table is one map-side-combinable
+    groupBy; the three marginal windows run over the |types|×7 cells.
+    """
+    e = read_events(spark, sf_dir)
+    o = (
+        e.select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = o.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand_total"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    ).cast("double")
+    dev = F.col("observed").cast("double") - expected
+    return tot.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_term"),
+    )

@@ -144,3 +144,34 @@ def test_anomaly_zscore_matches_float_reference(spark, sf_dir, events_pdf):
         mu, sd = x.mean(), x.std()  # population std, matching n*SS - S^2
         z = (x - mu) / sd
         assert got[et] == (len(x), int((np.abs(z) > 3).sum())), et
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """Tie-aware average-rank Spearman == pandas corr(method='spearman')."""
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_returnflag AS grp, l_extendedprice AS p, l_quantity AS q"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    got = {
+        r.grp: r.spearman_rho
+        for r in QUERIES["agg_spearman_corr"](spark, sf_dir).collect()
+    }
+    for grp, g in li.groupby("grp"):
+        # rank(average) + Pearson == Spearman (scipy-free)
+        want = g["p"].rank(method="average").corr(g["q"].rank(method="average"))
+        assert got[grp] == pytest.approx(want, abs=1e-12), grp
+
+
+def test_chi_square_matches_reference(spark, sf_dir, events_pdf):
+    """Cell terms rebuild the classic chi2 statistic computed directly
+    from the pandas contingency table."""
+    rows = QUERIES["events_chi_square_independence"](spark, sf_dir).collect()
+    got_stat = sum(r.chi2_term for r in rows)
+    pdf = events_pdf.copy()
+    pdf["dow"] = pd.to_datetime(pdf["ts"]).dt.dayofweek  # 0=Mon
+    ct = pd.crosstab(pdf["event_type"], pdf["dow"]).to_numpy().astype(float)
+    expected = ct.sum(1)[:, None] * ct.sum(0)[None, :] / ct.sum()
+    want_stat = ((ct - expected) ** 2 / expected).sum()
+    assert got_stat == pytest.approx(want_stat, rel=1e-12)
+    assert len(rows) == ct.size
