@@ -874,3 +874,54 @@ def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFram
         expected.alias("expected"),
         (dev * dev / expected).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (fraud/quality screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share,
+           ln(1.0 + 1.0 / digit) / ln(10.0) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+)
+def histogram_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-significant-
+    digit shares next to the log10(1+1/d) expectation — the classic
+    anomaly/fraud sniff test for financial columns. The digit is
+    extracted from the exact cents integer's decimal string (identical
+    cross-engine; no float log in the digit path), and share/expected
+    are identical float expressions.
+
+    Scale shape: map-side-combinable groupBy onto 9 digit rows; the
+    share window runs over those 9 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        " AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    d = o.where(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    return agg.select(
+        "digit",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy()).cast("bigint").cast("double")
+        ).alias("share"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias(
+            "benford_expected"
+        ),
+    )
