@@ -404,3 +404,64 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, os.path.join(sf_dir, "events.parquet"), schema, transform
     )
+
+
+@query(
+    "stream_topk_event_types",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT window_start, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT window_start, event_type, cnt,
+             row_number() OVER (
+               PARTITION BY window_start ORDER BY cnt DESC, event_type
+             ) AS rn
+      FROM counts
+    ) WHERE rn <= 2
+    """,
+)
+def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per hour over a stream. Structured Streaming
+    forbids rank windows on unbounded streams, so the production
+    pattern is two tiers: the STREAM maintains the windowed counts
+    (incremental state), and the dashboard RANK runs as a plain batch
+    query over the continuously-updated result table — here literally:
+    run_stream_to_table materializes the counts, then row_number picks
+    each hour's leaders (count DESC, type ASC tie-break).
+
+    Scale shape: streaming state is |windows × types|; the rank runs
+    on the materialized aggregate, never the event stream.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        e = normalize_ts(stream, "ts")
+        return (
+            e.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "cnt")
+        )
+
+    counts = run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 2)
+        .select("window_start", "event_type", "cnt", "rank")
+    )
