@@ -309,3 +309,38 @@ def pipeline_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_final"
         ),
     )
+
+
+@query(
+    "sample_weighted_by_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_NTOK} AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens
+    FROM t
+    WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) * 400
+          < n_tokens * 281474976710656
+    """,
+)
+def sample_weighted_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with token-proportional acceptance — longer
+    documents are kept with probability n_tokens/400 (clamped by the
+    data's token range): accept iff the first 12 md5 hex digits of the
+    doc id, read as a uniform 48-bit integer, fall below the doc's
+    share of 16^12. Both sides compare exact integers (hash·400 <
+    n_tokens·2^48 — products stay well under int64), so the sample is
+    deterministic, repeatable, AND unbiased in the usual
+    hash-as-uniform sense — the engine-independent version of
+    ``df.sample(weights)``.
+
+    Scale shape: per-row codegen predicate on the scan, no shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", TX.token_count("text").alias("n_tokens"))
+    h48 = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+    return t.where(h48 * 400 < F.col("n_tokens") * F.lit(281474976710656))
