@@ -925,3 +925,190 @@ def histogram_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame
             "benford_expected"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile table per group (order statistics, generalizing the IQR query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_deciles_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    marks AS (
+      SELECT grp, d.decile,
+             (d.decile * (n - 1)) // 10 + 1 AS target_rn
+      FROM (SELECT DISTINCT grp, n FROM ranked) g,
+           (SELECT unnest(generate_series(1, 9)) AS decile) d
+    )
+    SELECT m.grp, CAST(m.decile AS INT) AS decile, r.cents AS value_cents
+    FROM marks m JOIN ranked r
+      ON r.grp = m.grp AND r.rn = m.target_rn
+    """,
+)
+def quantile_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nine deciles per return flag as exact value-at-index order
+    statistics (rank (d·(n−1))//10 + 1) — the full distribution
+    profile the IQR query samples at two points. No interpolation, so
+    no cross-engine drift; the decile grid is generated, never scanned.
+
+    Scale shape: one ranking window per group (the same shuffle the
+    quartile query pays), then a broadcast join of the 9·|grp| marks
+    back onto the ranked rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    g = ranked.select("grp", "n").distinct()
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    marks = g.crossJoin(deciles).select(
+        F.col("grp").alias("m_grp"),
+        "decile",
+        (F.expr("(decile * (n - 1)) DIV 10") + 1).alias("target_rn"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(marks),
+            (ranked.grp == marks.m_grp) & (ranked.rn == marks.target_rn),
+        )
+        .select("grp", "decile", F.col("cents").alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival median per user (order statistic over computed gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_median",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, dt_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY dt_us) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE dt_us IS NOT NULL
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dt_us END) AS median_gap_us
+    FROM ranked GROUP BY user_id
+    """,
+)
+def events_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time between consecutive events per user (type-1 order
+    statistic over exact microsecond gaps) — the cadence feature
+    behind churn/engagement models, immune to the outlier gaps that
+    wreck a mean. Gap values are integers; the median is value-at-
+    index, so both engines agree exactly.
+
+    Scale shape: the lead() window and both the ranking window and the
+    final aggregate share the user_id partitioning — one shuffle.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", F.unix_micros(F.col("ts")).alias("us"), "ts", "event_id")
+        .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("dt_us").isNotNull())
+    )
+    wr = Window.partitionBy("user_id").orderBy("dt_us")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("dt_us"))
+        ).alias("median_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU rolling engagement ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau_ratio",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM active GROUP BY day
+    ),
+    spread AS (
+      SELECT user_id,
+             CAST(day + CAST(unnest(generate_series(0, 6)) AS INT) AS DATE)
+               AS obs_day
+      FROM active
+    ),
+    wau AS (
+      SELECT obs_day AS day, COUNT(DISTINCT user_id) AS wau
+      FROM spread GROUP BY obs_day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users over trailing-7-day weekly actives (the
+    "stickiness" engagement metric). Windowed COUNT(DISTINCT) isn't
+    directly expressible, so each (user, active day) pair is spread
+    onto the 7 observation days it supports and distinct-counted per
+    day — a 7× linear fan-out instead of a quadratic self-join, and
+    the exact-count twin of the mergeable-HLL sketch rollup
+    (agg_sketch_mergeable_distinct) for when approximate won't do.
+    Integer counts; the ratio is an identical bigint quotient.
+
+    Scale shape: DISTINCT collapses the fact table first; the fan-out
+    multiplies the small (user, day) set, not raw events; days with
+    DAU but a 7-day window truncated at the data's start still count
+    (both engines enumerate the same grid).
+    """
+    e = read_events(spark, sf_dir)
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+    wau = spread.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -175,3 +175,44 @@ def test_chi_square_matches_reference(spark, sf_dir, events_pdf):
     want_stat = ((ct - expected) ** 2 / expected).sum()
     assert got_stat == pytest.approx(want_stat, rel=1e-12)
     assert len(rows) == ct.size
+
+
+def test_deciles_match_numpy(spark, sf_dir):
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_returnflag AS grp, l_extendedprice AS p"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    got: dict[tuple, int] = {
+        (r.grp, r.decile): r.value_cents
+        for r in QUERIES["quantile_deciles_price"](spark, sf_dir).collect()
+    }
+    for grp, g in li.groupby("grp"):
+        cents = np.sort(np.round(g["p"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        for d in range(1, 10):
+            assert got[(grp, d)] == cents[(d * (n - 1)) // 10], (grp, d)
+
+
+def test_interarrival_median_matches_numpy(spark, sf_dir, events_pdf):
+    got = {
+        r.user_id: (r.n_gaps, r.median_gap_us)
+        for r in QUERIES["events_interarrival_median"](spark, sf_dir).collect()
+    }
+    for uid, g in events_pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dt = np.sort(np.diff(ts))
+        if not len(dt):
+            assert uid not in got
+            continue
+        n, med = got[uid]
+        assert n == len(dt)
+        assert med == dt[(len(dt) - 1) // 2], uid
+
+
+def test_dau_wau_bounds(spark, sf_dir):
+    rows = QUERIES["events_dau_wau_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
