@@ -410,3 +410,83 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name", F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk")
     )
     return n.join(r, n.nk.eqNullSafe(r.rk)).select("n_name", "r_name")
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT o_custkey, frequency, monetary_cents,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 1 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-score each customer on
+    recency (last order date), frequency (order count), and monetary
+    value (exact cents), then label segments from the score triple.
+    ntile is deterministic under the custkey tie-break; the monetary
+    sum is integer cents so even equal-looking totals rank identically.
+
+    Scale shape: per-customer rollup first (map-side combinable), then
+    three global ntile windows over the CUSTOMER table (1 row per
+    customer — at 100 TB this is the small side; the windows sort
+    ~millions, not the order fact table).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") == 4) & (F.col("m_score") == 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 1, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )
