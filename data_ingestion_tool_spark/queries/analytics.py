@@ -490,3 +490,55 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("int").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+@query(
+    "events_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, date_trunc('week', CAST(ts AS DATE))
+    )
+    SELECT event_type, CAST(week AS DATE) AS week, CAST(cnt AS BIGINT) AS cnt,
+           CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                    AS DOUBLE) - 1.0 AS wow_growth
+    FROM weekly
+    """,
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI pulse metric:
+    weekly counts, the prior week via lag, and the growth ratio (an
+    identical bigint quotient; NULL for each type's first week, which
+    both engines agree on). Spark's ``date_trunc('week', date)`` and
+    DuckDB's both snap to Monday.
+
+    Scale shape: the rollup collapses events map-side to |type × week|
+    rows; the lag window runs over that tiny aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    weekly = (
+        e.select(
+            "event_type",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias(
+                "week"
+            ),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        (
+            F.col("cnt").cast("double")
+            / F.lag("cnt").over(w).cast("double")
+            - 1.0
+        ).alias("wow_growth"),
+    )

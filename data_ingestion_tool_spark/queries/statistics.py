@@ -1112,3 +1112,87 @@ def events_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust preprocessing: clamp to [p5, p95])
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_winsorized_mean",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    fences AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (5 * (n - 1)) // 100 + 1 THEN cents END)
+               AS p5_cents,
+             MAX(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN cents END)
+               AS p95_cents
+      FROM ranked GROUP BY grp
+    )
+    SELECT c.grp, MAX(f.n) AS n, MAX(f.p5_cents) AS p5_cents,
+           MAX(f.p95_cents) AS p95_cents,
+           CAST(SUM(least(greatest(c.cents, f.p5_cents), f.p95_cents))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(SUM(CASE WHEN c.cents < f.p5_cents
+                          OR c.cents > f.p95_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM c JOIN fences f ON c.grp = f.grp
+    GROUP BY c.grp
+    """,
+)
+def outlier_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-preprocessing sibling of the IQR
+    count: clamp every value into [p5, p95] (exact value-at-index
+    percentiles) and report the clamped sum + how many rows were
+    clamped. All integer: the winsorized mean downstream is
+    winsorized_sum_cents / n / 100 with no float accumulation.
+
+    Scale shape: identical to outlier_iqr_price — one ranking shuffle
+    per group, 3-row fence table broadcast back onto the scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    fences = ranked.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * (n - 1)) DIV 100 + 1"), F.col("cents"))
+        ).alias("p5_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(95 * (n - 1)) DIV 100 + 1"), F.col("cents")
+            )
+        ).alias("p95_cents"),
+    )
+    j = c.join(F.broadcast(fences), "grp")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p5_cents")), F.col("p95_cents"))
+    return j.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("p5_cents").alias("p5_cents"),
+        F.max("p95_cents").alias("p95_cents"),
+        F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+        F.sum(
+            F.when(
+                (F.col("cents") < F.col("p5_cents"))
+                | (F.col("cents") > F.col("p95_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clamped"),
+    )
