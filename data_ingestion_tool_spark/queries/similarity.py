@@ -168,3 +168,51 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(N_QUERY_VECS)
     return SIM.pq_topk(emb, queries, k=TOP_K, m=16, n_codes=32, rerank=8)
+
+
+@query(
+    "embedding_vector_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+                            * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+           ROUND(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6)
+             AS max_elem,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def embedding_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over the vector column: transform
+    (square), aggregate (sum → norm), max-reduce, filter-count — the
+    array kernel every embedding pipeline leans on, all JVM codegen
+    (no UDF). Sums fold left in array order on both engines; norms are
+    rounded to 6 decimals as composed-float hygiene (float32 inputs
+    widen to double at different points otherwise).
+
+    Scale shape: per-row expressions on the scan; no shuffle.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(dbl, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_elem = F.aggregate(
+        dbl,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull() | (x > acc), x).otherwise(acc),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(max_elem, 6).alias("max_elem"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
+            "n_positive"
+        ),
+    )
