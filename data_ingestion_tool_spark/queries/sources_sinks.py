@@ -426,3 +426,117 @@ def ingest_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("hv").cast("bigint").alias("checksum"),
     )
+
+
+@query(
+    "ingest_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 lands WITHOUT the price
+    column (an early producer), batch 2 adds it; `mergeSchema=true`
+    unions the footers so old files surface NULLs for the new column —
+    the append-only lake's answer to ALTER TABLE. The count/non-null
+    profile proves which rows carry the evolved column.
+
+    Scale shape: schema merge is a footer-only planning step (no data
+    rewrite); the aggregate is one map-side-combinable pass. In
+    production you'd cap mergeSchema's footer sampling or pin the
+    schema in the catalog — noted because at 100 TB footer listing is
+    itself a job.
+    """
+    import uuid
+
+    o = read_table(spark, sf_dir, "orders")
+    dest = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"evo-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dest, "b=1"))
+    )
+    (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dest, "b=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(dest, "b=1"), os.path.join(dest, "b=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+    )
+
+
+@query(
+    "ingest_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus <> 'O'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def ingest_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    seed a status-partitioned table, then rewrite ONLY the 'O'
+    partition (doubled cents mark the rewrite); partitions the second
+    write doesn't touch survive untouched. With the static (default)
+    mode the second write would have wiped them — this is the
+    difference between re-running one day's backfill and deleting the
+    table.
+
+    Scale shape: both writes shuffle-free (partitionBy on write);
+    overwrite granularity is the partition directory, so a backfill
+    rewrites only the partitions it produces.
+    """
+    import uuid
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    dest = os.path.join(
+        tempfile.gettempdir(), "spark-graft-scratch", f"dpo-{uuid.uuid4().hex[:8]}"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base.write.partitionBy("o_orderstatus").mode("overwrite").parquet(dest)
+        (
+            base.where(F.col("o_orderstatus") == "O")
+            .withColumn("cents", F.col("cents") * 2)
+            .write.partitionBy("o_orderstatus")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(dest)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
