@@ -9,6 +9,7 @@ subqueries, and windowed SQL all parse and agree end-to-end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_table
 from .registry import query
@@ -152,5 +153,83 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token
         FROM documents d, LATERAL token_positions(d.text) t
         WHERE d.doc_id < 100
+        """
+    )
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_cnt,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_cnt,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL's native PIVOT clause (status values → columns). The
+    oracle spells the same contingency table with conditional counts —
+    PIVOT is sugar over exactly that plan (one scan, one shuffle).
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus FROM orders_pv
+        )
+        PIVOT (COUNT(1) AS c FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        """
+    ).select(
+        "o_orderpriority",
+        F.coalesce(F.col("f"), F.lit(0)).cast("bigint").alias("f_cnt"),
+        F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o_cnt"),
+        F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("p_cnt"),
+    )
+
+
+@query(
+    "set_intersect_all_bag",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nation key appears
+    min(count_customer, count_supplier) times, vs the distinct set of
+    plain INTERSECT (set_intersect). Both engines implement the same
+    SQL-standard multiplicity rule.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the identical SQL text runs on BOTH engines (the
+    one query in the suite where Spark and the oracle share the exact
+    same string): every non-aggregate select item becomes a grouping
+    key.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders_gba GROUP BY ALL
         """
     )
