@@ -233,3 +233,78 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gba GROUP BY ALL
         """
     )
+
+
+@query(
+    "scalar_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             AS plus_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')
+                AS INT) AS days_to_2026,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+             AS quarter_start
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic surface: add-a-month (both engines
+    clamp at month end), last_day, quarter extraction, day difference,
+    quarter truncation — the calendar kernel of every time-series
+    rollup. Pure date math, no floats anywhere.
+    """
+    from ..sources.parquet_io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("plus_month"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.datediff(F.lit("2026-01-01").cast("date"), d).cast("int").alias(
+            "days_to_2026"
+        ),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    )
+
+
+@query(
+    "subquery_correlated_above_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT 1.5 * AVG(i.o_totalprice) FROM orders i
+      WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — each order compared against 1.5×
+    ITS customer's average. Catalyst decorrelates this into an
+    aggregate + join (no per-row re-execution), the textbook rewrite;
+    the comparison is strict and averages land far from order totals,
+    so float-boundary wobble has no bite here (equality-adjacent
+    thresholds would use the integer-math rule instead).
+
+    Scale shape: after decorrelation the per-customer aggregate
+    shuffles once on custkey and joins back — same key, partitioning
+    reused.
+    """
+    from ..sources.parquet_io import read_table
+
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cor")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_cor o
+        WHERE o.o_totalprice > (
+          SELECT 1.5 * AVG(i.o_totalprice) FROM orders_cor i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
