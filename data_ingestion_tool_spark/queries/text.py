@@ -404,3 +404,40 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6)
         * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(lower(text), '[aeiou\\s]', '', 'g'))
+                AS BIGINT) AS n_consonant_chars
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark's vectorized batch
+    transfer, ~10-100x over row-at-a-time pickling): counts
+    non-vowel, non-space characters in Python while the oracle does
+    the same with a regex — proving the Python-side semantics line up
+    exactly with the SQL twin. The registry's ONLY row-logic Python
+    UDF, and deliberately so: everything expressible stays JVM-side
+    (CLAUDE.md scale rules); this entry documents the escape hatch
+    done right.
+
+    Scale shape: Arrow batches stream through the Python worker
+    pinned to the scan — no shuffle; throughput bounded by the Python
+    worker pool (spark.sql.execution.arrow.maxRecordsPerBatch tunes
+    batch amortization).
+    """
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def n_consonant_chars(text: str) -> int:
+        if text is None:
+            return None
+        drop = set("aeiou \t\n\r\f\v")
+        return sum(1 for ch in text.lower() if ch not in drop)
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_consonant_chars("text").alias("n_consonant_chars"))
