@@ -166,3 +166,42 @@ def expect(
         violated = violated or (r.max_num > max_num)
     spark = profile.sparkSession
     return spark.createDataFrame([r] if violated else [], profile.schema)
+
+
+def observed_write_metrics(
+    df,
+    dest: str,
+    *,
+    count_cols: tuple[str, ...] = (),
+    sum_cents_col: str | None = None,
+):
+    """Write ``df`` to parquet while piggybacking validation metrics on
+    the SAME job via the Observation API — the zero-extra-scan version
+    of "count it after you load it" (the reference re-counts the table
+    after ingest, `backend/main.py:289-291`; at 100 TB a second scan
+    for a row count is a real bill).
+
+    Returns ``(metrics_dict)`` with ``n_rows``, per-column non-null
+    counts (``n_<col>``) and, if requested, an exact integer cents sum
+    of ``sum_cents_col`` — all computed by the executors as rows flow
+    into the files.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in count_cols:
+        aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+    if sum_cents_col is not None:
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CAST(CAST({sum_cents_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_cents")
+        )
+    obs = Observation("ingest_metrics")
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(dest)
+    return dict(obs.get)

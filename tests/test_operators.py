@@ -196,3 +196,29 @@ def test_sentinel_bypass_join_rejects_none_sentinel(spark):
     right = spark.createDataFrame([(10, "a")], "rk int, tag string")
     with pytest.raises(ValueError, match="concrete value"):
         sentinel_bypass_join(big, right, on="k", right_on="rk", sentinel=None)
+
+
+def test_observed_write_metrics_single_job(spark, sf_dir, tmp_path):
+    """Observation metrics arrive from the write job itself — values
+    must equal a ground-truth re-scan, with no second read needed."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.profile import observed_write_metrics
+    from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+    o = read_table(spark, sf_dir, "orders").limit(5000)
+    dest = str(tmp_path / "obs_out")
+    m = observed_write_metrics(
+        o, dest, count_cols=("o_orderstatus",), sum_cents_col="o_totalprice"
+    )
+    back = spark.read.parquet(dest)
+    truth = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderstatus").alias("ns"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("sc"),
+    ).collect()[0]
+    assert m["n_rows"] == truth.n > 0
+    assert m["n_o_orderstatus"] == truth.ns
+    assert m["sum_cents"] == truth.sc
