@@ -571,3 +571,25 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("bucket"),
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      AND c.c_acctbal < 0
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side (not WHERE) predicate: every
+    nation survives even when no negative-balance customer matches —
+    the predicate placement distinction (ON vs WHERE filters) that
+    outer joins make semantic, not stylistic."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return c.join(
+        n,
+        (c.c_nationkey == n.n_nationkey) & (c.c_acctbal < 0),
+        "right",
+    ).select("n_name", "c_custkey", "c_acctbal")

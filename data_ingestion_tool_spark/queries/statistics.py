@@ -1196,3 +1196,52 @@ def outlier_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_clamped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted average (exact integer numerator/denominator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS price_c,
+             {_SQL_CENTS.format(col='l_quantity')} AS qty_c
+      FROM lineitem
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(price_c AS DECIMAL(18,0)) * qty_c)
+                     AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(SUM(qty_c) AS DECIMAL(38,0)) AS DOUBLE) / 100.0
+             AS qty_weighted_avg_price
+    FROM c GROUP BY grp
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: numerator and
+    denominator accumulate as exact integers (cents × quantity-cents
+    in DECIMAL(38,0) headroom), with one identical division chain at
+    the end — the aggregation AVG can't express without float drift.
+
+    Scale shape: one map-side-combinable pass.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_quantity").alias("qty_c"),
+    )
+    return c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("price_c").cast("decimal(18,0)") * F.col("qty_c"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.sum("qty_c").cast("decimal(38,0)").cast("double")
+            / F.lit(100.0)
+        ).alias("qty_weighted_avg_price"),
+    )
