@@ -1245,3 +1245,60 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("qty_weighted_avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (ordered scalar folds)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list_prepend(0.0, list(CAST(value AS DOUBLE)
+                                    ORDER BY ts, event_id)) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> greatest(0.0, acc + x - 5.0)), 9) AS cusum_hi,
+           ROUND(list_reduce(list_transform(vals, v -> -v),
+                 (acc, x) -> least(0.0, acc + x + 5.0)), 9) AS cusum_lo
+    FROM s
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control-chart state per user: the upper cusum
+    S⁺ = max(0, S⁺ + x − k) accumulates upward drift beyond allowance
+    k=5, the lower mirror accumulates downward drift — the classic
+    sequential change-point detector. Both engines run the identical
+    left fold in (ts, event_id) order (a 0.0 is prepended so the first
+    real element passes through the recurrence too); identical
+    recurrence ⇒ identical doubles, rounded to 9 as hygiene.
+
+    Scale shape: one shuffle on user_id; per-user arrays stay
+    group-local (the streaming twin would carry S⁺/S⁻ as
+    applyInPandasWithState state instead of an array).
+    """
+    e = read_events(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    hi = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x["value"] - F.lit(5.0)),
+    )
+    lo = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: F.least(F.lit(0.0), acc - x["value"] + F.lit(5.0)),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(hi, 9).alias("cusum_hi"),
+        F.round(lo, 9).alias("cusum_lo"),
+    )

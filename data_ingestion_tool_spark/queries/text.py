@@ -441,3 +441,65 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_consonant_chars("text").alias("n_consonant_chars"))
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freqs AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freqs),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ln(CAST(f.cnt AS DOUBLE) / CAST(total.total AS DOUBLE))
+                  AS DECIMAL(18,9)) AS logp
+      FROM toks t JOIN freqs f ON t.tok = f.tok, total
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(logp) AS DOUBLE) AS sum_logprob,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: each token
+    contributes ln(corpus_freq/total); low average log-probability
+    flags unusual/garbage text — the cheap perplexity proxy used in
+    corpus filtering. Each term is an identical double (a log of a
+    quotient of identical bigints) QUANTIZED to DECIMAL(18,9) before
+    summation, so the per-doc sum is decimal-exact and
+    order-independent — a raw float SUM over thousands of log terms
+    differs in final ulps by partition order (the CLAUDE.md dsum rule,
+    applied to logs).
+
+    Scale shape: the frequency table is a map-side-combinable count;
+    the (token → logp) join is broadcast-size for real vocabularies;
+    the final per-doc sum shares the doc_id grouping with the explode.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freqs.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).cast("decimal(18,9)").alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("logp").cast("double").alias("sum_logprob"),
+        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
