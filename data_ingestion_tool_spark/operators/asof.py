@@ -62,8 +62,15 @@ def asof_join(
     Both directions are the same one-shuffle union + ordered-window
     plan (module docstring); forward just scans the other way.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on=on, right_on=right_on, left_ts=left_ts,
+            right_ts=right_ts, payload=payload,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     # All payload columns ride ONE never-null struct per right row, so
     # `last(ignorenulls=True)` skips only rows of the wrong side — a
     # genuinely-NULL payload value in the matched right row stays NULL
@@ -113,3 +120,65 @@ def asof_join(
         *left.columns,
         *[F.col(f"__m.{dst}").alias(dst) for dst in payload.values()],
     )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    right_on: str | None,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """direction="nearest": the right row minimizing |right_ts −
+    left_ts|, ties resolved to the BACKWARD (earlier) match — pandas
+    ``merge_asof(direction="nearest")`` semantics. Implemented as the
+    backward and forward passes stitched per left row (the left frame
+    gets a transient row id, so no unique key is required of the
+    caller); both passes carry the matched timestamp internally to
+    arbitrate the distance.
+
+    Scale shape: two one-shuffle as-of passes on the same key + one
+    row-id-partitioned stitch join — 3 shuffles total, each on a key
+    the next stage reuses.
+    """
+    from pyspark.sql import functions as F
+
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    # Arbitrate by the matched right timestamp; reuse the caller's own
+    # payload alias when right_ts is already carried (adding a second
+    # entry under the same source column would clobber theirs).
+    pay = dict(payload)
+    match_alias = pay.get(right_ts)
+    if match_alias is None:
+        pay[right_ts] = match_alias = "__match_ts"
+    b = asof_join(
+        lid, right, on=on, right_on=right_on, left_ts=left_ts,
+        right_ts=right_ts, payload=pay, direction="backward",
+    ).select(
+        "__lid",
+        F.col(match_alias).alias("__b_ts"),
+        *[F.col(dst).alias(f"__b_{dst}") for dst in payload.values()],
+    )
+    f = asof_join(
+        lid, right, on=on, right_on=right_on, left_ts=left_ts,
+        right_ts=right_ts, payload=pay, direction="forward",
+    ).select(
+        "__lid",
+        F.col(match_alias).alias("__f_ts"),
+        *[F.col(dst).alias(f"__f_{dst}") for dst in payload.values()],
+    )
+    j = lid.join(b, "__lid", "left").join(f, "__lid", "left")
+    lts = F.col(left_ts)
+    d_b = F.unix_micros(lts) - F.unix_micros(F.col("__b_ts"))
+    d_f = F.unix_micros(F.col("__f_ts")) - F.unix_micros(lts)
+    use_b = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull() & (d_b <= d_f)
+    )
+    out_cols = [
+        F.when(use_b, F.col(f"__b_{dst}")).otherwise(F.col(f"__f_{dst}")).alias(dst)
+        for dst in payload.values()
+    ]
+    return j.select(*left.columns, *out_cols)

@@ -542,3 +542,40 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1.0
         ).alias("wow_growth"),
     )
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.ts FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)),
+                      c.ts, c.event_id
+             LIMIT 1) AS nearest_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each error, the click by the
+    same user closest in time EITHER way, ties to the earlier click —
+    pandas merge_asof(direction='nearest'), which neither engine has
+    natively (the oracle is a correlated ORDER BY abs(Δt) LIMIT 1).
+    Payload is the matched timestamp, so the check is tie-insensitive
+    beyond the documented earlier-wins rule."""
+    from ..operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "nearest_click_ts"},
+        direction="nearest",
+    )

@@ -198,3 +198,33 @@ def test_partition_pruning_in_plan(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderstatus" in m.group(1)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant matches resolve to the earlier (backward) row, and
+    one-sided cases fall back to whichever side exists."""
+    from datetime import datetime
+
+    from data_ingestion_tool_spark.operators.asof import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1, 12, 0, 0)),   # tie: clicks at 11:00 and 13:00
+         (2, 1, T(2024, 1, 1, 9, 0, 0)),    # only forward exists
+         (3, 2, T(2024, 1, 1, 12, 0, 0))],  # only backward exists
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 11, 0, 0), "early"),
+         (1, T(2024, 1, 1, 13, 0, 0), "late"),
+         (2, T(2024, 1, 1, 8, 0, 0), "only_b")],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            payload={"tag": "tag"}, direction="nearest",
+        ).collect()
+    }
+    assert out == {1: "early", 2: "early", 3: "only_b"}
