@@ -344,3 +344,55 @@ def sample_weighted_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT)"
     )
     return t.where(h48 * 400 < F.col("n_tokens") * F.lit(281474976710656))
+
+
+@query(
+    "dedup_exact_keep_best",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars, {_SQL_NTOK} AS n_tokens,
+             md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars, n_tokens, content_hash,
+             row_number() OVER (
+               PARTITION BY content_hash
+               ORDER BY n_tokens DESC, doc_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT)
+               AS cluster_size
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST doc per content cluster (most
+    tokens, doc_id tie-break) instead of the arbitrary min-id — the
+    production keeper rule: among byte-identical-after-normalization
+    copies, keep the one whose metadata/extraction is richest. Emits
+    the keeper with its cluster size (1 = unique).
+
+    Scale shape: one shuffle on the content hash; the ranking window
+    and cluster-size count share it.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("content_hash")).cast("bigint"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id", "source", "n_tokens", "cluster_size"
+    )
