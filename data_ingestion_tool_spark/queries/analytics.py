@@ -579,3 +579,107 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"ts": "nearest_click_ts"},
         direction="nearest",
     )
+
+
+@query(
+    "events_top_path_3grams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      FROM events
+    )
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    HAVING COUNT(*) >= 10
+    """,
+)
+def events_top_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral paths (event-type trigrams within each
+    user's timeline) with a min-support floor — the path-mining
+    counterpart of the 2-step Markov matrix; support ≥ 10 keeps the
+    output the frequent-path set, not the long tail.
+
+    Scale shape: one shuffle on user_id serves both lead() offsets;
+    the trigram count is map-side-combinable over ≤ |type|³ keys.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_c,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c,
+             row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(MIN(CASE WHEN cum_c * 5 >= total_c * 4 THEN rn END)
+                AS BIGINT) AS n_cust_to_80pct,
+           MAX(n_cust) AS n_customers,
+           MAX(total_c) AS total_rev_cents
+    FROM ranked
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 revenue concentration: how many top customers
+    (by exact integer cents revenue) carry 80% of total revenue. The
+    crossing is integer cross-multiplication (cum·5 ≥ total·4 — the
+    CLAUDE.md share-threshold rule), so the boundary customer is
+    engine-exact.
+
+    Scale shape: the per-customer rollup collapses orders first; the
+    ranked cumsum runs over the customer-grain table (the small side
+    at production scale).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    w_order = Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev_c",
+        F.sum("rev_c")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).cast("bigint").alias("total_c"),
+        F.row_number().over(w_order).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n_cust"),
+    )
+    return ranked.agg(
+        F.min(
+            F.when(F.col("cum_c") * 5 >= F.col("total_c") * 4, F.col("rn"))
+        )
+        .cast("bigint")
+        .alias("n_cust_to_80pct"),
+        F.max("n_cust").alias("n_customers"),
+        F.max("total_c").alias("total_rev_cents"),
+    )
