@@ -716,3 +716,186 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank: int = 8,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production billion-vector index
+    architecture: a coarse IVF codebook routes each vector to a cell,
+    PQ compresses it to ``m`` one-byte codes, and a query (a) probes
+    only its ``n_probe`` nearest cells and (b) scores the probed
+    fraction via ADC lookup tables, then exact-cosine re-ranks the
+    ``k × rerank`` shortlist. Relative to :func:`pq_topk`, the IVF
+    routing cuts the scored fraction to ~n_probe/n_centroids; relative
+    to :func:`ivf_topk`, the PQ codes make the probed scan a
+    byte-table lookup instead of full-vector arithmetic. (Classic
+    IVFPQ encodes residuals against the cell centroid; this
+    implementation quantizes the raw normalized vectors — simpler, and
+    the exact re-rank absorbs the accuracy difference at these
+    shortlist sizes.)
+
+    Deterministic end-to-end: IVF seeds and PQ training both derive
+    from lowest-id samples; all tie-breaks are stable.
+
+    Scale shape: one corpus pass to assign+encode (mapInPandas, both
+    codebooks in the task closure), one pass over ONLY probed-cell
+    rows for ADC, a window over per-batch shortlists, and a
+    broadcast-stitched exact re-rank of k·rerank rows per query.
+    """
+    import numpy as np
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    books, dim = pq_train(corpus, m, n_codes, id_col, vec_col)
+    d_sub = dim // m
+
+    # -- one corpus pass: coarse cell + fine codes
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("cid", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        cn2 = (cmat * cmat).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            d2c = (vmat * vmat).sum(1)[:, None] - 2.0 * (vmat @ cmat.T) + cn2[None, :]
+            cell = cids[np.argsort(d2c, axis=1, kind="stable")[:, 0]]
+            norms = np.linalg.norm(vmat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            vn = vmat / norms
+            codes = np.empty((len(vn), m), dtype=np.int64)
+            for s in range(m):
+                xs = vn[:, s * d_sub : (s + 1) * d_sub]
+                d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cid": cell.astype(np.int32),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+            yield out
+
+    encoded = corpus.select(F.col(id_col), _as_double(vec_col).alias(vec_col)).mapInPandas(
+        encode, enc_schema
+    )
+
+    # -- queries: probe cells + ADC LUTs (bounded driver collect)
+    qrows = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.qv for r in qrows], dtype=np.float64)
+    d2c = (qmat * qmat).sum(1)[:, None] - 2.0 * (qmat @ cmat.T) + (cmat * cmat).sum(
+        axis=1
+    )[None, :]
+    probes = [
+        set(cids[np.argsort(row, kind="stable")[:n_probe]].tolist()) for row in d2c
+    ]
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qnorm = qmat / qn
+    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
+    for s in range(m):
+        qs = qnorm[:, s * d_sub : (s + 1) * d_sub]
+        lut[:, s, :] = (
+            (qs ** 2).sum(axis=1)[:, None]
+            - 2.0 * (qs @ books[s].T)
+            + (books[s] ** 2).sum(axis=1)[None, :]
+        )
+
+    shortlist_k = k * rerank if rerank else k
+    score_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_score", DoubleType()),
+        ]
+    )
+    sidx = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cid"].values
+            codes = np.stack(pdf["codes"].map(np.asarray).values)
+            nids = pdf["neighbor_id"].values
+            d2 = lut[:, sidx[None, :], codes].sum(axis=2)  # (Q, B)
+            for qi in range(len(qids)):
+                mask = np.isin(cell, list(probes[qi])) & (nids != qids[qi])
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                row = d2[qi]
+                order = cand[np.lexsort((nids[cand], row[cand]))][:shortlist_k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": nids[order],
+                        "approx_score": 1.0 - row[order] / 2.0,
+                    }
+                )
+
+    scored = encoded.mapInPandas(score, score_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_score").desc(), F.col("neighbor_id")
+    )
+    shortlisted = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= shortlist_k)
+    if not rerank:
+        return shortlisted.select("query_id", "neighbor_id", "approx_score", "rank")
+    cand = shortlisted.select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    exact = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -216,3 +216,19 @@ def embedding_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_positive"
         ),
     )
+
+
+@query("similarity_topk_ivfpq")  # approximate (routed + quantized) → rows-only
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN: coarse 16-cell routing (probe 4) over
+    PQ-compressed codes (m=16, 32 codes) with exact re-rank of the 8k
+    shortlist — the production billion-vector index architecture,
+    combining ivf_topk's scan pruning with pq_topk's byte-table
+    scoring. Accuracy pinned by tests/test_pq.py::
+    test_ivfpq_recall_vs_bruteforce."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(N_QUERY_VECS)
+    return SIM.ivfpq_topk(
+        emb, queries, k=TOP_K, n_centroids=16, n_probe=4, m=16, n_codes=32,
+        rerank=8,
+    )

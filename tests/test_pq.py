@@ -84,3 +84,35 @@ def test_pq_codes_shape_and_range(spark, emb):
 def test_pq_rejects_indivisible_dim(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7, n_codes=16)
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, emb):
+    """Coarse routing (probe 4/16 cells) + PQ codes + exact re-rank
+    must hold recall@5 >= 0.5 (chance ~1%; routing misses are the main
+    loss vs pure PQ's 0.94)."""
+    from data_ingestion_tool_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4, m=16, n_codes=32,
+            rerank=8,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall@5 too low: {recall:.2f}"
+
+
+def test_ivfpq_deterministic(spark, emb):
+    from data_ingestion_tool_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.orderBy("vec_id").limit(5)
+    run = lambda: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in ivfpq_topk(emb, queries, k=5).collect()
+    )
+    assert run() == run()
