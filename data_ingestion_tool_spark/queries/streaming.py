@@ -465,3 +465,56 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 2)
         .select("window_start", "event_type", "cnt", "rank")
     )
+
+
+@query(
+    "stream_cusum_drift",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list_prepend(0.0, list(CAST(value AS DOUBLE)
+                                    ORDER BY ts, event_id)) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> greatest(0.0, acc + x - 5.0)), 9) AS cusum_hi,
+           ROUND(list_reduce(list_transform(vals, v -> -v),
+                 (acc, x) -> least(0.0, acc + x + 5.0)), 9) AS cusum_lo
+    FROM s
+    """,
+)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM: the sequential change-point recurrence runs as
+    a custom stateful operator (applyInPandasWithState) with (S⁺, S⁻,
+    n) in the state store — the streaming twin of the batch
+    events_cusum_drift, verified against the SAME ordered-fold oracle,
+    so the state-machine implementation provably equals the batch fold
+    over the full input. Per-batch rows sort by (ts, event_id); final
+    state per user is the highest-n emission.
+
+    Scale shape: state is 3 scalars per key; the recurrence is O(rows)
+    with no buffering — the detector a 100 TB/day firehose can afford.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import cusum_per_key
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return cusum_per_key(normalize_ts(stream, "ts"))
+
+    out = run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform,
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.expr("max_by(cusum_hi, n_events)"), 9).alias("cusum_hi"),
+        F.round(F.expr("max_by(cusum_lo, n_events)"), 9).alias("cusum_lo"),
+    )
