@@ -7,7 +7,7 @@ exactly the production image/audio path (see operators.multimodal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.multimodal import extract_binary_metadata, with_binary_payload
 from ..sources.parquet_io import read_table
@@ -78,4 +78,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         F.round(F.avg("rms"), 6).alias("mean_rms"),
         F.round(F.avg("zcr"), 6).alias("mean_zcr"),
+    )
+
+
+@query(
+    "multimodal_dedup_binary",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, sha256(text) AS payload_hash,
+             CAST(strlen(text) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, payload_hash, byte_len,
+             row_number() OVER (
+               PARTITION BY payload_hash ORDER BY doc_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY payload_hash) AS BIGINT)
+               AS n_copies
+      FROM h
+    )
+    SELECT doc_id, source, byte_len, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of BINARY payloads by content digest — the first
+    pass of any image/audio corpus dedup (byte-identical copies from
+    re-crawls/mirrors), keeping the lowest doc_id per digest with the
+    copy count. The digest is computed executor-side over the binary
+    column (mapInPandas plumbing shared with multimodal_binary_meta);
+    only (digest, id) pairs ever shuffle — payload bytes stay put, the
+    property that makes this affordable on a 100 TB media lake.
+    """
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    h = extract_binary_metadata(with_binary_payload(d, "text")).select(
+        "doc_id", F.col("sha256_hex").alias("payload_hash"), "byte_len"
+    )
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = h.join(src, "doc_id")
+    w = Window.partitionBy("payload_hash").orderBy("doc_id")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(Window.partitionBy("payload_hash")).cast("bigint"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id", "source", "byte_len", "n_copies"
     )
