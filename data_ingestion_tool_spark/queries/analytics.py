@@ -683,3 +683,104 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_cust").alias("n_customers"),
         F.max("total_c").alias("total_rev_cents"),
     )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c, o_custkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(rn AS DECIMAL(18,0)) * rev_c)
+                     AS DECIMAL(38,0)) AS DOUBLE) * 2.0
+             / (CAST(MAX(n) AS DOUBLE)
+                * CAST(CAST(SUM(rev_c) AS DECIMAL(38,0)) AS DOUBLE))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE)
+             AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary behind the Pareto query: G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over revenue sorted ascending (ranks tie-broken by
+    custkey; equal revenues contribute symmetrically so the tie order
+    cannot change the sum). Rank-weighted sums accumulate in
+    DECIMAL(38,0) (rank × cents passes 10^17 at sf1) and the final
+    expression is an identical double on both engines.
+
+    Scale shape: per-customer rollup, one ranking window over the
+    customer-grain table, one moment pass.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    w = Window.orderBy("rev_c", "o_custkey")
+    ranked = per_cust.select(
+        "rev_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    nd = F.max("n").cast("double")
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        (
+            F.sum(F.col("rn").cast("decimal(18,0)") * F.col("rev_c"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            * F.lit(2.0)
+            / (nd * F.sum("rev_c").cast("decimal(38,0)").cast("double"))
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT event_type, hod, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) * 24.0
+             / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+             AS load_factor
+    FROM h
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: the load factor is the
+    hour's share × 24 (1.0 = perfectly uniform traffic) — capacity
+    planning's first chart. Integer counts; the factor is an identical
+    bigint quotient.
+
+    Scale shape: map-side-combinable rollup to |type|×24 rows; the
+    share window runs over that aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    h = (
+        e.select("event_type", F.hour("ts").cast("int").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return h.select(
+        "event_type",
+        "hod",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            * F.lit(24.0)
+            / F.sum("cnt").over(Window.partitionBy("event_type")).cast("bigint")
+        ).alias("load_factor"),
+    )

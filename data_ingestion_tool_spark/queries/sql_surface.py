@@ -308,3 +308,35 @@ def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         """
     )
+
+
+@query(
+    "scalar_string_advanced",
+    oracle="""
+    SELECT c_custkey,
+           repeat(substring(c_mktsegment, 1, 2), 3) AS rep2x3,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(substring(c_name, 1, 8), 12, '.') AS padded_name,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+           reverse(c_mktsegment) AS seg_rev
+    FROM customer WHERE c_custkey < 1000
+    """,
+)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tier of the string-function surface: repeat, translate,
+    lpad/rpad, substring position, reverse — all ASCII inputs here, so
+    the engines' code-point semantics coincide exactly.
+    """
+    from ..sources.parquet_io import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") < 1000).select(
+        "c_custkey",
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep2x3"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad(F.substring("c_name", 1, 8), 12, ".").alias("padded_name"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
