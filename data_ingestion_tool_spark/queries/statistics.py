@@ -1302,3 +1302,117 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 9).alias("cusum_hi"),
         F.round(lo, 9).alias("cusum_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing moving average (ROWS frame, exact cents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_average_rows",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+           CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS BIGINT) / 100.0 AS moving_avg
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_average_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-observation moving average per user (ROWS frame —
+    the count-based sibling of the RANGE/time frames elsewhere in the
+    suite). The frame sum is exact integer cents; the average is one
+    identical division — no float accumulation across the frame.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select("user_id", "event_id", "ts", _cents("value").alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("win_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"),
+        (
+            F.sum("cents").over(w).cast("bigint").cast("double")
+            / F.count(F.lit(1)).over(w).cast("bigint")
+            / F.lit(100.0)
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via sweep line (+1/-1 deltas, running sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS t, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE), ts + INTERVAL 5 MINUTE, -1, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT day,
+             CAST(SUM(delta) OVER (
+               PARTITION BY day ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT day, MAX(live) AS peak_concurrency
+    FROM swept GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day, each event counted live for 5
+    minutes — the classic sweep line: +1 at start, −1 at expiry,
+    running sum, daily max. The sweep order carries (delta, event_id)
+    tie-breaks so an expiry at the same instant as an arrival
+    decrements FIRST (delta −1 < +1) — both engines sweep identically
+    and the counts are pure integers. (Day-boundary-straddling windows
+    count toward the start day — the partition is the sweep scope.)
+
+    Scale shape: the union doubles the rows once, the sweep is one
+    day-partitioned window, the max collapses it — no joins at all,
+    where the naive formulation is a quadratic self-join.
+    """
+    e = read_events(spark, sf_dir)
+    starts = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = e.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select(
+        "day", F.sum("delta").over(w).cast("bigint").alias("live")
+    )
+    return swept.groupBy("day").agg(F.max("live").alias("peak_concurrency"))
