@@ -540,3 +540,38 @@ def ingest_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "catalog_row_counts_all_tables",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def catalog_row_counts_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog row-count audit — the reference's signature
+    operation (count-after-load, `backend/main.py:289-291`) run across
+    every table at once. Parquet COUNT(*) resolves from footer
+    statistics (no data pages read), so this audits a 100 TB catalog
+    in metadata time.
+    """
+    from functools import reduce
+
+    from ..sources.parquet_io import TPCH_TABLES
+
+    parts = [
+        read_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in TPCH_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
