@@ -10,6 +10,7 @@ from .inspect import (
     read_schemas,
     scan_columns,
     simple_plan,
+    single_task_global_windows,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "read_schemas",
     "scan_columns",
     "simple_plan",
+    "single_task_global_windows",
 ]

@@ -105,6 +105,34 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return "partial_" in formatted_plan(df)
 
 
+def single_task_global_windows(df: DataFrame) -> int:
+    """Count Window nodes that funnel UNAGGREGATED data through one
+    task — the ``Window [ORDER BY ...]`` (no PARTITION BY) scale wall.
+
+    Detected as the physical shape ``Window → Sort → Exchange
+    SinglePartition → <non-aggregate child>``. A single-partition
+    window whose exchange child IS an aggregate (e.g. the ≤P-row
+    offsets frame in operators/ranking.py, or a per-group rollup) is
+    allowed: those frames are bounded by group/partition cardinality,
+    not data volume.
+    """
+    lines = simple_plan(df).splitlines()
+    hits = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        above = lines[max(0, i - 2) : i]
+        if not any("Sort" in a for a in above):
+            continue
+        if not any("Window" in a for a in above):
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "Aggregate" in child:
+            continue
+        hits += 1
+    return hits
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast excluded).
 

@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.ranking import (
+    ntile_from_rn,
+    percent_rank_from_rn,
+    with_global_row_number,
+)
 from ..sources.parquet_io import read_events, read_table
 from .registry import davg, dsum, fsum, query, sql_davg, sql_dsum, sql_fsum
 
@@ -246,14 +251,26 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartile + percent_rank WITHOUT the single-task sort: a
+    naive ``Window.orderBy`` with no partitioning funnels every row of
+    orders through one executor. ``with_global_row_number`` (one range
+    shuffle, parallel partition sorts, broadcast offsets) reproduces
+    row_number exactly, and NTILE/PERCENT_RANK are closed-form integer
+    math on (rn, n). The dense_rank stays a (properly partitioned)
+    window."""
     o = read_table(spark, sf_dir, "orders")
-    w_global = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = with_global_row_number(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"),
+        ["o_totalprice", "o_orderkey"],
+        rn="__grn",
+        n_col="__gn",
+    )
     w_part = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    return o.select(
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w_global).cast("bigint").alias("quartile"),
+        ntile_from_rn("__grn", "__gn", 4).alias("quartile"),
         F.dense_rank().over(w_part).cast("bigint").alias("prio_rank"),
-        F.percent_rank().over(w_global).alias("pct"),
+        percent_rank_from_rn("__grn", "__gn").alias("pct"),
     )
 
 

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import (
+    with_global_ntile,
+    with_global_prefix_sum,
+    with_global_row_number,
+)
 from ..sources.parquet_io import read_events, read_table
 from .registry import query
 
@@ -450,9 +455,10 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is integer cents so even equal-looking totals rank identically.
 
     Scale shape: per-customer rollup first (map-side combinable), then
-    three global ntile windows over the CUSTOMER table (1 row per
-    customer — at 100 TB this is the small side; the windows sort
-    ~millions, not the order fact table).
+    three chained ``with_global_ntile`` passes over the customer-grain
+    table — each is one PARALLEL range shuffle + closed-form bucket
+    math (operators/ranking.py), never a single-task global sort, so
+    the plan survives customer grains of billions of rows.
     """
     o = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -461,15 +467,15 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents).alias("monetary_cents"),
     )
-    scored = per_cust.select(
-        "o_custkey",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+    scored = per_cust
+    for out_col, keys in (
+        ("r_score", ["last_order", "o_custkey"]),
+        ("f_score", ["frequency", "o_custkey"]),
+        ("m_score", ["monetary_cents", "o_custkey"]),
+    ):
+        scored = with_global_ntile(scored, keys, 4, out_col)
+    scored = scored.select(
+        "o_custkey", "frequency", "monetary_cents", "r_score", "f_score", "m_score"
     )
     seg = (
         F.when(
@@ -656,23 +662,22 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
 
     Scale shape: the per-customer rollup collapses orders first; the
-    ranked cumsum runs over the customer-grain table (the small side
-    at production scale).
+    ranked cumsum is ``with_global_prefix_sum`` (operators/ranking.py)
+    — one parallel range shuffle + vectorized int64 partition cumsums
+    stitched by broadcast offsets, replacing the former single-task
+    global window so the plan survives billion-customer grain.
     """
     o = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
     per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
-    w_order = Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "o_custkey",
+    ranked = with_global_prefix_sum(
+        per_cust,
+        [F.desc("rev_c"), F.asc("o_custkey")],
         "rev_c",
-        F.sum("rev_c")
-        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("cum_c"),
-        F.sum("rev_c").over(Window.partitionBy()).cast("bigint").alias("total_c"),
-        F.row_number().over(w_order).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n_cust"),
+        rn="rn",
+        cum="cum_c",
+        n_col="n_cust",
+        total_col="total_c",
     )
     return ranked.agg(
         F.min(
@@ -719,18 +724,16 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (rank × cents passes 10^17 at sf1) and the final
     expression is an identical double on both engines.
 
-    Scale shape: per-customer rollup, one ranking window over the
-    customer-grain table, one moment pass.
+    Scale shape: per-customer rollup, then ``with_global_row_number``
+    (operators/ranking.py) — parallel range-shuffle ranking instead of
+    the former single-task global window — and one moment pass.
     """
     o = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
     per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
-    w = Window.orderBy("rev_c", "o_custkey")
-    ranked = per_cust.select(
-        "rev_c",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    ranked = with_global_row_number(
+        per_cust, ["rev_c", "o_custkey"], rn="rn", n_col="n"
+    ).select("rev_c", "rn", "n")
     nd = F.max("n").cast("double")
     return ranked.agg(
         F.max("n").alias("n_customers"),

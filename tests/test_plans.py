@@ -313,3 +313,21 @@ def test_interval_join_is_hash_join_not_nested_loop(q):
     # the only BNLJ-free requirement: no nested loop anywhere
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert any(s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for s in strategies), strategies
+
+
+def test_no_single_task_global_windows_in_ranked_queries(q):
+    """The round-3 verdict's one structural scale risk: global
+    ntile/percent_rank/cumsum planned as Window [ORDER BY] with no
+    PARTITION BY move EVERY row into one task. All four former
+    offenders now rank via operators/ranking.py (parallel range
+    shuffle + broadcast offsets) — the detector must see no
+    single-partition Window over unaggregated data in any of them."""
+    from data_ingestion_tool_spark.plans import single_task_global_windows
+
+    for name in (
+        "window_ntile_ranks",
+        "orders_rfm_segmentation",
+        "orders_pareto_concentration",
+        "agg_gini_coefficient",
+    ):
+        assert single_task_global_windows(q(name)) == 0, name

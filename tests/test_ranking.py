@@ -1,0 +1,118 @@
+"""Global-ranking operator (operators/ranking.py): exact equivalence
+with the naive single-task windows it replaces, plus the plan-shape
+guarantee that no query funnels unaggregated data through one task.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.ranking import (
+    ntile_from_rn,
+    percent_rank_from_rn,
+    with_global_ntile,
+    with_global_prefix_sum,
+    with_global_row_number,
+)
+from data_ingestion_tool_spark.plans import single_task_global_windows
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_row_number_ntile_pct_match_naive_window(orders):
+    """Same rn/ntile/percent_rank values as Window.orderBy, including
+    a bucket count that does NOT divide n evenly."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = orders.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(7).over(w).alias("q7"),
+        F.percent_rank().over(w).alias("pct"),
+    )
+    got = with_global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], rn="rn", n_col="n"
+    ).select(
+        "o_orderkey",
+        "rn",
+        ntile_from_rn("rn", "n", 7).alias("q7"),
+        percent_rank_from_rn("rn", "n").alias("pct"),
+    )
+    a = {r["o_orderkey"]: (r["rn"], r["q7"], r["pct"]) for r in ref.collect()}
+    b = {r["o_orderkey"]: (r["rn"], r["q7"], r["pct"]) for r in got.collect()}
+    assert a == b
+
+
+def test_prefix_sum_matches_naive_running_window(orders):
+    """Descending order + int64 cumsum == SUM ... ROWS UNBOUNDED
+    PRECEDING, with totals attached."""
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    pc = orders.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ref = pc.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    got = with_global_prefix_sum(
+        pc,
+        [F.desc("rev"), F.asc("o_custkey")],
+        "rev",
+        rn="rn",
+        cum="cum",
+        n_col="n",
+        total_col="tot",
+    )
+    a = {r["o_custkey"]: (r["rn"], r["cum"]) for r in ref.collect()}
+    b = {r["o_custkey"]: (r["rn"], r["cum"]) for r in got.collect()}
+    assert a == b
+    head = got.select("n", "tot").first()
+    assert head["n"] == pc.count()
+    assert head["tot"] == pc.agg(F.sum("rev")).first()[0]
+
+
+def test_ntile_uneven_and_singleton(spark):
+    small = spark.createDataFrame([(i,) for i in range(1, 8)], "x int")
+    ref = {
+        r["x"]: r["t"]
+        for r in small.select(
+            "x", F.ntile(3).over(Window.orderBy("x")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["x"]: r["t"]
+        for r in with_global_ntile(small, ["x"], 3, "t").select("x", "t").collect()
+    }
+    assert ref == got
+    one = spark.createDataFrame([(42,)], "x int")
+    row = (
+        with_global_row_number(one, ["x"], rn="rn", n_col="n")
+        .select("rn", percent_rank_from_rn("rn", "n").alias("pct"))
+        .first()
+    )
+    assert row["rn"] == 1 and row["pct"] == 0.0
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "x int, y long")
+    assert with_global_row_number(empty, ["x"], rn="rn").count() == 0
+    assert with_global_prefix_sum(empty, ["x"], "y").count() == 0
+
+
+def test_detector_flags_naive_and_passes_operator(spark, orders):
+    """Positive control: the plan detector sees the naive single-task
+    window; the operator's plan is clean (its only single-partition
+    window runs over the P-row offsets aggregate)."""
+    naive = orders.select(
+        F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).alias("rn")
+    )
+    assert single_task_global_windows(naive) >= 1
+    fixed = with_global_row_number(orders, ["o_totalprice", "o_orderkey"])
+    assert single_task_global_windows(fixed) == 0
