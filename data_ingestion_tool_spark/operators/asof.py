@@ -146,7 +146,18 @@ def _asof_nearest(
     """
     from pyspark.sql import functions as F
 
-    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    # The row id MUST be assigned once and pinned: __lid is
+    # nondeterministic (partition-layout-dependent), and three lineage
+    # branches (b, f, and the stitch join) reference it. Without the
+    # pin, a left frame downstream of a shuffle/window could present
+    # different partition contents to each recomputation, silently
+    # misaligning the stitch. The lazy localCheckpoint materializes the
+    # id'd frame once in the block manager (ContextCleaner-collected)
+    # and every branch reads the SAME physical rows — cf. the identical
+    # pin in operators/ranking.py.
+    lid = left.withColumn("__lid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
     # Arbitrate by the matched right timestamp; reuse the caller's own
     # payload alias when right_ts is already carried (adding a second
     # entry under the same source column would clobber theirs).

@@ -177,10 +177,15 @@ def hierarchy_closure(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"hierarchy_closure did not resolve in {max_iter} pointer-"
-            "doubling rounds (depth > 2^max_iter or a parent cycle)"
-        )
+        # The loop checks convergence at the TOP of each round, so a
+        # forest that resolves exactly on round max_iter exits the
+        # `for` without ever observing pending == 0 — re-check before
+        # declaring a cycle.
+        if state.filter(~F.col("done")).limit(1).count() != 0:
+            raise RuntimeError(
+                f"hierarchy_closure did not resolve in {max_iter} pointer-"
+                "doubling rounds (depth > 2^max_iter or a parent cycle)"
+            )
     return state.select(
         "node", F.col("ptr").alias("root_id"), F.col("dist").alias("depth")
     )

@@ -354,18 +354,12 @@ def ingest_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata in tests/test_zorder.py; at 100 TB this is the OPTIMIZE
     ZORDER BY primitive that turns multi-dim point queries from
     full-table scans into a handful of files."""
-    import os
-    import tempfile
-    import uuid
-
     from ..operators.zorder import zorder_write
 
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    dest = os.path.join(
-        tempfile.gettempdir(), "spark-graft-scratch", f"zo-{uuid.uuid4().hex[:8]}"
-    )
+    dest = _scratch("zo")
     zorder_write(l, ["l_partkey", "l_suppkey"], dest)
     z = spark.read.parquet(dest).filter(
         (F.col("l_partkey") <= 100) & (F.col("l_suppkey") <= 10)
@@ -457,12 +451,8 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema in the catalog — noted because at 100 TB footer listing is
     itself a job.
     """
-    import uuid
-
     o = read_table(spark, sf_dir, "orders")
-    dest = os.path.join(
-        tempfile.gettempdir(), "spark-graft-scratch", f"evo-{uuid.uuid4().hex[:8]}"
-    )
+    dest = _scratch("evo")
     (
         o.where(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_orderstatus")
@@ -514,14 +504,10 @@ def ingest_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
     overwrite granularity is the partition directory, so a backfill
     rewrites only the partitions it produces.
     """
-    import uuid
-
     o = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
     base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
-    dest = os.path.join(
-        tempfile.gettempdir(), "spark-graft-scratch", f"dpo-{uuid.uuid4().hex[:8]}"
-    )
+    dest = _scratch("dpo")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -436,7 +436,11 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_consonant_chars(text: str) -> int:
         if text is None:
             return None
-        drop = set("aeiou \t\n\r\f\v")
+        # NO \v here: the oracle's regex class [aeiou\s] is RE2 \s =
+        # [\t\n\f\r ], which excludes vertical tab — the drop sets must
+        # match character-for-character or a \v in any document counts
+        # differently on the two sides.
+        drop = set("aeiou \t\n\r\f")
         return sum(1 for ch in text.lower() if ch not in drop)
 
     d = read_table(spark, sf_dir, "documents")
