@@ -65,6 +65,36 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - prewarm must never abort bench
                 pass
 
+    # Machine-load sentinel: a FIXED query defined here (never from the
+    # registry, so registry edits can't change it) whose plan has been
+    # stable since round 1 — scan + filter + groupBy/sum on lineitem.
+    # Its drift vs the BASELINE.md sentinel value separates machine-load
+    # noise from real plan regressions: ratios should be read as
+    # (query_ratio / sentinel_ratio). Added per round-3 verdict item 3
+    # after two plan-unchanged floor-level queries tripped the 2x flag
+    # purely from measurement-era load differences.
+    def sentinel_once() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+            .where(F.col("l_shipdate") > "1995-01-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sq"),
+                F.sum("l_extendedprice").alias("sp"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    sentinel_once()  # warm-up
+    sentinel = round(statistics.median(sentinel_once() for _ in range(5)), 4)
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
@@ -87,6 +117,7 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "reps": REPS,
+        "sentinel_sec": sentinel,
     }
     # Durable artifact first: the full result always lands on disk, so a
     # stdout capture limit can't lose the per-query numbers (BENCH_r01
@@ -108,6 +139,7 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": full["n_queries"],
                 "reps": REPS,
+                "sentinel_sec": sentinel,
                 "failed": sorted(k for k, v in timings.items() if v < 0),
                 "queries_file": "BENCH.json",
             }

@@ -90,17 +90,24 @@ def continuous_rollup(
     ckpt = os.path.join(
         tempfile.gettempdir(), "spark-graft-ckpt", f"cagg-{uuid.uuid4().hex}"
     )
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .option(
-            "spark.sql.shuffle.partitions", str(state_partitions)
+    # State-store width must be set through the SESSION conf before the
+    # stream starts (the partition count is frozen into the checkpoint
+    # at creation) — a writeStream .option() of the same key is
+    # silently ignored. Same set/restore dance as
+    # streaming/windows.py::run_stream_to_table.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return seen
 
 
