@@ -123,14 +123,118 @@ def pil_decode(payload: bytes) -> dict:
         }
 
 
+def bmp_decode(payload: bytes) -> dict:
+    """REAL image decode for uncompressed BI_RGB BMP (8-bpp paletted
+    grayscale, 24-bpp BGR, 32-bpp BGRA) — pure Python + numpy, no
+    third-party codec, so the real-decode path executes in CI with
+    actual pixel math instead of only the digest stand-in. Emits the
+    same dict shape as :func:`fake_decode`/:func:`pil_decode`.
+
+    Handles the format's real quirks: rows padded to 4-byte
+    boundaries, bottom-up storage (negative biHeight ⇒ top-down), and
+    8-bpp palette indirection (indices map through the BGRA color
+    table; mean is over the mapped gray levels). Mean for 32-bpp is
+    over the BGR channels only (alpha excluded)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp}")
+    h = abs(height)
+    if width <= 0 or h == 0:
+        raise ValueError("degenerate dimensions")
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)[:, : width * bytes_pp]
+    if bpp == 8:
+        # palette: BGRA quads between the 54-byte headers and the data
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=54
+        ).reshape(n_colors, 4)
+        gray = pal[:, :3].mean(axis=1)  # BGR of each palette entry
+        mean = float(gray[px.reshape(-1)].mean())
+        channels = 1
+    elif bpp == 24:
+        mean = float(px.mean())
+        channels = 3
+    else:  # 32-bpp BGRA: exclude the alpha byte from the pixel mean
+        mean = float(px.reshape(h, width, 4)[:, :, :3].mean())
+        channels = 3
+    return {
+        "height": h,
+        "width": width,
+        "channels": channels,
+        "mean_pixel": mean / 255.0,
+        "n_frames": 1,
+    }
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL audio header+PCM decode for RIFF/WAVE (PCM, 8/16-bit) —
+    pure Python + numpy. Walks the chunk list (fmt /data, skipping
+    LIST/fact/etc.), then computes sample-level stats from the data
+    chunk: (n_channels, sample_rate, bits_per_sample, n_samples,
+    duration_s, rms) with rms normalized to [0, 1] full scale."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:  # 8-bit WAV PCM is UNSIGNED, centered at 128
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_samples = len(x) // n_channels
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "bits_per_sample": int(bits),
+        "n_samples": int(n_samples),
+        "duration_s": n_samples / sample_rate if sample_rate else 0.0,
+        "rms": float(np.sqrt((x**2).mean())) if len(x) else 0.0,
+    }
+
+
 def codec_decode(payload: bytes) -> dict:
-    """The production seam: a REAL codec when the environment has one
-    (PIL, import-gated above), else a loud NotImplementedError telling
-    the caller to use the deterministic stand-in."""
+    """The production seam, now with a REAL in-repo decode path: BMP
+    payloads decode with actual pixel math (:func:`bmp_decode`,
+    exercised in CI with golden-byte fixtures), anything else uses PIL
+    when the environment provides it, else a loud NotImplementedError
+    telling the caller to use the deterministic stand-in."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
     if HAS_REAL_CODEC:
         return pil_decode(payload)
     raise NotImplementedError(
-        "no image/audio codec in this environment; pass decoder=fake_decode "
+        "no codec for this payload in this environment (in-repo: BMP via "
+        "bmp_decode, WAV via wav_decode); pass decoder=fake_decode "
         "(deterministic) or plug in a real codec callable"
     )
 

@@ -154,3 +154,141 @@ def test_audio_window_features_match_pure_python(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
         assert abs(got[k][2] - want[k][2]) < 1e-6, k
     assert (3, 0) not in got  # empty payload contributes nothing
+
+
+# --- real in-repo codecs: golden-byte BMP / WAV fixtures ------------------
+
+
+def _bmp(width, height, rows, bpp=24, palette=None, top_down=False):
+    """Hand-assemble an uncompressed BI_RGB BMP from explicit pixel
+    rows (rows given TOP-first; bottom-up files reverse them)."""
+    import struct
+
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    pal = b""
+    if bpp == 8:
+        entries = palette or [(i, i, i, 0) for i in range(256)]
+        pal = b"".join(bytes(e) for e in entries)
+    stored = rows if top_down else list(reversed(rows))
+    body = b"".join(
+        bytes(r) + b"\x00" * (stride - width * bytes_pp) for r in stored
+    )
+    data_off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, bpp, 0,
+        len(body), 2835, 2835, len(pal) // 4, 0,
+    )
+    return hdr + info + pal + body
+
+
+def test_bmp_decode_24bpp_pixel_math():
+    """2x2 24-bpp BMP with known BGR bytes: exact mean over the 12
+    pixel bytes, row padding (2*3=6 -> stride 8) correctly skipped."""
+    from data_ingestion_tool_spark.operators.multimodal import bmp_decode, codec_decode
+
+    rows = [[10, 20, 30, 40, 50, 60], [70, 80, 90, 100, 110, 120]]
+    meta = bmp_decode(_bmp(2, 2, rows))
+    assert (meta["height"], meta["width"], meta["channels"]) == (2, 2, 3)
+    want = sum(sum(r) for r in rows) / 12 / 255.0
+    assert abs(meta["mean_pixel"] - want) < 1e-12
+    # codec_decode routes BM-magic payloads to the real decoder
+    assert codec_decode(_bmp(2, 2, rows)) == meta
+    # top-down (negative height) decodes to the same stats
+    assert bmp_decode(_bmp(2, 2, rows, top_down=True)) == meta
+
+
+def test_bmp_decode_8bpp_palette_and_32bpp_alpha():
+    from data_ingestion_tool_spark.operators.multimodal import bmp_decode
+
+    # 8-bpp: indices map through a BGRA palette; entry k = (3k,3k,3k)
+    pal = [(min(3 * i, 255),) * 3 + (0,) for i in range(256)]
+    meta8 = bmp_decode(_bmp(3, 1, [[0, 1, 2]], bpp=8, palette=pal))
+    assert (meta8["height"], meta8["width"], meta8["channels"]) == (1, 3, 1)
+    assert abs(meta8["mean_pixel"] - (0 + 3 + 6) / 3 / 255.0) < 1e-12
+    # 32-bpp: alpha byte (0xFF here) must NOT contaminate the mean
+    meta32 = bmp_decode(
+        _bmp(1, 1, [[10, 20, 30, 0xFF]], bpp=32)
+    )
+    assert meta32["channels"] == 3
+    assert abs(meta32["mean_pixel"] - 20 / 255.0) < 1e-12
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from data_ingestion_tool_spark.operators.multimodal import bmp_decode
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"\x89PNG" + b"\x00" * 60)
+
+
+def test_wav_decode_16bit_header_and_rms():
+    """RIFF/WAVE with a LIST chunk before fmt /data: chunk walker must
+    skip it; 16-bit samples at +/- 16384 give rms = 0.5 exactly."""
+    import struct
+
+    from data_ingestion_tool_spark.operators.multimodal import wav_decode
+
+    samples = [16384, -16384] * 50  # 100 samples mono
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    meta = wav_decode(wav)
+    assert meta["n_channels"] == 1
+    assert meta["sample_rate"] == 8000
+    assert meta["bits_per_sample"] == 16
+    assert meta["n_samples"] == 100
+    assert abs(meta["duration_s"] - 100 / 8000) < 1e-12
+    assert abs(meta["rms"] - 0.5) < 1e-12
+
+
+def test_wav_decode_8bit_unsigned_centering():
+    import struct
+
+    from data_ingestion_tool_spark.operators.multimodal import wav_decode
+
+    # 8-bit PCM is unsigned centered at 128: constant 192 -> 0.5 amplitude
+    data = bytes([192] * 64)
+    fmt = struct.pack("<HHIIHH", 1, 2, 4000, 8000, 2, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    meta = wav_decode(wav)
+    assert meta["n_channels"] == 2
+    assert meta["n_samples"] == 32  # 64 bytes / 2 channels
+    assert abs(meta["rms"] - 0.5) < 1e-12
+
+
+def test_bmp_payloads_through_decode_images_plumbing(spark):
+    """The real decoder rides the SAME mapInPandas plumbing as the
+    stand-in: BMP payloads in a binary column decode distributively
+    with exact pixel means."""
+    from data_ingestion_tool_spark.operators.multimodal import (
+        codec_decode,
+        decode_images,
+    )
+
+    rows = [
+        (1, bytearray(_bmp(2, 2, [[0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0]]))),
+        (2, bytearray(_bmp(1, 1, [[255, 255, 255]]))),
+        (3, bytearray(_bmp(3, 1, [[10, 20, 30, 40, 50, 60, 70, 80, 90]]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in decode_images(df, decoder=codec_decode).collect()
+    }
+    assert got[1].mean_pixel == 0.0
+    assert got[2].mean_pixel == 1.0
+    assert abs(got[3].mean_pixel - 50 / 255.0) < 1e-12
+    assert (got[3].height, got[3].width, got[3].channels) == (1, 3, 3)
