@@ -1416,3 +1416,122 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.sum("delta").over(w).cast("bigint").alias("live")
     )
     return swept.groupBy("day").agg(F.max("live").alias("peak_concurrency"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via distributed global ranking (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_equidepth_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents FROM lineitem
+    ),
+    r AS (SELECT cents, ntile(8) OVER (ORDER BY cents) AS bucket FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM r GROUP BY bucket
+    """,
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of lineitem price — 8 buckets
+    of equal row count with exact value boundaries, the optimizer-
+    statistics primitive the fixed-bin histogram can't provide on
+    skewed data.
+
+    Runs the distributed global-ranking operator (operators/ranking.py)
+    over the FULL fact table — one parallel range shuffle, never a
+    single-task sort — then closed-form NTILE math and a per-bucket
+    rollup. Determinism without a unique tie-break: equal cents
+    colocate under range partitioning and the per-bucket aggregates
+    (count, min, max) depend only on the sorted MULTISET — the value at
+    each rank position is unique even when tied rows swap ranks."""
+    from ..operators.ranking import ntile_from_rn, with_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(_cents("l_extendedprice").alias("cents"))
+    ranked = with_global_row_number(c, ["cents"], rn="__rn", n_col="__n")
+    return (
+        ranked.select(
+            "cents", ntile_from_rn("__rn", "__n", 8).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form linear regression from exact integer moments (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_regr_slope_intercept",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM({_SQL_CENTS.format(col='l_extendedprice')}) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * {_SQL_CENTS.format(col='l_extendedprice')}) AS BIGINT)
+               AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def agg_regr_slope_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of price-cents on quantity per return flag
+    (REGR_SLOPE / REGR_INTERCEPT) — closed form from exact int64
+    moments, so both engines feed IDENTICAL integers into the SAME
+    IEEE double expression: every product/difference/division is a
+    correctly-rounded op on identical operands, hence bit-identical
+    cross-engine with NO rounding fence. Integer bounds (documented):
+    sxy <= n_rows·50·10^7 ≈ 3e15 at sf1 < 2^53, so every moment sum
+    converts to double exactly; the >2^53 magnitudes only ever appear
+    as double PRODUCTS, which round identically.
+
+    Scale shape: one map-side-combinable aggregate over the fact table;
+    the regression math runs on |groups| rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = _cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+    )

@@ -181,3 +181,30 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+@query(
+    "events_global_seq",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def events_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global sequence numbers over an event stream slice — the
+    ingestion primitive behind offset assignment / ordered replay /
+    exactly-once reconciliation: every purchase event gets a dense
+    1-based id in (ts, event_id) order.
+
+    A naive ``row_number() OVER (ORDER BY ts)`` funnels the whole
+    stream through one task; this runs the distributed ranking operator
+    (operators/ranking.py) at event-fact grain — parallel range
+    shuffle + broadcast partition offsets. (ts, event_id) is a total
+    order (event_id unique), so the sequence is engine-exact."""
+    from ..operators.ranking import with_global_row_number
+
+    ev = read_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return with_global_row_number(
+        ev.select("event_id", "ts"), ["ts", "event_id"], rn="seq"
+    ).select("event_id", "seq")

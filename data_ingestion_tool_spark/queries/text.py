@@ -507,3 +507,70 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@query(
+    "text_chunk_dedup_crossdoc",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS k
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, k * 10 + 1, k * 10 + 10), ' ')
+               AS chunk
+      FROM k
+    ),
+    g AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN g.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM ch c JOIN g USING (chunk) GROUP BY c.doc_id
+    """,
+)
+def text_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style chunk-level cross-document dedup signal:
+    split each document into non-overlapping 10-token chunks, count per
+    doc how many of its chunks also occur in ANOTHER document. The
+    downstream scrub drops or rewrites those chunks; this emits the
+    per-doc audit (total chunks, shared chunks).
+
+    Scale shape: chunking is array math on the scan (no HOF
+    re-embedding: ``toks`` is bound as a column before the transform);
+    the global chunk census is one hash groupBy on the chunk string —
+    at 100 TB you'd pre-hash chunks to 128-bit digests so the shuffle
+    carries 16-byte keys, which is the only change this plan needs.
+    Exact string equality both sides; counts are integers."""
+    d = read_table(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    nch = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    chunks = F.when(
+        nch > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda k: F.array_join(F.slice(F.col("toks"), k * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = d2.select("doc_id", F.explode(chunks).alias("chunk"))
+    g = ch.groupBy("chunk").agg(
+        F.count_distinct(F.col("doc_id")).alias("ndocs")
+    )
+    return (
+        ch.join(g, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )
