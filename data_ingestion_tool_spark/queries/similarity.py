@@ -232,3 +232,70 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=TOP_K, n_centroids=16, n_probe=4, m=16, n_codes=32,
         rerank=8,
     )
+
+
+@query(
+    "similarity_knn_within_label",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, ROUND(score, 9) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph build: top-3 cosine neighbors for EVERY vector
+    within its label block — the all-corpus neighbor graph behind
+    embedding dedup/clustering, BLOCKED so candidate generation stays
+    bounded (per-block quadratic, never corpus-quadratic; at 100 TB the
+    block key is an IVF/LSH bucket instead of a label and this exact
+    plan carries over).
+
+    Execution: groupBy(label) → applyInPandas with one float64 numpy
+    matmul per block (the dense-numerics fast path per CLAUDE.md scale
+    rules) + per-row (score desc, neighbor_id) top-3. Scores round to
+    9 decimals on both sides (BLAS vs sequential-fold ulp drift)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_id", "neighbor_id", "score", "rank"]
+            )
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        rows = []
+        for i in range(n):
+            s = S[i].copy()
+            s[i] = -np.inf
+            order = sorted(range(n), key=lambda j: (-s[j], ids[j]))[:3]
+            for r, j in enumerate(order, 1):
+                rows.append((int(ids[i]), int(ids[j]), float(s[j]), r))
+        return pd.DataFrame(
+            rows, columns=["vec_id", "neighbor_id", "score", "rank"]
+        )
+
+    out = emb.groupBy("label").applyInPandas(
+        knn, "vec_id long, neighbor_id long, score double, rank long"
+    )
+    return out.withColumn("score", F.round("score", 9))

@@ -574,3 +574,34 @@ def text_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_token_estimate_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]{5,}'))
+                AS BIGINT) AS n_long_words
+    FROM documents
+    """,
+)
+def text_token_estimate_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate — the budget sizer that whitespace
+    counting undershoots: a GPT-2-style pre-tokenizer class (letter
+    runs | single digits | punctuation) counted per document, plus the
+    long-word count that correlates with subword splits. Pure
+    ``regexp_count`` codegen (the identical RE2-compatible class on
+    both engines), no explode, no shuffle — per-row scan math."""
+    d = read_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(low, F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.regexp_count(low, F.lit("[a-z]{5,}")).cast("bigint").alias(
+            "n_long_words"
+        ),
+    )

@@ -331,3 +331,16 @@ def test_no_single_task_global_windows_in_ranked_queries(q):
         "agg_gini_coefficient",
     ):
         assert single_task_global_windows(q(name)) == 0, name
+
+
+def test_topk_window_uses_group_limit_pushdown(q):
+    """rank<=k predicates over a window must plan WindowGroupLimit
+    (Partial before the shuffle + Final after): each map task keeps
+    only k rows per group, so the shuffle carries O(groups x k) rows
+    instead of the whole table — the difference between a top-3 and a
+    full-sort at 100 TB."""
+    from data_ingestion_tool_spark.plans import simple_plan
+
+    plan = simple_plan(q("window_rank_topk_per_group"))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
