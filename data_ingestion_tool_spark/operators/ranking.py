@@ -254,3 +254,102 @@ def with_global_ntile(
     return d.withColumn(out_col, ntile_from_rn("__gn_rn", "__gn_n", k)).drop(
         "__gn_rn", "__gn_n"
     )
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_cols: Iterable[Column | str],
+    sum_cols: Iterable[str],
+    *,
+    rn: str = "rn",
+    cum_prefix: str = "cum_",
+    tot_prefix: str | None = None,
+    n_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column sibling of :func:`with_global_prefix_sum`: one range
+    shuffle, one reused-exchange P-row offsets aggregate, and a single
+    vectorized ``mapInPandas`` pass produce the global row number plus
+    an inclusive integer prefix sum ``{cum_prefix}{c}`` for EVERY column
+    in ``sum_cols`` (and, when ``tot_prefix`` is set, the grand total
+    ``{tot_prefix}{c}`` on every row). Needed by two-sample statistics
+    (KS, Mann-Whitney) where both groups' ECDFs advance over the same
+    total order — running the single-column operator twice would pay
+    the range shuffle per column.
+
+    Same bounds as the single-column form: each ``sum_cols`` entry must
+    be integer-typed with int64-safe totals; ``order_cols`` must be a
+    total order of the frame.
+    """
+    order_cols = list(order_cols)
+    sum_cols = list(sum_cols)
+    parted, _ = _ranged(df, order_cols, num_partitions)
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(F.col(c).cast("bigint")).alias(f"__ps_{c}") for c in sum_cols
+    ]
+    counts = (
+        parted.select(F.spark_partition_id().alias("__pid"), *sum_cols)
+        .groupBy("__pid")
+        .agg(*aggs)
+    )
+    w = Window.orderBy("__pid")
+    excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sel = [
+        F.col("__pid"),
+        F.coalesce(F.sum("__cnt").over(excl), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(full).alias("__ntot"),
+    ]
+    for c in sum_cols:
+        sel.append(
+            F.coalesce(F.sum(f"__ps_{c}").over(excl), F.lit(0)).alias(f"__soff_{c}")
+        )
+        sel.append(F.sum(f"__ps_{c}").over(full).alias(f"__stot_{c}"))
+    offs = counts.select(*sel)
+
+    local = parted.sortWithinPartitions(*_cols(order_cols)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    schema = StructType(
+        local.schema.fields
+        + [StructField("__lrn", LongType())]
+        + [StructField(f"__lc_{c}", LongType()) for c in sum_cols]
+    )
+
+    def add_local(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        rn_off = 0
+        cum_off = {c: 0 for c in sum_cols}
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            assigns = {
+                "__lrn": np.arange(rn_off + 1, rn_off + k + 1, dtype="int64")
+            }
+            for c in sum_cols:
+                lcum = pdf[c].to_numpy(dtype="int64").cumsum() + cum_off[c]
+                assigns[f"__lc_{c}"] = lcum
+                cum_off[c] = int(lcum[-1])
+            rn_off += k
+            yield pdf.assign(**assigns)
+
+    out = (
+        local.mapInPandas(add_local, schema)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(rn, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+    )
+    drop = ["__pid", "__lrn", "__off", "__ntot"]
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{cum_prefix}{c}",
+            (F.col(f"__soff_{c}") + F.col(f"__lc_{c}")).cast("bigint"),
+        )
+        if tot_prefix is not None:
+            out = out.withColumn(tot_prefix + c, F.col(f"__stot_{c}").cast("bigint"))
+        drop += [f"__lc_{c}", f"__soff_{c}", f"__stot_{c}"]
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("__ntot").cast("bigint"))
+    return out.drop(*drop)

@@ -1535,3 +1535,349 @@ def agg_regr_slope_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((syd - slope * sxd) / nd).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests: Kolmogorov-Smirnov and Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    e AS (
+      SELECT cents, SUM(ia) AS a_cnt, COUNT(*) AS t_cnt
+      FROM c GROUP BY cents
+    ),
+    g AS (
+      SELECT CAST(SUM(a_cnt) OVER (ORDER BY cents) AS BIGINT) AS ca,
+             CAST(SUM(t_cnt) OVER (ORDER BY cents) AS BIGINT) AS ct
+      FROM e
+    ),
+    t AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS na,
+             CAST(SUM(t_cnt) - SUM(a_cnt) AS BIGINT) AS nb
+      FROM e
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(MAX(ABS(g.ca * t.nb - (g.ct - g.ca) * t.na)) AS BIGINT)
+             AS d_num,
+           CAST(MAX(ABS(g.ca * t.nb - (g.ct - g.ca) * t.na)) AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_stat
+    FROM g, t GROUP BY t.na, t.nb
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the price
+    distributions of returned ('R') vs non-returned ('N') line items:
+    D = max_v |ECDF_A(v) - ECDF_B(v)|, compared in INTEGER math as
+    max |cumA·nB - cumB·nA| so the supremum is exact (float ECDF
+    differences wobble at ties); the statistic itself is one division
+    of identical integers, bit-equal cross-engine while nA·nB < 2^53.
+
+    Scale shape: group-by collapses the fact table to the distinct-value
+    grain (domain-bounded: prices live in a fixed cents range), then
+    ``with_global_prefix_sums`` (operators/ranking.py) runs BOTH groups'
+    cumulative counts over one range shuffle — no single-task global
+    window, no second pass. Bound: exact integer compare needs
+    n_a·n_b < 2^63 (~3·10^9 rows per side); beyond that flip `d_num`
+    to the double ECDF difference and keep the same plan.
+    """
+    from ..operators.ranking import with_global_prefix_sums
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        _cents("l_extendedprice").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ia"),
+    )
+    e = c.groupBy("cents").agg(
+        F.sum("ia").alias("a_cnt"), F.count(F.lit(1)).alias("t_cnt")
+    )
+    g = with_global_prefix_sums(
+        e,
+        ["cents"],
+        ["a_cnt", "t_cnt"],
+        rn="__rn",
+        tot_prefix="tot_",
+    )
+    na = F.col("tot_a_cnt")
+    nb = F.col("tot_t_cnt") - F.col("tot_a_cnt")
+    diff = F.abs(
+        F.col("cum_a_cnt") * nb - (F.col("cum_t_cnt") - F.col("cum_a_cnt")) * na
+    )
+    return (
+        g.select(
+            na.alias("n_a"), nb.alias("n_b"), diff.alias("diff")
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("diff").cast("bigint").alias("d_num"),
+            (
+                F.max("diff").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    e AS (
+      SELECT cents, SUM(ia) AS a_cnt, COUNT(*) AS t_cnt
+      FROM c GROUP BY cents
+    ),
+    g AS (
+      SELECT a_cnt,
+             CAST(SUM(t_cnt) OVER (ORDER BY cents) AS BIGINT) - t_cnt
+               AS before_cnt,
+             t_cnt
+      FROM e
+    ),
+    t AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS na,
+             CAST(SUM(t_cnt) - SUM(a_cnt) AS BIGINT) AS nb
+      FROM e
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1)) AS BIGINT)
+             AS two_rank_sum_a,
+           CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1))
+                - t.na * (t.na + 1) AS BIGINT) AS two_u_a,
+           CAST(CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1))
+                     - t.na * (t.na + 1) AS BIGINT) AS DOUBLE) / 2 AS u_a
+    FROM g, t GROUP BY t.na, t.nb
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic for returned vs non-returned
+    line-item prices, with tie-aware AVERAGE ranks held exactly in
+    integers: for a distinct value with `t` total occurrences starting
+    after `b` smaller rows, each occurrence's average rank is
+    (2b + t + 1)/2 — so 2·R_A = Σ a_cnt·(2b + t + 1) stays a bigint and
+    U_A = R_A − nA(nA+1)/2 is exact (halves only, so 2U is integral).
+    This is the lineitem-has-no-unique-key-safe rank construction from
+    CLAUDE.md (value-determined average ranks, never row_number ties).
+
+    Scale shape: same distinct-value grain + one
+    ``with_global_prefix_sum`` range shuffle as stats_ks_two_sample;
+    the rank sum is a plain map-side-combinable aggregate on top.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        _cents("l_extendedprice").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ia"),
+    )
+    e = c.groupBy("cents").agg(
+        F.sum("ia").alias("a_cnt"), F.count(F.lit(1)).alias("t_cnt")
+    )
+    g = with_global_prefix_sum(
+        e, ["cents"], "t_cnt", rn="__rn", cum="cum_t", n_col=None,
+        total_col="__ttot",
+    ).withColumn("before_cnt", F.col("cum_t") - F.col("t_cnt"))
+    two_r = F.sum(
+        F.col("a_cnt") * (2 * F.col("before_cnt") + F.col("t_cnt") + 1)
+    ).cast("bigint")
+    totals = g.groupBy().agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        (F.sum("t_cnt") - F.sum("a_cnt")).cast("bigint").alias("n_b"),
+        two_r.alias("two_rank_sum_a"),
+    )
+    return totals.select(
+        "n_a",
+        "n_b",
+        "two_rank_sum_a",
+        (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("two_u_a"),
+        (
+            (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .cast("double")
+            / 2
+        ).alias("u_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on a bounded group grain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kendall_tau_brand",
+    oracle=f"""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x,
+             CAST(SUM({_SQL_CENTS.format(col='l.l_extendedprice')})
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    p AS (
+      SELECT CASE WHEN (a.x - c.x) * (a.y - c.y) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x - c.x) * (a.y - c.y) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = c.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = c.y THEN 1 ELSE 0 END AS ty
+      FROM b a JOIN b c ON a.brand < c.brand
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n,
+             CAST(SUM(con) AS BIGINT) AS c_pairs,
+             CAST(SUM(dis) AS BIGINT) AS d_pairs,
+             CAST(SUM(tx) AS BIGINT) AS tie_x,
+             CAST(SUM(ty) AS BIGINT) AS tie_y
+      FROM p
+    )
+    SELECT n, c_pairs, d_pairs, tie_x, tie_y,
+           CAST(c_pairs - d_pairs AS DOUBLE)
+             / sqrt(CAST((n * (n - 1) / 2 - tie_x)
+                         * (n * (n - 1) / 2 - tie_y) AS DOUBLE)) AS tau_b
+    FROM s
+    """,
+)
+def stats_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between total quantity and total
+    revenue across part brands. The fact table collapses to the brand
+    grain first (domain-bounded: ~25 brands), so the O(n²) pairwise
+    concordance scan is over a TINY broadcast frame — all-pairs on the
+    raw table would be the classic quadratic blowup; all-pairs on a
+    bounded aggregate is free. Concordant/discordant/tie counts are
+    pure integer; tau-b is one sqrt of an exact-integer product (< 2^53)
+    and one division — both IEEE correctly-rounded, so bit-equal
+    cross-engine without any rounding fudge.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(_cents("l_extendedprice")).cast("bigint").alias("y"),
+        )
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        F.broadcast(c), F.col("a.brand") < F.col("c.brand")
+    ).select(
+        (
+            F.when(
+                (F.col("a.x") - F.col("c.x")) * (F.col("a.y") - F.col("c.y")) > 0, 1
+            ).otherwise(0)
+        ).alias("con"),
+        (
+            F.when(
+                (F.col("a.x") - F.col("c.x")) * (F.col("a.y") - F.col("c.y")) < 0, 1
+            ).otherwise(0)
+        ).alias("dis"),
+        F.when(F.col("a.x") == F.col("c.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("c.y"), 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.groupBy().agg(
+        F.sum("con").cast("bigint").alias("c_pairs"),
+        F.sum("dis").cast("bigint").alias("d_pairs"),
+        F.sum("tx").cast("bigint").alias("tie_x"),
+        F.sum("ty").cast("bigint").alias("tie_y"),
+    )
+    n_df = b.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = s.crossJoin(F.broadcast(n_df))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return s.select(
+        "n",
+        "c_pairs",
+        "d_pairs",
+        "tie_x",
+        "tie_y",
+        (
+            (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("tie_x")) * (n0 - F.col("tie_y"))).cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (exact, integer cumulative weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_weighted_median",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS q_units,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS w_cents
+      FROM lineitem
+    ),
+    e AS (
+      SELECT grp, q_units, CAST(SUM(w_cents) AS BIGINT) AS w
+      FROM c GROUP BY grp, q_units
+    ),
+    g AS (
+      SELECT grp, q_units, w,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY q_units)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM e
+    )
+    SELECT grp, MAX(tw) AS total_w_cents,
+           MIN(CASE WHEN 2 * cw >= tw THEN q_units END)
+             AS weighted_median_q_units
+    FROM g GROUP BY grp
+    """,
+)
+def quantile_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest
+    quantity value whose cumulative price weight reaches half the
+    group's total (lower weighted median, 2·cum ≥ tot compared in
+    integer cents — the CLAUDE.md integer-threshold rule, so the
+    boundary row can't flip on float rounding).
+
+    Scale shape: fact table collapses to (group, distinct-quantity)
+    grain — quantity is a 1..50 domain, so the windowed frame is
+    dozens of rows per group; the windows are PARTITIONED (per-group),
+    never the single-task global sort.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "q_units"
+        ),
+        _cents("l_extendedprice").alias("w_cents"),
+    )
+    e = c.groupBy("grp", "q_units").agg(F.sum("w_cents").cast("bigint").alias("w"))
+    wspec = Window.partitionBy("grp").orderBy("q_units")
+    g = e.withColumn(
+        "cw",
+        F.sum("w").over(wspec.rowsBetween(Window.unboundedPreceding, 0)).cast(
+            "bigint"
+        ),
+    ).withColumn("tw", F.sum("w").over(Window.partitionBy("grp")).cast("bigint"))
+    return g.groupBy("grp").agg(
+        F.max("tw").alias("total_w_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("q_units"))).alias(
+            "weighted_median_q_units"
+        ),
+    )

@@ -116,3 +116,36 @@ def test_detector_flags_naive_and_passes_operator(spark, orders):
     assert single_task_global_windows(naive) >= 1
     fixed = with_global_row_number(orders, ["o_totalprice", "o_orderkey"])
     assert single_task_global_windows(fixed) == 0
+
+
+def test_multi_column_prefix_sums(spark, orders):
+    from data_ingestion_tool_spark.operators.ranking import with_global_prefix_sums
+
+    pc = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    w = Window.orderBy("o_custkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = pc.select(
+        "o_custkey",
+        F.sum("rev").over(frame).cast("bigint").alias("cum_rev"),
+        F.sum("cnt").over(frame).cast("bigint").alias("cum_cnt"),
+    )
+    got = with_global_prefix_sums(
+        pc, ["o_custkey"], ["rev", "cnt"], rn="rn", tot_prefix="tot_"
+    )
+    a = {r["o_custkey"]: (r["cum_rev"], r["cum_cnt"]) for r in ref.collect()}
+    b = {r["o_custkey"]: (r["cum_rev"], r["cum_cnt"]) for r in got.collect()}
+    assert a == b
+    head = got.select("tot_rev", "tot_cnt").first()
+    assert head["tot_rev"] == pc.agg(F.sum("rev")).first()[0]
+    assert head["tot_cnt"] == orders.count()
+    # empty input stays empty
+    empty = spark.createDataFrame([], "x int, y long, z long")
+    assert with_global_prefix_sums(empty, ["x"], ["y", "z"]).count() == 0
