@@ -787,3 +787,174 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").over(Window.partitionBy("event_type")).cast("bigint")
         ).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration histogram (sessionize → bucketed durations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS dur_min
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(dur_min // 5 AS BIGINT) AS bucket_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_single_event,
+           CAST(MIN(dur_min) AS BIGINT) AS lo_min,
+           CAST(MAX(dur_min) AS BIGINT) AS hi_min
+    FROM per_session GROUP BY bucket_5min
+    """,
+)
+def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of user-session lengths: 30-min-gap sessionization
+    (the sessionize_events machinery), per-session duration in whole
+    minutes (integer µs subtraction, non-negative floor division — the
+    DIV/`//` agreement zone), bucketed into 5-minute bins with the
+    single-event ("bounce") sessions counted per bin. The product
+    question behind it: how long do people actually stay?
+
+    Scale shape: one shuffle on user_id (sessionization windows), then
+    a per-session rollup on the same partitioning and a tiny
+    domain-bounded histogram aggregate. No global windows.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "(unix_micros(MAX(ts)) - unix_micros(MIN(ts))) DIV 60000000"
+        ).alias("dur_min"),
+    )
+    return per_session.groupBy(
+        F.expr("dur_min DIV 5").cast("bigint").alias("bucket_5min")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+        F.min("dur_min").cast("bigint").alias("lo_min"),
+        F.max("dur_min").cast("bigint").alias("hi_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: time-to-convert distribution per signup cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ),
+    d AS (
+      SELECT date_trunc('month', signup_ts) AS cohort_month, user_id,
+             (epoch_us(purchase_ts) - epoch_us(signup_ts)) // 1000000
+               AS delay_sec
+      FROM conv
+    ),
+    ranked AS (
+      SELECT cohort_month, delay_sec,
+             row_number() OVER (PARTITION BY cohort_month
+                                ORDER BY delay_sec, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_month) AS n
+      FROM d
+    )
+    SELECT cohort_month, CAST(MAX(n) AS BIGINT) AS n_converted,
+           MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN delay_sec END)
+             AS median_delay_sec,
+           MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN delay_sec END)
+             AS p90_delay_sec
+    FROM ranked GROUP BY cohort_month
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from first signup to first purchase, by signup cohort
+    month: exact type-1 median and p90 of the per-user conversion delay
+    (value-at-index over integer seconds — rank position math is the
+    repo's interpolation-free quantile pattern; the rank tie-break is
+    (delay, user_id), and the VALUE at the index is what's reported, so
+    it is deterministic even with duplicate delays).
+
+    Scale shape: both funnel legs collapse to per-user MINs first (one
+    shuffle each on user_id, map-side combinable), the join is
+    user-grain, and the ranking windows are PARTITIONED by cohort month
+    — per-cohort cardinality is users/month, never the full fact table.
+    """
+    e = read_events(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        s.join(p, ["user_id"])
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    d = conv.select(
+        F.date_trunc("month", "signup_ts").cast("date").alias("cohort_month"),
+        "user_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(signup_ts)) DIV 1000000"
+        ).alias("delay_sec"),
+    )
+    wrank = Window.partitionBy("cohort_month").orderBy("delay_sec", "user_id")
+    ranked = d.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("cohort_month"))
+    )
+    return ranked.groupBy("cohort_month").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("delay_sec"))
+        ).alias("median_delay_sec"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(90 * (n - 1)) DIV 100 + 1"),
+                F.col("delay_sec"),
+            )
+        ).alias("p90_delay_sec"),
+    )

@@ -605,3 +605,156 @@ def text_token_estimate_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long_words"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: hapax legomena per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS freq FROM tok GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM tf GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per language: hapax legomena (terms
+    seen exactly once) and dis legomena (exactly twice) over the corpus
+    vocabulary — the lexical-diversity signal a training-data curation
+    pass uses to spot boilerplate-heavy vs organic text. Pure integer
+    counts; the ratio is one division of identical integers.
+
+    Scale shape: tokenize → per-(lang, term) count (one shuffle,
+    map-side combinable) → per-lang rollup of the vocabulary grain.
+    The vocabulary frame is the only shuffled data after the first
+    aggregate; raw text never moves twice.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        (
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's law: log-log slope of the top-100 rank-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_rank_slope",
+    oracle=r"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf QUALIFY rnk <= 100
+    ),
+    pts AS (
+      SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(20,11)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(20,11)) AS y,
+             CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                  AS DECIMAL(20,11)) AS xy,
+             CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                  AS DECIMAL(20,11)) AS xx
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank) for
+    the corpus's top-100 terms (natural text sits near −1; heavily
+    templated/duplicated corpora flatten). Determinism: ranks and
+    frequencies are exact integers; each ln/product is an identical
+    double expression on both engines (ln is correctly rounded; DuckDB
+    `ln`, never its base-10 `log` — CLAUDE.md), then every point is
+    quantized to DECIMAL(20,11) before summing so the Σ is
+    order-independent and its integer form stays < 2^53 for the
+    decimal→double cast. Final slope rounded to 6.
+
+    Scale shape: term counting is the one big shuffle; the top-100 is a
+    distributed TakeOrdered (orderBy+limit), and the regression runs on
+    a 100-row frame. QUALIFY-style rank windows never see the full
+    vocabulary on the Spark side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top100 = tf.orderBy(F.desc("freq"), F.asc("term")).limit(100)
+    ranked = top100.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    pts = ranked.select(
+        lx.cast("decimal(20,11)").alias("x"),
+        ly.cast("decimal(20,11)").alias("y"),
+        (lx * ly).cast("decimal(20,11)").alias("xy"),
+        (lx * lx).cast("decimal(20,11)").alias("xx"),
+    )
+    s = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
