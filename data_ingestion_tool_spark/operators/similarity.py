@@ -899,3 +899,60 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search: every (query, corpus) pair with
+    similarity ≥ ``tau`` — the radius-query sibling of
+    :func:`cosine_topk` (dedup-by-similarity and recall-oriented
+    retrieval want "everything this close", not a fixed k).
+
+    Scale shape: identical to cosine_topk — the query block broadcasts
+    inside the ``mapInPandas`` closure, the corpus never shuffles, and
+    each Arrow batch emits ONLY its ≥ tau hits, so output volume is the
+    result size, not batch·queries. No ranking window at all (nothing
+    to merge: the predicate is per-pair).
+
+    Caller picks ``tau`` away from any realizable score (matmul vs
+    sequential-fold drift is ≤ ~4e-16; a threshold inside that band of
+    an actual score would be engine-dependent).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qmat = np.array([r.qv for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(pdf["cv"].map(np.asarray).values).astype(np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qnorm.T  # (batch, queries)
+            cand_ids = pdf["neighbor_id"].values
+            self_mask = cand_ids[:, None] == qids[None, :]
+            sims[self_mask] = -np.inf
+            rows, cols = np.nonzero(sims >= tau)
+            if len(rows):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[cols],
+                        "neighbor_id": cand_ids[rows],
+                        "score": sims[rows, cols],
+                    }
+                )
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).mapInPandas(score_batches, "query_id long, neighbor_id long, score double")

@@ -340,3 +340,47 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
         F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
     )
+
+
+SQL_RECURSIVE_CTE_MONTHS = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+),
+mo AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month,
+       CAST(COALESCE(mo.cnt, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(mo.rev_cents, 0) AS BIGINT) AS revenue_cents
+FROM months LEFT JOIN mo ON mo.mm = months.m
+"""
+
+
+@query("sql_recursive_cte_months", oracle=SQL_RECURSIVE_CTE_MONTHS)
+def sql_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (Spark ≥ 4.0 / DuckDB, IDENTICAL SQL text on
+    both engines): a month calendar generated recursively from the
+    orders date range, left-joined to monthly order counts/revenue so
+    zero-order months gap-fill to 0 — the dimension-generation use of
+    recursion. Revenue in exact cents (bigint). The range bounds ride
+    INSIDE the recursive tuple (not a correlated subquery in the step
+    predicate), so no engine rescans the fact table per iteration.
+
+    Scale shape: the recursion materializes O(months) rows on the
+    driver side of the plan (a ~100-row dimension), broadcast against
+    the one aggregated fact-table pass; recursion depth is bounded by
+    the calendar span, not data size.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_CTE_MONTHS)
