@@ -561,3 +561,51 @@ def catalog_row_counts_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame
         for t in TPCH_TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "ingest_file_metadata_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ingest_file_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE ingest accounting via the ``_metadata`` hidden column
+    (Spark's file-source metadata struct): write orders
+    hive-partitioned by status with one file per partition (repartition
+    on the partition key first — each status lands in exactly one task,
+    so exactly one data file), read back selecting
+    ``_metadata.file_name``, and report rows/key-range per partition
+    with the observed distinct-file count. The oracle restates the
+    semantic content (per-status counts + the one-file-per-partition
+    invariant) over the source view — file NAMES are engine-private,
+    file STATS are not.
+
+    Scale shape: the repartition is the one shuffle; `_metadata` is
+    scan-local (no extra read). The one-file-per-partition layout is
+    the compaction contract small-file-sensitive lakes want anyway.
+    """
+    out = os.path.join(_scratch("fmeta"), "orders_by_status")
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        orders.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count_distinct("fname").cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

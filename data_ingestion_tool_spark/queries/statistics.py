@@ -2105,3 +2105,98 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("brand2", "brand")
         )
     return r.select("brand", F.round("r", 9).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) from decimal-exact moments
+# ---------------------------------------------------------------------------
+
+_WT_SQL_MOM = """
+      CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n{i},
+      CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value END
+               AS DECIMAL(18,2))) AS DOUBLE) AS s{i},
+      CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value * value END
+               AS DECIMAL(18,4))) AS DOUBLE) AS q{i}
+"""
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+      {_WT_SQL_MOM.format(t='purchase', i=1)},
+      {_WT_SQL_MOM.format(t='click', i=2)}
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    v AS (
+      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM m
+    )
+    SELECT n1, n2, ROUND(m1, 6) AS mean_1, ROUND(m2, 6) AS mean_2,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
+    FROM v
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean event value of
+    'purchase' vs 'click' events — the A/B-testing primitive. One pass:
+    both groups' (n, Σx, Σx²) come from a single filtered-conditional
+    aggregate (map-side combinable, no per-group scan), sums are
+    decimal-exact so they're order-independent, and the composed float
+    tail (variance → sqrt → ratio) is identical-expression on both
+    engines, rounded to 6 (the agg_stats drift rule).
+
+    Scale shape: one whole-table aggregate to a single row; everything
+    after is scalar arithmetic. The same shape covers any two cohorts
+    expressible as a CASE over a partition-prunable column.
+    """
+    e = read_events(spark, sf_dir)
+
+    def mom(t: str, i: int) -> list:
+        cond = F.col("event_type") == t
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("value")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"s{i}"),
+            F.sum(
+                F.when(cond, F.col("value") * F.col("value")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias(f"q{i}"),
+        ]
+
+    m = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy()
+        .agg(*(mom("purchase", 1) + mom("click", 2)))
+    )
+    v = m.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)).alias("v2"),
+    )
+    vn1 = F.col("v1") / F.col("n1")
+    vn2 = F.col("v2") / F.col("n2")
+    return v.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_1"),
+        F.round("m2", 6).alias("mean_2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(vn1 + vn2), 6).alias("t_stat"),
+        F.round(
+            (vn1 + vn2) * (vn1 + vn2)
+            / (vn1 * vn1 / (F.col("n1") - 1) + vn2 * vn2 / (F.col("n2") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
