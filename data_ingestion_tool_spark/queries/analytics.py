@@ -958,3 +958,167 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_delay_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: linear credit over the pre-purchase window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.pid, p.value, t.touch_type,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 1 HOUR
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(value / n_touches AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+    FROM joined GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the click/view touches in the hour before it, summed
+    per touch type. Each share value/n is an identical double division;
+    shares are quantized to DECIMAL(18,6) before summing so the rollup
+    is order-independent (the composed-float rule — raw double share
+    sums differ in final ulps with partition order).
+
+    Scale shape: the touch⋈purchase join is an equi-join on user_id
+    with a time-band predicate — Spark shuffles both sides on user_id
+    once and the band filter prunes within the join; per-purchase touch
+    counts come from a window over the already-joined (small) credit
+    set, partitioned by purchase id. The 1-hour band bounds the blowup
+    per purchase.
+    """
+    e = read_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    credited = joined.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum((F.col("value") / F.col("n_touches")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: support / confidence / lift per brand pair
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    sup AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(sa.cnt AS BIGINT) AS cnt_a,
+           CAST(sb.cnt AS BIGINT) AS cnt_b,
+           CAST(p.pair_cnt AS DOUBLE) / CAST(sa.cnt AS DOUBLE)
+             AS confidence_a_to_b,
+           CAST(p.pair_cnt AS DOUBLE) * n.n_orders
+             / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.brand = p.brand_a
+    JOIN sup sb ON sb.brand = p.brand_b, n
+    WHERE p.pair_cnt * 100 >= n.n_orders
+    """,
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on the order→brand basket: support
+    (pair count), confidence P(b|a), and lift P(ab)/(P(a)P(b)) for
+    every brand pair with ≥ 1% support — the minimum-support prune is
+    the integer-math share threshold (pair_cnt·100 ≥ n_orders, the
+    CLAUDE.md float-boundary rule). Confidence and lift are divisions/
+    products of identical exact integers, bit-equal cross-engine.
+
+    Scale shape: baskets collapse to the (order, brand) DISTINCT grain
+    first; the pair fan-out is quadratic only in basket size (bounded
+    ~7 items/order); supports and pairs are map-side-combinable counts;
+    the final joins are on the brand-domain-bounded pair list
+    (broadcast-sized). Classic a-priori first pass, no all-pairs over
+    the catalog.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    ob = ob.localCheckpoint(eager=False)
+    n_df = ob.agg(F.count_distinct("ok").alias("n_orders"))
+    sup = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    sa = sup.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    sb = sup.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("pair_cnt") * 100 >= F.col("n_orders"))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+        F.col("cnt_a").cast("bigint").alias("cnt_a"),
+        F.col("cnt_b").cast("bigint").alias("cnt_b"),
+        (F.col("pair_cnt").cast("double") / F.col("cnt_a").cast("double")).alias(
+            "confidence_a_to_b"
+        ),
+        (
+            F.col("pair_cnt").cast("double")
+            * F.col("n_orders")
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+        ).alias("lift"),
+    )
