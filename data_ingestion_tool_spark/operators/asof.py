@@ -44,6 +44,7 @@ def asof_join(
     right_ts: str,
     payload: dict[str, str],
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join, inclusive either direction:
 
@@ -61,8 +62,16 @@ def asof_join(
     no matching right row keep NULL payload (LEFT ASOF semantics).
     Both directions are the same one-shuffle union + ordered-window
     plan (module docstring); forward just scans the other way.
+
+    ``tolerance_us`` (backward/forward only — pandas ``merge_asof``'s
+    ``tolerance``): a match further than this many microseconds from
+    the left timestamp is nulled out AFTER the scan (the matched
+    right timestamp rides inside the payload struct, so the check is
+    a cheap post-projection filter — no plan change, no second scan).
     """
     if direction == "nearest":
+        if tolerance_us is not None:
+            raise ValueError("tolerance_us supports backward/forward only")
         return _asof_nearest(
             left, right, on=on, right_on=right_on, left_ts=left_ts,
             right_ts=right_ts, payload=payload,
@@ -86,8 +95,13 @@ def asof_join(
         F.col(right_on or on).alias(on),
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
+        # __rts (the matched right timestamp) leads the struct for the
+        # tolerance check; it never changes tie-breaks, because struct
+        # comparison only reaches it for rows with EQUAL __ts — where
+        # __rts is equal too and ordering falls through to the payload.
         F.struct(
-            *[F.col(src).alias(dst) for src, dst in payload.items()]
+            F.col(right_ts).alias("__rts"),
+            *[F.col(src).alias(dst) for src, dst in payload.items()],
         ).alias("__p"),
     )
     for c in lhs.columns:
@@ -116,9 +130,15 @@ def asof_join(
         )
         fill = F.first("__p", ignorenulls=True)
     filled = u.select("*", fill.over(w).alias("__m"))
+    matched = F.col("__m")
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        )
+        matched = F.when(gap <= F.lit(tolerance_us), F.col("__m"))
     return filled.filter(F.col("__side") == 1).select(
         *left.columns,
-        *[F.col(f"__m.{dst}").alias(dst) for dst in payload.values()],
+        *[matched.getField(dst).alias(dst) for dst in payload.values()],
     )
 
 

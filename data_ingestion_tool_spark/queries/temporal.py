@@ -208,3 +208,45 @@ def events_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_row_number(
         ev.select("event_id", "ts"), ["ts", "event_id"], rn="seq"
     ).select("event_id", "seq")
+
+
+@query(
+    "join_asof_tolerance_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 10 MINUTE) AS last_click_ts
+    FROM p
+    """,
+)
+def join_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``):
+    the most recent click at most 10 minutes before each purchase;
+    staler matches are nulled, not carried — the attribution-window
+    semantics plain as-of gets wrong (a click from last week should not
+    claim this purchase). DuckDB's ASOF has no tolerance either, so the
+    oracle is the correlated bounded-MAX subquery.
+
+    Scale shape: identical to join_asof_last_click — ONE shuffle on
+    user_id; the tolerance is a post-scan projection filter on the
+    matched timestamp riding in the payload struct (operators/asof.py
+    ``tolerance_us``), not a second pass or a range join.
+    """
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "last_click_ts"},
+        tolerance_us=10 * 60 * 1_000_000,
+    )

@@ -228,3 +228,38 @@ def test_asof_nearest_tie_prefers_backward(spark):
         ).collect()
     }
     assert out == {1: "early", 2: "early", 3: "only_b"}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from data_ingestion_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k int, t string",
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", 7.0), (1, "2024-01-01 10:30:00", 9.0)],
+        "k int, t string, v double",
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "v")
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload={"v": "asof_v"},
+        tolerance_us=10 * 60 * 1_000_000,
+    )
+    got = {str(r["t"]): r["asof_v"] for r in out.collect()}
+    # 10:00 matches 09:55 (5 min <= tol); 12:00's best match 10:30 is
+    # 90 min stale -> nulled, row itself preserved (LEFT semantics)
+    assert got["2024-01-01 10:00:00"] == 7.0
+    assert got["2024-01-01 12:00:00"] is None
+    # nearest + tolerance is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            payload={"v": "x"}, direction="nearest", tolerance_us=1,
+        )
