@@ -384,3 +384,54 @@ def sql_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register(spark, sf_dir)
     return spark.sql(SQL_RECURSIVE_CTE_MONTHS)
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_fail,
+           CAST(SUM(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1)
+                             AS INTEGER), 0)) AS BIGINT) AS sum_priority_digit,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_by_zero,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE o_totalprice / (o_orderkey % 3) END
+                    AS DECIMAL(18,3))) AS DOUBLE) AS sum_safe_div
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: ``try_cast`` (malformed input → NULL,
+    not job failure — the ingestion posture the reference's all-string
+    CSV compat mode needs when upgrading types) and ``try_divide``
+    (÷0 → NULL). Spark's TRY_CAST/try_divide against DuckDB's TRY_CAST
+    + a CASE twin for the division. The safe-division sum goes through
+    DECIMAL(18,3) (halves/thirds of 2-decimal prices are exact at
+    scale 3 only for /1 and /2 — o_orderkey%3 ∈ {1,2} after the NULL
+    guard) so accumulation is order-independent.
+
+    Scale shape: pure scan-side expressions + one grouped aggregate;
+    everything stays in whole-stage codegen.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    parsed_full = F.expr("TRY_CAST(o_orderpriority AS INT)")
+    parsed_digit = F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)")
+    safe_div = F.expr("try_divide(o_totalprice, o_orderkey % 3)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(parsed_full.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parse_fail"),
+        F.sum(F.coalesce(parsed_digit, F.lit(0)))
+        .cast("bigint")
+        .alias("sum_priority_digit"),
+        F.sum(F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.sum(safe_div.cast("decimal(18,3)"))
+        .cast("double")
+        .alias("sum_safe_div"),
+    )

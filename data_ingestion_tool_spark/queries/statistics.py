@@ -2200,3 +2200,189 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval from deterministic hash resamples
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+
+@query(
+    "stats_bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r),
+    s AS (
+      SELECT reps.r,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS mean_price
+      FROM lineitem, reps
+      WHERE CAST('0x' || substring(md5(
+              CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR) || ':' ||
+              CAST(reps.r AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      GROUP BY reps.r
+    ),
+    ranked AS (
+      SELECT ROUND(mean_price, 9) AS m,
+             row_number() OVER (ORDER BY ROUND(mean_price, 9), r) AS rn
+      FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(CAST(m AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS mean_of_means,
+           MAX(CASE WHEN rn = 1 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi
+    FROM ranked
+    """,
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence interval for the mean price without
+    any engine RNG: replicate r keeps the rows whose md5(row-key : r)
+    is even — 32 deterministic, engine-identical half-samples (the
+    md5-subsampling trick from the repo's seeded-sampling family,
+    CLAUDE.md), each averaged decimal-exactly, CI = order statistics of
+    the replicate means (type-1, value-at-index over the 32-row frame).
+    The m-out-of-n (m=n/2) bootstrap — same 1/√n error scaling, and
+    reproducible enough to hash-verify cross-engine.
+
+    Scale shape: the 32× fan-out feeds straight into a map-side-
+    combinable per-replicate aggregate (shuffle carries 32·P partial
+    rows, never the fanned data); the ranking window sees exactly 32
+    rows. B and the md5 both live in the scan projection — one pass
+    over the fact table.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    fan = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.concat_ws(
+            "",
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    )
+    kept = fan.filter(
+        F.expr("CAST(conv(substring(md5(concat(rk, ':', CAST(r AS STRING))), 1, 15),"
+               " 16, 10) AS BIGINT) % 2 = 0")
+    )
+    s = kept.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )
+    ranked = s.select(
+        F.round("mean_price", 9).alias("m"), "r"
+    ).withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "r"))
+    )
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        (
+            F.sum(F.col("m").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_of_means"),
+        F.max(F.when(F.col("rn") == 1, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between time halves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+               AS half,
+             LEAST(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        // 5000 AS INT), 9) AS bin
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      FROM c GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST((CAST(c.n_ref AS DOUBLE) / t.tot_ref
+                   - CAST(c.n_cur AS DOUBLE) / t.tot_cur)
+                  * ln((CAST(c.n_ref AS DOUBLE) / t.tot_ref)
+                       / (CAST(c.n_cur AS DOUBLE) / t.tot_cur))
+                  AS DECIMAL(20,12)) AS term,
+             c.n_ref, c.n_cur
+      FROM c JOIN t ON c.event_type = t.event_type
+      WHERE c.n_ref > 0 AND c.n_cur > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(term) AS DOUBLE), 9) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the observation window — the standard "has this
+    feature's distribution drifted" monitor. Value domain is cut into
+    10 fixed $50 bins (integer cents, `//`/DIV agreement zone); each
+    PSI term (p−q)·ln(p/q) is an identical-expression double over
+    exact integer ratios, quantized to DECIMAL(20,12) before the sum so
+    bin accumulation order can't leak ulps; bins empty on either side
+    are excluded (no smoothing constant to disagree about).
+
+    Scale shape: one pass to the (type, bin, half) grain — a
+    domain-bounded frame (types × 10 bins) — then scalar math. The
+    split date is a constant (monitoring always compares fixed
+    windows), so both engines bin identically with no median scan.
+    """
+    e = read_events(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.expr(
+                "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " DIV 5000 AS INT)"
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_cur").cast("bigint").alias("tot_cur"),
+    )
+    j = c.join(F.broadcast(t), "event_type").filter(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    )
+    p = F.col("n_ref").cast("double") / F.col("tot_ref")
+    q = F.col("n_cur").cast("double") / F.col("tot_cur")
+    terms = j.select(
+        "event_type", ((p - q) * F.log(p / q)).cast("decimal(20,12)").alias("term")
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum("term").cast("double"), 9).alias("psi"),
+    )
