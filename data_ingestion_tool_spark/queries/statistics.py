@@ -2212,23 +2212,38 @@ _BOOT_B = 32
 @query(
     "stats_bootstrap_mean_ci",
     oracle=f"""
-    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r),
+    WITH h AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)) AS hx
+      FROM lineitem
+    ),
+    d AS (
+      SELECT cents, {", ".join(
+        f"CAST('0x' || substring(hx, {i + 1}, 1) AS BIGINT) AS d{i}"
+        for i in range(_BOOT_B // 4))}
+      FROM h
+    ),
     s AS (
-      SELECT reps.r,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS mean_price
-      FROM lineitem, reps
-      WHERE CAST('0x' || substring(md5(
-              CAST(l_orderkey AS VARCHAR) || '-' ||
-              CAST(l_linenumber AS VARCHAR) || ':' ||
-              CAST(reps.r AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
-      GROUP BY reps.r
+      SELECT {", ".join(
+        f"SUM(CASE WHEN (d{r // 4} >> {r % 4}) % 2 = 0 THEN cents ELSE 0 END)"
+        f" AS s{r},"
+        f" SUM(CASE WHEN (d{r // 4} >> {r % 4}) % 2 = 0 THEN 1 ELSE 0 END)"
+        f" AS n{r}"
+        for r in range(_BOOT_B))}
+      FROM d
+    ),
+    m AS (
+      SELECT r, ROUND(mean_cents / 100, 9) AS m FROM (
+        {" UNION ALL ".join(
+          f"SELECT {r} AS r, CAST(s{r} AS DOUBLE) / n{r} AS mean_cents FROM s"
+          for r in range(_BOOT_B)
+        )}
+      )
     ),
     ranked AS (
-      SELECT ROUND(mean_price, 9) AS m,
-             row_number() OVER (ORDER BY ROUND(mean_price, 9), r) AS rn
-      FROM s
+      SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM m
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
            CAST(SUM(CAST(m AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
@@ -2240,47 +2255,63 @@ _BOOT_B = 32
 )
 def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap-style confidence interval for the mean price without
-    any engine RNG: replicate r keeps the rows whose md5(row-key : r)
-    is even — 32 deterministic, engine-identical half-samples (the
-    md5-subsampling trick from the repo's seeded-sampling family,
-    CLAUDE.md), each averaged decimal-exactly, CI = order statistics of
-    the replicate means (type-1, value-at-index over the 32-row frame).
-    The m-out-of-n (m=n/2) bootstrap — same 1/√n error scaling, and
-    reproducible enough to hash-verify cross-engine.
+    any engine RNG: replicate r keeps the rows whose row-key md5 has
+    bit r clear — 32 deterministic, engine-identical half-samples from
+    ONE md5 per row (128 hash bits fund all 32 replicates; hashing per
+    (row, replicate) pair was 3x the cost for nothing), each averaged
+    in exact integer cents, CI = order statistics of the replicate
+    means (type-1, value-at-index over the 32-row frame). The m-out-of-n
+    (m≈n/2) bootstrap — same 1/√n error scaling, reproducible enough to
+    hash-verify cross-engine.
 
-    Scale shape: the 32× fan-out feeds straight into a map-side-
-    combinable per-replicate aggregate (shuffle carries 32·P partial
-    rows, never the fanned data); the ranking window sees exactly 32
-    rows. B and the md5 both live in the scan projection — one pass
-    over the fact table.
+    Scale shape: NO fan-out at all — the 32 replicate sums/counts are
+    64 conditional aggregates in a single map-side-combinable pass
+    (shuffle carries one 64-column row per partition), then the means
+    unpivot into a 32-row frame for the ranking window. One scan, one
+    md5 per row, and the 8 hex→int digit extractions are hoisted into
+    the projection so the 64 aggregates share them instead of
+    re-deriving the digit per condition.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    fan = li.select(
-        F.col("l_extendedprice").alias("price"),
-        F.concat_ws(
-            "",
-            F.col("l_orderkey").cast("string"),
-            F.lit("-"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("rk"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    h = li.select(
+        _cents("l_extendedprice").alias("cents"),
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hx"),
     )
-    kept = fan.filter(
-        F.expr("CAST(conv(substring(md5(concat(rk, ':', CAST(r AS STRING))), 1, 15),"
-               " 16, 10) AS BIGINT) % 2 = 0")
+
+    h = h.select(
+        "cents",
+        *[
+            F.expr(
+                f"CAST(conv(substring(hx, {i + 1}, 1), 16, 10) AS BIGINT)"
+            ).alias(f"d{i}")
+            for i in range(_BOOT_B // 4)
+        ],
     )
-    s = kept.groupBy("r").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (
-            F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_price"),
+
+    def bit_clear(r: int) -> F.Column:
+        return (F.shiftright(F.col(f"d{r // 4}"), r % 4) % 2) == 0
+
+    aggs = []
+    for r in range(_BOOT_B):
+        keep = bit_clear(r)
+        aggs.append(
+            F.sum(F.when(keep, F.col("cents")).otherwise(0)).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"n{r}"))
+    s = h.groupBy().agg(*aggs)
+    stack_expr = ", ".join(
+        f"{r}, CAST(s{r} AS DOUBLE) / n{r}" for r in range(_BOOT_B)
     )
-    ranked = s.select(
-        F.round("mean_price", 9).alias("m"), "r"
-    ).withColumn(
-        "rn", F.row_number().over(Window.orderBy("m", "r"))
-    )
+    m = s.selectExpr(
+        f"stack({_BOOT_B}, {stack_expr}) AS (r, mean_cents)"
+    ).select("r", F.round(F.col("mean_cents") / 100, 9).alias("m"))
+    ranked = m.withColumn("rn", F.row_number().over(Window.orderBy("m", "r")))
     return ranked.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
         (
