@@ -528,3 +528,98 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("max_by(cusum_hi, n_events)"), 9).alias("cusum_hi"),
         F.round(F.expr("max_by(cusum_lo, n_events)"), 9).alias("cusum_lo"),
     )
+
+
+# Session-scoped staging cache for stream_watermark_drop_counts's
+# 2-file late-straggler split (sf_dir -> staged src dir).
+_WMDROP_SRC: dict[str, str] = {}
+
+
+@query(
+    "stream_watermark_drop_counts",
+    oracle="""
+    WITH a AS (
+      SELECT ts, event_type FROM events
+      WHERE NOT (user_id % 10 = 0 AND ts < TIMESTAMP '2024-01-16 00:00:00')
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM a)
+    SELECT date_trunc('hour', a.ts) AS window_start, a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM a, wm
+    WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY date_trunc('hour', a.ts), a.event_type
+    """,
+)
+def stream_watermark_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, oracle-checked (the semantics
+    tests/test_streaming_watermark.py pins at unit scale, here verified
+    differentially over the full table): the source splits into an
+    on-time file and a straggler file (10% of users' first-half rows),
+    processed as three micro-batches (mtime-pinned,
+    maxFilesPerTrigger=1, append mode): [on-time bulk] → [a tiny
+    on-time tail] → [stragglers]. Batch 1 advances the watermark to
+    max(on-time ts) − 30 min; batch 2 is the batch where old-window
+    state evicts and emits (eviction lags the displayed watermark by
+    one batch — the semantics pinned 3-batch-style in
+    tests/test_streaming_watermark.py; a straggler arriving IN batch 2
+    would still merge, which is why the stragglers ride in batch 3);
+    batch 3's stragglers then hit evicted state and are DROPPED. The
+    emitted append-mode table is therefore exactly: on-time hourly
+    counts for windows closed by that watermark — which is what the
+    oracle computes. If streaming failed to drop (or dropped the wrong
+    rows), the hash diverges. The batch-2 tail duplicates rows from the
+    final 10 minutes, whose windows never close, so it cannot touch
+    the emitted counts.
+
+    Scale shape: the same watermarked tumbling plan as
+    stream_tumbling_window_counts (state = open windows only — the
+    drop is precisely what bounds state at 100 TB/day); the split is
+    session-cached staging, not per-run work.
+    """
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .sources_sinks import _scratch
+
+    src = _WMDROP_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = os.path.join(_scratch("wmdrop-src"), "src")
+        ev = read_events(spark, sf_dir).select("ts", "event_type", "user_id")
+        straggler = (F.col("user_id") % 10 == 0) & (
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        )
+        # tail boundary from the data: rows in the final 10 minutes
+        # (their windows stay open past the final watermark at every
+        # sf, so duplicating them can't touch emitted counts)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        tail = (~straggler) & (
+            F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTE")
+        )
+        now = _time.time()
+        for i, part in enumerate(
+            [ev.filter(~straggler), ev.filter(tail), ev.filter(straggler)]
+        ):
+            d = os.path.join(src, f"b{i}")
+            part.select("ts", "event_type").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            t = now - 3600 + i * 600  # pin batch order by mtime
+            for root, _, files in os.walk(d):
+                for f in files:
+                    os.utime(os.path.join(root, f), (t, t))
+        _WMDROP_SRC[sf_dir] = src
+
+    out = run_stream_to_table(
+        spark,
+        src,
+        "ts timestamp, event_type string",
+        lambda s: tumbling_window_counts(s, watermark="30 minutes"),
+        output_mode="append",
+        reader_options={
+            "maxFilesPerTrigger": "1",
+            "recursiveFileLookup": "true",
+        },
+    )
+    return out.select("window_start", "event_type", "cnt")
