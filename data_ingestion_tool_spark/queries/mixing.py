@@ -396,3 +396,69 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") == 1).select(
         "doc_id", "source", "n_tokens", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_temperature_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    t AS (
+      SELECT source, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS sq
+      FROM s
+    ),
+    z AS (
+      SELECT CAST(SUM(sq) AS DOUBLE) AS zsum,
+             CAST(SUM(n_docs) AS BIGINT) AS ntot
+      FROM t
+    )
+    SELECT t.source, t.n_docs,
+           ROUND(CAST(t.n_docs AS DOUBLE) / z.ntot, 9) AS raw_share,
+           ROUND(CAST(t.sq AS DOUBLE) / z.zsum, 9) AS temp_weight,
+           ROUND((CAST(t.sq AS DOUBLE) / z.zsum)
+                 / (CAST(t.n_docs AS DOUBLE) / z.ntot), 9) AS boost
+    FROM t, z
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) mixture weights per source — the
+    standard rebalancing for multi-source training corpora: sampling
+    probability ∝ share^α flattens the distribution so rare sources
+    upsample (boost > 1) and dominant ones downsample. Each sqrt is
+    IEEE-correctly-rounded (identical cross-engine), quantized to
+    DECIMAL(20,12) before the normalizer sum so accumulation order is
+    irrelevant; weights/boosts are identical-expression doubles rounded
+    to 9.
+
+    Scale shape: one count aggregate to the source grain (domain-
+    bounded), then scalar math against the broadcast one-row
+    normalizer. The weights table is what a downstream weighted
+    sampler (sample_weighted_by_tokens) consumes.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t = s.withColumn(
+        "sq", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(20,12)")
+    )
+    z = t.groupBy().agg(
+        F.sum("sq").cast("double").alias("zsum"),
+        F.sum("n_docs").cast("bigint").alias("ntot"),
+    )
+    j = t.crossJoin(F.broadcast(z))
+    w = F.col("sq").cast("double") / F.col("zsum")
+    share = F.col("n_docs").cast("double") / F.col("ntot")
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(share, 9).alias("raw_share"),
+        F.round(w, 9).alias("temp_weight"),
+        F.round(w / share, 9).alias("boost"),
+    )

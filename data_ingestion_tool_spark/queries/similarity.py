@@ -341,3 +341,91 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("score", 9).alias("score")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(half AS INT) AS half, pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS cv,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT label, vec_id % 2 AS half,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY label, half, pos
+    ),
+    p AS (
+      SELECT a.label,
+             CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(20,14))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.cv * a.cv AS DECIMAL(20,14))) AS DOUBLE) AS na,
+             CAST(SUM(CAST(b.cv * b.cv AS DECIMAL(20,14))) AS DOUBLE) AS nb,
+             MAX(a.n) AS n_even, MAX(b.n) AS n_odd
+      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT label, n_even, n_odd,
+           ROUND(dot / (sqrt(na) * sqrt(nb)), 9) AS centroid_cosine
+    FROM p
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: cosine similarity between each label's
+    centroid computed over two deterministic halves of the corpus
+    (vec_id parity — in production, two time windows). Near-1 means the
+    embedding distribution is stable; a dropping value is the signal to
+    re-train an IVF/PQ index or investigate upstream encoder drift.
+    Centroids use the decimal-exact posexplode aggregate of
+    embedding_centroid_per_label; the 64-term dot/norm folds quantize
+    each product to DECIMAL(20,14) so the contraction is
+    order-independent, and the final cosine is identical-expression
+    (correctly-rounded sqrts), rounded to 9.
+
+    Scale shape: shuffle rows = labels × dims × 2 after map-side
+    partials, independent of corpus size; the half-vs-half join runs on
+    that domain-bounded frame.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    cnt = F.count(F.lit(1))
+    c = ex.groupBy("label", "half", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+            / cnt
+        ).alias("cv"),
+        cnt.cast("bigint").alias("n"),
+    )
+    a = c.filter(F.col("half") == 0).alias("a")
+    b = c.filter(F.col("half") == 1).alias("b")
+    p = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.pos") == F.col("b.pos")))
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(
+            F.sum((F.col("a.cv") * F.col("b.cv")).cast("decimal(20,14)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("a.cv") * F.col("a.cv")).cast("decimal(20,14)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("b.cv") * F.col("b.cv")).cast("decimal(20,14)"))
+            .cast("double")
+            .alias("nb"),
+            F.max("a.n").alias("n_even"),
+            F.max("b.n").alias("n_odd"),
+        )
+    )
+    return p.select(
+        F.col("label").cast("int").alias("label"),
+        "n_even",
+        "n_odd",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 9
+        ).alias("centroid_cosine"),
+    )
