@@ -2087,7 +2087,7 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = outw.crossJoin(F.broadcast(n_df)).select(
         F.col("u").alias("brand"), (F.lit(1.0) / F.col("n")).alias("r")
     )
-    wj = w.join(outw, "u")
+    wj = w.join(F.broadcast(outw), "u")
     for _ in range(_PR_ITERS):
         contrib = (
             F.col("r") * F.col("cnt").cast("double") / F.col("ow").cast("double")
