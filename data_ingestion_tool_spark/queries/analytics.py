@@ -1122,3 +1122,72 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase survival curve (order-gap retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_repeat_gap_survival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_30,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_90,
+           CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_180,
+           CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s30,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s90,
+           CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s180
+    FROM g
+    """,
+)
+def orders_repeat_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve of the repeat-purchase gap: S(t) =
+    P(days between consecutive orders > t) at t = 30/90/180 — the
+    retention-modeling primitive (no censoring model; pure empirical
+    tail shares). Gap days are exact integer date_diffs; survival
+    shares are single divisions of identical integers.
+
+    Scale shape: one shuffle on o_custkey for the per-customer lag
+    window, then a map-side-combinable scalar rollup. Day-grain
+    integer math end to end.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    n = F.count(F.lit(1))
+    outs = [n.cast("bigint").alias("n_gaps")]
+    for t in (30, 90, 180):
+        outs.append(
+            F.sum(F.when(F.col("gap_days") > t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"beyond_{t}")
+        )
+    for t in (30, 90, 180):
+        outs.append(
+            (
+                F.sum(F.when(F.col("gap_days") > t, 1).otherwise(0)).cast("double")
+                / n
+            ).alias(f"s{t}")
+        )
+    return gaps.groupBy().agg(*outs)

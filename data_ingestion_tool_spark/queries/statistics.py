@@ -2417,3 +2417,109 @@ def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.round(F.sum("term").cast("double"), 9).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD (median absolute deviation) robust outlier fence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_mad_robust",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS grp,
+             {_SQL_CENTS.format(col='value')} AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT grp, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+               AS med_cents
+      FROM r1 GROUP BY grp
+    ),
+    dev AS (
+      SELECT c.grp, ABS(c.cents - m.med_cents) AS adev, c.cents,
+             m.med_cents
+      FROM c JOIN med m ON c.grp = m.grp
+    ),
+    r2 AS (
+      SELECT grp, adev, cents, med_cents,
+             row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT grp, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END)
+               AS mad_cents
+      FROM r2 GROUP BY grp
+    )
+    SELECT d.grp, MAX(d.med_cents) AS median_cents,
+           MAX(x.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN ABS(d.cents - d.med_cents) * 10000
+                          > 3 * 14826 * x.mad_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad x ON d.grp = x.grp
+    GROUP BY d.grp
+    """,
+)
+def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation: |x − median| >
+    3·1.4826·MAD (the normal-consistency constant), with BOTH order
+    statistics exact value-at-index and the fence compared in scaled
+    integer math (10⁴·dev > 3·14826·MAD — all bigint, the CLAUDE.md
+    no-float-boundary rule; the 1.4826 constant clears its denominator
+    into the left side). Unlike z-scores, immune to the outliers
+    inflating their own fence.
+
+    Scale shape: two partitioned ranking passes (value, then absolute
+    deviation) + a broadcast of the per-group median/MAD rows back onto
+    the scan — the same fence pattern as outlier_iqr_price, ×2.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select(
+        F.col("event_type").alias("grp"), _cents("value").alias("cents")
+    )
+    w1 = Window.partitionBy("grp").orderBy("cents")
+    r1 = c.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    med = r1.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("cents"))
+        ).alias("med_cents")
+    )
+    dev = c.join(F.broadcast(med), "grp").select(
+        "grp",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    w2 = Window.partitionBy("grp").orderBy("adev")
+    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    mad = r2.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("adev"))
+        ).alias("mad_cents")
+    )
+    out = dev.join(F.broadcast(mad), "grp")
+    return out.groupBy("grp").agg(
+        F.max("med_cents").alias("median_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.col("adev") * 10000 > 3 * 14826 * F.col("mad_cents"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -758,3 +758,95 @@ def text_zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (Jaccard over term sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_overlap_sources",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    sz AS (
+      SELECT source, COUNT(*) AS vocab FROM tok GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.vocab AS BIGINT) AS vocab_a,
+           CAST(sb.vocab AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.vocab + sb.vocab - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    WHERE i.n_common * 4 >= (sa.vocab + sb.vocab - i.n_common) * 3
+    """,
+)
+def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (reported above 75%
+    overlap — the integer-math threshold 4·|∩| ≥ 3·|∪|): the corpus-
+    level contamination/redundancy signal that says two "different"
+    sources are really the same crawl. Jaccard itself is one division
+    of identical exact integers.
+
+    Scale shape: the corpus collapses to the DISTINCT (source, term)
+    grain first; the pair counting joins on term, where each term
+    contributes at most |sources|² bounded pairs (sources are a small
+    domain) — so the join output is vocab-linear, never corpus-
+    quadratic. Per-source vocab sizes broadcast back onto the pair
+    list.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    out = (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .filter(
+            F.col("n_common") * 4
+            >= (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")) * 3
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("vocab_a").cast("bigint").alias("vocab_a"),
+        F.col("vocab_b").cast("bigint").alias("vocab_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
