@@ -1191,3 +1191,86 @@ def orders_repeat_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{t}")
         )
     return gaps.groupBy().agg(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve (cumulative revenue by months since join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS join_ts FROM orders
+      GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', f.join_ts) AS DATE) AS cohort_month,
+             date_diff('month', date_trunc('month', f.join_ts),
+                       date_trunc('month', o.o_orderdate)) AS age_months,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+      SELECT cohort_month, age_months,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM rev WHERE age_months <= 11 GROUP BY cohort_month, age_months
+    )
+    SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+           rev_cents, n_orders,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                ORDER BY age_months
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM m
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue of each signup-month cohort
+    by months-since-join (first year) — the companion to
+    cohort_retention_weekly that tracks VALUE instead of presence.
+    Revenue in exact cents; month ages are integer date_diffs; the
+    cumulative sum is a per-cohort windowed bigint (DuckDB windowed
+    SUM(bigint) → HUGEINT, so the oracle CASTs the window result — the
+    CLAUDE.md rule).
+
+    Scale shape: first-order MINs collapse per customer (one shuffle),
+    the join is customer-grain broadcast-eligible, and the rollup +
+    cumsum run on the cohort×12 domain-bounded frame.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("join_ts"))
+    j = o.join(first, "o_custkey")
+    rev = j.select(
+        F.date_trunc("month", "join_ts").cast("date").alias("cohort_month"),
+        (
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"),
+                F.date_trunc("month", "join_ts"),
+            )
+        )
+        .cast("long")
+        .alias("age_months"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).filter(F.col("age_months") <= 11)
+    m = rev.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "cohort_month",
+        F.col("age_months").cast("bigint").alias("age_months"),
+        "rev_cents",
+        "n_orders",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )

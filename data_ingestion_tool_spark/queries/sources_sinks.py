@@ -609,3 +609,52 @@ def ingest_file_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@query(
+    "ingest_row_level_delete",
+    oracle="""
+    WITH del AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    kept AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM del d
+                        WHERE d.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM kept GROUP BY o_orderstatus
+    """,
+)
+def ingest_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete in an immutable parquet lake (the GDPR
+    right-to-be-forgotten / CCPA purge shape): a deletion keyset
+    anti-joins the table and the SURVIVORS rewrite to a new snapshot;
+    the verified read comes from the rewritten files, so the oracle
+    (NOT EXISTS over the source view) proves the delete touched exactly
+    the requested keys and nothing else.
+
+    Scale shape: the deletion list is the small side — Catalyst plans
+    the anti-join broadcast; the rewrite is a straight scan→filter→
+    write with no shuffle. Production refinement (same code): partition
+    the lake so the rewrite touches only files containing victims
+    (_metadata.file_name prefilter), which is Delta/Iceberg's
+    delete-file strategy re-expressed as plain parquet rewrite.
+    """
+    out = os.path.join(_scratch("rld"), "orders_purged")
+    orders = read_table(spark, sf_dir, "orders")
+    victims = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    kept = orders.join(F.broadcast(victims), "o_orderkey", "left_anti")
+    kept.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
