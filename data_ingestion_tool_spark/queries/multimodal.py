@@ -8,6 +8,7 @@ exactly the production image/audio path (see operators.multimodal).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import extract_binary_metadata, with_binary_payload
 from ..sources.parquet_io import read_table
@@ -126,4 +127,235 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.where(F.col("rn") == 1).select(
         "doc_id", "source", "byte_len", "n_copies"
+    )
+
+
+N_WAV_DOCS = 200
+
+
+@query(
+    "multimodal_wav_roundtrip_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars % 500 + 100 AS n
+      FROM documents WHERE doc_id < {N_WAV_DOCS}
+    ),
+    fan AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, n - 1)) AS i
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, MAX(n) AS n,
+             CAST(SUM(((i * 7 + doc_id) % 256 - 128)
+                      * ((i * 7 + doc_id) % 256 - 128)) AS BIGINT) AS sum_sq
+      FROM fan GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 - 8 AS INT) AS bits_per_sample,
+           CAST(n AS BIGINT) AS n_samples,
+           sum_sq,
+           CAST(n AS DOUBLE) / 8000 AS duration_s,
+           sqrt(CAST(sum_sq AS DOUBLE) / (n * 16384.0)) AS rms
+    FROM s
+    """,
+)
+def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, differentially verified: each doc synthesizes
+    a deterministic 8-bit PCM mono RIFF/WAVE payload (sawtooth samples
+    (i·7 + doc_id) mod 256, length from n_chars) inside the Arrow
+    batch, decodes it with the pure-Python chunk-walking
+    ``wav_decode`` (operators/multimodal.py), and emits sample stats —
+    while the ORACLE computes the same stats in closed form from the
+    generation rule, never seeing a byte. A header-walk bug, a signed/
+    unsigned PCM mix-up, or an off-by-one in the data chunk all shift
+    sum_sq/n_samples and break the hash. The worker also re-derives
+    the decoder's float rms from the integer sum of squares and raises
+    if they disagree beyond 1e-9 — so the decode path is asserted, not
+    assumed. Hash-carried floats (duration, rms) are identical
+    integer-ratio expressions on both engines.
+
+    Scale shape: pure mapInPandas over the documents scan — payloads
+    are created, decoded, and reduced to fixed-width stats inside the
+    executor; nothing binary ever shuffles.
+    """
+    import math
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import wav_decode
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_WAV_DOCS
+    ).select("doc_id", "n_chars")
+
+    def wav_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 500 + 100
+                k = (np.arange(n, dtype=np.int64) * 7 + int(doc_id)) % 256
+                data = k.astype(np.uint8).tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                meta = wav_decode(hdr + data)
+                sum_sq = int(((k.astype(np.int64) - 128) ** 2).sum())
+                rms_check = math.sqrt(sum_sq / (meta["n_samples"] * 16384.0))
+                if abs(meta["rms"] - rms_check) > 1e-9:
+                    raise AssertionError(
+                        f"wav_decode rms {meta['rms']} != closed-form {rms_check}"
+                    )
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["sample_rate"],
+                        meta["bits_per_sample"],
+                        meta["n_samples"],
+                        sum_sq,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "bits_per_sample",
+                    "n_samples",
+                    "sum_sq",
+                ],
+            )
+
+    decoded = d.mapInPandas(
+        wav_batches,
+        "doc_id long, sample_rate int, bits_per_sample int,"
+        " n_samples long, sum_sq long",
+    )
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "sum_sq",
+        (F.col("n_samples").cast("double") / 8000).alias("duration_s"),
+        F.sqrt(
+            F.col("sum_sq").cast("double") / (F.col("n_samples") * 16384.0)
+        ).alias("rms"),
+    )
+
+
+N_BMP_DOCS = 200
+
+
+@query(
+    "multimodal_bmp_roundtrip_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars % 30 + 5 AS w, doc_id % 20 + 4 AS h
+      FROM documents WHERE doc_id < {N_BMP_DOCS}
+    ),
+    fy AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM d
+    ),
+    fj AS (
+      SELECT doc_id, w, h, y,
+             unnest(generate_series(0, 3 * w - 1)) AS j
+      FROM fy
+    ),
+    s AS (
+      SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+             CAST(SUM((j + y * 7 + doc_id) % 256) AS BIGINT) AS sum_px
+      FROM fj GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels, sum_px,
+           CAST(sum_px AS DOUBLE) / (w * h * 3 * 255) AS mean_pixel
+    FROM s
+    """,
+)
+def multimodal_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, differentially verified (the BMP sibling of
+    multimodal_wav_roundtrip_stats): each doc synthesizes a 24-bpp
+    BI_RGB BMP — pixel byte (j + 7y + doc_id) mod 256, dimensions from
+    (n_chars, doc_id), rows PADDED to 4-byte boundaries as the format
+    demands — decodes it with the pure-Python ``bmp_decode``, and emits
+    integer pixel sums the oracle reproduces in closed form. The row
+    padding is the sharp edge: a decoder that reads the stride wrong
+    pulls padding bytes into the mean and the hash breaks. The worker
+    asserts the decoder's float mean against the integer sum (1e-9) so
+    the pixel math is checked, not assumed.
+
+    Scale shape: identical to the WAV twin — synthesize/decode/reduce
+    inside mapInPandas, fixed-width stats out, no binary shuffle.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import bmp_decode
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_BMP_DOCS
+    ).select("doc_id", "n_chars")
+
+    def bmp_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = int(n_chars) % 30 + 5
+                h = doc_id % 20 + 4
+                stride = (w * 3 + 3) & ~3
+                img = np.zeros((h, stride), dtype=np.uint8)
+                j = np.arange(3 * w, dtype=np.int64)
+                for y in range(h):
+                    img[y, : 3 * w] = (j + y * 7 + doc_id) % 256
+                    img[y, 3 * w :] = 0xAB  # padding: must NOT leak into stats
+                data = img.tobytes()
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(data), 2835, 2835, 0, 0)
+                )
+                meta = bmp_decode(hdr + data)
+                sum_px = int(img[:, : 3 * w].astype(np.int64).sum())
+                mean_check = sum_px / (w * h * 3 * 255)
+                if abs(meta["mean_pixel"] - mean_check) > 1e-9:
+                    raise AssertionError(
+                        f"bmp_decode mean {meta['mean_pixel']} != {mean_check}"
+                    )
+                if (meta["width"], meta["height"]) != (w, h):
+                    raise AssertionError("bmp_decode dimension mismatch")
+                rows.append((doc_id, meta["width"], meta["height"],
+                             meta["channels"], sum_px))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "sum_px"]
+            )
+
+    decoded = d.mapInPandas(
+        bmp_batches,
+        "doc_id long, width int, height int, channels int, sum_px long",
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "sum_px",
+        (
+            F.col("sum_px").cast("double")
+            / (F.col("width") * F.col("height") * 3 * 255)
+        ).alias("mean_pixel"),
     )
