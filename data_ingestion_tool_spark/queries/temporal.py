@@ -250,3 +250,43 @@ def join_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"ts": "last_click_ts"},
         tolerance_us=10 * 60 * 1_000_000,
     )
+
+
+@query(
+    "events_hopping_window_counts",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                          // 1800 * 1800) AS TIMESTAMP) AS slot,
+             unnest(ARRAY[0, 1]) AS back
+      FROM events
+    )
+    SELECT slot - back * INTERVAL 30 MINUTE AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM base
+    GROUP BY slot - back * INTERVAL 30 MINUTE, event_type
+    """,
+)
+def events_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows in BATCH: ``F.window(ts, '1 hour',
+    '30 minutes')`` assigns each event to the two 1-hour windows that
+    contain it (starts at its 30-min slot and the slot before) — the
+    overlap-aware rollup behind smooth dashboards. The oracle derives
+    the same membership in closed form: floor ts to the 30-min slot,
+    fan each row to (slot, slot − 30 min). The epoch floor goes
+    through BIGINT before `//` — DuckDB's `//` on DOUBLE is plain
+    division (the int-only agreement zone from CLAUDE.md).
+
+    Scale shape: Spark's window() expands rows size/slide = 2× inside
+    the scan projection before ONE map-side-combinable count shuffle —
+    no self-join, no range join; output cardinality is slots × types
+    (domain-bounded).
+    """
+    e = read_events(spark, sf_dir)
+    win = e.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return win.select(
+        F.col("win.start").alias("window_start"), "event_type", "cnt"
+    )
