@@ -222,3 +222,40 @@ def test_observed_write_metrics_single_job(spark, sf_dir, tmp_path):
     assert m["n_rows"] == truth.n > 0
     assert m["n_o_orderstatus"] == truth.ns
     assert m["sum_cents"] == truth.sc
+
+
+def test_cosine_range_search_edges(spark):
+    from data_ingestion_tool_spark.operators.similarity import cosine_range_search
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),      # identical to 0 -> cosine 1.0
+        (2, [0.0, 1.0]),      # orthogonal
+        (3, [-1.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    # tau=0.5: only the identical vector qualifies; self-match excluded
+    got = cosine_range_search(df, q, tau=0.5).collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {(0, 1)}
+    assert abs(got[0].score - 1.0) < 1e-12
+    # tau above every score -> empty frame, schema intact
+    empty = cosine_range_search(df, q, tau=1.5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "score"]
+    # tau=-1 catches everything except self
+    allr = cosine_range_search(df, q, tau=-1.0).collect()
+    assert {r.neighbor_id for r in allr} == {1, 2, 3}
+
+
+def test_pagerank_brands_mass_conservation(spark):
+    """Damped PageRank over a connected undirected graph preserves
+    total mass: sum of ranks == 1 (within quantization tolerance)."""
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    out = QUERIES["graph_pagerank_brands"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.pagerank for r in out)
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(r.pagerank > 0 for r in out)
