@@ -658,3 +658,61 @@ def ingest_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "ingest_csv_malformed_permissive",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderkey END
+               AS k_parsed
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN k_parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(k_parsed) AS BIGINT) AS sum_good_keys
+    FROM src
+    """,
+)
+def ingest_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance on CSV ingest (PERMISSIVE mode + corrupt-
+    record column — the error posture a production loader needs where
+    the reference's pandas path would abort the whole file,
+    backend/main.py:234): every 50th order row is written with a
+    non-numeric key ('BAD<k>'), the typed re-read parses what it can,
+    quarantines the rest into ``_corrupt_record``, and the counts —
+    total rows, corrupt rows, and the sum of successfully-parsed keys —
+    hash against the closed-form oracle. Row-level error isolation, not
+    job failure.
+
+    Scale shape: write + re-read are one pass each; the corrupt-record
+    column is scan-local. The quarantine pattern (filter on corrupt IS
+    NOT NULL → dead-letter sink) drops straight out of this plan.
+    """
+    out = _scratch("csvperm")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    dirty = o.select(
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            F.concat(F.lit("BAD"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("k")
+    )
+    dirty.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("k LONG, _corrupt_record STRING")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return back.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum("k").cast("bigint").alias("sum_good_keys"),
+    )

@@ -435,3 +435,32 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_safe_div"),
     )
+
+
+SQL_NAMED_WINDOW = """
+SELECT o_custkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            OVER w AS BIGINT) AS cum_cents,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("sql_named_window_clause", oracle=SQL_NAMED_WINDOW)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause (IDENTICAL SQL text on both engines):
+    one frame definition shared by multiple aggregates plus a second
+    named spec — the syntax users port from warehouse SQL verbatim.
+    Running cents stay exact bigint (DuckDB windowed SUM(bigint) emits
+    HUGEINT, so the window result is CAST — CLAUDE.md rule); the
+    per-customer order sequence carries the (date, key) tie-break.
+
+    Scale shape: both windows share the o_custkey partitioning — one
+    shuffle, sorts reused.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(SQL_NAMED_WINDOW)

@@ -623,3 +623,64 @@ def stream_watermark_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.select("window_start", "event_type", "cnt")
+
+
+@query(
+    "stream_update_mode_latest",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_update_mode_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode surface: the same watermarked tumbling count
+    runs over a 2-micro-batch split, the memory sink accumulates every
+    per-batch UPDATE row (a window updated in both batches appears
+    twice with growing counts), and the reader compacts to the LATEST
+    row per (window, type) — max(cnt) is exact here because counts grow
+    monotonically. The compacted view equals the batch answer, proving
+    update-mode emission covers every touched window exactly.
+
+    Scale shape: same plan as stream_tumbling_window_counts; update
+    mode is what bounded-state continuous dashboards run (complete
+    mode re-emits the world each batch — unbounded output at 100 TB).
+    """
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .sources_sinks import _scratch
+
+    src = _WMDROP_SRC.get(f"upd::{sf_dir}")
+    if src is None or not os.path.isdir(src):
+        src = os.path.join(_scratch("updmode-src"), "src")
+        ev = read_events(spark, sf_dir).select("ts", "event_type")
+        now = _time.time()
+        # ts-ranged split: batch 2 re-touches the boundary hour, so at
+        # least one window genuinely updates across batches
+        parts = ev.repartitionByRange(2, "ts")
+        parts.write.mode("overwrite").parquet(src)
+        for i, f in enumerate(
+            sorted(
+                os.path.join(src, p)
+                for p in os.listdir(src)
+                if p.endswith(".parquet")
+            )
+        ):
+            t = now - 3600 + i * 600
+            os.utime(f, (t, t))
+        _WMDROP_SRC[f"upd::{sf_dir}"] = src
+
+    out = run_stream_to_table(
+        spark,
+        src,
+        "ts timestamp, event_type string",
+        lambda s: tumbling_window_counts(s, watermark="30 minutes"),
+        output_mode="update",
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    return out.groupBy("window_start", "event_type").agg(
+        F.max("cnt").cast("bigint").alias("cnt")
+    )
