@@ -716,3 +716,82 @@ def ingest_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("n_corrupt"),
         F.sum("k").cast("bigint").alias("sum_good_keys"),
     )
+
+
+@query(
+    "ingest_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 11 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice
+                       OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY change
+    """,
+)
+def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the nightly "what changed between
+    loads" diff): two versions of the orders table — v2 drops some
+    keys, adds others back, and perturbs some prices — full-outer join
+    on the key classifies every row added / removed / changed /
+    unchanged, rolled up with key ranges. The change predicate compares
+    the 2-decimal price directly (exact equality of identically-derived
+    doubles; a +1.0 perturbation can't land within an ulp).
+
+    Scale shape: ONE full-outer shuffle join on the key — the minimal
+    plan for a keyed diff; at 100 TB both sides bucket/sort by the same
+    key so the join co-locates. Row-level hashes (md5 of concatenated
+    columns) swap in for the column compares when schemas are wide.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 11 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    d = j.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        change.alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
