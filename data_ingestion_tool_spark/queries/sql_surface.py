@@ -464,3 +464,27 @@ def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register(spark, sf_dir)
     return spark.sql(SQL_NAMED_WINDOW)
+
+
+SQL_VALUES_DIM_JOIN = """
+WITH sev(o_orderpriority, severity) AS (
+  VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+         ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+)
+SELECT s.severity, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders o JOIN sev s ON o.o_orderpriority = s.o_orderpriority
+GROUP BY s.severity
+"""
+
+
+@query("sql_values_inline_dim", oracle=SQL_VALUES_DIM_JOIN)
+def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline ``VALUES`` table constructor as a seeded dimension
+    (IDENTICAL SQL text on both engines): the ad-hoc lookup-table
+    pattern analysts reach for before a real dim table exists. The
+    5-row VALUES relation broadcast-joins into the fact scan.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(SQL_VALUES_DIM_JOIN)

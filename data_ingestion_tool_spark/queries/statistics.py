@@ -2523,3 +2523,49 @@ def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) quartiles — the percentile_cont surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_cont_quartiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(cents, 0.25) AS q1_cents,
+           quantile_cont(cents, 0.5) AS q2_cents,
+           quantile_cont(cents, 0.75) AS q3_cents
+    FROM c GROUP BY grp
+    """,
+)
+def quantile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-INTERPOLATED quartiles (``percentile_cont`` semantics)
+    — the continuous sibling of the repo's type-1 value-at-index
+    quantiles. Safe cross-engine for DYADIC fractions only: the rank
+    position (n−1)·q and the interpolation lo + frac·(hi−lo) are exact
+    double arithmetic when q ∈ {{.25, .5, .75}} (powers of two) and the
+    values are integer cents — both engines land on the same double.
+    Non-dyadic q (e.g. 0.9) re-introduces representation error and
+    belongs to the type-1 family instead (quantile_deciles_price).
+
+    Scale shape: Spark's percentile() aggregates per group in a single
+    pass (partial digests per partition, merged); no global sort.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    return c.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(cents, 0.25)").alias("q1_cents"),
+        F.expr("percentile(cents, 0.5)").alias("q2_cents"),
+        F.expr("percentile(cents, 0.75)").alias("q3_cents"),
+    )
