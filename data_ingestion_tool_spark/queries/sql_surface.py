@@ -488,3 +488,42 @@ def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register(spark, sf_dir)
     return spark.sql(SQL_VALUES_DIM_JOIN)
+
+
+SQL_NOT_IN_NULL_SEMANTICS = """
+WITH probe AS (
+  SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+              ELSE o_orderkey END AS k
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+    AS n_not_in,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.k = o.o_orderkey)) AS BIGINT)
+    AS n_not_exists,
+  CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT)
+    AS n_null_probe
+"""
+
+
+@query("sql_not_in_null_semantics", oracle=SQL_NOT_IN_NULL_SEMANTICS)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface (IDENTICAL SQL text on both engines):
+    ``NOT IN`` against a subquery containing a NULL returns ZERO rows
+    (x <> NULL is UNKNOWN, so no row ever satisfies the predicate),
+    while ``NOT EXISTS`` with an equality correlation ignores the NULLs
+    and returns the real anti-join count — the classic silent-wrong-
+    answer trap this engine must reproduce exactly, not "fix". Both
+    engines agree per ANSI; the query pins it (n_not_in = 0,
+    n_not_exists = the true count, n_null_probe > 0 proves the trap was
+    armed).
+
+    Scale shape: Spark plans NOT IN as a null-aware anti join (BHJ with
+    the null check) and NOT EXISTS as a plain left-anti — both
+    broadcast here, both shuffle-free.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(SQL_NOT_IN_NULL_SEMANTICS)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
@@ -289,4 +289,86 @@ def events_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     return win.select(
         F.col("win.start").alias("window_start"), "event_type", "cnt"
+    )
+
+
+@query(
+    "temporal_scd2_intervals",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS bucket
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, ts, event_id, bucket,
+             CASE WHEN LAG(bucket) OVER w IS NULL
+                       OR LAG(bucket) OVER w <> bucket
+                  THEN 1 ELSE 0 END AS new_seg
+      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, bucket,
+             SUM(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM seg
+    ),
+    iv AS (
+      SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, MAX(bucket) AS bucket,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, seg_id
+    )
+    SELECT user_id, seg_id, bucket, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+             AS valid_to,
+           n_events
+    FROM iv
+    """,
+)
+def temporal_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction from an event stream: runs of a
+    constant attribute (the json `k` prop bucketed to 4 levels) per
+    user become validity intervals [valid_from, valid_to), the open
+    current segment keeping NULL valid_to — the change-data-capture →
+    dimension-history derivation every warehouse needs. Gaps-and-islands
+    via lag-flag-cumsum, then per-segment rollup and a LEAD for the
+    closing edge.
+
+    Scale shape: everything partitions by user_id — one shuffle, all
+    three window passes and the rollup reuse it. JSON extraction is
+    scan-side codegen (get_json_object / json_extract twins).
+    """
+    e = read_events(spark, sf_dir)
+    k = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25"
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = k.withColumn(
+        "new_seg",
+        F.when(
+            F.lag("bucket").over(w).isNull()
+            | (F.lag("bucket").over(w) != F.col("bucket")),
+            1,
+        ).otherwise(0),
+    )
+    runs = seg.withColumn("seg_id", F.sum("new_seg").over(wrun).cast("bigint"))
+    iv = runs.groupBy("user_id", "seg_id").agg(
+        F.max("bucket").alias("bucket"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("seg_id")
+    return iv.select(
+        "user_id",
+        "seg_id",
+        "bucket",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
     )
