@@ -1274,3 +1274,123 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score (exponential recency weighting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_decay_engagement_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    s AS (
+      SELECT e.user_id,
+             CAST(SUM(CAST(
+               CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+               * exp(-CAST(epoch_us(a.now_ts) - epoch_us(e.ts) AS DOUBLE)
+                     / 86400000000.0 / 7.0)
+               AS DECIMAL(20,12))) AS DOUBLE) AS raw_score,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e, anchor a
+      GROUP BY e.user_id
+    )
+    SELECT user_id, n_events, ROUND(raw_score, 6) AS decay_score
+    FROM s
+    """,
+)
+def events_decay_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: Σ value·e^(−Δt/7d) per user, Δt
+    from the corpus max timestamp (the deterministic "now") — the
+    decayed score feeding ranking/churn models, where yesterday's
+    activity counts ~14% more than a day before. Δt is exact integer
+    µs; the exp argument is an identical double expression; each term
+    quantizes to DECIMAL(20,12) before the per-user sum (order-free)
+    and the score rounds to 6 — engines' exp() may differ in the last
+    ulp, which rounding absorbs (the EWMA composed-float rule).
+
+    Scale shape: the one-row anchor broadcasts into the scan; one
+    map-side-combinable aggregate per user. λ lives in the projection,
+    so re-tuning the half-life is a constant change, not a replan.
+    """
+    e = read_events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    j = e.crossJoin(F.broadcast(anchor))
+    term = (
+        F.col("value").cast("decimal(18,2)").cast("double")
+        * F.exp(
+            -(
+                (
+                    F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("ts"))
+                ).cast("double")
+            )
+            / 86400000000.0
+            / 7.0
+        )
+    ).cast("decimal(20,12)")
+    s = j.groupBy("user_id").agg(
+        F.sum(term).cast("double").alias("raw_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return s.select(
+        "user_id", "n_events", F.round("raw_score", 6).alias("decay_score")
+    )
+
+
+@query(
+    "events_churn_inactivity_flags",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    u AS (
+      SELECT e.user_id,
+             MIN(CAST(e.ts AS DATE)) AS first_day,
+             MAX(e.ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e GROUP BY e.user_id
+    )
+    SELECT CAST(date_trunc('week', u.first_day) AS DATE) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN epoch_us(a.now_ts) - epoch_us(u.last_ts)
+                              > 7 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned_7d,
+           CAST(SUM(CASE WHEN epoch_us(a.now_ts) - epoch_us(u.last_ts)
+                              > 3 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned_3d,
+           CAST(SUM(u.n_events) AS BIGINT) AS total_events
+    FROM u, anchor a
+    GROUP BY date_trunc('week', u.first_day)
+    """,
+)
+def events_churn_inactivity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn by signup cohort: users whose LAST event is
+    more than 3/7 days before the corpus end count as churned, rolled
+    up by first-seen week — the counterpart of cohort retention that
+    product teams actually alert on. All integer µs comparisons against
+    the deterministic anchor.
+
+    Scale shape: one per-user MIN/MAX aggregate (map-side combinable),
+    the one-row anchor broadcast, then a cohort-week rollup over the
+    user grain.
+    """
+    e = read_events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    j = u.crossJoin(F.broadcast(anchor))
+    idle_us = F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("last_ts"))
+    return j.groupBy(
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(idle_us > 7 * 86400000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned_7d"),
+        F.sum(F.when(idle_us > 3 * 86400000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned_3d"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
