@@ -121,10 +121,37 @@ def ingest_append_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "cnt bigint")
 
 
-@query("catalog_list_columns")  # rows-only: catalog shape, not data
+@query(
+    "catalog_list_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'),
+      ('l_suppkey', 'bigint'), ('l_linenumber', 'int'),
+      ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+      ('l_discount', 'double'), ('l_tax', 'double'),
+      ('l_returnflag', 'string'), ('l_linestatus', 'string'),
+      ('l_shipdate', 'timestamp')
+    ) AS t(col_name, data_type)
+    """,
+)
 def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 DESCRIBE equivalent as a DataFrame of (col_name, data_type)."""
-    return columns_df(spark, read_table(spark, sf_dir, "lineitem"))
+    """R2 DESCRIBE equivalent as a DataFrame of (col_name, data_type),
+    now oracle-PINNED: the expected schema rides in a VALUES constant,
+    so a silent reader-level type drift (a parquet upgrade flipping a
+    column's logical type) breaks the gate instead of passing a
+    rows-only count. `timestamp_ntz` normalizes to `timestamp` in the
+    output — Spark ≥4.1 reads the parquet µs column as NTZ where ≤4.0
+    said timestamp; the DESCRIBE surface reports the version-stable
+    logical name (the session is pinned UTC, so they denote the same
+    instants — sources/parquet_io.read_events applies the same
+    equivalence to the data itself)."""
+    cols = columns_df(spark, read_table(spark, sf_dir, "lineitem"))
+    return cols.select(
+        "col_name",
+        F.when(F.col("data_type") == "timestamp_ntz", "timestamp")
+        .otherwise(F.col("data_type"))
+        .alias("data_type"),
+    )
 
 
 @query(
