@@ -353,3 +353,109 @@ def with_global_prefix_sums(
     if n_col is not None:
         out = out.withColumn(n_col, F.col("__ntot").cast("bigint"))
     return out.drop(*drop)
+
+
+def with_grouped_global_row_number(
+    df: DataFrame,
+    group_cols: Iterable[Column | str],
+    order_cols: Iterable[Column | str],
+    *,
+    rn: str = "rn",
+    n_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP global ``row_number`` (and group size) without a
+    per-group single-task sort — the grouped sibling of
+    :func:`with_global_row_number`, for the LOW-CARDINALITY-group /
+    huge-rows regime (rank prices within 3 return flags at 100 TB).
+
+    ``Window.partitionBy(grp).orderBy(...)`` routes each group's ENTIRE
+    row set through one task — fine when groups are many and small,
+    serial when groups are few and huge. Here instead:
+
+    1. ONE range shuffle on ``(group, order)`` — each group occupies a
+       contiguous run of partitions, sorted within; pinned with a lazy
+       localCheckpoint exactly like :func:`_ranged` (two consumers must
+       see identical partition contents).
+    2. Per-partition local indices that RESET at group boundaries — a
+       vectorized pandas groupby-cumcount inside ``mapInPandas``.
+    3. A (partition, group) count frame (≤ P + G rows: groups are
+       contiguous, so each adds at most one partial partition) whose
+       per-group exclusive prefix over partition id gives each
+       (pid, group) its starting offset; broadcast back.
+
+    Bound: the offsets frame is O(P + G) rows and is BROADCAST — use
+    this operator when G (group cardinality) is bounded (enum-ish
+    keys). For large-G/small-group data the plain partitioned window
+    is already parallel and strictly cheaper.
+
+    Ties in ``order_cols`` get an arbitrary-but-valid order within the
+    rank (same contract as ``row_number`` over a non-unique ORDER BY):
+    positions are deterministic as VALUES — value-at-index reads
+    (quantiles) are exact; do not pair row identities across two
+    different rankings (the CLAUDE.md lineitem rule).
+    """
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    all_cols = group_cols + order_cols
+    sess = df.sparkSession
+    p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(p, *_cols(all_cols)).localCheckpoint(
+        eager=False
+    )
+    gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
+
+    counts = (
+        parted.select(F.spark_partition_id().alias("__pid"), *gnames)
+        .groupBy("__pid", *gnames)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = Window.partitionBy(*gnames).orderBy("__pid")
+    offs = counts.select(
+        "__pid",
+        *gnames,
+        F.coalesce(
+            F.sum("__cnt").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt")
+        .over(
+            wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("__gtot"),
+    )
+
+    local = parted.sortWithinPartitions(*_cols(all_cols)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    schema = StructType(local.schema.fields + [StructField("__lrn", LongType())])
+
+    def add_local(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        carry = None  # group key of the previous batch's LAST row
+        carry_n = 0  # rows of that group seen so far in this partition
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lrn = pdf.groupby(gnames, sort=False).cumcount().to_numpy("int64")
+            if carry is not None:
+                # groups are sorted, so any continuation of the carried
+                # group is a PREFIX run — vectorized equality + cumprod
+                eq = np.ones(len(pdf), dtype=bool)
+                for g, v in zip(gnames, carry):
+                    eq &= pdf[g].to_numpy() == v
+                run = np.logical_and.accumulate(eq)
+                lrn = lrn + run * carry_n
+            carry = tuple(pdf.iloc[-1][g] for g in gnames)
+            # sorted ⇒ the last row is the max cumcount of its group
+            carry_n = int(lrn[-1]) + 1
+            yield pdf.assign(__lrn=lrn + 1)
+
+    out = local.mapInPandas(add_local, schema).join(
+        F.broadcast(offs), ["__pid", *gnames]
+    )
+    out = out.withColumn(rn, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("__gtot").cast("bigint"))
+    return out.drop("__pid", "__lrn", "__off", "__gtot")

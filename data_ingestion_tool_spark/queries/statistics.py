@@ -208,18 +208,21 @@ def outlier_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared in doubled-cents integer math (``2x < 5·q1 − 3·q3`` ⟺
     ``x < q1 − 1.5·IQR``).
 
-    Scale shape: one shuffle on the 3-value group key for the ranking
-    window (at production scale you'd pre-aggregate to a per-group
-    histogram instead — see quality_profile_table for the sketch-based
-    path); the 3-row quartile table broadcasts back onto the scan.
+    Scale shape: ranking per group runs through the PARALLEL grouped
+    range-shuffle operator (operators/ranking.py
+    with_grouped_global_row_number) — a plain
+    ``Window.partitionBy(grp)`` funnels each 3-way group's entire row
+    set through ONE task, serial at 100x; the 3-row quartile table
+    broadcasts back onto the scan.
     """
+    from ..operators.ranking import with_grouped_global_row_number
+
     li = read_table(spark, sf_dir, "lineitem")
     c = li.select(
         F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
     )
-    w = Window.partitionBy("grp").orderBy("cents")
-    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
     )
     q = ranked.groupBy("grp").agg(
         F.max("n").alias("n"),
@@ -1159,16 +1162,18 @@ def outlier_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped. All integer: the winsorized mean downstream is
     winsorized_sum_cents / n / 100 with no float accumulation.
 
-    Scale shape: identical to outlier_iqr_price — one ranking shuffle
-    per group, 3-row fence table broadcast back onto the scan.
+    Scale shape: identical to outlier_iqr_price — the grouped PARALLEL
+    range-shuffle ranking (no per-group single-task sort), 3-row fence
+    table broadcast back onto the scan.
     """
+    from ..operators.ranking import with_grouped_global_row_number
+
     li = read_table(spark, sf_dir, "lineitem")
     c = li.select(
         F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
     )
-    w = Window.partitionBy("grp").orderBy("cents")
-    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
     )
     fences = ranked.groupBy("grp").agg(
         F.max("n").cast("bigint").alias("n"),
@@ -2478,18 +2483,19 @@ def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the left side). Unlike z-scores, immune to the outliers
     inflating their own fence.
 
-    Scale shape: two partitioned ranking passes (value, then absolute
-    deviation) + a broadcast of the per-group median/MAD rows back onto
-    the scan — the same fence pattern as outlier_iqr_price, ×2.
+    Scale shape: two grouped PARALLEL range-shuffle ranking passes
+    (value, then absolute deviation; operators/ranking.py — no
+    per-group single-task sort) + a broadcast of the per-group
+    median/MAD rows back onto the scan — the outlier_iqr_price fence
+    pattern, ×2.
     """
     e = read_events(spark, sf_dir)
     c = e.select(
         F.col("event_type").alias("grp"), _cents("value").alias("cents")
     )
-    w1 = Window.partitionBy("grp").orderBy("cents")
-    r1 = c.withColumn("rn", F.row_number().over(w1)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
-    )
+    from ..operators.ranking import with_grouped_global_row_number
+
+    r1 = with_grouped_global_row_number(c, ["grp"], ["cents"], rn="rn", n_col="n")
     med = r1.groupBy("grp").agg(
         F.max(
             F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("cents"))
@@ -2501,10 +2507,7 @@ def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_cents",
         F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
     )
-    w2 = Window.partitionBy("grp").orderBy("adev")
-    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
-    )
+    r2 = with_grouped_global_row_number(dev, ["grp"], ["adev"], rn="rn", n_col="n")
     mad = r2.groupBy("grp").agg(
         F.max(
             F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("adev"))

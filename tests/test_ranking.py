@@ -149,3 +149,41 @@ def test_multi_column_prefix_sums(spark, orders):
     # empty input stays empty
     empty = spark.createDataFrame([], "x int, y long, z long")
     assert with_global_prefix_sums(empty, ["x"], ["y", "z"]).count() == 0
+
+
+def test_grouped_global_row_number(spark, orders):
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_row_number,
+    )
+
+    ref = orders.select(
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderstatus").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderstatus"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    got = with_grouped_global_row_number(
+        orders,
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        rn="rn",
+        n_col="n",
+        num_partitions=7,  # force groups to span partition boundaries
+    ).select("o_orderkey", "rn", "n")
+    a = {r["o_orderkey"]: (r["rn"], r["n"]) for r in ref.collect()}
+    b = {r["o_orderkey"]: (r["rn"], r["n"]) for r in got.collect()}
+    assert a == b
+    # empty input
+    empty = spark.createDataFrame([], "g string, x long")
+    assert (
+        with_grouped_global_row_number(empty, ["g"], ["x"], rn="rn").count() == 0
+    )
