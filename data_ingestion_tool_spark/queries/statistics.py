@@ -154,16 +154,31 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative standing of each customer's balance inside its market
     segment. ``percent_rank`` = (rank-1)/(n-1) — a quotient of
     identical small integers, so the doubles are bit-equal cross-engine
-    without rounding; the custkey tie-break pins ranks under equal
-    balances.
+    without rounding; the custkey tie-break makes the ORDER BY a total
+    order, so rank == row_number and the grouped PARALLEL range-shuffle
+    ranking (operators/ranking.py) reconstructs percent_rank without
+    funneling each segment through one task.
     """
+    from ..operators.ranking import with_grouped_global_row_number
+
     c = read_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked = with_grouped_global_row_number(
+        c,
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        rn="__rn",
+        n_col="__n",
+    )
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
     )
 
 
@@ -966,17 +981,18 @@ def quantile_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile the IQR query samples at two points. No interpolation, so
     no cross-engine drift; the decile grid is generated, never scanned.
 
-    Scale shape: one ranking window per group (the same shuffle the
-    quartile query pays), then a broadcast join of the 9·|grp| marks
-    back onto the ranked rows.
+    Scale shape: the grouped PARALLEL range-shuffle ranking
+    (operators/ranking.py — no per-group single-task sort), then a
+    broadcast join of the 9·|grp| marks back onto the ranked rows.
     """
+    from ..operators.ranking import with_grouped_global_row_number
+
     li = read_table(spark, sf_dir, "lineitem")
     c = li.select(
         F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
     )
-    w = Window.partitionBy("grp").orderBy("cents")
-    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
     )
     g = ranked.select("grp", "n").distinct()
     deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
