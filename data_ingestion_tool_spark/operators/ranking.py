@@ -459,3 +459,128 @@ def with_grouped_global_row_number(
     if n_col is not None:
         out = out.withColumn(n_col, F.col("__gtot").cast("bigint"))
     return out.drop("__pid", "__lrn", "__off", "__gtot")
+
+
+def with_grouped_lead(
+    df: DataFrame,
+    group_cols: Iterable[Column | str],
+    order_cols: Iterable[Column | str],
+    lead_map: dict[str, str],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ``lead(col, 1)`` over a total order without the
+    per-group single-task sort — the SEQUENCE sibling of
+    :func:`with_grouped_global_row_number` for the low-cardinality-
+    group / huge-rows regime (lag-1 series ops per enum key).
+
+    Plan: one pinned range shuffle on ``(group, order)`` + local
+    vectorized shifts, then the only cross-partition traffic is a
+    ≤P-row BOUNDARY frame (each partition's first row per its leading
+    group), broadcast back onto the rows that end a group-run at a
+    partition edge. No driver collect, no full-data second shuffle.
+
+    ``lead_map`` maps source column → output lead column. The final row
+    of each group gets NULL leads (SQL ``lead`` semantics). Order must
+    be total (unique tie-break) for deterministic neighbors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
+    srcs = list(lead_map)
+    all_cols = group_cols + order_cols
+    sess = df.sparkSession
+    p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(p, *_cols(all_cols))
+        .sortWithinPartitions(*_cols(all_cols))
+        .localCheckpoint(eager=False)
+    )
+    local = parted.withColumn("__pid", F.spark_partition_id())
+
+    # each partition's FIRST row (its leading group's head) — ≤P rows
+    first_schema = StructType(
+        [local.schema["__pid"]]
+        + [local.schema[g] for g in gnames]
+        + [
+            StructField(f"__b_{src}", local.schema[src].dataType)
+            for src in srcs
+        ]
+    )
+
+    def first_rows(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            head = pdf.iloc[[0]]
+            out = {"__pid": head["__pid"].values}
+            for g in gnames:
+                out[g] = head[g].values
+            for src in srcs:
+                out[f"__b_{src}"] = head[src].values
+            yield pd.DataFrame(out)
+            break  # only the first batch of the partition holds row 0
+
+    boundary = local.mapInPandas(first_rows, first_schema).withColumn(
+        "__pid", F.col("__pid") - 1
+    )
+
+    # local shifted leads + end-of-group-run flag (streamed with a
+    # one-batch lookahead: batch N's last row peeks batch N+1's first)
+    shift_schema = StructType(
+        local.schema.fields
+        + [
+            StructField(f"__l_{src}", local.schema[src].dataType)
+            for src in srcs
+        ]
+        + [StructField("__endrun", LongType())]
+    )
+
+    def _shift_one(pdf, next_first):
+        same_next = np.ones(len(pdf), dtype=bool)
+        for g in gnames:
+            v = pdf[g].to_numpy()
+            same_next[:-1] &= v[:-1] == v[1:]
+        tail_same = next_first is not None and all(
+            pdf.iloc[-1][g] == next_first[g] for g in gnames
+        )
+        same_next[-1] = bool(tail_same)
+        assigns = {}
+        for src in srcs:
+            shifted = pdf[src].shift(-1)
+            if tail_same:
+                shifted.iloc[-1] = next_first[src]
+            assigns[f"__l_{src}"] = shifted.where(same_next)
+        # __endrun marks only TRUE end-of-run rows at the partition tail
+        # (the per-batch stitching above already handled intra-partition
+        # continuation)
+        assigns["__endrun"] = (~same_next).astype("int64")
+        return pdf.assign(**assigns)
+
+    def add_shift(batches: Iterator) -> Iterator:
+        prev = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if prev is not None:
+                yield _shift_one(prev, pdf.iloc[0])
+            prev = pdf
+        if prev is not None:
+            yield _shift_one(prev, None)
+
+    shifted = local.mapInPandas(add_shift, shift_schema)
+    out = shifted.join(F.broadcast(boundary), ["__pid", *gnames], "left")
+    for src, dst in lead_map.items():
+        out = out.withColumn(
+            dst,
+            F.when(F.col("__endrun") == 0, F.col(f"__l_{src}")).otherwise(
+                F.col(f"__b_{src}")  # NULL when no same-group successor
+            ),
+        )
+    drop = ["__pid", "__endrun"] + [f"__l_{s}" for s in srcs] + [
+        f"__b_{s}" for s in srcs
+    ]
+    return out.drop(*drop)

@@ -360,23 +360,27 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-expression casts/divide/sqrt on identical integers, so
     the doubles agree bit-for-bit cross-engine.
 
-    Scale shape: one shuffle on event_type for the lead() window, then
-    a map-side-combinable moment aggregation to |type| rows. DECIMAL
-    intermediates hold to ~10^38 — no overflow at any realistic scale
-    (int64 would overflow n·Σx² past ~sf3).
+    Scale shape: the lead() runs through the grouped PARALLEL
+    range-shuffle operator (operators/ranking.py with_grouped_lead:
+    boundary rows cross partitions as a ≤P-row broadcast, no per-type
+    single-task sort), then a map-side-combinable moment aggregation to
+    |type| rows. DECIMAL intermediates hold to ~10^38 — no overflow at
+    any realistic scale (int64 would overflow n·Σx² past ~sf3).
     """
     e = read_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    x = (
+    from ..operators.ranking import with_grouped_lead
+
+    x = with_grouped_lead(
         e.select(
             "event_type",
             _cents("value").alias("xc"),
             "ts",
             "event_id",
-        )
-        .withColumn("yc", F.lead("xc").over(w))
-        .where(F.col("yc").isNotNull())
-    )
+        ),
+        ["event_type"],
+        ["ts", "event_id"],
+        {"xc": "yc"},
+    ).where(F.col("yc").isNotNull())
     m = x.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xc").cast("decimal(38,0)").alias("sx"),

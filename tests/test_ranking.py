@@ -187,3 +187,24 @@ def test_grouped_global_row_number(spark, orders):
     assert (
         with_grouped_global_row_number(empty, ["g"], ["x"], rn="rn").count() == 0
     )
+
+
+def test_grouped_lead_matches_window(spark, orders):
+    from data_ingestion_tool_spark.operators.ranking import with_grouped_lead
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    ref = orders.select(
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+    got = with_grouped_lead(
+        orders,
+        ["o_orderstatus"],
+        ["o_orderdate", "o_orderkey"],
+        {"o_totalprice": "next_price", "o_orderkey": "next_key"},
+        num_partitions=7,  # force group runs across partition edges
+    ).select("o_orderkey", "next_price", "next_key")
+    a = {r["o_orderkey"]: (r["next_price"], r["next_key"]) for r in ref.collect()}
+    b = {r["o_orderkey"]: (r["next_price"], r["next_key"]) for r in got.collect()}
+    assert a == b
