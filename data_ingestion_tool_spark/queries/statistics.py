@@ -2592,3 +2592,210 @@ def quantile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cents, 0.5)").alias("q2_cents"),
         F.expr("percentile(cents, 0.75)").alias("q3_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (does mean event value differ across event types?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    comp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM((CAST(s2 AS DOUBLE) / 10000.0)
+                 - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+                   / CAST(n AS DOUBLE)) AS ssw,
+             CAST(SUM(s1) AS BIGINT) AS s1_tot
+      FROM g
+    ),
+    grand AS (
+      SELECT g.event_type, g.n, g.s1, c.k, c.n_total, c.ssw,
+             CAST(c.s1_tot AS DOUBLE) / 100.0 / CAST(c.n_total AS DOUBLE)
+               AS grand_mean
+      FROM g, comp c
+    ),
+    ssb_t AS (
+      SELECT max(k) AS k, max(n_total) AS n_total, max(ssw) AS ssw,
+             SUM(CAST(n AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean))
+               AS ssb
+      FROM grand
+    )
+    SELECT k AS k_groups, n_total,
+           ROUND(ssb, 6) AS ss_between,
+           ROUND(ssw, 6) AS ss_within,
+           ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                 / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM ssb_t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: F = (SSB/(k-1)) / (SSW/(n-k))
+    plus the eta-squared effect size, answering "does mean event value
+    differ by type beyond noise?". Sufficient statistics (n, Sigma-v,
+    Sigma-v-squared) are accumulated in FIXED-POINT bigints (value is
+    exactly 2-decimal, so v*100 and the identical-expression double
+    product v*v*1e4 round to the same integers on both engines; group
+    sums stay far under 2^53 even at 100x sf0.1), then SSW/SSB use the
+    closed forms over those exact integers so the only float work is a
+    handful of identical expressions per group. Final stats ROUND(6)
+    on both sides.
+
+    Scale shape: one map-side-combinable groupBy to k=|event_type|
+    rows; everything after runs on k rows. No raw-row second pass, no
+    global sort, no window over the fact table.
+    """
+    e = read_events(spark, sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value") * 10000, 0).cast("bigint")
+        ).alias("s2"),
+    )
+    comp = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.col("s2").cast("double") / 10000.0
+            - (F.col("s1").cast("double") / 100.0)
+            * (F.col("s1").cast("double") / 100.0)
+            / F.col("n").cast("double")
+        ).alias("ssw"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+    )
+    grand = g.crossJoin(F.broadcast(comp)).withColumn(
+        "grand_mean",
+        F.col("s1_tot").cast("double") / 100.0 / F.col("n_total").cast("double"),
+    )
+    mean_dev = (
+        F.col("s1").cast("double") / 100.0 / F.col("n").cast("double")
+        - F.col("grand_mean")
+    )
+    ssb_t = grand.agg(
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+        F.max("ssw").alias("ssw"),
+        F.sum(F.col("n").cast("double") * mean_dev * mean_dev).alias("ssb"),
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n_total").cast("double")
+    return ssb_t.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(F.col("ssb"), 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (k_d - F.lit(1.0)))
+            / (F.col("ssw") / (n_d - k_d)),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (effect size for lang × source association on documents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, observed,
+             CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+             CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT) AS col_total,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      FROM o
+    ),
+    s AS (
+      SELECT max(grand_total) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+             SUM((CAST(observed AS DOUBLE)
+                  - CAST(row_total * col_total AS DOUBLE)
+                    / CAST(grand_total AS DOUBLE))
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(row_total * col_total AS DOUBLE)
+                      / CAST(grand_total AS DOUBLE))
+                 / (CAST(row_total * col_total AS DOUBLE)
+                    / CAST(grand_total AS DOUBLE))) AS chi2
+      FROM m
+    )
+    SELECT n, r, c, ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM s
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang × source association on documents — the
+    normalized [0,1] effect size sqrt(chi2 / (n·min(r-1,c-1))) that the
+    chi-square statistic alone doesn't give. Expected counts are the
+    identical double expression row·col/n over exact bigints; the chi2
+    sum runs over only r×c contingency cells (≤100), so cross-engine
+    summation-order drift is bounded far below the ROUND(6) pin on
+    both sides.
+
+    Scale shape: one map-side-combinable groupBy to r×c cells;
+    marginals are windows over those cells, never the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    m = o.select(
+        "lang",
+        "source",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("lang")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("source")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand_total"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    ).cast("double")
+    dev = F.col("observed").cast("double") - expected
+    s = m.agg(
+        F.max("grand_total").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+        F.sum(dev * dev / expected).alias("chi2"),
+    )
+    return s.select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

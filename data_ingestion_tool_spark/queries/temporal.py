@@ -22,7 +22,7 @@ from ..sources.parquet_io import (
     read_table,
 )
 from ..streaming.windows import run_stream_to_table
-from .registry import dsum, query, sql_dsum
+from .registry import dsum, fsum, query, sql_dsum, sql_fsum
 
 
 @query(
@@ -371,4 +371,158 @@ def temporal_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wl).alias("valid_to"),
         "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (merge overlapping per-user activity intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_interval_union_coverage",
+    oracle="""
+    WITH i AS (
+      SELECT user_id, event_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + 1800000000 AS end_us
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, start_us, end_us,
+             max(end_us) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM i
+    ),
+    f AS (
+      SELECT user_id, event_id, start_us, end_us,
+             CASE WHEN prev_end IS NULL OR start_us > prev_end
+                  THEN 1 ELSE 0 END AS flag
+      FROM p
+    ),
+    isl AS (
+      SELECT user_id, start_us, end_us,
+             SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f
+    ),
+    g AS (
+      SELECT user_id, island, min(start_us) AS s, max(end_us) AS e
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id
+    """,
+)
+def temporal_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: each event opens a
+    half-open 30-minute activity interval; overlapping/adjacent
+    intervals merge (the classic gaps-and-islands sweep) and the query
+    reports islands and total covered microseconds per user. All
+    arithmetic is exact bigint epoch-microseconds — no float anywhere.
+    New-island rule: start strictly greater than the running max of
+    prior ends (equal endpoints merge, matching half-open semantics).
+
+    Scale shape: one shuffle on user_id; both windows and both
+    group-bys reuse that partitioning (per-user frames, never a global
+    sort). The sweep is O(events-per-user log) locally per partition.
+    """
+    ev = read_events(spark, sf_dir)
+    i = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(1800000000).cast("bigint")).alias(
+            "end_us"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = i.withColumn(
+        "flag",
+        F.when(prev_end.isNull() | (F.col("start_us") > prev_end), 1).otherwise(0),
+    )
+    isl = f.withColumn(
+        "island",
+        F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("s"), F.max("end_us").alias("e")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (hourly bars per event type — time-series downsample)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_resample_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM r GROUP BY event_type, bar_hour
+    """,
+)
+def temporal_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    resample (open/high/low/close/volume) over the raw event stream.
+    First/last are picked by row_number with the (ts, event_id)
+    unique tie-break on both engines; open/high/low/close are raw
+    column values (no arithmetic, exact equality), volume uses the
+    fixed-point sum.
+
+    Scale shape: one shuffle on (event_type, hour); the two
+    row_number windows and the final groupBy share that partitioning,
+    and each window frame is one bar's rows, so parallelism grows
+    with bar count. No global sort.
+    """
+    ev = read_events(spark, sf_dir)
+    r = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wspec = Window.partitionBy("event_type", "bar_hour")
+    wa = wspec.orderBy("ts", "event_id")
+    wd = wspec.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = r.select(
+        "event_type",
+        "bar_hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        fsum("value").alias("sum_value"),
     )
