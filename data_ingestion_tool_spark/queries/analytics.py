@@ -1394,3 +1394,65 @@ def events_churn_inactivity_flags(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_churned_3d"),
         F.sum("n_events").cast("bigint").alias("total_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time (operational event-sweep analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT o_orderdate AS day, 1 AS delta FROM orders
+      UNION ALL
+      SELECT d.done_day AS day, -1 AS delta
+      FROM done d JOIN orders o ON o.o_orderkey = d.l_orderkey
+    ),
+    daily AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+      FROM deltas GROUP BY day
+    )
+    SELECT day, net_change,
+           CAST(SUM(net_change) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: +1 on the order date, -1 on the day the
+    LAST line item ships (the testdata lineitem carries l_shipdate only), net per day, then a running sum — the
+    event-sweep that turns two fact tables into an operational
+    "how many orders are in flight" time series. All-integer math.
+
+    Scale shape: the per-order completion date is one map-side-
+    combinable groupBy on l_orderkey; the completion join shuffles on
+    the same key. The running sum's window is over DAY grain (a few
+    thousand rows after aggregation, bounded by calendar span — not by
+    fact volume), which is the documented pre-aggregated-grain bound
+    for a global window.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_day"))
+    opened = o.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("delta"))
+    closed = done.join(
+        o.select("o_orderkey"), done["l_orderkey"] == F.col("o_orderkey")
+    ).select(F.col("done_day").alias("day"), F.lit(-1).alias("delta"))
+    daily = (
+        opened.unionAll(closed)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("net_change"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_orders"),
+    )

@@ -822,3 +822,54 @@ def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_key"),
         F.max("k").cast("bigint").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-file source (opaque file ingest + byte-exact checksum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ingest_binaryfile_source",
+    oracle="""
+    SELECT CAST(strlen(s) AS BIGINT) AS n_bytes, md5(s) AS content_md5
+    FROM (
+      SELECT string_agg(
+               CAST(c_custkey AS VARCHAR) || ',' || c_name,
+               chr(10) ORDER BY c_custkey) || chr(10) AS s
+      FROM customer
+    )
+    """,
+)
+def ingest_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-file ingestion via Spark's ``binaryFile`` source —
+    the entry point for multimodal/raw-asset pipelines (images, audio,
+    model shards) where files are rows. Round-trip proof: export
+    customer keys+names as ONE deterministic CSV file (global sort,
+    single partition), re-ingest it as bytes, and emit the byte length
+    + md5 — which the oracle reproduces by concatenating the same
+    ordered lines in SQL. Byte-exact equality across the writer, the
+    binary reader, and an independent engine.
+
+    Scale shape: the single-file export is a deliberate fixture-scale
+    choice so content is byte-addressable; at fleet scale you keep one
+    file per partition and aggregate per-file digests instead (the
+    logical-content twin is ingest_checksum_validation). The binaryFile
+    scan itself is embarrassingly parallel — one task per file,
+    payloads never hit the driver.
+    """
+    out = _scratch("binsrc")
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .repartition(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    c.write.mode("overwrite").option("header", False).csv(out)
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.csv"
+    ).load(out)
+    return files.select(
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
