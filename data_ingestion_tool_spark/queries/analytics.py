@@ -1456,3 +1456,156 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types (set-similarity at segment level)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_audience_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    distinct-user intersection and Jaccard similarity — the segment-
+    overlap question behind campaign targeting and funnel design.
+    Jaccard is one exact-bigint division (identical double expression),
+    so no rounding is needed.
+
+    Scale shape: the DISTINCT is a map-side-combinable shuffle on
+    (event_type, user_id); the self-join shuffles on user_id with
+    per-user fanout bounded by |types| (≤5), so intersection work is
+    O(users · types²) worst case, never corpus². Size lookups join on
+    the |types|-row aggregate (broadcast).
+    """
+    ev = read_events(spark, sf_dir)
+    d = ev.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b"))
+    j = inter.join(sa, "type_a").join(sb, "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-transaction candidates (data-quality screen on orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_duplicate_candidates_window",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 100000 AS band
+      FROM orders
+    ),
+    w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, band,
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey, band
+               ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             lag(o_orderkey) OVER (
+               PARTITION BY o_custkey, band
+               ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+      FROM b
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           CAST(band AS BIGINT) AS band, prev_orderkey, prev_date,
+           CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 90
+    """,
+)
+def orders_duplicate_candidates_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction screen: orders by the SAME customer in the
+    SAME $1000 amount band within 90 days of each other — the classic
+    double-submit / near-duplicate data-quality check, expressed as a
+    lag window inside (customer, band) blocks rather than a self-join.
+    The band is exact integer math (cents DIV 100000 — never float
+    floor-division, whose boundary behavior differs per engine); gaps
+    are integer day arithmetic.
+
+    Scale shape: one shuffle on (o_custkey, band); each window block
+    is one customer's orders in one band (tiny), so the sort
+    parallelizes across blocks. No self-join, no range join, output is
+    only the flagged pairs.
+    """
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "band",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DIV 100000"),
+    )
+    w = Window.partitionBy("o_custkey", "band").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "band",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+    return d.filter(
+        F.col("prev_date").isNotNull()
+        & (F.datediff(F.col("o_orderdate"), F.col("prev_date")) <= 90)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "band",
+        "prev_orderkey",
+        "prev_date",
+        F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+        .cast("int")
+        .alias("gap_days"),
+    )
