@@ -429,3 +429,73 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 9
         ).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise distance matrix between label centroids (cluster separation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_distance_matrix",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                    AS DECIMAL(20,12))) AS DOUBLE)), 9)
+             AS euclidean_dist
+    FROM cent a JOIN cent b
+      ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean distance between every pair of label centroids — the
+    cluster-separation diagnostic behind IVF codebook health and
+    label-leakage checks (two labels whose centroids nearly coincide
+    are not separable classes). Centroids reuse the decimal-exact
+    mean (identical doubles, see embedding_centroid_per_label); each
+    squared difference is quantized to DECIMAL(20,12) so the 64-term
+    contraction is order-independent, then one sqrt + ROUND(9).
+
+    Scale shape: centroids are labels × dims rows (map-side partial
+    aggregate; corpus never shuffles whole); the pair join runs on
+    that tiny frame — label-pair count is |labels|²/2, corpus-free.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    diff = F.col("a.c") - F.col("b.c")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((diff * diff).cast("decimal(20,12)")).cast("double")
+                ),
+                9,
+            ).alias("euclidean_dist")
+        )
+    )

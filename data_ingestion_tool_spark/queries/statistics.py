@@ -2799,3 +2799,49 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means (arithmetic / geometric / harmonic) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_geo_harmonic_means",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0)
+                 / COUNT(*), 6) AS arith_mean,
+           ROUND(exp(CAST(SUM(CAST(ln(l_quantity) AS DECIMAL(18,9)))
+                          AS DOUBLE) / COUNT(*)), 6) AS geo_mean,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(CAST(1.0 / l_quantity AS DECIMAL(18,10)))
+                        AS DOUBLE), 6) AS harm_mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Pythagorean means of l_quantity per return flag —
+    the rate/ratio aggregation surface (harmonic for rates, geometric
+    for multiplicative factors) next to the plain average. Per-row
+    ln(q) and 1/q are identical double expressions; each is quantized
+    to a decimal whose GROUP-SUM integer form stays under 2^53 at 100x
+    sf0.1 (scale 9 for ln ≤ 3.92, scale 10 for 1/q ≤ 1), accumulated
+    exactly, and only then divided/exponentiated — so the engines'
+    different summation orders can't drift. Final ROUND(6).
+
+    Scale shape: one map-side-combinable groupBy; no second pass, no
+    windows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    sum_cents = F.sum(F.round(q * 100, 0).cast("bigint"))
+    sum_ln = F.sum(F.log(q).cast("decimal(18,9)")).cast("double")
+    sum_inv = F.sum((F.lit(1.0) / q).cast("decimal(18,10)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        F.round((sum_cents / 100.0) / n, 6).alias("arith_mean"),
+        F.round(F.exp(sum_ln / n), 6).alias("geo_mean"),
+        F.round(n.cast("double") / sum_inv, 6).alias("harm_mean"),
+    )

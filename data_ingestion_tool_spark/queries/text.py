@@ -850,3 +850,81 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each source's unigram distribution from the corpus mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_kl_source_vs_corpus",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    cst AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ),
+    ct AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term
+    ),
+    nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst)
+    SELECT cst.source,
+           CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(SUM(
+             (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))
+           ), 6) AS kl_from_corpus
+    FROM cst
+    JOIN ns USING (source)
+    JOIN ct USING (term)
+    CROSS JOIN nn
+    GROUP BY cst.source
+    """,
+)
+def text_kl_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution — the distribution-shift monitor for a
+    training-data mix (a source whose KL spikes is drifting away from
+    the blend it was weighted for). The corpus is the mixture, so every
+    source term has corpus support and no smoothing is needed; counts
+    are exact bigints, p/q are identical double divisions, and only the
+    per-source sum of ln-terms is float-order-sensitive — pinned with
+    ROUND(6) on both sides (drift is ~1e-13 at this vocab size).
+
+    Scale shape: the corpus collapses to (source, term) counts with
+    map-side combine; marginals reuse that aggregate (term shuffle =
+    vocab-sized, source/total aggregates broadcast back). No per-row
+    second pass over documents.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    cst = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    cst = cst.localCheckpoint(eager=False)
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    nn = cst.agg(F.sum("c_st").cast("bigint").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n").cast("double")
+    joined = (
+        cst.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+    )
+    return joined.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_corpus"),
+    )
