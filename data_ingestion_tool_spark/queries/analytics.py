@@ -1609,3 +1609,59 @@ def orders_duplicate_candidates_window(spark: SparkSession, sf_dir: str) -> Data
         .cast("int")
         .alias("gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-maxima peak detection on the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_detection_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    n AS (
+      SELECT event_type, hour, cnt,
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS prev_cnt,
+             lead(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS next_cnt
+      FROM h
+    )
+    SELECT event_type, hour, cnt, prev_cnt, next_cnt
+    FROM n
+    WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+      AND cnt > prev_cnt AND cnt > next_cnt
+    """,
+)
+def events_peak_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima detection on the hourly event-rate series per
+    type: an hour is a peak when its count strictly exceeds both
+    neighboring buckets — the burst detector that feeds alerting and
+    capacity review. Strictly integer math; series endpoints (no
+    neighbor) are excluded rather than treated as peaks.
+
+    Scale shape: the stream collapses to (type, hour) counts with
+    map-side combine; the lag/lead windows run per type over hour
+    grain (calendar-bounded), reusing the same shuffle partitioning.
+    """
+    ev = read_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    n = h.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        F.lead("cnt").over(w).alias("next_cnt"),
+    )
+    return n.filter(
+        F.col("prev_cnt").isNotNull()
+        & F.col("next_cnt").isNotNull()
+        & (F.col("cnt") > F.col("prev_cnt"))
+        & (F.col("cnt") > F.col("next_cnt"))
+    )

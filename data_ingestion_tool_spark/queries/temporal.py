@@ -526,3 +526,150 @@ def temporal_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         fsum("value").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Complex-event pattern: click → error within 5 min, no purchase between
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cep_click_error_no_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j1 AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             CASE WHEN c.ts IS NOT NULL
+                       AND epoch_us(e.ts) - epoch_us(c.ts) <= 300000000
+                  THEN c.ts END AS click_ts
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ),
+    j2 AS (
+      SELECT j1.event_id, j1.user_id, j1.ts, j1.click_ts, p.ts AS purch_ts
+      FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND j1.ts >= p.ts
+    )
+    SELECT user_id, event_id AS error_event_id, click_ts, ts AS error_ts
+    FROM j2
+    WHERE click_ts IS NOT NULL AND (purch_ts IS NULL OR purch_ts < click_ts)
+    """,
+)
+def events_cep_click_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match: a click followed by an
+    error within 5 minutes with NO purchase in between — the
+    "user tried to buy, hit an error, never converted" incident
+    signature (MATCH_RECOGNIZE territory), composed from two as-of
+    joins instead of a row-pattern automaton: the last click within
+    tolerance supplies the pattern head, the last purchase before the
+    error disqualifies matches where it landed at-or-after the click.
+    Payloads are the matched timestamps themselves, so ties between
+    same-timestamp right rows can't produce nondeterministic output.
+
+    Scale shape: both as-of joins are the one-shuffle union + ordered
+    per-user window plan (operators/asof.py) — no range join, no
+    self-join; the pattern predicate is a post-projection filter.
+    """
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j1 = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "click_ts"},
+        tolerance_us=300_000_000,
+    )
+    j2 = asof_join(
+        j1,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "purch_ts"},
+    )
+    return j2.filter(
+        F.col("click_ts").isNotNull()
+        & (F.col("purch_ts").isNull() | (F.col("purch_ts") < F.col("click_ts")))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        "click_ts",
+        F.col("ts").alias("error_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index by month (classical ratio-to-moving-average decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonal_index_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    w AS (
+      SELECT month, cents,
+             CAST(SUM(cents) OVER (ORDER BY month
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS win_cents,
+             CAST(COUNT(*) OVER (ORDER BY month
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS win_n
+      FROM m
+    )
+    SELECT month, cents / 100.0 AS revenue,
+           (CAST(win_cents AS DOUBLE) / 12.0) / 100.0 AS trend,
+           CAST(cents AS DOUBLE) / (CAST(win_cents AS DOUBLE) / 12.0)
+             AS seasonal_index
+    FROM w WHERE win_n = 12
+    """,
+)
+def orders_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal decomposition of
+    monthly revenue: a centered 12-month moving average is the trend,
+    and each month's revenue divided by it is the seasonal index
+    (index > 1 ⇒ seasonally strong month). Month revenues are exact
+    bigint cents, the moving window sums those bigints exactly, and
+    the trend/index are identical double expressions — no float
+    accumulation anywhere. Months without a full 12-row window are
+    excluded (no partial-window bias).
+
+    Scale shape: the fact table collapses to month grain first
+    (map-side combinable); the global moving window runs over ~tens of
+    month rows — the documented pre-aggregated-grain bound, not a
+    fact-table sort.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 5)
+    d = m.select(
+        "month",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("win_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"),
+    )
+    return d.filter(F.col("win_n") == 12).select(
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        ((F.col("win_cents").cast("double") / 12.0) / 100.0).alias("trend"),
+        (
+            F.col("cents").cast("double")
+            / (F.col("win_cents").cast("double") / 12.0)
+        ).alias("seasonal_index"),
+    )
