@@ -1665,3 +1665,170 @@ def events_peak_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cnt") > F.col("prev_cnt"))
         & (F.col("cnt") > F.col("next_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-band migration matrix (year-over-year segment movement)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_spend_band_migration",
+    oracle="""
+    WITH y AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, year(o_orderdate)
+    ),
+    b AS (
+      SELECT o_custkey, yr,
+             CASE WHEN cents < 30000000 THEN 'low'
+                  WHEN cents < 55000000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM y
+    )
+    SELECT a.band AS band_1996, c.band AS band_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM b a JOIN b c
+      ON a.o_custkey = c.o_custkey AND a.yr = 1996 AND c.yr = 1997
+    GROUP BY a.band, c.band
+    """,
+)
+def orders_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year segment migration matrix: customers are banded
+    low/mid/high by total 1996 spend (fixed cutoffs in exact cents, so
+    banding is pure integer math), re-banded on 1997 spend, and the
+    3×3 transition matrix counts who moved where — the churn/upsell
+    movement report behind lifecycle marketing. Customers active in
+    only one of the two years drop out (inner join), matching the
+    "movement between known states" semantics.
+
+    Scale shape: one groupBy to (customer, year) grain with map-side
+    combine, then a self-join on customer over that pre-aggregated
+    frame — shuffle rows = active customers, never order facts. The
+    matrix aggregate is 9 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    y = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    b = y.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("cents") < 30000000, "low")
+        .when(F.col("cents") < 55000000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.o_custkey") == F.col("c.o_custkey"))
+            & (F.col("a.yr") == 1996)
+            & (F.col("c.yr") == 1997),
+        )
+        .groupBy(
+            F.col("a.band").alias("band_1996"), F.col("c.band").alias("band_1997")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two daily series (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_corr_click_purchase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(ts AS DATE)
+    ),
+    w AS (
+      SELECT day, x, y,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS BIGINT) AS sx,
+             CAST(SUM(y) OVER win AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS rolling_corr
+    FROM w WHERE n = 14
+    """,
+)
+def events_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily click value and
+    daily purchase value — the co-movement monitor ("are clicks still
+    converting?") on the pre-aggregated daily series. Daily sums are
+    exact bigint cents, the trailing window sums bigints (and their
+    integer cross-products) exactly, and the correlation closed form
+    divides identical doubles; only the final composed expression gets
+    a ROUND(9) pin. Partial leading windows (< 14 days) are excluded.
+
+    Scale shape: events collapse to day grain first (map-side
+    combine); the moving windows run over ~thousands of day rows — the
+    documented pre-aggregated-grain bound for an unpartitioned window.
+    """
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return w.filter(F.col("n") == 14).select(
+        "day", F.round(corr, 9).alias("rolling_corr")
+    )

@@ -462,3 +462,46 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 9).alias("temp_weight"),
         F.round(w / share, 9).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample (k docs per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group reservoir sample (k=10 docs per source),
+    derandomized the repo's standard way: ranking by md5 of the key is
+    equivalent to a uniform random permutation but identical on both
+    engines, so the "reservoir" is exactly reproducible — the
+    stratified spot-check sampler for eyeballing every source in a
+    corpus. doc_id breaks the (impossible) digest tie.
+
+    Scale shape: one shuffle on source with a per-group top-k; Spark
+    plans rank-filtered windows with a per-partition limit pushdown
+    (group-limit), so each partition keeps ≤ k rows per group rather
+    than sorting whole groups.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )

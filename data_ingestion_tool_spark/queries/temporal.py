@@ -673,3 +673,50 @@ def orders_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.col("win_cents").cast("double") / 12.0)
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping-window DISTINCT users (exact windowed distinct, not a count)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hopping_distinct_users",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id,
+             CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                          // 1800 * 1800) AS TIMESTAMP)
+               - back * INTERVAL 30 MINUTE AS window_start
+      FROM events, (SELECT unnest(ARRAY[0, 1]) AS back)
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM base GROUP BY window_start
+    """,
+)
+def events_hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT users per hopping 1-hour window (30-min slide) —
+    the deduplicated-audience rollup (unique visitors per overlapping
+    hour) that a plain hopping COUNT can't answer. Spark's window()
+    fans each event into its two containing windows, then a two-level
+    aggregate: DISTINCT (window, user) with map-side combine, then the
+    per-window count. The oracle derives window membership in closed
+    form (bigint epoch floor — never `//` on DOUBLE).
+
+    Scale shape: the distinct shuffle carries (window, user_id) pairs
+    — already combiner-reduced — and the final count reuses that
+    partitioning; no self-join, output is slot-bounded. For 100 TB
+    audiences where exact distinct is too wide, the sketch twin is
+    agg_sketch_mergeable_distinct.
+    """
+    e = read_events(spark, sf_dir)
+    pairs = (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.lit(1))
+        .select(F.col("win.start").alias("window_start"), "user_id")
+    )
+    return pairs.groupBy("window_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
