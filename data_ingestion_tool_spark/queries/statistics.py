@@ -2845,3 +2845,148 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(sum_ln / n), 6).alias("geo_mean"),
         F.round(n.cast("double") / sum_inv, 6).alias("harm_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for a monthly proportion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_wilson_ci_return_rate",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+    )
+    SELECT month, n, r,
+           ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_hat,
+           ROUND(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 9) AS wilson_lo,
+           ROUND(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  + 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 9) AS wilson_hi
+    FROM m
+    """,
+)
+def stats_wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate with a 95% Wilson score interval — the
+    small-sample-safe CI (never leaves [0,1], unlike the normal
+    approximation) for monitoring a proportion over time. Counts are
+    exact; the Wilson closed form is one identical float expression of
+    those counts (z=1.96 constants pre-squared: z²=3.8416,
+    z²/2=1.9208, z²/4=0.9604), pinned with ROUND(9).
+
+    Scale shape: one map-side-combinable groupBy to month grain; the
+    CI math runs on month rows only.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("r").cast("double") / nd
+    half = F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + 0.9604 / nd) / nd)
+    denom = F.lit(1.0) + 3.8416 / nd
+    return m.select(
+        "month",
+        "n",
+        "r",
+        F.round(p, 9).alias("p_hat"),
+        F.round((p + 1.9208 / nd - half) / denom, 9).alias("wilson_lo"),
+        F.round((p + 1.9208 / nd + half) / denom, 9).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (how varied is each user's event mix?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_entropy_event_mix",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_total
+      FROM c GROUP BY user_id
+    ),
+    u AS (
+      SELECT c.user_id,
+             CAST(MAX(t.n_total) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS k_types,
+             SUM(-(CAST(cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                 * ln(CAST(cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+               AS entropy
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id
+    )
+    SELECT user_id, n_events, k_types,
+           ROUND(entropy, 9) AS entropy,
+           ROUND(CASE WHEN k_types > 1
+                      THEN entropy / ln(CAST(k_types AS DOUBLE))
+                      ELSE 0.0 END, 9) AS norm_entropy
+    FROM u
+    """,
+)
+def events_user_entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, raw and
+    normalized by ln(types-used) — the behavioral-diversity score that
+    separates single-action bots (entropy 0) from organic users.
+    Counts are exact; each p·ln(p) term is an identical double
+    expression and the per-user sum spans at most |event types| terms,
+    pinned with ROUND(9). Single-type users get normalized entropy 0
+    (not a 0/0).
+
+    Scale shape: one shuffle to (user, type) counts with map-side
+    combine; the second aggregate reuses user partitioning. No windows
+    over raw facts.
+    """
+    ev = read_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("bigint").cast(
+        "double"
+    )
+    terms = c.select(
+        "user_id",
+        "cnt",
+        (-p * F.log(p)).alias("term"),
+    )
+    u = terms.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("k_types"),
+        F.sum("term").alias("entropy"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "k_types",
+        F.round(F.col("entropy"), 9).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("k_types") > 1,
+                F.col("entropy") / F.log(F.col("k_types").cast("double")),
+            ).otherwise(0.0),
+            9,
+        ).alias("norm_entropy"),
+    )
