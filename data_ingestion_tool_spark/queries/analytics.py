@@ -1832,3 +1832,85 @@ def events_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> Data
     return w.filter(F.col("n") == 14).select(
         "day", F.round(corr, 9).alias("rolling_corr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based bot detection (rate + interarrival-regularity screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_detection_rules",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, (t_us - prev_us) // 1000000 AS gap_s
+      FROM g WHERE prev_us IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS m_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, m_gaps + 1 AS n_events,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(m_gaps AS DOUBLE), 6) AS mean_gap_s,
+           CAST(CASE WHEN (m_gaps + 1) * 3600 > 50 * s1 THEN 1 ELSE 0 END
+                AS INT) AS is_high_rate,
+           CAST(CASE WHEN 4 * m_gaps * s2 < 5 * s1 * s1 THEN 1 ELSE 0 END
+                AS INT) AS is_regular
+    FROM u WHERE m_gaps >= 9
+    """,
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot screen per user: sustained rate above 50
+    events/hour (n·3600 > 50·total-gap-seconds) and suspiciously
+    regular inter-arrival times (coefficient of variation below 0.5,
+    tested as the cross-multiplied integer inequality 4·m·Σd² < 5·(Σd)²
+    — population-variance form, no float threshold to wobble). Gaps
+    are integer seconds from exact epoch microseconds; only the
+    reported mean is a float (ROUND 6). Users need ≥10 events to be
+    scored.
+
+    Scale shape: one shuffle on user_id; the lag window and both
+    aggregates reuse it. Integer moments stay under int64 (gap ≤ data
+    span in seconds, squared and summed over per-user event counts).
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev_us"),
+    )
+    d = g.filter(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        F.expr("(t_us - prev_us) DIV 1000000").alias("gap_s"),
+    )
+    u = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_gaps"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+    return u.filter(F.col("m_gaps") >= 9).select(
+        "user_id",
+        (F.col("m_gaps") + 1).alias("n_events"),
+        F.round(F.col("s1").cast("double") / F.col("m_gaps").cast("double"), 6)
+        .alias("mean_gap_s"),
+        F.when((F.col("m_gaps") + 1) * 3600 > 50 * F.col("s1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_high_rate"),
+        F.when(
+            4 * F.col("m_gaps") * F.col("s2") < 5 * F.col("s1") * F.col("s1"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_regular"),
+    )

@@ -113,3 +113,55 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix clustering (shared-header detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_boilerplate_prefix_clusters",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, md5(substring(text, 1, 64)) AS prefix_digest
+      FROM documents
+    )
+    SELECT prefix_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc_id
+    FROM p
+    GROUP BY prefix_digest
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-boilerplate detection: documents whose first 64
+    characters hash identically form a prefix cluster — the cheap
+    screen for template headers, licence banners, and scraped
+    navigation chrome that survives full-document dedup because the
+    bodies differ. Reports cluster size, how many sources share the
+    boilerplate (cross-source spread ⇒ template, single-source ⇒
+    house style), and a sample doc. md5 is identical cross-engine;
+    substring is 1-based in both.
+
+    Scale shape: shuffle carries (digest, source, doc_id) only —
+    never text; group-by combines map-side. The 64-char prefix read
+    is scan-local.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_digest"),
+    )
+    return (
+        p.groupBy("prefix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("sample_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
