@@ -1914,3 +1914,176 @@ def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_regular"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Apdex score per event type (SRE satisfaction metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_apdex_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value <= 100.00 THEN 1 ELSE 0 END) AS BIGINT)
+             AS satisfied,
+           CAST(SUM(CASE WHEN value > 100.00 AND value <= 400.00
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+           ROUND((CAST(SUM(CASE WHEN value <= 100.00 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  + 0.5 * CAST(SUM(CASE WHEN value > 100.00 AND value <= 400.00
+                               THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS apdex
+    FROM events GROUP BY event_type
+    """,
+)
+def events_apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (application performance index) per event type treating
+    ``value`` as a latency: satisfied ≤ T (100.00), tolerating ≤ 4T,
+    apdex = (satisfied + tolerating/2) / n — the SRE satisfaction
+    rollup. Threshold comparisons are against exact 2-decimal values
+    (no float wobble at the boundary: 100.00 is exactly representable
+    and the data carries 2 decimals), counts are exact, and the score
+    is one identical division, ROUND(9).
+
+    Scale shape: single map-side-combinable groupBy; conditional
+    counts fold into the same partial aggregate.
+    """
+    ev = read_events(spark, sf_dir)
+    sat = F.sum(F.when(F.col("value") <= 100.00, 1).otherwise(0)).cast("bigint")
+    tol = F.sum(
+        F.when((F.col("value") > 100.00) & (F.col("value") <= 400.00), 1).otherwise(
+            0
+        )
+    ).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        sat.alias("satisfied"),
+        tol.alias("tolerating"),
+        F.round(
+            (sat.cast("double") + 0.5 * tol.cast("double"))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("apdex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily new vs cumulative unique users (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: users bucketed by their FIRST active day,
+    giving daily new-user counts and the cumulative unique-user curve
+    — computed from the first-seen aggregate, not by re-deduplicating
+    an ever-growing prefix per day (the naive cumulative-distinct is
+    quadratic in days). All-integer math.
+
+    Scale shape: one shuffle on user_id for MIN(day), one map-side
+    combinable count to day grain, then a running sum over day rows
+    (pre-aggregated-grain global window, calendar-bounded).
+    """
+    ev = read_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order vs repeat revenue split per month (acquisition vs retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_first_vs_repeat_revenue",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderdate, o_totalprice,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(is_first) AS BIGINT) AS n_first_orders,
+           CAST(SUM(1 - is_first) AS BIGINT) AS n_repeat_orders,
+           SUM(CASE WHEN is_first = 1
+               THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) / 100.0 AS first_revenue,
+           SUM(CASE WHEN is_first = 0
+               THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) / 100.0 AS repeat_revenue
+    FROM tagged GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def orders_first_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention revenue split: each month's order count
+    and revenue divided into a customer's FIRST-ever order (earliest
+    date, orderkey tie-break, exactly one per customer) vs all repeat
+    orders — the growth-mix report behind "is revenue new or
+    returning?". Revenue accumulates in exact cents.
+
+    Scale shape: the first-order identification is a window-free
+    min-aggregate on o_custkey joined back on the same key (one
+    shuffle, reused); monthly rollup is map-side combinable.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("first_ord")
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        "o_orderdate",
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderdate") == F.col("first_ord.o_orderdate"))
+            & (F.col("o_orderkey") == F.col("first_ord.o_orderkey")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return tagged.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum("is_first").cast("bigint").alias("n_first_orders"),
+        F.sum(1 - F.col("is_first")).cast("bigint").alias("n_repeat_orders"),
+        (F.sum(F.when(F.col("is_first") == 1, cents).otherwise(0)) / 100.0).alias(
+            "first_revenue"
+        ),
+        (F.sum(F.when(F.col("is_first") == 0, cents).otherwise(0)) / 100.0).alias(
+            "repeat_revenue"
+        ),
+    )

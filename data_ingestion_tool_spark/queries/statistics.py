@@ -2579,18 +2579,63 @@ def quantile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-dyadic q (e.g. 0.9) re-introduces representation error and
     belongs to the type-1 family instead (quantile_deciles_price).
 
-    Scale shape: Spark's percentile() aggregates per group in a single
-    pass (partial digests per partition, merged); no global sort.
+    Scale shape: the grouped PARALLEL range-shuffle ranking
+    (operators/ranking.py), then a broadcast join of the ≤ 2 marks per
+    quartile back onto the ranked rows and exact integer interpolation
+    (v_lo·(4−rem) + v_hi·rem)/4 — identical to quantile_cont's
+    lo + frac·(hi−lo) for dyadic fractions over integer cents. The
+    earlier ``percentile()`` aggregate was retired: Spark's exact
+    percentile is an ObjectAggregate that BUFFERS every group value in
+    executor memory per quantile (20 s at sf0.1, OOM territory at
+    100×); the rank-marks plan touches each row once and holds
+    nothing.
     """
+    from ..operators.ranking import with_grouped_global_row_number
+
     li = read_table(spark, sf_dir, "lineitem")
     c = li.select(
         F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
     )
-    return c.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr("percentile(cents, 0.25)").alias("q1_cents"),
-        F.expr("percentile(cents, 0.5)").alias("q2_cents"),
-        F.expr("percentile(cents, 0.75)").alias("q3_cents"),
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
+    )
+    g = ranked.select("grp", "n").distinct()
+    qs = spark.range(1, 4).select(F.col("id").cast("int").alias("q"))
+    marks = g.crossJoin(qs).select(
+        F.col("grp").alias("m_grp"),
+        "q",
+        (F.expr("(q * (n - 1)) DIV 4") + 1).alias("rn_lo"),
+        F.expr("(q * (n - 1)) % 4").alias("rem"),
+        (
+            F.expr("(q * (n - 1)) DIV 4")
+            + 1
+            + F.when(F.expr("(q * (n - 1)) % 4") > 0, 1).otherwise(0)
+        ).alias("rn_hi"),
+    )
+    hit = ranked.join(
+        F.broadcast(marks),
+        (ranked.grp == marks.m_grp)
+        & ((ranked.rn == marks.rn_lo) | (ranked.rn == marks.rn_hi)),
+    )
+    t1 = hit.groupBy("grp", "q").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("rn_lo"), F.col("cents"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("rn") == F.col("rn_hi"), F.col("cents"))).alias(
+            "v_hi"
+        ),
+        F.max("rem").alias("rem"),
+    )
+    val = (
+        F.col("v_lo") * (4 - F.col("rem")) + F.col("v_hi") * F.col("rem")
+    ).cast("double") / 4.0
+    t2 = t1.select("grp", "q", "n", val.alias("val"))
+    return t2.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("q") == 1, F.col("val"))).alias("q1_cents"),
+        F.max(F.when(F.col("q") == 2, F.col("val"))).alias("q2_cents"),
+        F.max(F.when(F.col("q") == 3, F.col("val"))).alias("q3_cents"),
     )
 
 
@@ -2989,4 +3034,75 @@ def events_user_entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame
             ).otherwise(0.0),
             9,
         ).alias("norm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: price-on-size regression per brand (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_brand_price_size_regression",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_size) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM(p_size * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sxy,
+             CAST(SUM(p_size * p_size) AS BIGINT) AS sxx
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0, 9)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE) / 100.0
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 9) AS intercept
+    FROM m
+    """,
+)
+def part_brand_price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of retail price on part size — GROUPED regression
+    (one model per brand in a single pass), the segmentation twin of
+    the global agg_regr_slope_intercept. Moments (n, Σx, Σy, Σxy, Σx²)
+    accumulate as exact int64s (price in cents, size a small int), and
+    slope/intercept are identical closed-form double expressions of
+    those integers, ROUND(9).
+
+    Scale shape: one map-side-combinable groupBy; models-per-group
+    math runs on |brands| rows. No second pass, no windows.
+    """
+    p = read_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_size").cast("bigint").alias("sx"),
+        F.sum(cents).cast("bigint").alias("sy"),
+        F.sum(F.col("p_size") * cents).cast("bigint").alias("sxy"),
+        F.sum(F.col("p_size") * F.col("p_size")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope_cents = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        nd * F.col("sxx").cast("double") - sx * sx
+    )
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope_cents / 100.0, 9).alias("slope"),
+        F.round((sy / 100.0 - slope_cents / 100.0 * sx) / nd, 9).alias(
+            "intercept"
+        ),
     )
