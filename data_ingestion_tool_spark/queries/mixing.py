@@ -505,3 +505,185 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size weighted reservoir (A-Res keys) — top-k sample w/o replacement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_weighted_reservoir_ares",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             ln((CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 12)) AS BIGINT) + 1.0)
+                / 281474976710657.0) / CAST(n_tokens AS DOUBLE) AS ares_key
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, ROUND(ares_key, 9) AS ares_key
+    FROM keyed
+    ORDER BY ares_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_reservoir_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement via Efraimidis–
+    Spirakis A-Res keys: each doc draws a pseudo-uniform u from its id
+    hash (48-bit md5 prefix mapped into (0,1)) and is ranked by
+    ln(u)/weight — the top-k by that key is a weighted reservoir of
+    exactly k docs (vs the Bernoulli sampler sample_weighted_by_tokens,
+    whose output SIZE is random). The key is one identical float
+    expression of exact integers, so selection and order agree
+    cross-engine; doc_id breaks (astronomically unlikely) key ties.
+
+    Scale shape: per-row key math on the scan + a distributed top-k
+    (per-partition heads merged on the driver's limit) — no full sort,
+    no shuffle of the corpus, k·partitions rows move.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", TX.token_count("text").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    h48 = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+    u = (h48 + F.lit(1.0)) / F.lit(281474976710657.0)
+    keyed = t.withColumn(
+        "ares_key", F.log(u) / F.col("n_tokens").cast("double")
+    )
+    return (
+        keyed.orderBy(F.col("ares_key").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("ares_key", 9).alias("ares_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucketed, stratified report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 10 AS bucket,
+             n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM b
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY source, split
+    """,
+)
+def mix_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the md5 of the doc
+    id mod 10 assigns each document a stable bucket (repeatable across
+    runs, engines, and re-partitioning — never ``rand()``), and the
+    report audits the realized split sizes per source. The same
+    predicate IS the production split filter; this query materializes
+    its audit table.
+
+    Scale shape: per-row hash + one map-side-combinable groupBy to
+    (source, split) grain.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 10"
+    )
+    s = d.select(
+        "source",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-robin source interleave (balanced curriculum ordering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_interleave_round_robin",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos_in_source
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, CAST(pos_in_source AS BIGINT) AS pos_in_source,
+             row_number() OVER (ORDER BY pos_in_source, source, doc_id)
+               AS global_pos
+      FROM r
+    )
+    SELECT doc_id, source, pos_in_source, CAST(global_pos AS BIGINT)
+             AS global_pos
+    FROM g WHERE global_pos <= 200
+    """,
+)
+def mix_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced round-robin interleave across sources — the curriculum
+    ordering that feeds one doc per source in rotation (shuffled
+    within source by the deterministic md5 permutation) so no source
+    dominates any training-window prefix. Emits the first 200 global
+    positions. The global ordering key (pos_in_source, source,
+    doc_id) is a total order — cross-engine identical.
+
+    Scale shape: per-source ranking is a partitioned window (many
+    sources, bounded groups); the global interleave order needs only
+    a top-k (LIMIT) — a distributed TakeOrdered, not a full global
+    sort — because position k is wanted, not a ranking of all rows.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(ws).cast("bigint").alias("pos_in_source"),
+    )
+    topk = (
+        r.orderBy("pos_in_source", "source", "doc_id")
+        .limit(200)
+        .withColumn(
+            "global_pos",
+            F.row_number()
+            .over(Window.orderBy("pos_in_source", "source", "doc_id"))
+            .cast("bigint"),
+        )
+    )
+    return topk
