@@ -766,3 +766,352 @@ def tpch_q22_global_sales_opportunity(
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp (derived): the testdata ships no partsupp table, so the five
+# partsupp TPC-H shapes (Q2/Q9/Q11/Q16/Q20) run against a DERIVED one:
+# the distinct (l_partkey, l_suppkey) pairs actually traded in lineitem,
+# with availqty/supplycost as fixed hash formulas of the key pair —
+# deterministic, engine-independent integer math, generated identically
+# in the Spark helper and the oracle CTE. The query SHAPES (join
+# topology, correlated min, having-over-total, not-in, semi-join
+# threshold) are the classic ones; only the table's provenance differs.
+# ---------------------------------------------------------------------------
+
+_SQL_PARTSUPP = """
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 17 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 7919 + ps_suppkey * 104729) % 99900 + 100
+               AS ps_supplycost_cents
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see module comment): distinct traded pairs +
+    hash-formula attributes. One distinct shuffle on the pair key;
+    at 100 TB this is the same shape as any pair-grain dedup."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 31) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            (F.col("ps_partkey") * 7919 + F.col("ps_suppkey") * 104729) % 99900
+            + 100
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_SQL_PARTSUPP}),
+    eu AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM partsupp ps, supplier s, nation n, region r
+      WHERE s.s_suppkey = ps.ps_suppkey AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ),
+    m AS (
+      SELECT ps_partkey, MIN(ps_supplycost_cents) AS min_cost
+      FROM eu GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_suppkey, e.ps_supplycost_cents
+    FROM eu e
+    JOIN m ON e.ps_partkey = m.ps_partkey
+          AND e.ps_supplycost_cents = m.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, e.ps_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: the cheapest EUROPE supplier for each ECONOMY size-15 part —
+    the correlated-MIN shape (min supplycost per part within the
+    region, re-joined on equality; suppliers tied at the min all
+    qualify). Costs are exact integers, the ORDER BY carries a full
+    tie-break chain, LIMIT 100.
+
+    Scale shape: supplier⋈nation⋈region is a broadcast chain onto the
+    partsupp scan; the per-part MIN is map-side combinable; the final
+    equality join reuses the part key. Top-100 is TakeOrdered, no
+    global sort. (partsupp is the derived table — module comment.)
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+        "s_acctbal", "s_name", "n_name",
+    )
+    m = eu.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    e = eu.alias("e")
+    out = (
+        e.join(
+            m.alias("m"),
+            (F.col("e.ps_partkey") == F.col("m.ps_partkey"))
+            & (F.col("e.ps_supplycost_cents") == F.col("m.min_cost")),
+        )
+        .join(F.broadcast(p), F.col("e.ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("e.ps_suppkey").alias("ps_suppkey"),
+            F.col("e.ps_supplycost_cents").alias("ps_supplycost_cents"),
+        )
+    )
+    return out.orderBy(
+        F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+    ).limit(100)
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    WITH partsupp AS ({_SQL_PARTSUPP})
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                    AS BIGINT)
+               - CAST(ROUND((ps.ps_supplycost_cents / 100.0) * l.l_quantity
+                            * 10000, 0) AS BIGINT)) / 10000.0 AS profit
+    FROM lineitem l, part p, supplier s, partsupp ps, orders o, nation n
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+      AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+      AND p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit on red parts by supplier nation and order year —
+    revenue minus supply cost across the 6-table join. The amount is
+    accumulated as ONE fixed-point bigint per row (scale-4: both the
+    4-decimal discounted price and cost·quantity round to the same
+    integers on both engines), summed exactly, divided once — the
+    fsum discipline applied to a difference. Group sums stay < 2^53
+    at sf0.1×100 margins; switch to the decimal path beyond.
+
+    Scale shape: part (filtered) and supplier/nation broadcast; the
+    only fact-fact shuffles are lineitem⋈orders and lineitem⋈partsupp
+    (pair-grain). Output is nations × years.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    amount = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        ).cast("bigint")
+        - F.round(
+            (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity") * 10000,
+            0,
+        ).cast("bigint")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg((F.sum(amount) / 10000.0).alias("profit"))
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_SQL_PARTSUPP}),
+    nat AS (
+      SELECT ps.ps_partkey,
+             CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp ps, supplier s, nation n
+      WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        AND n.n_name = 'NATION_7'
+      GROUP BY ps.ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM nat)
+    SELECT ps_partkey, value_cents
+    FROM nat, tot
+    WHERE value_cents * 5000 > total_cents
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose stock value held by NATION_7 suppliers exceeds
+    0.02% of that nation's total stock value. The share threshold is
+    the integer cross-product value·5000 > total (never a float
+    fraction at the boundary); stock value is exact integer
+    cents·units.
+
+    Scale shape: supplier⋈nation broadcasts onto the partsupp scan;
+    per-part sum is map-side combinable; the total is a 1-row
+    broadcast back onto the part-grain frame (the BNLJ-scalar
+    pattern).
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    nat = (
+        ps.join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    tot = nat.agg(F.sum("value_cents").cast("bigint").alias("total_cents"))
+    return (
+        nat.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 5000 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+    WITH partsupp AS ({_SQL_PARTSUPP})
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps, part p
+    WHERE p.p_partkey = ps.ps_partkey
+      AND p.p_brand <> 'Brand#3' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many suppliers can serve each (brand, type, size)
+    bucket, excluding one brand, one type, off-grid sizes, and
+    blacklisted suppliers (adapted: negative account balance stands in
+    for the complaints LIKE — the testdata supplier has no comment
+    column). NOT IN is planned as a broadcast anti-join (s_suppkey is
+    non-null, so NOT-IN null semantics don't bite).
+
+    Scale shape: part (filtered) broadcasts onto partsupp; the
+    blacklist anti-join broadcasts a handful of keys; COUNT(DISTINCT)
+    shuffles (brand,type,size,suppkey) once — Expand-free single
+    distinct.
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    kept = ps.join(
+        F.broadcast(bad),
+        ps.ps_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(p), kept.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_SQL_PARTSUPP}),
+    q AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE '%red%'
+    JOIN q ON q.l_partkey = ps.ps_partkey AND q.l_suppkey = ps.ps_suppkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = 'NATION_3'
+    WHERE ps.ps_availqty * 200 > q.qty_cents
+    """,
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: NATION_3 suppliers holding more than half a year's shipped
+    volume of some red part — the stock-vs-demand threshold semi-join.
+    The 50% comparison is integer (availqty·2·100 vs quantity-cents);
+    quantities accumulate in exact cents.
+
+    Scale shape: the 1996 demand aggregate is pair-grain map-side
+    combinable; part filter and supplier/nation broadcast; DISTINCT
+    collapses the qualifying pair hits to supplier grain.
+    """
+    ps = _partsupp(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents")
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    hits = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            q,
+            (ps.ps_partkey == q.l_partkey) & (ps.ps_suppkey == q.l_suppkey),
+        )
+        .join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_cents"))
+    )
+    return hits.select("s_suppkey", "s_name").distinct()
