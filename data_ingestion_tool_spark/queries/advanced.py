@@ -1052,3 +1052,205 @@ def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial neighbor counts (the bucketed spatial-join pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spatial_grid_neighbor_counts",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             (CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 1000) / 100.0 AS lat,
+             (CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 7, 6))
+                   AS BIGINT) % 2000) / 100.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT user_id, lat, lon,
+             CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+      FROM pts
+    ),
+    fan AS (
+      SELECT c.user_id, c.lat, c.lon,
+             c.cy + dy.d AS ny, c.cx + dx.d AS nx
+      FROM cells c,
+           (SELECT unnest(ARRAY[-1, 0, 1]) AS d) dy,
+           (SELECT unnest(ARRAY[-1, 0, 1]) AS d) dx
+    )
+    SELECT f.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM fan f JOIN cells o
+      ON o.cy = f.ny AND o.cx = f.nx AND o.user_id <> f.user_id
+    WHERE (f.lat - o.lat) * (f.lat - o.lat)
+          + (f.lon - o.lon) * (f.lon - o.lon) < 0.25
+    GROUP BY f.user_id
+    """,
+)
+def spatial_grid_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor counting via the GRID-BUCKET join — the
+    standard Spark answer to "points within radius" without a spatial
+    index: each point lands in a 1°×1° cell, fans out to its 3×3 cell
+    neighborhood, equi-joins on cell id (hashable, shuffleable), and
+    only then applies the exact radius predicate (0.5° Euclidean
+    here). Coordinates are derived deterministically from the user-id
+    hash (the testdata has no geo columns — the PATTERN is the
+    deliverable); the radius test compares identical float expressions
+    of identical doubles, never crossing an engine boundary.
+
+    Scale shape: the join is equi on cell id — shuffle partitions by
+    cell, candidate pairs are bounded by 9 × cell occupancy (grid
+    resolution tunes the quadratic term), never all-pairs. This is the
+    same bucket-then-verify shape as the LSH near-dup stack.
+    """
+    ev = read_events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    lat = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 6), 16, 10)"
+            " AS BIGINT) % 1000"
+        )
+        / 100.0
+    )
+    lon = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 7, 6), 16, 10)"
+            " AS BIGINT) % 2000"
+        )
+        / 100.0
+    )
+    cells = users.select(
+        "user_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).select(
+        "user_id",
+        "lat",
+        "lon",
+        F.floor("lat").cast("bigint").alias("cy"),
+        F.floor("lon").cast("bigint").alias("cx"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    fan = (
+        cells.crossJoin(d.select(F.col("d").alias("dy")))
+        .crossJoin(d.select(F.col("d").alias("dx")))
+        .select(
+            "user_id",
+            "lat",
+            "lon",
+            (F.col("cy") + F.col("dy")).alias("ny"),
+            (F.col("cx") + F.col("dx")).alias("nx"),
+        )
+    )
+    o = cells.select(
+        F.col("user_id").alias("o_user"),
+        F.col("lat").alias("o_lat"),
+        F.col("lon").alias("o_lon"),
+        F.col("cy").alias("o_cy"),
+        F.col("cx").alias("o_cx"),
+    )
+    dy = F.col("lat") - F.col("o_lat")
+    dx = F.col("lon") - F.col("o_lon")
+    hits = (
+        fan.join(
+            o,
+            (F.col("ny") == F.col("o_cy"))
+            & (F.col("nx") == F.col("o_cx"))
+            & (F.col("user_id") != F.col("o_user")),
+        )
+        .filter(dy * dy + dx * dx < 0.25)
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchy shares (region → nation → total)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percent_of_parent_hierarchy",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer c, nation n, region r
+      WHERE c.c_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    shares AS (
+      SELECT region, nation, n_customers, bal_cents,
+             CAST(SUM(bal_cents) OVER (PARTITION BY region) AS BIGINT)
+               AS region_cents,
+             CAST(SUM(bal_cents) OVER () AS BIGINT) AS total_cents
+      FROM nat
+    )
+    SELECT region, nation, n_customers, bal_cents / 100.0 AS balance,
+           CAST(bal_cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             AS share_of_region,
+           CAST(bal_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS share_of_total
+    FROM shares
+    """,
+)
+def agg_percent_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent OLAP shares down the region → nation
+    hierarchy: each nation's customer balance as a fraction of its
+    region and of the grand total, in one pass — the drill-down
+    normalization every BI layer reimplements. Balances accumulate as
+    exact cents (c_acctbal can be negative; bigint handles sign); the
+    shares are identical divisions of exact integers.
+
+    Scale shape: dims broadcast onto the customer scan; one map-side
+    combinable groupBy to nation grain; both share windows run over
+    the |nations| aggregate rows.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )
+    shares = nat.select(
+        "region",
+        "nation",
+        "n_customers",
+        "bal_cents",
+        F.sum("bal_cents")
+        .over(Window.partitionBy("region"))
+        .cast("bigint")
+        .alias("region_cents"),
+        F.sum("bal_cents").over(Window.partitionBy()).cast("bigint").alias(
+            "total_cents"
+        ),
+    )
+    return shares.select(
+        "region",
+        "nation",
+        "n_customers",
+        (F.col("bal_cents") / 100.0).alias("balance"),
+        (
+            F.col("bal_cents").cast("double")
+            / F.col("region_cents").cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("bal_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("share_of_total"),
+    )
