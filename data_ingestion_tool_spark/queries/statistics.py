@@ -3106,3 +3106,132 @@ def part_brand_price_size_regression(spark: SparkSession, sf_dir: str) -> DataFr
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-table numeric profile: IQR fences for every column in one pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_multi_column_iqr",
+    oracle="""
+    WITH c AS (
+      SELECT col_name, cents FROM (
+        SELECT 'quantity' AS col_name,
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice',
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'discount',
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT) FROM lineitem
+      )
+    ),
+    ranked AS (
+      SELECT col_name, cents,
+             row_number() OVER (PARTITION BY col_name ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY col_name) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT col_name, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1_cents,
+             MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS med_cents,
+             MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END)
+               AS q3_cents
+      FROM ranked GROUP BY col_name
+    )
+    SELECT c.col_name, MAX(q.n) AS n,
+           MAX(q.q1_cents) AS q1_cents, MAX(q.med_cents) AS med_cents,
+           MAX(q.q3_cents) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM c JOIN q ON c.col_name = q.col_name
+    GROUP BY c.col_name
+    """,
+)
+def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric table profile: every lineitem money/measure
+    column is UNPIVOTed to (column, value) rows, quartiles come from
+    ONE grouped parallel ranking over all columns at once (column name
+    = group key), and Tukey 1.5·IQR outlier counts land per column —
+    the data-profiling sweep that would otherwise run N separate
+    quantile jobs. All order statistics are exact value-at-index; the
+    fences are the 2·x vs 5·Q1−3·Q3 integer cross-multiplication.
+
+    Scale shape: quantiles come from the VALUE-GRAIN cumulative
+    histogram — one map-side-combinable groupBy to (column, distinct
+    value) counts, then per-column cumulative windows over the value
+    domain (≤ price-domain cardinality rows per column, bounded by the
+    column's value range — NOT by row count; the fact table itself is
+    never window-sorted), then one broadcast of the 4-row fence table
+    back onto the stacked scan. Columns profile in parallel. For
+    unbounded-domain columns use the row-grain ranking operator
+    (operators/ranking.py) instead.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.selectExpr(
+        "stack(4,"
+        " 'quantity', CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
+        " 'extendedprice', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),"
+        " 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT),"
+        " 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
+        ") AS (col_name, cents)"
+    )
+    vc = c.groupBy("col_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("col_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "col_name",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("col_name")).alias("n"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    r1 = F.expr("(n - 1) DIV 4 + 1")
+    r2 = F.expr("(n - 1) DIV 2 + 1")
+    r3 = F.expr("(3 * (n - 1)) DIV 4 + 1")
+    q = cum.groupBy("col_name").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when((F.col("cum_prev") < r1) & (r1 <= F.col("cum")), F.col("cents"))
+        ).alias("q1_cents"),
+        F.max(
+            F.when((F.col("cum_prev") < r2) & (r2 <= F.col("cum")), F.col("cents"))
+        ).alias("med_cents"),
+        F.max(
+            F.when((F.col("cum_prev") < r3) & (r3 <= F.col("cum")), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    j = c.join(F.broadcast(q), "col_name")
+    return j.groupBy("col_name").agg(
+        F.max("n").alias("n"),
+        F.max("q1_cents").alias("q1_cents"),
+        F.max("med_cents").alias("med_cents"),
+        F.max("q3_cents").alias("q3_cents"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_above"),
+    )
