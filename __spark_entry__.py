@@ -117,18 +117,37 @@ def _driver_verdicts() -> tuple[set[str], set[str]]:
     return seen, failed
 
 
+def _prior_round_keys() -> set[str]:
+    """Keys that existed in the previous round's committed bench run
+    (BENCH.json is written by bench.py and committed per round). Used
+    to order the correctness window so long-unattested EXISTING keys
+    get driver verdicts before brand-new additions displace them."""
+    import json
+
+    try:
+        data = json.loads(
+            (Path(__file__).resolve().parent / "BENCH.json").read_text()
+        )
+        return set(data.get("queries", {}))
+    except Exception:  # noqa: BLE001 - a missing artifact must not break entry
+        return set()
+
+
 def _window_priority(all_keys) -> list[str]:
     """Current window: the static priority list until the driver has
     recorded verdicts for all of it, then automatic rotation — keys
     whose latest driver verdict FAILED come first (so fixes get
     re-verified next round), then keys with NO driver verdict yet
-    (registry order), so each round's 50-entry correctness window
-    covers fresh ground."""
+    (long-standing keys from the prior round's bench before this
+    round's new additions, registry order within each class), so each
+    round's 50-entry correctness window covers fresh ground."""
     seen, failed = _driver_verdicts()
     if not seen.issuperset(_WINDOW_PRIORITY):
         return _WINDOW_PRIORITY
+    prior = _prior_round_keys()
     refresh = [k for k in all_keys if k in failed]
-    fresh = [k for k in all_keys if k not in seen]
+    fresh = [k for k in all_keys if k not in seen and k not in failed]
+    fresh.sort(key=lambda k: k not in prior)  # stable: prior-round first
     return refresh + fresh
 
 

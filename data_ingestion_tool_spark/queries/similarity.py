@@ -449,7 +449,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY label, pos
     )
     SELECT a.label AS label_a, b.label AS label_b,
-           ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+           ROUND(sqrt(CAST(SUM(CAST(ROUND((a.c - b.c) * (a.c - b.c), 12)
                                     AS DECIMAL(20,12))) AS DOUBLE)), 9)
              AS euclidean_dist
     FROM cent a JOIN cent b
@@ -463,7 +463,10 @@ def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> Data
     label-leakage checks (two labels whose centroids nearly coincide
     are not separable classes). Centroids reuse the decimal-exact
     mean (identical doubles, see embedding_centroid_per_label); each
-    squared difference is quantized to DECIMAL(20,12) so the 64-term
+    squared difference is ROUNDed to 12 places BEFORE the
+    DECIMAL(20,12) cast (both engines share ROUND's half-up-on-doubles
+    semantics, whereas the bare double→decimal cast is HALF_UP on
+    Spark but half-even on DuckDB; ADVICE r4 hardening) so the 64-term
     contraction is order-independent, then one sqrt + ROUND(9).
 
     Scale shape: centroids are labels × dims rows (map-side partial
@@ -493,7 +496,9 @@ def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> Data
         .agg(
             F.round(
                 F.sqrt(
-                    F.sum((diff * diff).cast("decimal(20,12)")).cast("double")
+                    F.sum(
+                        F.round(diff * diff, 12).cast("decimal(20,12)")
+                    ).cast("double")
                 ),
                 9,
             ).alias("euclidean_dist")

@@ -849,7 +849,11 @@ def ingest_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     single partition), re-ingest it as bytes, and emit the byte length
     + md5 — which the oracle reproduces by concatenating the same
     ordered lines in SQL. Byte-exact equality across the writer, the
-    binary reader, and an independent engine.
+    binary reader, and an independent engine. Lines are built with
+    ``concat_ws`` and written via the ``text`` sink so CSV quoting/
+    escaping can never engage (the oracle's plain string_agg has no
+    quoting notion; ADVICE r4 — previously this silently relied on
+    c_name containing no commas/quotes/newlines).
 
     Scale shape: the single-file export is a deliberate fixture-scale
     choice so content is byte-addressable; at fleet scale you keep one
@@ -861,13 +865,19 @@ def ingest_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("binsrc")
     c = (
         read_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name")
+        .select(
+            "c_custkey",
+            F.concat_ws(
+                ",", F.col("c_custkey").cast("string"), F.col("c_name")
+            ).alias("line"),
+        )
         .repartition(1)
         .sortWithinPartitions("c_custkey")
+        .select("line")
     )
-    c.write.mode("overwrite").option("header", False).csv(out)
+    c.write.mode("overwrite").text(out)
     files = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.csv"
+        "pathGlobFilter", "part-*"
     ).load(out)
     return files.select(
         F.col("length").cast("bigint").alias("n_bytes"),

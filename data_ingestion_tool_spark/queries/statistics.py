@@ -2679,8 +2679,8 @@ def quantile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grand
     )
     SELECT k AS k_groups, n_total,
-           ROUND(ssb, 6) AS ss_between,
-           ROUND(ssw, 6) AS ss_within,
+           ROUND(ssb / CAST(n_total AS DOUBLE), 6) AS ssb_per_row,
+           ROUND(ssw / CAST(n_total AS DOUBLE), 6) AS ssw_per_row,
            ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
                  / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6)
              AS f_stat,
@@ -2698,7 +2698,11 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums stay far under 2^53 even at 100x sf0.1), then SSW/SSB use the
     closed forms over those exact integers so the only float work is a
     handful of identical expressions per group. Final stats ROUND(6)
-    on both sides.
+    on both sides; the sums-of-squares are emitted as SCALE-STABLE
+    per-row quantities (SS / n_total) so their absolute magnitude never
+    outgrows the 6-decimal rounding granularity as row count scales
+    (raw SS ~ 1e10 at sf0.1 would leave <1e-6 of ulp headroom;
+    ADVICE r4).
 
     Scale shape: one map-side-combinable groupBy to k=|event_type|
     rows; everything after runs on k rows. No raw-row second pass, no
@@ -2742,8 +2746,8 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ssb_t.select(
         F.col("k").alias("k_groups"),
         "n_total",
-        F.round(F.col("ssb"), 6).alias("ss_between"),
-        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round(F.col("ssb") / n_d, 6).alias("ssb_per_row"),
+        F.round(F.col("ssw") / n_d, 6).alias("ssw_per_row"),
         F.round(
             (F.col("ssb") / (k_d - F.lit(1.0)))
             / (F.col("ssw") / (n_d - k_d)),
