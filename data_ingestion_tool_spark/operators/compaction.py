@@ -44,3 +44,23 @@ def compact_parquet(
     df = spark.read.parquet(src)
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
+
+
+def compact_parquet_rows(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows: int,
+) -> DataFrame:
+    """Row-targeted compaction: rewrite ``src`` into
+    ``ceil(n_rows / target_rows)`` files. Unlike the byte-targeted
+    variant, the output file COUNT is a pure function of row count —
+    independent of encodings, compression ratios, and parquet-writer
+    versions — so it is assertable by an engine-independent oracle
+    (``CEIL(COUNT(*) / target)``). Same shuffle-free coalesce plan;
+    coalesce(n) over >=n non-empty input partitions yields exactly n
+    non-empty partitions, hence exactly n data files."""
+    df = spark.read.parquet(src)
+    n_out = max(1, math.ceil(df.count() / target_rows))
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)

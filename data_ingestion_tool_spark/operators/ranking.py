@@ -524,8 +524,22 @@ def with_grouped_lead(
             yield pd.DataFrame(out)
             break  # only the first batch of the partition holds row 0
 
-    boundary = local.mapInPandas(first_rows, first_schema).withColumn(
-        "__pid", F.col("__pid") - 1
+    # Key each boundary row by the PREVIOUS NON-EMPTY partition id, not
+    # a blind __pid - 1: range partitioning can leave an empty partition
+    # between two populated ones holding the same group (sample-derived
+    # bounds landing in a gap of the distribution), and the tail row of
+    # partition q must see the first row of the next NON-EMPTY
+    # partition. The boundary frame has exactly one row per non-empty
+    # partition, so a lag over it (≤P rows, single-task window on P
+    # aggregate rows — same bounded shape as the offsets branch) yields
+    # precisely that mapping.
+    wb = Window.orderBy("__pid")
+    boundary = (
+        local.mapInPandas(first_rows, first_schema)
+        .withColumn("__prev_pid", F.lag("__pid").over(wb))
+        .where(F.col("__prev_pid").isNotNull())
+        .drop("__pid")
+        .withColumnRenamed("__prev_pid", "__pid")
     )
 
     # local shifted leads + end-of-group-run flag (streamed with a

@@ -203,7 +203,15 @@ def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(p, "p_brand", min_share=0.041)
 
 
-@query("agg_sketch_mergeable_distinct")  # sketch estimate → rows-only check
+@query(
+    "agg_sketch_mergeable_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events
+    """,
+)
 def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Datasketches HLL): build one
     user_id sketch PER DAY, then union-merge the 30 daily sketches into
@@ -213,18 +221,36 @@ def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     materializes fixed-width sketches alongside its partition, and any
     date-range distinct-users question becomes a merge over sketches
     (bytes per day) instead of a count-distinct shuffle over raw events.
-    The estimate is deterministic (hash-based, no RNG) but engine-
-    specific, so the driver checks rows-only; accuracy vs exact is
-    pinned <5% in tests/test_frequency.py."""
+
+    Promoted from rows-only to a DuckDB-hash oracle (round-4 verdict
+    item 6): the engine-specific estimate itself cannot hash-match, so
+    the output carries (a) the exact day count, (b) the exact distinct
+    user count (the verification twin the sketch replaces at scale),
+    and (c) the accuracy bound AS A VALUE — est_within_5pct compares
+    in integer math (|est − exact| · 20 ≤ exact, no float boundary
+    wobble) and the oracle asserts TRUE. A sketch regression now breaks
+    the driver hash instead of only the unit test; the <5% pin also
+    stays in tests/test_frequency.py."""
     ev = read_events(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return daily.agg(
+    sketch = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("bigint")
         .alias("est_users"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return sketch.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -255,21 +255,39 @@ def ingest_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ingest_compact_small_files")  # rows-only: file-layout op, not SQL
+@query(
+    "ingest_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS INT) AS n_files_before,
+           CAST(CEIL(COUNT(*) / 20000.0) AS INT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM orders
+    """,
+)
 def ingest_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table maintenance: fragment orders into 64 tiny appended files
     (the shape a micro-batched ingest leaves behind), compact to
-    ~4 MB targets, and report layout before/after + content checksum.
+    20k-row targets, and report layout before/after + content checksum.
     Compaction is coalesce-based — NO shuffle (operators/compaction.py);
-    the checksum (count + keysum) proves the rewrite is lossless."""
-    from ..operators.compaction import compact_parquet, parquet_file_stats
+    the checksum (count + keysum) proves the rewrite is lossless.
+
+    Promoted from rows-only to a full DuckDB-hash oracle (round-4
+    verdict item 6): file counts are now assertable because the layout
+    is deterministic BY CONSTRUCTION — repartition(64) writes exactly
+    64 non-empty files, and the row-targeted compactor writes exactly
+    ceil(n_rows / 20000) files regardless of encodings or compression
+    (the byte-targeted compact_parquet stays unit-tested in
+    tests/test_compaction.py — its file count depends on physical
+    bytes, which no engine-independent oracle can know)."""
+    from ..operators.compaction import compact_parquet_rows, parquet_file_stats
 
     o = read_table(spark, sf_dir, "orders")
     frag = _scratch("frag")
     dst = _scratch("compact")
     o.repartition(64).write.mode("overwrite").parquet(frag)
     n_before, _ = parquet_file_stats(frag)
-    compacted = compact_parquet(spark, frag, dst, 4 * 1024 * 1024)
+    compacted = compact_parquet_rows(spark, frag, dst, target_rows=20_000)
     n_after, _ = parquet_file_stats(dst)
     return spark.createDataFrame(
         [(n_before, n_after)], "n_files_before int, n_files_after int"

@@ -208,3 +208,52 @@ def test_grouped_lead_matches_window(spark, orders):
     a = {r["o_orderkey"]: (r["next_price"], r["next_key"]) for r in ref.collect()}
     b = {r["o_orderkey"]: (r["next_price"], r["next_key"]) for r in got.collect()}
     assert a == b
+
+
+def test_grouped_lead_group_spanning_three_partitions(spark):
+    """Round-4 verdict item 7: a single group whose run crosses >= 3
+    range partitions must chain leads across every partition edge —
+    each boundary handoff is first-row-of-next-populated-partition."""
+    from data_ingestion_tool_spark.operators.ranking import with_grouped_lead
+
+    rows = [("g", i, i * 10) for i in range(30)] + [
+        ("h", i, i * 100) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, v long")
+    got = with_grouped_lead(
+        df, ["grp"], ["x"], {"v": "next_v"}, num_partitions=5
+    )
+    out = {(r.grp, r.x): r.next_v for r in got.collect()}
+    for i in range(29):
+        assert out[("g", i)] == (i + 1) * 10, (i, out[("g", i)])
+    assert out[("g", 29)] is None
+    assert out[("h", 0)] == 100 and out[("h", 2)] is None
+    # sanity: the group really did span >= 3 partitions
+    from pyspark.sql import functions as F2
+
+    nparts = (
+        df.repartitionByRange(5, "grp", "x")
+        .where(F2.col("grp") == "g")
+        .select(F2.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert nparts >= 3, f"fixture only spanned {nparts} partitions"
+
+
+def test_grouped_lead_more_partitions_than_rows(spark):
+    """p >> rows leaves most range partitions EMPTY, including possibly
+    between populated ones — the boundary handoff must target the next
+    POPULATED partition, never a fixed pid-1 (empty-middle hazard)."""
+    from data_ingestion_tool_spark.operators.ranking import with_grouped_lead
+
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 1_000_000, 30), ("z", 5, 99)]
+    df = spark.createDataFrame(rows, "grp string, x long, v long")
+    got = with_grouped_lead(
+        df, ["grp"], ["x"], {"v": "next_v"}, num_partitions=16
+    )
+    out = {(r.grp, r.x): r.next_v for r in got.collect()}
+    assert out[("g", 1)] == 20
+    assert out[("g", 2)] == 30
+    assert out[("g", 1_000_000)] is None
+    assert out[("z", 5)] is None
