@@ -695,3 +695,122 @@ def mix_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch upsampling (deterministic per-source repetition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_fractional_epoch_upsample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             4 + CAST(CONCAT('0x', substring(md5(source), 1, 6))
+                      AS BIGINT) % 9 AS x4,
+             CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 4 AS r
+      FROM documents
+    ),
+    n AS (
+      SELECT source, doc_id,
+             x4 // 4 + CASE WHEN r < x4 % 4 THEN 1 ELSE 0 END AS n
+      FROM h
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_copies,
+           CAST(SUM(doc_id * ((n * (n + 1)) // 2)) AS BIGINT) AS copy_checksum
+    FROM n GROUP BY source
+    """,
+)
+def mix_fractional_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus upsampling — the mixture knob LLM data
+    recipes actually use ("2.25 epochs of source A, 1.5 of B"): every
+    doc repeats floor(e) times and one extra copy with probability
+    frac(e), derandomized the repo's standard way. Epochs are quarter
+    -grained per source (x4/4, x4 = 4 + md5(source)%9 ∈ [4,12]) and the
+    extra-copy draw compares 48-bit doc hashes against the quarter
+    remainder IN INTEGERS (h%4 < x4%4 — the CLAUDE.md share-threshold
+    rule, no float boundary). The Spark side MATERIALIZES the copies
+    (explode over sequence(1, n) — what a training-data writer would
+    ship) and aggregates count + a copy-index checksum
+    Σ doc_id·i; the oracle computes the same totals in closed form
+    (Σ n, Σ doc_id·n(n+1)/2) — a genuine differential proof that the
+    explosion produced exactly the prescribed copies.
+
+    Scale shape: per-row hash math + explode (narrow, no shuffle), one
+    map-side-combinable groupBy(source). Copy factor is bounded (≤4
+    epochs) so output ≤ 4x input — the explode never amplifies
+    unboundedly.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h6s = F.expr("CAST(conv(substring(md5(source), 1, 6), 16, 10) AS BIGINT)")
+    h48 = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+    x4 = (F.lit(4) + h6s % 9).alias("x4")
+    withn = d.select(
+        "doc_id",
+        "source",
+        (
+            F.floor(x4 / 4)
+            + F.when((h48 % 4) < (x4 % 4), 1).otherwise(0)
+        ).cast("int").alias("n"),
+    )
+    copies = withn.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+    )
+    return copies.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.sum(F.col("doc_id") * F.col("i")).cast("bigint").alias("copy_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging by global quality rank (parallel ntile consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_curriculum_quality_stages",
+    oracle="""
+    WITH staged AS (
+      SELECT source, n_chars,
+             ntile(3) OVER (ORDER BY n_chars DESC, doc_id) AS stage
+      FROM documents
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM staged GROUP BY stage, source
+    """,
+)
+def mix_curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: split the corpus into 3 global stages by
+    document length (longest docs first — the simple curriculum proxy),
+    then report the per-(stage, source) mixture so a trainer can see
+    which sources dominate each stage. NTILE over a total order
+    (doc_id tie-break) is engine-exact integer math.
+
+    Scale shape: the global ntile runs through the PARALLEL range-
+    shuffle ranking operator (operators/ranking.py with_global_ntile —
+    literal-offset projection, no single-task sort), then one
+    map-side-combinable groupBy over (stage, source).
+    """
+    from ..operators.ranking import with_global_ntile
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    staged = with_global_ntile(
+        d, [F.desc("n_chars"), F.asc("doc_id")], 3, "stage"
+    )
+    return staged.groupBy("stage", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

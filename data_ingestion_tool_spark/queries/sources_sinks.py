@@ -901,3 +901,72 @@ def ingest_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential / key constraint audit (dbt-test-style data contracts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_constraint_audit",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    fact AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM fact f
+        WHERE NOT EXISTS (SELECT 1 FROM dim d
+                           WHERE d.c_custkey = f.o_custkey)) AS orphan_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT o_orderkey FROM fact GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)) AS duplicate_keys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM fact
+        WHERE o_custkey IS NULL) AS null_fks,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM fact) AS n_rows
+    """,
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit (the dbt-tests of an ingest pipeline) over a
+    deliberately degraded fixture: a dimension with ~1% of customers
+    MISSING (late-arriving dim) and a fact stream with ~1% of orders
+    DOUBLE-DELIVERED (at-least-once ingest). Reports referential
+    orphans (fact FK with no dim row), duplicate primary keys, NULL
+    FKs, and total rows — nonzero, data-derived counts, so the hash
+    check proves the audit actually detects the corruption rather than
+    rubber-stamping zeros.
+
+    Scale shape: orphans = LEFT ANTI join shuffled on the FK (dim may
+    be huge — no broadcast assumption; AQE will broadcast when it IS
+    small); duplicate keys = map-side-combinable groupBy on the PK;
+    null/total counts ride the same scan. Each audit is one
+    shuffle-bounded pass — no windows, no driver-side state.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .where(F.col("c_custkey") % 97 != 0)
+    )
+    fact = o.unionAll(o.where(F.col("o_orderkey") % 101 == 0))
+    orphans = fact.join(
+        dim, fact.o_custkey == dim.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
+    dups = (
+        fact.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("duplicate_keys"))
+    )
+    base = fact.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_fks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return orphans.crossJoin(dups).crossJoin(base)

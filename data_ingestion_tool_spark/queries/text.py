@@ -928,3 +928,83 @@ def text_kl_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
         F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_corpus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty per source (how much n-gram mass is source-exclusive?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_trigram_novelty_per_source",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> x <> ''), 1) AS pos
+      FROM documents),
+    tri AS (
+      SELECT source,
+             term || ' ' || LEAD(term) OVER w || ' ' || LEAD(term, 2) OVER w
+               AS trigram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    st AS (
+      SELECT DISTINCT source, trigram FROM tri WHERE trigram IS NOT NULL),
+    ns AS (
+      SELECT trigram, COUNT(*) AS nsrc FROM st GROUP BY trigram)
+    SELECT st.source,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN ns.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           CAST(SUM(CASE WHEN ns.nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+    FROM st JOIN ns ON st.trigram = ns.trigram
+    GROUP BY st.source
+    """,
+)
+def text_trigram_novelty_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram novelty: the share of a source's distinct
+    word-trigrams that appear in NO other source — high novelty means
+    the source contributes genuinely new phrasing to the corpus; low
+    novelty flags near-duplicate scrapes worth down-weighting in the
+    mixture. The share is a quotient of identical bigints (bit-equal
+    cross-engine, no rounding needed).
+
+    Spark builds trigrams ARRAY-SIDE (zip_with over three slices — the
+    bigram lesson: never re-embed the tokenize expression inside a HOF
+    lambda), so no per-doc window; the oracle uses the LEAD-window
+    formulation, a genuine differential check.
+
+    Scale shape: explode → (source, trigram) distinct (map-side
+    combine) → trigram-keyed count + join back — two shuffles on the
+    trigram key, both partial-aggregated; no corpus-sized window, no
+    driver-side state.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.zip_with(
+            F.slice(toks, 2, n2),
+            F.slice(toks, 3, n2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    st = (
+        d.select("source", F.explode(tri).alias("trigram"))
+        .distinct()
+    )
+    ns = st.groupBy("trigram").agg(F.count(F.lit(1)).alias("nsrc"))
+    j = st.join(ns, "trigram")
+    excl = F.sum(F.when(F.col("nsrc") == 1, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        excl.cast("bigint").alias("n_exclusive"),
+        (excl.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "novelty_share"
+        ),
+    )

