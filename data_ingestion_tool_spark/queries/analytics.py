@@ -2144,3 +2144,66 @@ def orders_first_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             "repeat_revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_min_sketch_brands",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS est_not_below_exact, TRUE AS est_within_eps
+    FROM part GROUP BY p_brand
+    """,
+)
+def agg_count_min_sketch_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (the frequency sibling of
+    the HLL distinct sketch): one fixed-width CMS built over p_brand in
+    a single JVM aggregation, then per-brand estimates checked against
+    exact counts. CMS guarantees est ≥ exact always, and
+    est ≤ exact + ε·N with the configured confidence; both bounds ride
+    the output AS VALUES (integer math — ceil(ε·N) slack, no float
+    boundary) and the oracle pins them TRUE alongside the exact counts,
+    so a sketch regression breaks the driver hash (the
+    agg_sketch_mergeable_distinct pattern). Seeded ⇒ deterministic.
+
+    Scale shape: the sketch is a fixed-width mergeable aggregate
+    (map-side partial merge, O(width·depth) state); the driver-side
+    estimate loop runs over the BOUNDED brand domain (25 values —
+    documented tiny collect). At 100 TB you'd persist per-partition
+    sketches and merge on demand, same as the daily HLL pattern.
+    """
+    import math
+
+    p = read_table(spark, sf_dir, "part").select("p_brand")
+    eps = 0.001
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_min_sketch(
+            "p_brand", F.lit(eps), F.lit(0.999), F.lit(42)
+        ).alias("cms"),
+    ).collect()[0]
+    n, sketch_bytes = agg["n"], agg["cms"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    )
+    slack = math.ceil(eps * n)
+    exact = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    brands = [r["p_brand"] for r in exact.select("p_brand").collect()]
+    est = {b: int(cms.estimateCount(b)) for b in brands}
+    est_map = F.create_map(
+        *[c for b in brands for c in (F.lit(b), F.lit(est[b]))]
+    )
+    e = F.element_at(est_map, F.col("p_brand"))
+    return exact.select(
+        "p_brand",
+        "exact_cnt",
+        (e >= F.col("exact_cnt")).alias("est_not_below_exact"),
+        (e <= F.col("exact_cnt") + F.lit(slack)).alias("est_within_eps"),
+    )

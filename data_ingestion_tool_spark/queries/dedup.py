@@ -165,3 +165,86 @@ def dedup_boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataF
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard verify stage over prefix-bucketed candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_prefix_bucket_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_sz,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_sz
+      FROM t a JOIN t b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter_sz, union_sz,
+           CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE inter_sz * 2 >= union_sz
+    """,
+)
+def dedup_prefix_bucket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of a candidate-based near-dup pipeline, made
+    exact and oracle-checkable: candidate pairs come from a cheap
+    blocking key (identical 20-char lowercase prefix — the boilerplate
+    signal), then each pair gets an EXACT distinct-token Jaccard and
+    survives at ≥ 0.5, compared in integers (2·|A∩B| ≥ |A∪B|, the
+    CLAUDE.md threshold rule; union via inclusion-exclusion so both
+    engines subtract the same intersection count). This is the same
+    two-phase shape as MinHash-LSH → verify, with a deterministic
+    blocking key in place of banded hashes so the whole pipeline
+    hash-matches DuckDB.
+
+    Scale shape: one shuffle on the block key; the quadratic term is
+    per-bucket and buckets are boilerplate clusters (bounded — the
+    PLANS.md simhash soak argument); token arrays travel once per doc
+    into the join, and the Jaccard math is array-function codegen, no
+    Python.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    from ..operators import text as TX
+
+    t = d.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 20).alias("bucket"),
+        F.array_distinct(TX.tokens("text")).alias("toks"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("bigint").alias("inter_sz"),
+            union.cast("bigint").alias("union_sz"),
+        )
+        .where(F.col("inter_sz") * 2 >= F.col("union_sz"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter_sz",
+        "union_sz",
+        (
+            F.col("inter_sz").cast("double") / F.col("union_sz").cast("double")
+        ).alias("jaccard"),
+    )

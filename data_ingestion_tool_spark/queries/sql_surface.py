@@ -527,3 +527,44 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register(spark, sf_dir)
     return spark.sql(SQL_NOT_IN_NULL_SEMANTICS)
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle="""
+    SELECT o_orderpriority, 'total_price_sum' AS metric,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS DOUBLE) / 100.0 AS val
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'order_count',
+           CAST(COUNT(*) AS DOUBLE)
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL's native UNPIVOT clause (wide metric columns → long
+    (metric, value) rows) — the inverse of PIVOT and the standard prep
+    step for metric stores / plotting frames. The wide frame is an
+    exact-cents aggregate per priority; UNPIVOT melts its two metric
+    columns. The oracle spells the same long table as a UNION ALL of
+    the two per-metric aggregates — UNPIVOT is sugar over exactly that
+    (one Expand node over the aggregate, no extra shuffle).
+
+    Determinism: the summed metric accumulates integer cents and casts
+    to double once (registry fsum pattern inline) — both engines divide
+    the same bigint by 100.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_up")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, val FROM (
+          SELECT o_orderpriority,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0 AS total_price_sum,
+                 CAST(COUNT(*) AS DOUBLE) AS order_count
+          FROM orders_up GROUP BY o_orderpriority
+        )
+        UNPIVOT (val FOR metric IN (total_price_sum, order_count))
+        """
+    )
