@@ -2207,3 +2207,133 @@ def agg_count_min_sketch_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e >= F.col("exact_cnt")).alias("est_not_below_exact"),
         (e <= F.col("exact_cnt") + F.lit(slack)).alias("est_within_eps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly flags (z-score over the day domain, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_anomaly_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d
+    )
+    SELECT day, x AS n_events,
+           ROUND((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                        / CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS z,
+           (x * n - sx) * (x * n - sx) * (n - 1)
+             > 4 * n * (n * sxx - sx * sx) AS is_anomaly
+    FROM d, m
+    """,
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: z-score each day's event count
+    against the mean/std of the whole span, flagging |z| > 2 days. The
+    z value is an identical closed-form expression of exact bigint
+    sufficient statistics on both engines (ROUND 9 per the composed-
+    float rule); the FLAG is pure integer cross-multiplication —
+    (x·n − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²) — so boundary days cannot
+    wobble (int64-safe to ~sf10² day volumes: see magnitudes in the
+    oracle twin).
+
+    Scale shape: the fact table collapses to |days| rows map-side; the
+    one-row moment frame broadcast-joins back onto the day domain.
+    """
+    e = read_events(spark, sf_dir)
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    x = F.col("x")
+    z = (
+        (x.cast("double") - sx.cast("double") / n.cast("double"))
+        / F.sqrt(
+            (n * sxx - sx * sx).cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+            / n.cast("double")
+            * n.cast("double")
+        )
+    )
+    return d.crossJoin(F.broadcast(m)).select(
+        "day",
+        x.alias("n_events"),
+        F.round(z, 9).alias("z"),
+        (
+            (x * n - sx) * (x * n - sx) * (n - 1) > 4 * n * (n * sxx - sx * sx)
+        ).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix (user-behavior model)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types per user
+    session stream: P(next = to | current = from), the standard
+    user-behavior model behind next-action prediction and funnel
+    surprise detection. Probabilities are quotients of identical
+    bigint counts — bit-equal cross-engine, no rounding.
+
+    Scale shape: the lead() window partitions by user_id — HIGH
+    cardinality, so the standard partitioned window is already fully
+    parallel (each user's slice is small; this is the regime where
+    plain windows beat the grouped-ranking machinery, per the
+    operators/ranking.py docstring). Then a map-side-combinable
+    (from, to) count and a |types|²-row share window.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return c.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy("from_type")).cast("double")
+        ).alias("p"),
+    )

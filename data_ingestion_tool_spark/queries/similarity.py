@@ -504,3 +504,120 @@ def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> Data
             ).alias("euclidean_dist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per label (clustering quality of the label space)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_silhouette_per_label",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d2 AS (
+      SELECT ex.vec_id, ex.label, cent.label AS m_label,
+             CAST(SUM(CAST(ROUND((ex.v - cent.c) * (ex.v - cent.c), 12)
+                           AS DECIMAL(20,12))) AS DOUBLE) AS dd
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label, cent.label
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN m_label = label THEN sqrt(dd) END) AS a,
+             MIN(CASE WHEN m_label <> label THEN sqrt(dd) END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN ROUND((b - a) / GREATEST(a, b), 12) ELSE 0.0 END AS s
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(16,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def embedding_silhouette_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the standard
+    clustering-quality score: a = distance to the OWN label centroid,
+    b = distance to the NEAREST other centroid, s = (b−a)/max(a,b),
+    averaged per label. High mean silhouette = separable labels; ~0 or
+    negative = label leakage / mislabeled clusters. Full pairwise
+    silhouette is O(n²); the centroid form is the linear-scan variant
+    actually run at corpus scale.
+
+    Engine-exactness (the distance_matrix discipline, three layers):
+    centroids are decimal-exact means; each squared diff is ROUND(12)ed
+    then DECIMAL-accumulated so the 64-term contraction is
+    order-independent (a/b comparisons can never flip on ulp drift);
+    each s is ROUND(12)ed then DECIMAL-accumulated so the per-label
+    mean is order-independent, emitted at ROUND(9).
+
+    Scale shape: vectors join the L×d centroid frame (broadcast-sized)
+    on dim position — n·L·d intermediate rows, LINEAR in corpus size;
+    per-vector reduction is map-side-combinable; no pairwise blowup,
+    no driver collect.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .select(F.col("label").alias("m_label"), "pos", "c")
+    )
+    sq = F.round(
+        (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")), 12
+    ).cast("decimal(20,12)")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "m_label")
+        .agg(F.sum(sq).cast("double").alias("dd"))
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("m_label") == F.col("label"), F.sqrt("dd"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("m_label") != F.col("label"), F.sqrt("dd"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 12),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(16,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_silhouette"),
+    )
