@@ -17,6 +17,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` → driver does a rows-only check."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:  # a silent overwrite once hid a dup (r5)
+            raise ValueError(
+                f"query {name!r} registered twice "
+                f"(existing: {QUERIES[name].__module__}, "
+                f"new: {fn.__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())

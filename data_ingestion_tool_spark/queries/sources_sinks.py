@@ -970,3 +970,4 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
     return orphans.crossJoin(dups).crossJoin(base)
+

@@ -684,3 +684,59 @@ def stream_update_mode_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("window_start", "event_type").agg(
         F.max("cnt").cast("bigint").alias("cnt")
     )
+
+
+# Session-scoped staging cache for the duplicate-injected source
+# (sf_dir -> staged parquet path).
+_DUPSRC: dict[str, str] = {}
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store
+    only until the watermark passes its event time + delay — the
+    production answer to at-least-once sources (plain streaming
+    ``dropDuplicates`` state grows forever). The staged source injects
+    ~7% duplicate deliveries (every 13th event repeated, same
+    event_id + ts — redelivery, not late data), so the per-type counts
+    equal the batch COUNT(DISTINCT event_id) oracle only if the
+    operator actually dropped them.
+
+    Scale shape: state is keyed on event_id but EVICTED by watermark —
+    state size tracks the delay window x arrival rate, not stream
+    lifetime; the downstream complete-mode count aggregates the
+    deduplicated stream (multiple stateful operators chained, Spark
+    3.5+ watermark propagation).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .sources_sinks import _scratch
+
+    src = _DUPSRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = os.path.join(_scratch("dup-src"), "src")
+        ev = read_events(spark, sf_dir).select("event_id", "ts", "event_type")
+        dups = ev.where(F.col("event_id") % 13 == 0)
+        ev.unionAll(dups).coalesce(1).write.mode("overwrite").parquet(src)
+        _DUPSRC[sf_dir] = src
+
+    schema = spark.read.parquet(src).schema
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        )
+
+    return run_stream_to_table(spark, src, schema, transform)

@@ -344,3 +344,40 @@ def test_topk_window_uses_group_limit_pushdown(q):
     plan = simple_plan(q("window_rank_topk_per_group"))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_grouped_ranking_is_joinless_jvm_projection(q):
+    """Round-5 replan pin: grouped ranking (window_percent_rank) now
+    computes ranks as literal-map/array projections over the pinned
+    range exchange — the plan must carry NO join (the former broadcast
+    offsets join), NO Python row path (the former mapInPandas
+    cumcount), and still no single-task window over data. Each removed
+    node was per-pass fixed overhead at any scale."""
+    from data_ingestion_tool_spark.plans import (
+        join_strategies,
+        simple_plan,
+        single_task_global_windows,
+    )
+
+    df = q("window_percent_rank")
+    assert join_strategies(df) == []
+    plan = simple_plan(df)
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert single_task_global_windows(df) == 0
+
+
+def test_autocorr_lag_pairing_has_no_python_row_path(q):
+    """events_autocorr_lag1's lag pairing is a slim (type, rn) self
+    equi-join — whole-stage-codegen end to end, no mapInPandas; the
+    join must be a hash strategy, never a nested loop."""
+    from data_ingestion_tool_spark.plans import (
+        has_cartesian_product,
+        join_strategies,
+        simple_plan,
+    )
+
+    df = q("events_autocorr_lag1")
+    plan = simple_plan(df)
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert not has_cartesian_product(df)
+    assert any("HashJoin" in s for s in join_strategies(df)), join_strategies(df)
