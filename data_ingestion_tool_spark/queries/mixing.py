@@ -814,3 +814,72 @@ def mix_curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Target-distribution reweighting (per-source sampling weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_target_reweighting",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok
+      FROM t GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tok) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM agg
+    )
+    SELECT source, tok AS n_tokens,
+           CASE WHEN total >= 5 * n_src * tok THEN 5.0
+                ELSE CAST(total AS DOUBLE)
+                     / (CAST(n_src AS DOUBLE) * CAST(tok AS DOUBLE)) END
+             AS weight,
+           total >= 5 * n_src * tok AS capped
+    FROM agg, tot
+    """,
+)
+def mix_target_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that move the corpus toward a
+    UNIFORM token distribution — the mixture-rebalancing step of a
+    training-data recipe: weight_s = target_share / current_share =
+    total / (n_sources · tokens_s), capped at 5× (upweighting a tiny
+    source unboundedly just repeats it into memorization). The cap
+    decision compares integers (total ≥ 5·n·tokens_s — the CLAUDE.md
+    threshold rule); the weight itself is one division of identical
+    exact integers, bit-equal cross-engine.
+
+    Scale shape: map-side-combinable token rollup to |source| rows;
+    the one-row total broadcast-joins back. The weights then feed the
+    deterministic samplers (sample_weighted_by_tokens /
+    sample_weighted_reservoir_ares) downstream.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    agg = (
+        d.select("source", TX.token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("tok"))
+    )
+    tot = agg.agg(
+        F.sum("tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    cap = F.col("total") >= 5 * F.col("n_src") * F.col("tok")
+    return j.select(
+        "source",
+        F.col("tok").alias("n_tokens"),
+        F.when(cap, F.lit(5.0))
+        .otherwise(
+            F.col("total").cast("double")
+            / (F.col("n_src").cast("double") * F.col("tok").cast("double"))
+        )
+        .alias("weight"),
+        cap.alias("capped"),
+    )

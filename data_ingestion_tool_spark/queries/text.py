@@ -1008,3 +1008,50 @@ def text_trigram_novelty_per_source(spark: SparkSession, sf_dir: str) -> DataFra
             "novelty_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing document vectors (hashed bag-of-words)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_feature_hashing_bow",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(CAST(CONCAT('0x', substring(md5(term), 1, 6)) AS BIGINT) % 16
+                AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM tok GROUP BY doc_id, dim
+    """,
+)
+def text_feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (the "hashing trick") document vectors: each
+    token hashes into one of 16 dimensions via md5, and the document's
+    sparse bag-of-words vector is the per-dimension token count —
+    vocabulary-free featurization that needs NO global dictionary
+    build, which is what makes it the 100 TB-friendly text vectorizer
+    (a learned vocab is a second full pass + a broadcast dictionary).
+    md5 gives identical dimension assignment on both engines.
+
+    Scale shape: explode → (doc, dim) count with map-side combine —
+    one shuffle keyed by (doc_id, dim); output is the sparse COO form
+    downstream ANN/classifiers consume. The doc_id < 200 cap only
+    bounds the ORACLE's output for the gate; the operator itself is a
+    full-corpus scan shape.
+    """
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dim = F.expr(
+        "CAST(CAST(conv(substring(md5(term), 1, 6), 16, 10) AS BIGINT) % 16"
+        " AS INT)"
+    )
+    return tok.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )

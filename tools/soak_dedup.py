@@ -127,6 +127,54 @@ def main() -> None:
             {"op": "simhash_pairs", "mult": mult, "n_rows": n_docs,
              "secs": secs, "candidates": cands, "pairs": pairs}
         )
+        # prefix-bucket Jaccard (round-5): candidates = same-20-char-
+        # prefix pairs. The WORD-SUFFIX scaling is wrong for a prefix
+        # blocking key: suffixing lengthens every word, so the 20-char
+        # window covers fewer words and within-copy buckets merge —
+        # measured ~n^1.5 growth that is an artifact of the
+        # perturbation, not the operator. The faithful scale-up for
+        # blocking keys tags EVERY copy (including copy 0) with a
+        # FIXED-WIDTH front tag ("c07| " + text): buckets are
+        # copy-disjoint by construction, every copy's bucket structure
+        # is identical (same effective key length), and growth is
+        # exactly linear — measured 1252 → 6260 → 31300 at 1/5/25x.
+        from data_ingestion_tool_spark.operators import text as TX
+        from data_ingestion_tool_spark.sources.parquet_io import read_table
+
+        base_jac = read_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        parts_jac = []
+        for c in range(mult):
+            parts_jac.append(
+                base_jac.select(
+                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                    F.concat(
+                        F.lit(f"c{c:02d}| "), F.col("text")
+                    ).alias("text"),
+                )
+            )
+        docs_jac = reduce(lambda a, b: a.unionByName(b), parts_jac)
+
+        t = docs_jac.select(
+            "doc_id",
+            F.substring(F.lower("text"), 1, 20).alias("bucket"),
+            F.array_distinct(TX.tokens("text")).alias("toks"),
+        )
+        a, b = t.alias("a"), t.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+        secs, cands = timed_count(cand)
+        _, pairs = timed_count(cand.where(inter * 2 >= union))
+        rows.append(
+            {"op": "prefix_jaccard", "mult": mult, "n_rows": n_docs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
         docs.unpersist()
 
         # frequency: CLONE scaling (identical copies, new ids) is correct
