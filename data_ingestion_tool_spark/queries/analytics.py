@@ -2337,3 +2337,153 @@ def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.sum("cnt").over(Window.partitionBy("from_type")).cast("double")
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding 7-day distinct users via mergeable daily HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hll_sliding_7d_distinct",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    exact AS (
+      SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_users
+      FROM days d JOIN active a
+        ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, exact_users, TRUE AS est_within_5pct FROM exact
+    """,
+)
+def events_hll_sliding_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed the INCREMENTAL
+    way: one HLL sketch per day (built once from raw events), then each
+    day's answer is a union-merge of its 7 daily sketches — the
+    pattern that makes sliding distinct affordable at 100 TB, where
+    the exact spread-join (each (user, day) row replicated 7x, then a
+    count-distinct shuffle) reprocesses the raw grain for every window.
+    Output carries the EXACT count (the oracle-checkable twin) plus the
+    sketch-accuracy bound as a value (|est − exact| · 20 ≤ exact,
+    integer math), so the driver hash pins both the window semantics
+    and the sketch quality — the agg_sketch_mergeable_distinct pattern
+    extended to windows.
+
+    Scale shape: daily sketches are |days| fixed-width blobs (map-side
+    combinable); the 7-way merge joins the day DOMAIN to itself —
+    work bounded by days x 7 sketch merges, independent of event
+    volume. The exact twin costs the spread join once for the gate.
+    """
+    e = read_events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    d2 = daily.select(F.col("day").alias("sk_day"), "sk")
+    est = (
+        daily.select("day")
+        .join(
+            d2,
+            (F.col("sk_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("sk_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("est_users")
+        )
+    )
+    active = e.select("user_id", day.alias("aday")).distinct()
+    exact = (
+        daily.select("day")
+        .join(
+            active,
+            (F.col("aday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("aday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table over customer revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_decile_lift_table",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    staged AS (
+      SELECT rev_c, ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+      FROM per_cust
+    ),
+    agg AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_cents
+      FROM staged GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM agg)
+    SELECT decile, n_customers, rev_cents,
+           CAST(rev_cents AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share,
+           CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_rev_cents
+    FROM agg, tot
+    """,
+)
+def orders_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table — the model-evaluation artifact ("top 10% of
+    customers carry X% of revenue") marketers and ranking models are
+    scored with: global revenue deciles, per-decile customer counts,
+    revenue share, and the cumulative gains curve. Shares are
+    quotients of identical bigints; the cumulative sum runs over the
+    10-row decile domain.
+
+    Scale shape: per-customer rollup (map-side combinable), then the
+    global NTILE(10) through the PARALLEL literal-offset ranking
+    operator — no single-task sort over the customer grain; the gains
+    window touches 10 aggregate rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_c")
+    )
+    staged = with_global_ntile(
+        per_cust, [F.desc("rev_c"), F.asc("o_custkey")], 10, "decile"
+    )
+    agg = staged.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("rev_cents"),
+    )
+    tot = agg.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        (F.col("rev_cents").cast("double") / F.col("total").cast("double")).alias(
+            "rev_share"
+        ),
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
