@@ -971,3 +971,76 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orphans.crossJoin(dups).crossJoin(base)
 
+
+# ---------------------------------------------------------------------------
+# Idempotent backfill (re-running a partition overwrite changes nothing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ingest_backfill_idempotent",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS keysum,
+           TRUE AS second_run_identical
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') IN ('1996', '1997')
+    GROUP BY year
+    """,
+)
+def ingest_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent backfill — the property that makes reruns safe: a
+    year-partitioned table receives the same two-year backfill TWICE
+    via dynamic partition overwrite, and the final state (per-year
+    count + keysum) must equal one clean load — the oracle pins the
+    counts AND the second run's no-op-ness as a value (the flag
+    compares the table checksum between runs in INTEGERS). Append-mode
+    backfills double rows on retry; overwrite-by-partition is the
+    rerunnable primitive (the streaming twin is the foreachBatch
+    batch-id guard in streaming/ingest.py).
+
+    Scale shape: each backfill is a distributed write that touches
+    ONLY the backfilled partitions (partitionOverwriteMode=dynamic);
+    the state probe is a partition-pruned scan.
+    """
+    out = os.path.join(_scratch("backfill"), "orders_by_year")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("int")
+    )
+    two_years = o.where(F.col("year").isin(1996, 1997))
+
+    def run_backfill() -> None:
+        (
+            two_years.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year")
+            .parquet(out)
+        )
+
+    def state():
+        return (
+            spark.read.parquet(out)
+            .groupBy("year")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("keysum"),
+            )
+        )
+
+    run_backfill()
+    first = {
+        r["year"]: (r["n_rows"], r["keysum"]) for r in state().collect()
+    }
+    run_backfill()  # the retry — must be a no-op state-wise
+    second = state()
+    same = F.lit(
+        first
+        == {r["year"]: (r["n_rows"], r["keysum"]) for r in second.collect()}
+    )
+    return second.select(
+        F.col("year").cast("int").alias("year"),
+        "n_rows",
+        "keysum",
+        same.alias("second_run_identical"),
+    )
