@@ -348,3 +348,125 @@ def test_bucketed_interval_join_matches_naive(spark, ivs, pts, width):
         hits = [t for t in pts if s <= t <= s + d]
         want.extend((i, t) for t in hits) if hits else want.append((i, None))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ranking rewrites: literal-offset / literal-map paths vs the
+# naive single-task Window reference on randomized frames
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_grouped_row_number_matches_window(spark, rows, parts):
+    """with_grouped_global_row_number (JVM literal-map path) must equal
+    Window.partitionBy(grp).row_number for every random frame and any
+    partition count — including single-row groups, all-one-group, and
+    empty input. The id column makes the order total (the operator's
+    contract)."""
+    from pyspark.sql import Window
+
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_row_number,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, v long, id long") if data else (
+        spark.createDataFrame([], "grp string, v long, id long")
+    )
+    got = {
+        (r.grp, r.id): (r.rn, r.n)
+        for r in with_grouped_global_row_number(
+            df, ["grp"], ["v", "id"], rn="rn", n_col="n", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    ref = {
+        (r.grp, r.id): (r.rn, r.n)
+        for r in df.select(
+            "grp",
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("grp"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()
+    }
+    assert got == ref
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=40
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_prefix_sum_and_ntile_match_window(spark, vals, parts, k):
+    """with_global_prefix_sum + with_global_ntile (literal-offset path)
+    must equal the naive global Window forms for any values (negatives,
+    duplicates), any partition count, and any k."""
+    from pyspark.sql import Window
+
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_prefix_sum,
+    )
+
+    data = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "v long, id long") if data else (
+        spark.createDataFrame([], "v long, id long")
+    )
+    got = {
+        r.id: (r.rn, r.cum, r.n, r.tot)
+        for r in with_global_prefix_sum(
+            df,
+            ["v", "id"],
+            "v",
+            rn="rn",
+            cum="cum",
+            n_col="n",
+            total_col="tot",
+            num_partitions=parts,
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy()
+    ref = {
+        r.id: (r.rn, r.cum, r.n, r.tot)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("v").over(run).cast("bigint").alias("cum"),
+            F.count(F.lit(1)).over(full).cast("bigint").alias("n"),
+            F.sum("v").over(full).cast("bigint").alias("tot"),
+        ).collect()
+    }
+    assert got == ref
+
+    got_nt = {
+        r.id: r.b
+        for r in with_global_ntile(
+            df, ["v", "id"], k, "b", num_partitions=parts
+        ).collect()
+    }
+    ref_nt = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(k).over(w).cast("bigint").alias("b")
+        ).collect()
+    }
+    assert got_nt == ref_nt
