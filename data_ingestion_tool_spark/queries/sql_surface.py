@@ -568,3 +568,93 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (total_price_sum, order_count))
         """
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT)
+             AS n_digit_chars,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           regexp_matches(c_name, '^Customer') AS starts_customer,
+           CAST(len(string_split_regex(c_name, '[#0]+')) AS INT) AS n_parts
+    FROM customer WHERE c_custkey < 1000
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: capture-group extraction, match counting,
+    global replacement, anchored boolean match, and pattern split —
+    the text-wrangling primitives of any ingest cleanup. Patterns stay
+    in the POSIX-class subset both engines' regex dialects (Java util
+    vs RE2) interpret identically; DuckDB's regexp_replace needs the
+    explicit 'g' flag to match Spark's replace-all default, and
+    Spark's regexp_count maps to len(regexp_extract_all).
+
+    Scale shape: pure per-row codegen on the scan, no shuffle.
+    """
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 1000)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_count("c_name", F.lit(r"[0-9]")).cast("int").alias(
+            "n_digit_chars"
+        ),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike("^Customer").alias("starts_customer"),
+        F.size(F.split("c_name", r"[#0]+")).cast("int").alias("n_parts"),
+    )
+
+
+@query(
+    "sql_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS pk, o_orderstatus AS sk,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY pk, sk
+    )
+    SELECT pk, sk AS status_key, cnt AS status_cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY pk) AS BIGINT) AS total_in_map,
+           CAST(COUNT(*) OVER (PARTITION BY pk) AS INT) AS map_size
+    FROM m
+    """,
+)
+def sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a per-priority map
+    status → count with ``map_from_entries(collect_list(struct(...)))``,
+    interrogate it with map_keys / element_at / aggregate over
+    map_values, then explode back to rows for the engine-independent
+    gate (map columns never reach the oracle — the driver hash has no
+    map encoding; the EXPLODED form carries the same information). The
+    oracle reproduces the map contents relationally.
+
+    Scale shape: the map is built per small group (|status| entries);
+    collect_list is bounded by the status domain. Explode restores the
+    relational grain — no row blowup beyond the original group count.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("pk"),
+        F.col("o_orderstatus").alias("sk"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    mapped = g.groupBy("pk").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("sk", "cnt")))
+        ).alias("m")
+    )
+    probed = mapped.select(
+        "pk",
+        "m",
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_in_map"),
+        F.size(F.map_keys("m")).cast("int").alias("map_size"),
+    )
+    return probed.select(
+        "pk",
+        F.explode("m").alias("status_key", "status_cnt"),
+        "total_in_map",
+        "map_size",
+    )
