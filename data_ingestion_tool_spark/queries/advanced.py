@@ -653,36 +653,103 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count estimate per event_type. THE 100 TB
     cardinality operator: fixed ~small sketch per group mergeable across
     partitions, vs exact count-distinct's full shuffle of every distinct
-    value. rsd=0.01 ≈ 1% error; accuracy vs exact is unit-tested
-    (tests/test_approx.py) since sketches differ across engines."""
+    value. rsd=0.01 ≈ 1% error.
+
+    Promoted from rows-only (round-5): the engine-specific estimate
+    never reaches the output — the hash-checked columns are the exact
+    twin and the accuracy bound AS A VALUE (|est − exact|·20 ≤ exact,
+    integer math), so an estimator regression breaks the driver gate;
+    tests/test_approx.py still pins the tighter rsd-level accuracy."""
     from ..sources.parquet_io import read_events
 
     e = read_events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
     )
 
 
-@query("agg_approx_quantiles")  # rows-only: t-digest boundaries are engine-specific
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT o_orderstatus, pct, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS rank_within_bound
+    FROM orders, (SELECT unnest([50, 95, 99]) AS pct) p
+    GROUP BY o_orderstatus, pct
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate percentiles (p50/p95/p99) of order totals —
     single pass, bounded memory, vs exact percentile's full sort.
-    Accuracy vs exact is unit-tested."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+
+    Promoted from rows-only (round-5): approximate VALUES are
+    engine-specific (QuantileSummaries boundaries), so the output
+    carries the RANK-ERROR GUARANTEE as a value instead — for each
+    approximate quantile v̂ at φ, the exact rank of v̂ (#rows ≤ v̂)
+    must sit within the summary's rank-error bound of φ·n, compared in
+    integers (|100·rank − φ·n| ≤ 100·(n/1000 + 1); accuracy=10000 ⇒
+    rank error ≤ n/10000, checked at 10x slack). The oracle pins the
+    flag TRUE with the per-group row counts — a quantile-sketch
+    regression now fails the driver hash; tests/test_approx.py still
+    pins value-level accuracy."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    q = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
             "pcts"
-        )
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    marks = q.select(
+        F.col("o_orderstatus").alias("m_st"),
+        "n",
+        F.posexplode("pcts").alias("i", "v"),
     ).select(
-        "o_orderstatus",
-        F.col("pcts")[0].alias("p50"),
-        F.col("pcts")[1].alias("p95"),
-        F.col("pcts")[2].alias("p99"),
+        "m_st",
+        "n",
+        F.element_at(F.array(F.lit(50), F.lit(95), F.lit(99)), F.col("i") + 1)
+        .cast("int")
+        .alias("pct"),
+        "v",
+    )
+    ranked = (
+        o.join(F.broadcast(marks), o.o_orderstatus == marks.m_st)
+        .groupBy("m_st", "pct", "n")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank")
+        )
+    )
+    return ranked.select(
+        F.col("m_st").alias("o_orderstatus"),
+        "pct",
+        "n",
+        (
+            F.abs(100 * F.col("rank") - F.col("pct") * F.col("n"))
+            <= 100 * (F.col("n") / 1000 + 1).cast("bigint")
+        ).alias("rank_within_bound"),
     )
 
 

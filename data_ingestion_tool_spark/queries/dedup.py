@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 from ..sources.parquet_io import read_table
-from .registry import query
+from .registry import QUERIES, query
 
 
 @query(
@@ -247,4 +247,68 @@ def dedup_prefix_bucket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("inter_sz").cast("double") / F.col("union_sz").cast("double")
         ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component clusters over DETERMINISTIC pairs (oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_prefix_jaccard",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 2
+            >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    )
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM r GROUP BY node
+    """,
+)
+def dedup_clusters_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clusters with a FULL differential
+    oracle: pairs come from the deterministic prefix-blocked exact-
+    Jaccard verify stage (dedup_prefix_bucket_jaccard), so DuckDB can
+    replay the identical graph and close it with a RECURSIVE CTE —
+    the iterative hash-min label-propagation operator
+    (operators/graph.py) is hash-checked against an independent
+    transitive-closure formulation, not just rows-counted (the
+    minhash-fed sibling dedup_resolve_clusters stays rows-only because
+    its PAIR INPUT is the approximate part). Cluster id = min doc_id
+    in the component on both sides.
+
+    Scale shape: pair generation is the bucketed join (linear soak,
+    PLANS.md); label propagation runs on the PAIR graph only (near-dup
+    pairs, tiny vs corpus), one join + aggregate per round with
+    persist-per-round lineage cuts. The oracle's closure is
+    fixture-scale machinery; the Spark side is the 100 TB path.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = QUERIES["dedup_prefix_bucket_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
     )

@@ -9,41 +9,47 @@ from data_ingestion_tool_spark.sources.parquet_io import read_events, read_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    exact = {
-        r.event_type: r.n
-        for r in read_events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    """Value-level accuracy of the raw estimator (the promoted query
+    outputs only the exact twin + bound flag; this pins the estimate
+    itself near exact)."""
+    e = read_events(spark, sf_dir)
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+            F.countDistinct("user_id").alias("n"),
+        )
         .collect()
-    }
-    approx = {
-        r.event_type: r.approx_users
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.est - r.n) <= max(3, 0.05 * r.n), (r.event_type, r.est, r.n)
+    # the promoted query's bound flags must all be TRUE
+    for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
+        assert r.est_within_5pct is True
 
 
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """Value-level accuracy of percentile_approx vs exact percentile
+    (the promoted query outputs rank-bound flags; this pins values)."""
     o = read_table(spark, sf_dir, "orders")
-    exact = {
-        r.o_orderstatus: (r.p50, r.p95)
-        for r in o.groupBy("o_orderstatus")
+    rows = (
+        o.groupBy("o_orderstatus")
         .agg(
-            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("e95"),
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.95], 10000
+            ).alias("a"),
         )
         .collect()
-    }
-    approx = {
-        r.o_orderstatus: (r.p50, r.p95)
-        for r in QUERIES["agg_approx_quantiles"](spark, sf_dir).collect()
-    }
-    for k, (e50, e95) in exact.items():
-        a50, a95 = approx[k]
-        assert abs(a50 - e50) / e50 < 0.02
-        assert abs(a95 - e95) / e95 < 0.02
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.a[0] - r.e50) / r.e50 < 0.02
+        assert abs(r.a[1] - r.e95) / r.e95 < 0.02
+    for r in QUERIES["agg_approx_quantiles"](spark, sf_dir).collect():
+        assert r.rank_within_bound is True
 
 
 def test_sample_seeded_reproducible(spark, sf_dir):
