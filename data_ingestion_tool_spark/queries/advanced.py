@@ -753,16 +753,42 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_seeded")  # rows-only: Bernoulli sampling is engine-specific
+@query(
+    "sample_seeded",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS within_5_sigma
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample + aggregate — the exploratory pattern
-    that reads 1% of 100 TB instead of all of it. Deterministic under
-    the fixed seed (same rows every run; reproducibility unit-tested)."""
+    that reads 10% of 100 TB instead of all of it. Deterministic under
+    the fixed seed (same rows every run; reproducibility unit-tested).
+
+    Promoted from rows-only (round-5): the sampled row SET is
+    engine-private RNG, so the output carries the statistical contract
+    as a value instead — per group, the sampled count must sit within
+    5 binomial standard deviations of fraction·n, compared in integers
+    ((10·n_s − n)² ≤ 225·n, i.e. (n_s − n/10)² ≤ 25·(0.1·0.9)·n — no
+    float boundary). The oracle pins the flag TRUE with the exact group
+    totals, so a broken sampler (wrong fraction, biased partitioning)
+    fails the driver hash."""
     l = read_table(spark, sf_dir, "lineitem")
-    return (
+    sampled = (
         l.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    totals = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    j = totals.join(sampled, "l_returnflag")
+    dev = 10 * F.col("n_sampled") - F.col("n_total")
+    return j.select(
+        "l_returnflag",
+        "n_total",
+        (dev * dev <= 225 * F.col("n_total")).alias("within_5_sigma"),
     )
 
 

