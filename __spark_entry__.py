@@ -118,17 +118,24 @@ def _driver_verdicts() -> tuple[set[str], set[str]]:
 
 
 def _prior_round_keys() -> set[str]:
-    """Keys that existed in the previous round's committed bench run
-    (BENCH.json is written by bench.py and committed per round). Used
-    to order the correctness window so long-unattested EXISTING keys
-    get driver verdicts before brand-new additions displace them."""
+    """Keys that existed at the END of the previous round, frozen in
+    tools/window_prior_keys.json (regenerated each round from the
+    prior round's committed BENCH.json — a live read of BENCH.json
+    would drift as soon as bench runs mid-round and let this round's
+    additions jump the rotation queue). Used to order the correctness
+    window so long-unattested EXISTING keys get driver verdicts before
+    brand-new additions displace them."""
     import json
 
     try:
         data = json.loads(
-            (Path(__file__).resolve().parent / "BENCH.json").read_text()
+            (
+                Path(__file__).resolve().parent
+                / "tools"
+                / "window_prior_keys.json"
+            ).read_text()
         )
-        return set(data.get("queries", {}))
+        return set(data.get("keys", []))
     except Exception:  # noqa: BLE001 - a missing artifact must not break entry
         return set()
 
