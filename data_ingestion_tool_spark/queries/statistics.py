@@ -3247,3 +3247,80 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency percentiles per priority (grouped ranking consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fulfillment_latency_quartiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT grp, days,
+             row_number() OVER (PARTITION BY grp ORDER BY days) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM lat
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q1_days,
+           CAST(MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q2_days,
+           CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q3_days
+    FROM ranked GROUP BY grp
+    """,
+)
+def orders_fulfillment_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quartiles per order priority — the SLA
+    dashboard: days between order placement and each line item's ship
+    date, type-1 quartiles per priority. Integer day latencies make
+    the order statistics engine-exact (positions with duplicate values
+    are value-determined — the lineitem tie rule).
+
+    Scale shape: the orders→lineitem equi-join shuffles on orderkey;
+    quartile extraction runs through the grouped PARALLEL ranking
+    operator (JVM literal-map path) — no per-priority single-task
+    sort; the rank-hit filter reduces map-side before the final
+    5-row-per-group aggregate.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    ranked = with_grouped_global_row_number(
+        lat, ["grp"], ["days"], rn="rn", n_col="n"
+    )
+    hit = ranked.where(
+        (F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"))
+        | (F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"))
+        | (F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"))
+    )
+    return hit.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q1_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q2_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q3_days"),
+    )

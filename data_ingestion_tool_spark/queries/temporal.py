@@ -720,3 +720,123 @@ def events_hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.groupBy("window_start").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak interval concurrency via distributed sweep-line
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_concurrency_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1, event_id FROM events
+    ),
+    sw AS (
+      SELECT t, delta,
+             CAST(SUM(delta) OVER (
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS running
+      FROM b
+    )
+    SELECT date_trunc('hour', t) AS hour, MAX(running) AS peak_concurrency
+    FROM sw WHERE delta = 1
+    GROUP BY hour
+    """,
+)
+def events_peak_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour — how many 5-minute event windows
+    overlap at the busiest instant of each hour (capacity planning /
+    rate-limit sizing). Classic sweep-line: +1 at each start, −1 at
+    each end, running sum over the global boundary order, max per
+    hour. Ends sort BEFORE starts at equal timestamps (delta −1 < +1),
+    so touching intervals don't double-count; event_id totalizes the
+    order. Peaks are read at start boundaries only (concurrency can
+    only peak when something starts).
+
+    Scale shape: the global running sum is the PARALLEL literal-offset
+    prefix-sum operator (operators/ranking.py) — one range shuffle
+    over the boundary stream, vectorized partition cumsums, no
+    single-task sort; the oracle's single-sort window formulation is
+    the fixture-scale twin. Hourly max is map-side combinable.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    e = read_events(spark, sf_dir)
+    starts = e.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionAll(ends)
+    sw = with_global_prefix_sum(
+        b, ["t", "delta", "event_id"], "delta", rn="__rn", cum="running"
+    )
+    return (
+        sw.where(F.col("delta") == 1)
+        .groupBy(F.date_trunc("hour", "t").alias("hour"))
+        .agg(F.max("running").cast("bigint").alias("peak_concurrency"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year monthly revenue growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_yoy_growth_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
+             CAST(strftime(o_orderdate, '%m') AS INT) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY year, month
+    )
+    SELECT year, month, rev_c,
+           CAST(lag(rev_c) OVER (PARTITION BY month ORDER BY year)
+                AS BIGINT) AS prev_year_rev_c,
+           CAST(rev_c - lag(rev_c) OVER (PARTITION BY month ORDER BY year)
+                AS DOUBLE)
+             / CAST(lag(rev_c) OVER (PARTITION BY month ORDER BY year)
+                    AS DOUBLE) AS yoy_growth
+    FROM m
+    """,
+)
+def orders_yoy_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth of monthly revenue — the reporting
+    staple: each (year, month) cell against the same month one year
+    earlier (lag over the year axis within each month partition, which
+    sidesteps calendar arithmetic entirely). Exact integer cents;
+    growth is a quotient of identical bigints, NULL for the first
+    year of each month as SQL defines.
+
+    Scale shape: the fact table collapses to the (year, month) domain
+    map-side; the lag window runs over ≤ years rows per month
+    partition — bounded by the calendar, not data volume.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    w = Window.partitionBy("month").orderBy("year")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        "year",
+        "month",
+        "rev_c",
+        prev.cast("bigint").alias("prev_year_rev_c"),
+        (
+            (F.col("rev_c") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
+    )
