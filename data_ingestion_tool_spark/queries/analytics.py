@@ -2487,3 +2487,79 @@ def orders_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation detection heuristic (integer fences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_detection_heuristic",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS active_us
+      FROM events GROUP BY user_id
+    ),
+    top_type AS (
+      SELECT user_id,
+             CAST(MAX(cnt) AS BIGINT) AS top_type_cnt
+      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, p.active_us, t.top_type_cnt,
+           p.n_events >= 50 AND p.n_events * 60000000 > p.active_us * 5
+             AS high_rate,
+           t.top_type_cnt * 5 >= p.n_events * 4 AS monotonous,
+           (p.n_events >= 50 AND p.n_events * 60000000 > p.active_us * 5)
+             AND t.top_type_cnt * 5 >= p.n_events * 4 AS bot_flag
+    FROM per_user p JOIN top_type t ON p.user_id = t.user_id
+    """,
+)
+def events_bot_detection_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening — the traffic-hygiene filter run before
+    any engagement analytics: flag users whose sustained rate exceeds
+    5 events/minute over their active span (with a 50-event support
+    floor) AND whose behavior is monotonous (one event type ≥ 80% of
+    their actions). Every fence is integer cross-multiplication
+    (n·60e6 > µs·5, top·5 ≥ n·4 — the CLAUDE.md threshold rule), so
+    boundary users classify identically cross-engine; the active span
+    is exact integer MICROSECONDS on both sides (unix_micros ==
+    epoch_us — truncating to seconds per-endpoint vs per-difference
+    disagrees by one at fractional boundaries).
+
+    Scale shape: two map-side-combinable aggregations over the user
+    grain + one equi-join on user_id — no windows, no gaps computation;
+    the heuristic reads three sufficient statistics per user.
+    """
+    e = read_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("active_us"),
+    )
+    top_type = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_type_cnt"))
+    )
+    j = per_user.join(top_type, "user_id")
+    high_rate = (F.col("n_events") >= 50) & (
+        F.col("n_events") * 60_000_000 > F.col("active_us") * 5
+    )
+    monotonous = F.col("top_type_cnt") * 5 >= F.col("n_events") * 4
+    return j.select(
+        "user_id",
+        "n_events",
+        "active_us",
+        "top_type_cnt",
+        high_rate.alias("high_rate"),
+        monotonous.alias("monotonous"),
+        (high_rate & monotonous).alias("bot_flag"),
+    )

@@ -8,7 +8,7 @@ subqueries, and windowed SQL all parse and agree end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_table
@@ -657,4 +657,37 @@ def sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("m").alias("status_key", "status_cnt"),
         "total_in_map",
         "map_size",
+    )
+
+
+@query(
+    "sql_distinct_on_latest",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key — "DISTINCT ON" in Postgres/DuckDB dialects,
+    which Spark SQL lacks; the engine's translation is the rank-1
+    window, and Catalyst plans it with WindowGroupLimit pushdown (each
+    map task keeps one row per key before the shuffle — the top-k plan
+    property pinned in tests/test_plans.py). A genuine dialect
+    differential: two different surface forms, same deduplicated-
+    latest semantics, hash-equal output. Tie-break on orderkey makes
+    the 'latest' row total-order-deterministic.
+
+    Scale shape: one shuffle on the key with per-partition group
+    limits; never a global sort.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
