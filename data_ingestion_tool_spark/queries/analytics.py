@@ -2563,3 +2563,135 @@ def events_bot_detection_heuristic(spark: SparkSession, sf_dir: str) -> DataFram
         monotonous.alias("monotonous"),
         (high_rate & monotonous).alias("bot_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC revenue classification (80/15/5 inventory-style classes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_c,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+      FROM per_cust
+    ),
+    classed AS (
+      SELECT o_custkey, rev_c,
+             CASE WHEN (cum_c - rev_c) * 5 < total_c * 4 THEN 'A'
+                  WHEN (cum_c - rev_c) * 20 < total_c * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis — the inventory/CRM classing rule: customers whose
+    revenue falls in the first 80% of the descending cumulative curve
+    are 'A', the next 15% 'B', the tail 'C'. Class membership is
+    decided on the EXCLUSIVE cumulative (cum − own, so the customer
+    that crosses a boundary belongs to the class it started in) with
+    integer cross-multiplied thresholds — no float share ever touches
+    a boundary.
+
+    Scale shape: the descending cumulative runs through the PARALLEL
+    literal-offset prefix-sum (operators/ranking.py); classing is a
+    projection; the final rollup is 3 rows. The oracle's single-sort
+    window is the fixture-scale twin.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_c")
+    )
+    ranked = with_global_prefix_sum(
+        per_cust,
+        [F.desc("rev_c"), F.asc("o_custkey")],
+        "rev_c",
+        rn="__rn",
+        cum="cum_c",
+        total_col="total_c",
+    )
+    excl = F.col("cum_c") - F.col("rev_c")
+    classed = ranked.select(
+        "rev_c",
+        F.when(excl * 5 < F.col("total_c") * 4, "A")
+        .when(excl * 20 < F.col("total_c") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("class_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution (log-ish latency buckets per type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_gap_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN gap_us < 1000000 THEN '0_under_1s'
+                WHEN gap_us < 60000000 THEN '1_under_1m'
+                WHEN gap_us < 600000000 THEN '2_under_10m'
+                WHEN gap_us < 3600000000 THEN '3_under_1h'
+                ELSE '4_over_1h' END AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type, gap_bucket
+    """,
+)
+def events_interarrival_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type — the latency
+    profile behind session-gap tuning and bot screening: each user's
+    consecutive-event gaps in exact integer MICROSECONDS, bucketed on
+    integer boundaries (1s / 1m / 10m / 1h). Bucket edges are integer
+    compares of exact µs — no float, no boundary wobble.
+
+    Scale shape: the lag window partitions by user_id (high
+    cardinality — the parallel regime); the histogram is a map-side-
+    combinable (type, bucket) count to ≤ 5×5 rows.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") < 1_000_000, "0_under_1s")
+        .when(F.col("gap_us") < 60_000_000, "1_under_1m")
+        .when(F.col("gap_us") < 600_000_000, "2_under_10m")
+        .when(F.col("gap_us") < 3_600_000_000, "3_under_1h")
+        .otherwise("4_over_1h")
+    )
+    return seq.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
