@@ -3324,3 +3324,78 @@ def orders_fulfillment_latency_quartiles(spark: SparkSession, sf_dir: str) -> Da
             F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("days"))
         ).cast("bigint").alias("q3_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly categorical drift monitor (chi-square vs the global mix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_mix_drift_monthly",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+             o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY ym, pri
+    ),
+    m AS (
+      SELECT ym, pri, obs,
+             CAST(SUM(obs) OVER (PARTITION BY ym) AS BIGINT) AS month_n,
+             CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS pri_n,
+             CAST(SUM(obs) OVER () AS BIGINT) AS total_n
+      FROM cell
+    )
+    SELECT ym, CAST(MAX(month_n) AS BIGINT) AS n_orders,
+           ROUND(SUM(
+             (CAST(obs AS DOUBLE)
+              - CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                / CAST(total_n AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+                - CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                  / CAST(total_n AS DOUBLE))
+             / (CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                / CAST(total_n AS DOUBLE))), 6) AS chi2
+    FROM m GROUP BY ym
+    """,
+)
+def orders_priority_mix_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor: per month, the chi-square statistic
+    of that month's order-priority mix against the expectation under
+    the GLOBAL mix (expected cell = month_n·pri_n/total_n) — the
+    relational sibling of the text KL-drift check, flagging months
+    whose intake distribution shifted. All inputs are exact integer
+    counts; chi2 is an identical closed-form expression of identical
+    integers on both sides, ROUND(6) per the composed-float rule.
+
+    Scale shape: the fact table collapses to the (month, priority)
+    grid map-side (≤ months×5 rows); the margin windows run over that
+    tiny grid, never over raw orders.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    m = cell.select(
+        "ym",
+        "pri",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("ym")).cast("bigint").alias(
+            "month_n"
+        ),
+        F.sum("obs").over(Window.partitionBy("pri")).cast("bigint").alias(
+            "pri_n"
+        ),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("total_n"),
+    )
+    exp = (
+        F.col("month_n").cast("double")
+        * F.col("pri_n").cast("double")
+        / F.col("total_n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - exp
+    return m.groupBy("ym").agg(
+        F.max("month_n").cast("bigint").alias("n_orders"),
+        F.round(F.sum(dev * dev / exp), 6).alias("chi2"),
+    )
