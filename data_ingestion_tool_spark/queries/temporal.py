@@ -756,7 +756,12 @@ def events_peak_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     hour. Ends sort BEFORE starts at equal timestamps (delta −1 < +1),
     so touching intervals don't double-count; event_id totalizes the
     order. Peaks are read at start boundaries only (concurrency can
-    only peak when something starts).
+    only peak when something starts). Differs from the sibling
+    events_peak_concurrency (statistics.py), whose sweep is
+    DAY-PARTITIONED — windows straddling midnight are truncated to
+    their start day there; here the sweep is EXACT across all
+    boundaries, which is what requires the distributed global prefix
+    sum instead of a per-day window.
 
     Scale shape: the global running sum is the PARALLEL literal-offset
     prefix-sum operator (operators/ranking.py) — one range shuffle
