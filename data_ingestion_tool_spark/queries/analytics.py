@@ -2695,3 +2695,65 @@ def events_interarrival_gap_histogram(spark: SparkSession, sf_dir: str) -> DataF
     return seq.groupBy("event_type", bucket.alias("gap_bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report (integer day buckets vs the data's horizon)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_open_order_aging",
+    oracle="""
+    WITH h AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+    aged AS (
+      SELECT CAST(date_diff('day', o_orderdate, horizon) AS BIGINT) AS age_d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders, h WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_d < 30 THEN '0_under_30d'
+                WHEN age_d < 90 THEN '1_under_90d'
+                WHEN age_d < 365 THEN '2_under_1y'
+                ELSE '3_over_1y' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_value_cents
+    FROM aged GROUP BY age_bucket
+    """,
+)
+def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging — the accounts-receivable-style report: orders
+    still open ('O'), bucketed by whole days outstanding relative to
+    the data's horizon (the max order date — derived from the data so
+    the report is reproducible at any snapshot), with exact-cents open
+    value per bucket. Day ages and bucket edges are pure integers.
+
+    Scale shape: the one-row horizon broadcast-joins onto the filtered
+    scan (status predicate pushed to parquet); one map-side-combinable
+    rollup to 4 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    h = o.agg(F.max("o_orderdate").alias("horizon"))
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.datediff(
+                F.col("horizon").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("age_d"),
+            cents.alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") < 30, "0_under_30d")
+        .when(F.col("age_d") < 90, "1_under_90d")
+        .when(F.col("age_d") < 365, "2_under_1y")
+        .otherwise("3_over_1y")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_value_cents"),
+    )
