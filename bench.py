@@ -111,13 +111,22 @@ def main() -> None:
     timings3 = {k: round(v, 3) for k, v in timings.items()}
 
     # Sentinel-normalized regression gate (round-4 verdict item 5): read
-    # the PREVIOUS round's committed BENCH.json before overwriting it and
-    # emit (q_now/q_prev)/(sentinel_now/sentinel_prev) per common key.
+    # the PREVIOUS round's numbers and emit
+    # (q_now/q_prev)/(sentinel_now/sentinel_prev) per common key.
     # Ratios > 2x are listed loudly as ``regressions`` in both the full
     # artifact and the short summary line, turning BASELINE.md's manual
     # cross-round protocol into machinery. Sub-0.2s keys are exempt from
     # the loud list (floor-level noise, per BASELINE.md round-3 note).
-    prev_path = Path(__file__).resolve().parent / "BENCH.json"
+    # The reference is the FROZEN round-start snapshot
+    # tools/bench_prior.json (regenerated each round from the prior
+    # round's committed BENCH.json, like tools/window_prior_keys.json):
+    # comparing against the live BENCH.json would make a second bench
+    # run in the same round compare against this round's own numbers
+    # and hide a real >2x regression on rerun (round-5 ADVICE).
+    here = Path(__file__).resolve().parent
+    prev_path = here / "tools" / "bench_prior.json"
+    if not prev_path.exists():
+        prev_path = here / "BENCH.json"
     normalized: dict[str, float] = {}
     regressions: dict[str, float] = {}
     try:

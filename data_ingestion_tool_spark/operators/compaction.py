@@ -59,8 +59,20 @@ def compact_parquet_rows(
     versions — so it is assertable by an engine-independent oracle
     (``CEIL(COUNT(*) / target)``). Same shuffle-free coalesce plan;
     coalesce(n) over >=n non-empty input partitions yields exactly n
-    non-empty partitions, hence exactly n data files."""
+    non-empty partitions, hence exactly n data files.
+
+    Scan partition count depends on core count and file-packing config
+    (maxPartitionBytes / openCostInBytes): on a low-core host many small
+    files can pack into fewer than ``n_out`` splits, where coalesce
+    would under-produce files. Guard the invariant: fall back to a
+    round-robin ``repartition(n_out)`` (one extra shuffle of a small
+    table) so the file count stays a pure function of row count on any
+    machine."""
     df = spark.read.parquet(src)
     n_out = max(1, math.ceil(df.count() / target_rows))
-    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    if df.rdd.getNumPartitions() < n_out:
+        df = df.repartition(n_out)
+    else:
+        df = df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)

@@ -55,6 +55,69 @@ def _cols(order_cols: Iterable[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
+_GROUP_NAME_RE = None  # compiled lazily; module avoids importing re at top
+
+
+def _validate_group_cols(df: DataFrame, gnames: list[str]) -> None:
+    """Turn the grouped-ranking docstring contract into a runtime check
+    (round-5 ADVICE): group keys must be PLAIN ASCENDING column
+    references (not expressions — a ``desc()`` or computed key would
+    silently break the 'Python sorted() matches Spark range order'
+    assumption) of a type whose Python ordering and ``str()`` rendering
+    match Spark's (string / integral / date / timestamp). Anything else
+    raises instead of mis-ranking."""
+    import re
+
+    global _GROUP_NAME_RE
+    if _GROUP_NAME_RE is None:
+        _GROUP_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    ok_types = (
+        "string",
+        "int",
+        "bigint",
+        "smallint",
+        "tinyint",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    )
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for g in gnames:
+        if not _GROUP_NAME_RE.match(g):
+            raise ValueError(
+                f"grouped ranking requires plain ascending column names; "
+                f"got expression {g!r}"
+            )
+        t = fields.get(g)
+        if t not in ok_types:
+            raise ValueError(
+                f"grouped ranking group key {g!r} has type {t!r}; supported "
+                f"key types are {ok_types} (Python ordering must match "
+                f"Spark's range-partitioner ordering)"
+            )
+
+
+def _validate_group_key_values(keys, gnames: list[str]) -> None:
+    """NULL group values are dropped by ``concat_ws`` on the Spark side
+    (vs rendered ``'None'`` in Python) and a value containing the
+    ``\\x1f`` separator makes distinct multi-column key tuples collide —
+    both would produce wrong/NULL ranks with no error (round-5 ADVICE).
+    Raise loudly instead; callers with NULL-able keys must pre-filter
+    or null-safe encode."""
+    for key in keys:
+        for g, v in zip(gnames, key):
+            if v is None:
+                raise ValueError(
+                    f"grouped ranking group key {g!r} contains NULL; "
+                    f"filter or coalesce NULL group values first"
+                )
+            if len(key) > 1 and isinstance(v, str) and "\x1f" in v:
+                raise ValueError(
+                    f"grouped ranking group key {g!r} contains the \\x1f "
+                    f"separator; multi-column keys would collide"
+                )
+
+
 def _norm_key(v):
     """Normalize a group-key value so JVM ``collect()`` natives and
     Arrow/pandas scalars hash equal as dict keys (numpy scalar →
@@ -427,10 +490,11 @@ def with_grouped_global_row_number(
     all_cols = group_cols + order_cols
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
+    _validate_group_cols(df, gnames)
     parted = df.repartitionByRange(p, *_cols(all_cols)).localCheckpoint(
         eager=False
     )
-    gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
 
     crows = (
         parted.select(F.spark_partition_id().alias("pid"), *gnames)
@@ -444,6 +508,7 @@ def with_grouped_global_row_number(
         key = tuple(_norm_key(r[g]) for g in gnames)
         cnt_by_pid[r["pid"]] += r["cnt"]
         gtot[key] = gtot.get(key, 0) + r["cnt"]
+    _validate_group_key_values(gtot, gnames)
     offs: list[int] = []
     acc = 0
     for x in cnt_by_pid:

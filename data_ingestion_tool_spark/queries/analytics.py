@@ -2155,7 +2155,7 @@ def orders_first_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_count_min_sketch_brands",
     oracle="""
     SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
-           TRUE AS est_not_below_exact, TRUE AS est_within_eps
+           TRUE AS est_not_below_exact, TRUE AS eps_misses_within_tolerance
     FROM part GROUP BY p_brand
     """,
 )
@@ -2163,12 +2163,17 @@ def agg_count_min_sketch_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (the frequency sibling of
     the HLL distinct sketch): one fixed-width CMS built over p_brand in
     a single JVM aggregation, then per-brand estimates checked against
-    exact counts. CMS guarantees est ≥ exact always, and
-    est ≤ exact + ε·N with the configured confidence; both bounds ride
-    the output AS VALUES (integer math — ceil(ε·N) slack, no float
-    boundary) and the oracle pins them TRUE alongside the exact counts,
-    so a sketch regression breaks the driver hash (the
-    agg_sketch_mergeable_distinct pattern). Seeded ⇒ deterministic.
+    exact counts. CMS guarantees est ≥ exact ALWAYS (deterministic — a
+    per-brand hard pin), and est ≤ exact + ε·N only with the configured
+    confidence 1−δ (δ=0.001): a per-brand TRUE pin on the eps bound
+    would turn a legitimate probabilistic miss (possible after any
+    benign eps/confidence/seed/sketch-internals change) into a
+    misleading hard hash failure. So the eps check rides the output as
+    a COUNTED bound instead (round-5 ADVICE): the number of brands
+    exceeding exact + ceil(ε·N) must be ≤ 1 out of the 25-brand domain
+    (P[≥2 misses] ≤ C(25,2)·δ² ≈ 3e-4 — a real sketch regression still
+    breaks the hash, a single tail event doesn't). Integer-math slack,
+    seeded ⇒ deterministic today.
 
     Scale shape: the sketch is a fixed-width mergeable aggregate
     (map-side partial merge, O(width·depth) state); the driver-side
@@ -2195,17 +2200,21 @@ def agg_count_min_sketch_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = p.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
     )
-    brands = [r["p_brand"] for r in exact.select("p_brand").collect()]
-    est = {b: int(cms.estimateCount(b)) for b in brands}
+    # bounded collect: the 25-value brand domain with exact counts
+    rows = exact.collect()
+    est = {r["p_brand"]: int(cms.estimateCount(r["p_brand"])) for r in rows}
+    eps_misses = sum(
+        1 for r in rows if est[r["p_brand"]] > r["exact_cnt"] + slack
+    )
     est_map = F.create_map(
-        *[c for b in brands for c in (F.lit(b), F.lit(est[b]))]
+        *[c for b in est for c in (F.lit(b), F.lit(est[b]))]
     )
     e = F.element_at(est_map, F.col("p_brand"))
     return exact.select(
         "p_brand",
         "exact_cnt",
         (e >= F.col("exact_cnt")).alias("est_not_below_exact"),
-        (e <= F.col("exact_cnt") + F.lit(slack)).alias("est_within_eps"),
+        F.lit(eps_misses <= 1).alias("eps_misses_within_tolerance"),
     )
 
 

@@ -530,8 +530,10 @@ def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> Data
     ),
     d2 AS (
       SELECT ex.vec_id, ex.label, cent.label AS m_label,
-             CAST(SUM(CAST(ROUND((ex.v - cent.c) * (ex.v - cent.c), 12)
-                           AS DECIMAL(20,12))) AS DOUBLE) AS dd
+             CAST(CAST(SUM(CAST(ROUND((ex.v - cent.c) * (ex.v - cent.c)
+                                       * 1000000000000.0, 0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 AS dd
       FROM ex JOIN cent ON ex.pos = cent.pos
       GROUP BY ex.vec_id, ex.label, cent.label
     ),
@@ -562,23 +564,35 @@ def embedding_silhouette_per_label(spark: SparkSession, sf_dir: str) -> DataFram
     silhouette is O(n²); the centroid form is the linear-scan variant
     actually run at corpus scale.
 
-    Engine-exactness (the distance_matrix discipline, three layers):
-    centroids are decimal-exact means; each squared diff is ROUND(12)ed
-    then DECIMAL-accumulated so the 64-term contraction is
-    order-independent (a/b comparisons can never flip on ulp drift);
-    each s is ROUND(12)ed then DECIMAL-accumulated so the per-label
-    mean is order-independent, emitted at ROUND(9).
+    Engine-exactness (the distance_matrix discipline, now in FIXED
+    POINT): centroids are decimal-exact means (identical doubles both
+    engines); each per-dim squared diff is quantized to 1e-12 units
+    with half-away-from-zero rounding of the SAME IEEE double — numpy
+    ``floor(t·1e12 + 0.5)`` over non-negative terms equals DuckDB
+    ``ROUND(t·1e12, 0)`` bit-for-bit (differentially verified over all
+    sf0.01 (vector, centroid) pairs) — and accumulated in int64 (max
+    4e12·64 ≈ 2.6e14 « 2^53), so the 64-term contraction is
+    order-independent and exact; dd = units/1e12 is one correctly-
+    rounded division on both engines. Each s is ROUND(12)ed then
+    DECIMAL-accumulated so the per-label mean is order-independent,
+    emitted at ROUND(9).
 
-    Scale shape: vectors join the L×d centroid frame (broadcast-sized)
-    on dim position — n·L·d intermediate rows, LINEAR in corpus size;
-    per-vector reduction is map-side-combinable; no pairwise blowup,
-    no driver collect.
+    Scale shape (round-6 replan, ~6x less fan-out than the posexplode
+    twin it replaces): ONE Arrow-batched mapInPandas pass computes the
+    n×L distance block per batch via vectorized numpy against the
+    broadcast L×d centroid matrix (collected once — L·d = 640 values,
+    documented bound); no n·L·d row explosion through a JVM join, no
+    per-vector shuffle — the only shuffle left is the |labels|-row
+    final aggregate. Linear in corpus, embarrassingly partitionable.
     """
+    import numpy as np
+    import pandas as pd
+
     e = read_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
-    cent = (
+    cent_rows = (
         ex.groupBy("label", "pos")
         .agg(
             (
@@ -586,32 +600,47 @@ def embedding_silhouette_per_label(spark: SparkSession, sf_dir: str) -> DataFram
                 / F.count(F.lit(1))
             ).alias("c")
         )
-        .select(F.col("label").alias("m_label"), "pos", "c")
+        .collect()
     )
-    sq = F.round(
-        (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")), 12
-    ).cast("decimal(20,12)")
-    d2 = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "m_label")
-        .agg(F.sum(sq).cast("double").alias("dd"))
-    )
-    ab = d2.groupBy("vec_id", "label").agg(
-        F.max(
-            F.when(F.col("m_label") == F.col("label"), F.sqrt("dd"))
-        ).alias("a"),
-        F.min(
-            F.when(F.col("m_label") != F.col("label"), F.sqrt("dd"))
-        ).alias("b"),
-    )
-    s = ab.select(
+    labels = sorted({r["label"] for r in cent_rows})
+    lidx = {l: i for i, l in enumerate(labels)}
+    dim = 1 + max(r["pos"] for r in cent_rows)
+    cmat = np.zeros((len(labels), dim), dtype=np.float64)
+    for r in cent_rows:
+        cmat[lidx[r["label"]], r["pos"]] = r["c"]
+
+    out_schema = "label bigint, s_raw double"
+
+    def batch_silhouette(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            t = v[:, None, :] - cmat[None, :, :]
+            t = t * t * 1e12
+            # half-up == DuckDB half-away-from-zero: terms are >= 0
+            units = np.floor(t + 0.5).astype(np.int64).sum(axis=2)
+            dist = np.sqrt(units.astype(np.float64) / 1e12)
+            own = np.array([lidx[l] for l in pdf["label"]], dtype=np.int64)
+            rows = np.arange(len(own))
+            a = dist[rows, own]
+            masked = dist.copy()
+            masked[rows, own] = np.inf
+            b = masked.min(axis=1)
+            mx = np.maximum(a, b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(mx > 0, (b - a) / mx, 0.0)
+            yield pd.DataFrame(
+                {"label": pdf["label"].astype("int64"), "s_raw": s}
+            )
+
+    s = e.select("label", "embedding").mapInPandas(
+        batch_silhouette, out_schema
+    ).select(
         "label",
-        F.when(
-            F.greatest("a", "b") > 0,
-            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 12),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("s"),
+        F.round(F.col("s_raw"), 12).alias("s"),
     )
     return s.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),

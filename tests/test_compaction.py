@@ -34,3 +34,26 @@ def test_compact_respects_target_size(spark, tmp_path):
     n_after, _ = parquet_file_stats(dst)
     assert n_after == 4
     assert out.count() == 50_000
+
+
+def test_compact_rows_when_scan_packs_fewer_partitions(spark, tmp_path):
+    """Round-5 ADVICE guard: when the parquet scan packs the input into
+    FEWER splits than the target file count (one big file on a low-core
+    host), row-targeted compaction must repartition up, keeping the
+    file count a pure function of row count on any machine."""
+    from data_ingestion_tool_spark.operators.compaction import (
+        compact_parquet_rows,
+    )
+
+    src, dst = str(tmp_path / "s3"), str(tmp_path / "d3")
+    spark.range(1_000).coalesce(1).write.parquet(src)
+    scan_parts = spark.read.parquet(src).rdd.getNumPartitions()
+    assert scan_parts < 10  # one file packs into (far) fewer than 10 splits
+    out = compact_parquet_rows(spark, src, dst, target_rows=100)
+    from data_ingestion_tool_spark.operators.compaction import (
+        parquet_file_stats,
+    )
+
+    n_files, _ = parquet_file_stats(dst)
+    assert n_files == 10  # ceil(1000/100), despite the packed scan
+    assert out.count() == 1_000

@@ -257,3 +257,42 @@ def test_grouped_lead_more_partitions_than_rows(spark):
     assert out[("g", 2)] == 30
     assert out[("g", 1_000_000)] is None
     assert out[("z", 5)] is None
+
+
+def test_grouped_ranking_contract_guards(spark):
+    """Round-5 ADVICE: the grouped-ranking docstring contract is a
+    runtime check — NULL group values, \\x1f-bearing multi-col keys,
+    unsupported key types, and expression keys all raise instead of
+    silently mis-ranking."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_row_number,
+    )
+
+    nulls = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "g string, x long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        with_grouped_global_row_number(nulls, ["g"], ["x"], rn="rn").count()
+
+    sep = spark.createDataFrame(
+        [("a\x1fb", "c", 1), ("a", "b\x1fc", 2)], "g1 string, g2 string, x long"
+    )
+    with pytest.raises(ValueError, match="separator"):
+        with_grouped_global_row_number(
+            sep, ["g1", "g2"], ["x"], rn="rn"
+        ).count()
+    # single-column keys never join through the separator — \x1f is fine
+    assert (
+        with_grouped_global_row_number(sep, ["g1"], ["x"], rn="rn").count()
+        == 2
+    )
+
+    bools = spark.createDataFrame([(True, 1)], "g boolean, x long")
+    with pytest.raises(ValueError, match="type"):
+        with_grouped_global_row_number(bools, ["g"], ["x"], rn="rn").count()
+
+    plain = spark.createDataFrame([("a", 1)], "g string, x long")
+    with pytest.raises(ValueError, match="plain ascending"):
+        with_grouped_global_row_number(
+            plain, [F.col("g").desc()], ["x"], rn="rn"
+        ).count()
