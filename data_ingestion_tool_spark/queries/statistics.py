@@ -360,48 +360,25 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-expression casts/divide/sqrt on identical integers, so
     the doubles agree bit-for-bit cross-engine.
 
-    Scale shape: lag pairing rides the grouped PARALLEL ranking
-    (operators/ranking.py with_grouped_global_row_number — one range
-    shuffle, JVM-only literal-map rank math, no per-type single-task
-    sort) followed by a slim (type, rn, cents) self-equi-join on
-    ``rn + 1`` — whole-stage-codegen shuffles end to end, no Python in
-    the row path (replaced the two-mapInPandas with_grouped_lead plan,
-    round-4 verdict item 2; 1.5x faster at sf0.1 and shuffle-parallel
-    at any scale), then a map-side-combinable moment aggregation to
-    |type| rows. DECIMAL intermediates hold to ~10^38 — no overflow at
-    any realistic scale (int64 would overflow n·Σx² past ~sf3).
+    Scale shape (round-6 replan — ONE full-data pass, one job): lag
+    pairing rides :func:`operators.ranking.grouped_adjacent_pair_moments`
+    — one range shuffle on (type, ts, id), an Arrow-batched mapInPandas
+    emitting O(P·|type|) exact int64 pair-moment partials + edge rows,
+    boundary pairs stitched on the ≤P-row edge frame, DECIMAL(38,0)
+    combine. No pinned two-pass ranking, no self-join, no per-type
+    single-task sort — replaces the round-5 rank+join plan (two extra
+    jobs + two hash exchanges of the full frame; ~2x faster at sf0.1
+    and one full-data pass at any scale). See the operator docstring
+    for the int64 overflow guard and the pin rationale.
     """
     e = read_events(spark, sf_dir)
-    from ..operators.ranking import with_grouped_global_row_number
+    from ..operators.ranking import grouped_adjacent_pair_moments
 
     base = e.select(
         "event_type", _cents("value").alias("xc"), "ts", "event_id"
     )
-    r = with_grouped_global_row_number(
-        base, ["event_type"], ["ts", "event_id"], rn="rn"
-    )
-    nxt = r.select(
-        F.col("event_type").alias("__bt"),
-        (F.col("rn") - 1).alias("__brn"),
-        F.col("xc").alias("yc"),
-    )
-    x = r.join(
-        nxt,
-        (F.col("event_type") == F.col("__bt")) & (F.col("rn") == F.col("__brn")),
-    ).select("event_type", "xc", "yc")
-    m = x.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xc").cast("decimal(38,0)").alias("sx"),
-        F.sum("yc").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("yc")).cast(
-            "decimal(38,0)"
-        ).alias("sxy"),
-        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("xc")).cast(
-            "decimal(38,0)"
-        ).alias("sxx"),
-        F.sum(F.col("yc").cast("decimal(18,0)") * F.col("yc")).cast(
-            "decimal(38,0)"
-        ).alias("syy"),
+    m = grouped_adjacent_pair_moments(
+        base, "event_type", ["ts", "event_id"], "xc"
     )
     return m.select(
         "event_type",

@@ -366,18 +366,48 @@ def test_grouped_ranking_is_joinless_jvm_projection(q):
     assert single_task_global_windows(df) == 0
 
 
-def test_autocorr_lag_pairing_has_no_python_row_path(q):
-    """events_autocorr_lag1's lag pairing is a slim (type, rn) self
-    equi-join — whole-stage-codegen end to end, no mapInPandas; the
-    join must be a hash strategy, never a nested loop."""
+def test_autocorr_single_pass_boundary_plan(q, spark, sf_dir):
+    """Round-6 replan pin: events_autocorr_lag1 computes its lag-1
+    moments in ONE full-data pass via grouped_adjacent_pair_moments —
+    a single range exchange feeds an Arrow-batched mapInPandas that
+    emits O(P·|type|) partials + edge rows; everything downstream runs
+    on that bounded frame. The public query's plan scans the pinned
+    slim frame with NO join and no cartesian; the operator's pre-pin
+    plan (pin=False, test-only) must show exactly one range exchange
+    and the mapInPandas, and no join either."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        grouped_adjacent_pair_moments,
+    )
     from data_ingestion_tool_spark.plans import (
         has_cartesian_product,
         join_strategies,
         simple_plan,
     )
+    from data_ingestion_tool_spark.sources.parquet_io import read_events
+    from pyspark.sql import functions as F
 
     df = q("events_autocorr_lag1")
     plan = simple_plan(df)
-    assert "InPandas" not in plan and "ArrowEval" not in plan
     assert not has_cartesian_product(df)
-    assert any("HashJoin" in s for s in join_strategies(df)), join_strategies(df)
+    assert join_strategies(df) == []
+
+    base = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("xc"),
+        "ts",
+        "event_id",
+    )
+    prepin = simple_plan(
+        grouped_adjacent_pair_moments(
+            base, "event_type", ["ts", "event_id"], "xc", pin=False
+        )
+    )
+    assert "InPandas" in prepin  # the fused pair-moment operator
+    # pin=False shows the subtree once PER BRANCH (which is exactly why
+    # production pins); the shape check is: a range exchange exists and
+    # it is the ONLY kind of full-data exchange — no hash exchange of
+    # the fact table, no join anywhere
+    assert "rangepartitioning" in prepin.lower()
+    assert "Join" not in prepin

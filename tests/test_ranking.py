@@ -296,3 +296,76 @@ def test_grouped_ranking_contract_guards(spark):
         with_grouped_global_row_number(
             plain, [F.col("g").desc()], ["x"], rn="rn"
         ).count()
+
+
+def test_adjacent_pair_moments_matches_naive_lead(spark, orders):
+    """grouped_adjacent_pair_moments == the naive window-lead moment
+    computation, including with far more partitions than fit the data
+    (empty partitions, single-row partitions, groups spanning many
+    partition junctions)."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        grouped_adjacent_pair_moments,
+    )
+
+    base = orders.select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+        "o_orderdate",
+        "o_orderkey",
+    ).limit(500)
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    naive = (
+        base.withColumn("y", F.lead("v").over(w))
+        .where(F.col("y").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("v") * F.col("y")).alias("sxy"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    ref = {
+        r["o_orderstatus"]: (r["n"], r["sx"], r["sy"], r["sxy"], r["sxx"], r["syy"])
+        for r in naive.collect()
+    }
+    for p in (3, 64, 701):  # fewer-, more-, and far-more-than-rows
+        got = grouped_adjacent_pair_moments(
+            base,
+            "o_orderstatus",
+            ["o_orderdate", "o_orderkey"],
+            "v",
+            num_partitions=p,
+        )
+        res = {
+            r["o_orderstatus"]: (
+                r["n"],
+                int(r["sx"]),
+                int(r["sy"]),
+                int(r["sxy"]),
+                int(r["sxx"]),
+                int(r["syy"]),
+            )
+            for r in got.collect()
+        }
+        assert res == ref, p
+
+    # empty input keeps schema, zero rows
+    empty = spark.createDataFrame([], "g string, v long, o long")
+    assert (
+        grouped_adjacent_pair_moments(empty, "g", ["o"], "v").count() == 0
+    )
+
+    # int64 wrap guard fires loudly instead of wrapping
+    big = spark.createDataFrame(
+        [("a", 2**31 + i, i) for i in range(40)], "g string, v long, o long"
+    )
+    with pytest.raises(Exception, match="int64"):
+        grouped_adjacent_pair_moments(
+            big, "g", ["o"], "v", num_partitions=1
+        ).collect()
