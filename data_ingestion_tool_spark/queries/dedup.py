@@ -25,14 +25,102 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup_by_content(read_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_near_minhash")  # rows-only: LSH candidate generation
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+banded-LSH near-dup pairs (jaccard-sim estimate >= 0.5),
-    deterministic under the fixed seed."""
+_SHINGLE_PAIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ninter AS BIGINT) AS n_inter,
+           CAST(sa.sz + sb.sz - ninter AS BIGINT) AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE {num} * ninter >= {den} * (sa.sz + sb.sz - ninter)
+"""
+
+
+def _exact_verified_pairs(
+    spark: SparkSession, sf_dir: str, num: int, den: int
+) -> DataFrame:
+    """LSH candidates → EXACT distinct-shingle Jaccard ≥ den/num in
+    integer cross-multiplication (num·inter ≥ den·union — no float
+    boundary). Shingle sets are distinct STRING 3-grams on both
+    engines, so inter/union counts match DuckDB exactly (no hash-
+    collision surface)."""
+    from ..operators.dedup import minhash_near_dup_pairs, shingles
+
     d = read_table(spark, sf_dir, "documents")
-    return DD.minhash_near_dup_pairs(d, jaccard_threshold=0.5).orderBy(
+    cands = minhash_near_dup_pairs(d, jaccard_threshold=0.0).select(
         "id_a", "id_b"
     )
+    sh = d.select(
+        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ninter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    nunion = (
+        F.size("sh_a").cast("bigint")
+        + F.size("sh_b").cast("bigint")
+        - ninter
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ninter.alias("n_inter"),
+            nunion.alias("n_union"),
+        )
+        .filter(F.lit(num) * F.col("n_inter") >= F.lit(den) * F.col("n_union"))
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_SHINGLE_PAIR_ORACLE.format(num=2, den=1),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banded-LSH near-dup detection, promoted to a FULL
+    differential oracle (round-6, the bound-as-value family): the LSH
+    stage only PRUNES candidates; every emitted pair is verified by the
+    EXACT distinct-shingle Jaccard (2·inter ≥ union, integer math), and
+    the output carries the exact (n_inter, n_union) counts — never the
+    minhash estimate. The DuckDB twin computes ALL exact-Jaccard ≥ 0.5
+    pairs via a shingle inverted-index join, so the hash check proves
+    both precision (exact verify can't emit a false positive) AND
+    recall (a banding miss would drop a row and fail the hash).
+
+    Seed-dependence note: 16 bands × 4 rows at J = 0.8 (the data's
+    minimum true-pair similarity at sf0.01 AND sf0.1) misses a pair
+    with p ≈ 2e-4 under random permutations; under the fixed seed 42
+    the candidate set is deterministic and verified complete at both
+    scales. tests/test_dedup_recall.py pins recall separately.
+
+    Scale shape: candidates from banded buckets (never all-pairs; soak
+    table pins ~linear growth); exact verify joins shingle arrays onto
+    the CANDIDATE pairs only."""
+    return _exact_verified_pairs(spark, sf_dir, num=2, den=1)
 
 
 @query("dedup_simhash")  # rows-only
@@ -42,11 +130,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dup_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
-@query("dedup_ngram_jaccard")  # rows-only
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_PAIR_ORACLE.format(num=5, den=4),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.8 over LSH-pruned candidate pairs."""
-    d = read_table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+    """Exact 3-gram Jaccard ≥ 0.8 over LSH-pruned candidate pairs —
+    promoted to a full differential oracle alongside dedup_near_minhash
+    (round 6): same exact-verify pipeline, tighter threshold in integer
+    cross-multiplication (5·inter ≥ 4·union, exact at the J = 0.8
+    boundary the data actually contains). The DuckDB twin enumerates
+    ALL exact ≥ 0.8 pairs via the shingle inverted index, so the hash
+    proves precision + recall of the pruned pipeline."""
+    return _exact_verified_pairs(spark, sf_dir, num=5, den=4)
 
 
 @query("dedup_resolve_clusters")  # rows-only: iterative, not SQL-expressible

@@ -87,15 +87,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint("text").alias("content_hash"))
 
 
-@query("text_langid")  # rows-only: heuristic classifier, not SQL-expressible
+def _langid_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id — the heuristic is a
+    DETERMINISTIC closed form (per-language stopword hit counts →
+    argmax with (hits, lang) tuple order, 'und' on zero evidence), so
+    it gets a full differential oracle rather than the rows-only check
+    it shipped with (round-6 promotion). The VALUES table is generated
+    from the same LANG_STOPWORDS constant the Spark operator reads."""
+    from ..operators.text import LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, l.lang,
+             len(list_filter(t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best AS (
+      SELECT doc_id, MAX({{'h': h, 'l': lang}}) AS b
+      FROM hits GROUP BY doc_id
+    )
+    SELECT CASE WHEN b.h > 0 THEN b.l ELSE 'und' END AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (operators.text.lang_id) → per-language
-    document counts."""
+    document counts. Promoted to a full DuckDB-hash oracle in round 6:
+    the classifier is an identical closed-form argmax on both engines
+    (ties break by the (hits, lang) tuple order — Spark array_max over
+    structs == DuckDB MAX over structs)."""
     d = read_table(spark, sf_dir, "documents")
     return (
         TX.lang_id(d)
         .groupBy("pred_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 
 
