@@ -263,3 +263,73 @@ def test_asof_tolerance_nulls_stale_matches(spark):
             left, right, on="k", left_ts="t", right_ts="t",
             payload={"v": "x"}, direction="nearest", tolerance_us=1,
         )
+
+
+def test_sweepline_prefix_sum_spans_partitions(spark):
+    """Round-5 verdict item 5 (executed round 6): the sweep-line
+    concurrency family (events_peak_concurrency_hourly temporal.py;
+    events_peak_concurrency statistics.py) rides the parallel global
+    prefix sum — pin that the sweep is exact when the boundary stream
+    spans many range partitions, including p >> rows (empty partitions
+    between populated ones), touching intervals at identical
+    timestamps (end must decrement BEFORE the next start counts), and
+    overlap runs crossing partition edges."""
+    from pyspark.sql import Window
+
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_global_prefix_sum,
+    )
+
+    # 40 events: a dense overlap run (1-minute spacing, 5-minute
+    # windows => concurrency climbs to 5), a touching chain (each
+    # start == previous end), and a sparse tail
+    rows = []
+    for i in range(20):
+        rows.append((i + 1, datetime(2024, 1, 1, 10, i)))  # dense run
+    for i in range(10):
+        rows.append((100 + i, datetime(2024, 1, 1, 12, 5 * i)))  # touching
+    for i in range(10):
+        rows.append((200 + i, datetime(2024, 1, 2, i)))  # sparse
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    starts = e.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionAll(ends)
+
+    w = Window.orderBy("t", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        b.select("t", "delta", F.sum("delta").over(w).alias("running"))
+        .where(F.col("delta") == 1)
+        .groupBy(F.date_trunc("hour", "t").alias("hour"))
+        .agg(F.max("running").cast("bigint").alias("peak"))
+    )
+    ref = {r["hour"]: r["peak"] for r in naive.collect()}
+    # the touching chain must never double-count: peak 1 in hour 12
+    assert ref[datetime(2024, 1, 1, 12)] == 1
+    # the dense run reaches 5 concurrent
+    assert ref[datetime(2024, 1, 1, 10)] == 5
+
+    for p in (3, 7, 997):  # runs span edges; p=997 leaves most empty
+        sw = with_global_prefix_sum(
+            b,
+            ["t", "delta", "event_id"],
+            "delta",
+            rn="__rn",
+            cum="running",
+            num_partitions=p,
+        )
+        got = {
+            r["hour"]: r["peak"]
+            for r in sw.where(F.col("delta") == 1)
+            .groupBy(F.date_trunc("hour", "t").alias("hour"))
+            .agg(F.max("running").cast("bigint").alias("peak"))
+            .collect()
+        }
+        assert got == ref, p

@@ -6,6 +6,9 @@ names, and an order-insensitive value hash. Rows-only queries are
 executed and row-counted.
 
 Usage: python tools/verify_local.py [query_name ...]
+       python tools/verify_local.py --magnitude   # sf0.1 cross-check of
+                                                  # the magnitude-sensitive
+                                                  # key list (see below)
 """
 
 from __future__ import annotations
@@ -26,6 +29,47 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
+
+# Magnitude-sensitive keys: statistics whose intermediate sums GROW with
+# n can defeat fixed-decimal rounding only at larger scale (the ANOVA
+# lesson, round-5 ADVICE: green at sf0.01, red at sf0.1). The 10x
+# cross-check is machinery, not discipline: `--magnitude` runs exactly
+# this list against sf0.1 in one command — run it whenever touching a
+# stats/quantile/moment query. Prefix families + named extras.
+_MAG_PREFIXES = ("stats_", "quantile_", "outlier_", "histogram_", "quality_")
+_MAG_EXTRA = {
+    "agg_regr_slope_intercept",
+    "agg_spearman_corr",
+    "agg_corr_from_moments",
+    "agg_weighted_avg",
+    "agg_geo_harmonic_means",
+    "agg_gini_coefficient",
+    "agg_stats",
+    "events_autocorr_lag1",
+    "events_anomaly_zscore",
+    "events_daily_anomaly_zscore",
+    "events_cusum_drift",
+    "events_ewma_per_user",
+    "events_rolling_corr_click_purchase",
+    "events_user_entropy_event_mix",
+    "embedding_silhouette_per_label",
+    "embedding_centroid_drift",
+    "embedding_centroid_distance_matrix",
+    "embedding_centroid_per_label",
+    "part_brand_price_size_regression",
+    "orders_decile_lift_table",
+    "text_zipf_rank_slope",
+    "text_unigram_logprob",
+    "text_kl_source_vs_corpus",
+}
+
+
+def magnitude_keys(all_names) -> list[str]:
+    return [
+        n
+        for n in all_names
+        if n.startswith(_MAG_PREFIXES) or n in _MAG_EXTRA
+    ]
 
 
 def norm_cell(v):
@@ -132,6 +176,12 @@ def main() -> int:
     from data_ingestion_tool_spark.session import get_spark
     import __spark_entry__ as E
 
+    global SF_DIR
+    args = [a for a in sys.argv[1:] if a != "--magnitude"]
+    magnitude = "--magnitude" in sys.argv[1:]
+    if magnitude and "SPARK_GRAFT_VERIFY_SF_DIR" not in os.environ:
+        SF_DIR = "/root/testdata/sf0.1"
+
     spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
@@ -141,7 +191,11 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(args)
+    if magnitude:
+        mag = set(magnitude_keys(qs))
+        only = (only & mag) if only else mag
+        print(f"magnitude cross-check: {len(only)} keys at {SF_DIR}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
