@@ -408,3 +408,103 @@ def dedup_clusters_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("comp").cast("bigint").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup prefilter (broadcast bitset membership)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    filt AS (SELECT h FROM h WHERE source < 'src2' AND source >= 'src10'),
+    probe AS (SELECT doc_id, h FROM h
+              WHERE source >= 'src2' OR source < 'src10'),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS b FROM filt
+        UNION ALL
+        SELECT CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4096 AS b FROM filt
+      )
+    ),
+    p AS (
+      SELECT doc_id, h,
+             CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS b1,
+             CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4096 AS b2
+      FROM probe
+    )
+    SELECT doc_id,
+           (b1 IN (SELECT b FROM bits)) AND (b2 IN (SELECT b FROM bits))
+             AS bloom_hit,
+           h IN (SELECT h FROM filt) AS is_dup,
+           ((b1 IN (SELECT b FROM bits)) AND (b2 IN (SELECT b FROM bits)))
+             OR NOT (h IN (SELECT h FROM filt)) AS no_false_negative
+    FROM p
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter — the broadcast-bitset pattern that
+    replaces a full shuffle anti-join at 100 TB: hash the REFERENCE
+    partition's content fingerprints into an m-bit set (m = 4096 here;
+    sized to corpus at scale), broadcast it, and probe every incoming
+    document with k = 2 bit tests. A bloom miss PROVES novelty (no
+    false negatives — pinned per row as a boolean the oracle requires
+    TRUE); hits fall through to the exact check. The filter here is a
+    deterministic md5-derived bitset — identical integer math on both
+    engines (md5 hex → int via conv/0x-cast, CLAUDE.md rule), so the
+    whole query is a FULL differential oracle with no probabilistic
+    tolerance, unlike impl-dependent sketch objects.
+
+    Reference split: sources 'src10'..'src19' (string-range predicate)
+    build the filter; the rest probe. Output per probe doc: bloom_hit,
+    exact is_dup, and the no-false-negative invariant.
+
+    Scale shape: the bitset frame is ≤ m rows (broadcast); both probe
+    joins are broadcast hash joins; the exact is_dup check is a
+    broadcast left-semi on the reference hashes (itself prefiltered by
+    bloom_hit at real scale). The probe side — the 100 TB side — never
+    shuffles.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    is_filt = (F.col("source") < "src2") & (F.col("source") >= "src10")
+    filt = h.filter(is_filt).select("h")
+    probe = h.filter(~is_filt).select("doc_id", "h")
+
+    def bit(col, start):
+        return (
+            F.conv(F.substring(col, start, 8), 16, 10).cast("bigint") % 4096
+        )
+
+    bits = (
+        filt.select(bit(F.col("h"), 1).alias("b"))
+        .unionAll(filt.select(bit(F.col("h"), 9).alias("b")))
+        .distinct()
+    )
+    p = probe.select(
+        "doc_id", "h", bit(F.col("h"), 1).alias("b1"), bit(F.col("h"), 9).alias("b2")
+    )
+    b1s = bits.select(F.col("b").alias("b1"), F.lit(1).alias("__h1"))
+    b2s = bits.select(F.col("b").alias("b2"), F.lit(1).alias("__h2"))
+    dups = filt.select("h", F.lit(1).alias("__d")).distinct()
+    out = (
+        p.join(F.broadcast(b1s), "b1", "left")
+        .join(F.broadcast(b2s), "b2", "left")
+        .join(F.broadcast(dups), "h", "left")
+    )
+    bloom_hit = F.col("__h1").isNotNull() & F.col("__h2").isNotNull()
+    is_dup = F.col("__d").isNotNull()
+    return out.select(
+        "doc_id",
+        bloom_hit.alias("bloom_hit"),
+        is_dup.alias("is_dup"),
+        (bloom_hit | ~is_dup).alias("no_false_negative"),
+    )

@@ -883,3 +883,86 @@ def mix_target_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight"),
         cap.alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-context sequence packing (GPT-style concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_sequences_fixed_context",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_NTOK} AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum
+      FROM t WHERE n > 0
+    ),
+    spans AS (SELECT doc_id, n, CAST(cum - n AS BIGINT) AS s,
+                     CAST(cum AS BIGINT) AS e FROM c),
+    blocks AS (
+      SELECT b AS block_id, doc_id,
+             least(e, (b + 1) * 512) - greatest(s, b * 512) AS toks
+      FROM spans,
+           LATERAL unnest(generate_series(s // 512, (e - 1) // 512)) AS u(b)
+    )
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM blocks GROUP BY block_id
+    """,
+)
+def pack_sequences_fixed_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id
+    order and slice it into fixed 512-token context blocks — the
+    standard "concat then chunk" batch-assembly step of an LLM training
+    pipeline. Emits per block: how many documents it touches and its
+    token count (== 512 everywhere except the tail block) — the
+    packing-efficiency report.
+
+    Determinism: token counts are the exact whitespace twin; block
+    assignment is pure integer math over an exact global prefix sum
+    (inclusive cumsum of int64 token counts in doc_id order), so both
+    engines compute identical block spans.
+
+    Scale shape: the prefix sum is the PARALLEL literal-offset operator
+    (operators/ranking.py with_global_prefix_sum — one range shuffle +
+    vectorized partition cumsums; the oracle's single-sort window is
+    the fixture-scale twin); each doc then fans out to its
+    ceil(n/512)+1 overlapped blocks via sequence+explode (bounded by
+    doc length, never corpus size) and the per-block aggregate is
+    map-side combinable. No joins, no driver collect beyond the ≤P-row
+    offsets.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.token_count("text").alias("n")).filter(
+        F.col("n") > 0
+    )
+    c = with_global_prefix_sum(t, ["doc_id"], "n", rn="__rn", cum="cum")
+    spans = c.select(
+        "doc_id", "n", (F.col("cum") - F.col("n")).alias("s"),
+        F.col("cum").alias("e"),
+    )
+    blocks = spans.select(
+        F.explode(
+            # DIV: exact integer floor-division (a float `/` would lose
+            # exactness once offsets pass 2^53 at real corpus sizes)
+            F.sequence(F.expr("s DIV 512"), F.expr("(e - 1) DIV 512"))
+        ).alias("block_id"),
+        "s",
+        "e",
+    ).select(
+        "block_id",
+        (
+            F.least(F.col("e"), (F.col("block_id") + 1) * 512)
+            - F.greatest(F.col("s"), F.col("block_id") * 512)
+        ).alias("toks"),
+    )
+    return blocks.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )

@@ -650,3 +650,116 @@ def embedding_silhouette_per_label(spark: SparkSession, sf_dir: str) -> DataFram
             9,
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means E-step: nearest-centroid assignment counts (label leakage map)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_centroid_assign_counts",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d2 AS (
+      SELECT ex.vec_id, ex.label, cent.label AS m_label,
+             CAST(SUM(CAST(ROUND((ex.v - cent.c) * (ex.v - cent.c)
+                                  * 1000000000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS units
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label, cent.label
+    ),
+    assigned AS (
+      SELECT vec_id, label,
+             MIN({'d': units, 'l': m_label}) AS nearest
+      FROM d2 GROUP BY vec_id, label
+    )
+    SELECT label, nearest.l AS nearest_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY label, nearest.l
+    """,
+)
+def similarity_centroid_assign_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means E-step over the label centroids: assign every vector to
+    its nearest centroid and report the (true label × nearest centroid)
+    confusion counts — the label-leakage / cluster-quality map next to
+    the silhouette score (an off-diagonal count = vectors closer to
+    another label's centroid than their own).
+
+    Engine-exactness: the same fixed-point contraction as
+    embedding_silhouette_per_label — per-dim squared diffs quantized to
+    1e-12 units with half-away rounding of the identical IEEE double,
+    int64-accumulated, and the argmin runs on the INTEGER units with a
+    (units, label) tuple tie-break (numpy argmin over ascending labels
+    == DuckDB MIN over structs) — no float comparison anywhere.
+
+    Scale shape: one Arrow-batched mapInPandas pass against the
+    broadcast L×d centroid matrix (640 values, documented bound); the
+    only shuffle is the L×L output aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent_rows = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    lidx = {l: i for i, l in enumerate(labels)}
+    dim = 1 + max(r["pos"] for r in cent_rows)
+    cmat = np.zeros((len(labels), dim), dtype=np.float64)
+    for r in cent_rows:
+        cmat[lidx[r["label"]], r["pos"]] = r["c"]
+    larr = np.array(labels, dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            t = v[:, None, :] - cmat[None, :, :]
+            t = t * t * 1e12
+            units = np.floor(t + 0.5).astype(np.int64).sum(axis=2)
+            # first-occurrence argmin over ascending labels == the
+            # (units, label) tuple min
+            nearest = larr[np.argmin(units, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].astype("int64"),
+                    "nearest_label": nearest,
+                }
+            )
+
+    out = e.select("label", "embedding").mapInPandas(
+        assign, "label bigint, nearest_label bigint"
+    )
+    return out.groupBy("label", "nearest_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

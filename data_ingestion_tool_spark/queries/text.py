@@ -1095,3 +1095,43 @@ def text_feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", dim.alias("dim")).agg(
         F.count(F.lit(1)).cast("bigint").alias("weight")
     )
+
+
+@query(
+    "text_token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source, CAST(least(n // 50, 8) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source, bucket
+    """,
+)
+def text_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source in fixed 50-token buckets
+    (capped at bucket 8) — the context-window sizing report every
+    training pipeline reads before choosing sequence length and packing
+    strategy. Pure integer bucket math (DIV, no float log), map-side
+    combinable aggregate over source × 9 buckets."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", TX.token_count("text").alias("n")
+    )
+    return (
+        d.select(
+            "source",
+            F.least(F.expr("n DIV 50"), F.lit(8).cast("bigint")).alias(
+                "bucket"
+            ),
+            "n",
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
