@@ -61,6 +61,12 @@ _SHINGLE_PAIR_ORACLE = """
 def _exact_verified_pairs(
     spark: SparkSession, sf_dir: str, num: int, den: int
 ) -> DataFrame:
+    return _exact_verified_pairs_df(
+        read_table(spark, sf_dir, "documents"), num, den
+    )
+
+
+def _exact_verified_pairs_df(d: DataFrame, num: int, den: int) -> DataFrame:
     """LSH candidates → EXACT distinct-shingle Jaccard ≥ den/num in
     integer cross-multiplication (num·inter ≥ den·union — no float
     boundary). Shingle sets are distinct STRING 3-grams on both
@@ -68,7 +74,6 @@ def _exact_verified_pairs(
     collision surface)."""
     from ..operators.dedup import minhash_near_dup_pairs, shingles
 
-    d = read_table(spark, sf_dir, "documents")
     cands = minhash_near_dup_pairs(d, jaccard_threshold=0.0).select(
         "id_a", "id_b"
     )
@@ -145,17 +150,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_verified_pairs(spark, sf_dir, num=5, den=4)
 
 
-@query("dedup_resolve_clusters")  # rows-only: iterative, not SQL-expressible
+_RESOLVE_CLUSTERS_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 2 * ninter >= sa.sz + sb.sz - ninter
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cid FROM r GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cid
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ),
+    cl AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             MIN(doc_id) AS keeper_id
+      FROM lab GROUP BY cid
+    )
+    SELECT cluster_size,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           MIN(keeper_id) AS min_keeper
+    FROM cl GROUP BY cluster_size
+"""
+
+
+@query("dedup_resolve_clusters", oracle=_RESOLVE_CLUSTERS_ORACLE)
 def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup resolution: minhash near-dup pairs → connected
-    components (iterative hash-min) → one keeper per cluster. The
-    non-SQL-expressible iterative operator class; correctness is
-    unit-tested on known graphs (tests/test_graph.py)."""
-    from ..operators.dedup import minhash_near_dup_pairs
+    """End-to-end dedup resolution: near-dup pairs → connected
+    components (iterative hash-min label propagation) → one keeper per
+    cluster → cluster-size census. PROMOTED to a full differential
+    oracle in round 6: the pair input is now the EXACT-verified
+    minhash pipeline (see dedup_near_minhash — the approximate stage
+    only prunes, so DuckDB replays the identical pair graph via the
+    shingle inverted index) and the iterative operator is checked
+    against an independent recursive-CTE transitive closure, the
+    dedup_clusters_prefix_jaccard pattern. Singletons keep themselves
+    (left join + coalesce on both engines).
+
+    Scale shape: label propagation shuffles only the near-dup PAIR
+    graph (tiny vs corpus), one join + aggregate per round with
+    persist-per-round lineage cuts; the census is |sizes| rows."""
     from ..operators.graph import dedup_clusters
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_near_dup_pairs(d, jaccard_threshold=0.5)
+    pairs = _exact_verified_pairs(spark, sf_dir, num=2, den=1).select(
+        "id_a", "id_b"
+    )
     out = dedup_clusters(pairs, d, "doc_id")
     return out.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -163,23 +235,110 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_training_data_prep")  # rows-only: contains iterative CC
+def _pipeline_prep_oracle() -> str:
+    """Composed DuckDB twin of the END-TO-END pipeline — every stage of
+    the Spark composition replayed: langid argmax (the text_langid
+    oracle), quality gates (integer token fence + the identical float
+    ratio compare of identical doubles), the exact-verified shingle
+    pair graph RESTRICTED to gated docs (the dedup_near_minhash
+    oracle), recursive-CTE cluster closure with min-id keepers, and
+    the per-source census."""
+    from ..operators.text import ENGLISH_STOPWORDS, LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    en = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, l.lang,
+             len(list_filter(t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best AS (
+      SELECT doc_id, MAX({{'h': h, 'l': lang}}) AS b
+      FROM hits GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT f.doc_id, f.source, len(f.t) AS nt, f.t
+      FROM toks f JOIN best ON best.doc_id = f.doc_id
+      WHERE (CASE WHEN best.b.h > 0 THEN best.b.l ELSE 'und' END) = 'en'
+        AND len(f.t) >= 20
+        AND CAST(len(list_filter(f.t, x -> list_contains([{en}], x)))
+                 AS DOUBLE) / greatest(len(f.t), 1) >= 0.05
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id, array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM gated,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 2 * ninter >= sa.sz + sb.sz - ninter
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cid FROM r GROUP BY node),
+    keep AS (
+      SELECT g.doc_id, g.source, g.nt
+      FROM gated g LEFT JOIN comp ON comp.node = g.doc_id
+      WHERE g.doc_id = COALESCE(comp.cid, g.doc_id)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM keep GROUP BY source
+    """
+
+
+@query("pipeline_training_data_prep", oracle=_pipeline_prep_oracle())
 def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data prep — the engine's component operators
     chained the way a 100 TB corpus pipeline runs them:
 
-      language-ID → quality gates → minhash near-dup pairs →
+      language-ID → quality gates → exact-verified near-dup pairs →
       connected-components cluster resolution → keep one doc per
       cluster → per-source corpus stats.
 
-    Every stage is the already-verified operator (text.lang_id,
-    text.quality_features, dedup.minhash_near_dup_pairs,
-    graph.dedup_clusters); this query pins their composition. Scale
-    shape: the gates are codegen'd column filters (prune early, before
-    the expensive signature stage); the CC loop shuffles only the
-    near-dup PAIR list, never the corpus. Rows-only by necessity
-    (iterative CC is not SQL-expressible) — components each carry
-    oracle or accuracy tests."""
+    PROMOTED to a full differential oracle in round 6: with every
+    stage now individually oracle-expressible (langid argmax, integer
+    quality fences, the exact-verified pair graph, recursive-closure
+    clustering), the WHOLE COMPOSITION is replayed in one DuckDB query
+    — the strongest end-to-end check in the suite. The float
+    stopword-ratio gate compares identical doubles (same division,
+    same literal) on both engines.
+
+    Scale shape: the gates are codegen'd column filters (prune early,
+    before the expensive signature stage); the minhash stage only
+    PRUNES candidates (recall verified complete on this corpus — any
+    banding miss fails the hash loudly); the CC loop shuffles only the
+    near-dup PAIR list, never the corpus."""
     from ..operators.graph import dedup_clusters
     from ..operators.text import lang_id, quality_features
 
@@ -193,9 +352,9 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text", "source", "n_tokens")
     )
-    pairs = DD.minhash_near_dup_pairs(
-        gated.select("doc_id", "text"), jaccard_threshold=0.5
-    )
+    pairs = _exact_verified_pairs_df(
+        gated.select("doc_id", "text"), num=2, den=1
+    ).select("id_a", "id_b")
     resolved = dedup_clusters(pairs, gated, "doc_id")
     kept = gated.join(
         resolved.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
