@@ -3376,3 +3376,167 @@ def orders_priority_mix_drift_monthly(spark: SparkSession, sf_dir: str) -> DataF
         F.max("month_n").cast("bigint").alias("n_orders"),
         F.round(F.sum(dev * dev / exp), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand neighborhood Jaccard (item-item co-purchase similarity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_brand_neighborhood_jaccard",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sz AS (SELECT brand, COUNT(*) AS s FROM ob GROUP BY brand),
+    com AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS c
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, CAST(c AS BIGINT) AS n_common_orders,
+           CAST(sa.s + sb.s - c AS BIGINT) AS n_union_orders
+    FROM com JOIN sz sa ON sa.brand = brand_a
+             JOIN sz sb ON sb.brand = brand_b
+    WHERE 20 * c >= sa.s + sb.s - c
+    """,
+)
+def graph_brand_neighborhood_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item co-purchase similarity: Jaccard of two brands' ORDER
+    sets (the collaborative-filtering "customers who bought X also
+    bought Y" primitive), emitted as exact integer (common, union)
+    counts for pairs above a 5% overlap floor — the threshold compares
+    in integer cross-multiplication (20·common ≥ union), never a float
+    share.
+
+    Scale shape: the co-occurrence join keys on the ORDER (inverted
+    index — per-order pair fan-out bounded by order size², never
+    all-brand-pairs over the corpus); sizes and the pair frame are
+    brand-domain-bounded (≤ |brands|² rows) and broadcast onto the
+    aggregate. Same graph grain as graph_triangle_count_brands.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    sz = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+    a, b = ob.alias("a"), ob.alias("b")
+    com = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb"))
+    return (
+        com.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c").cast("bigint").alias("n_common_orders"),
+            (F.col("sa") + F.col("sb") - F.col("c"))
+            .cast("bigint")
+            .alias("n_union_orders"),
+        )
+        .filter(
+            F.lit(20) * F.col("n_common_orders") >= F.col("n_union_orders")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table order-total consistency audit (data quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_order_total_consistency",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))
+               * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                        AS BIGINT))
+             ) AS BIGINT) AS recomputed_u
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 10000 AS stored_u,
+             li.recomputed_u
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN stored_u = recomputed_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           CAST(SUM(CASE WHEN stored_u <> recomputed_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def quality_order_total_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table consistency audit — the referential DQ check every
+    warehouse runs: does each order's stored o_totalprice equal the
+    TPC-H recomputation Σ extendedprice·(1+tax)·(1−discount) over its
+    line items? Both sides evaluate in EXACT integer micro-units
+    (cents × basis-point factors = 1e-6 dollars in int64; per-order
+    sums « 2^53), so equal/unequal can never wobble on float rounding
+    — the audit counts whatever the generator actually produced,
+    identically on both engines.
+
+    Scale shape: one map-side-combinable per-order aggregate of
+    lineitem, one equi-join to orders on its key, one enum-grain
+    rollup. Int64 bound: max per-order recomputed ≈ 7 items × 1e7
+    cents × 1e4 ≈ 7e11 « 2^63.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ep = _cents("l_extendedprice")
+    tax = _cents("l_tax")
+    disc = _cents("l_discount")
+    rec = li.groupBy("l_orderkey").agg(
+        F.sum(ep * (F.lit(100) + tax) * (F.lit(100) - disc))
+        .cast("bigint")
+        .alias("recomputed_u")
+    )
+    j = o.join(rec, o.o_orderkey == rec.l_orderkey).select(
+        "o_orderstatus",
+        (_cents("o_totalprice") * F.lit(10000)).alias("stored_u"),
+        "recomputed_u",
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(F.col("stored_u") == F.col("recomputed_u"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_consistent"),
+        F.sum(
+            F.when(F.col("stored_u") != F.col("recomputed_u"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+    )
