@@ -201,6 +201,22 @@ def minhash_near_dup_pairs(
     jaccard_sim >= threshold.
     """
     feats = hashed_shingles(df, text_col, id_col, shingle_n)
+    return minhash_near_dup_pairs_from_feats(
+        feats, num_hashes, bands, jaccard_threshold, seed
+    )
+
+
+def minhash_near_dup_pairs_from_feats(
+    feats: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`minhash_near_dup_pairs` from a precomputed ``(id, feats:
+    array<long>)`` frame — lets callers that ALSO need the shingle sets
+    (the exact-verify pipelines) compute shingles once and derive the
+    hashed features instead of re-tokenizing the corpus per branch."""
     sig = feats.select(
         "id", minhash_signature_udf(num_hashes, seed)("feats").alias("sig")
     )

@@ -71,15 +71,35 @@ def _exact_verified_pairs_df(d: DataFrame, num: int, den: int) -> DataFrame:
     integer cross-multiplication (num·inter ≥ den·union — no float
     boundary). Shingle sets are distinct STRING 3-grams on both
     engines, so inter/union counts match DuckDB exactly (no hash-
-    collision surface)."""
-    from ..operators.dedup import minhash_near_dup_pairs, shingles
+    collision surface).
 
-    cands = minhash_near_dup_pairs(d, jaccard_threshold=0.0).select(
-        "id_a", "id_b"
+    The shingle arrays are computed ONCE and pinned (lazy
+    localCheckpoint): three consumers read them — the minhash feature
+    derivation (xxhash64 over the same strings) and both sides of the
+    verify join — where the naive composition re-tokenized the corpus
+    per branch. At 100 TB this is the persist-the-preprocessed-
+    features step of any dedup pipeline."""
+    from ..operators.dedup import (
+        _spread,
+        minhash_near_dup_pairs_from_feats,
+        shingles,
     )
-    sh = d.select(
-        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+
+    sh = (
+        _spread(d)
+        .select(
+            F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    feats = sh.select(
+        "id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("feats"),
+    )
+    cands = minhash_near_dup_pairs_from_feats(
+        feats, jaccard_threshold=0.0
+    ).select("id_a", "id_b")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     ninter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
