@@ -1044,3 +1044,101 @@ def ingest_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keysum",
         same.alias("second_run_identical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch incremental view maintenance (partition-delta rollup merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ingest_incremental_rollup_merge",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events GROUP BY day, event_type
+    """,
+)
+def ingest_incremental_rollup_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch incremental view maintenance — the "never rescan history"
+    discipline a 100 TB rollup table lives by: a day-partitioned
+    (day, event_type) rollup is first built from HISTORY (everything
+    before a mid-day cutoff), then a late DELTA arrives (the cutoff
+    day's remainder plus the newest day) and is merged by re-
+    aggregating ONLY the affected day partitions (read-prune existing
+    partitions → union the delta rollup → dynamic partition overwrite
+    of just those days). The cutoff lands mid-day on purpose so one
+    partition must MERGE existing + delta rows, not just append. The
+    oracle is the full recompute over all events — hash-equality
+    proves the incremental path reconstructs it exactly (bigint counts
+    and exact integer cents; no float drift possible).
+
+    Scale shape: history is aggregated once; the merge touches only
+    |affected days| partitions end to end (pruned read, delta
+    aggregate, dynamic overwrite). Driver collects: the 1-row max-day
+    probe and the ≤|affected-days| distinct-day list — documented
+    bounds. The streaming twin is stream_continuous_rollup.
+    """
+    import datetime
+
+    from ..sources.parquet_io import read_events
+
+    out = os.path.join(_scratch("ivm"), "events_rollup")
+    e = read_events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "vc"
+        ),
+        "ts",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vc").cast("bigint").alias("value_cents"),
+        )
+
+    maxd = e.agg(F.max("day")).collect()[0][0]  # 1-row probe
+    cutoff = datetime.datetime.combine(
+        maxd - datetime.timedelta(days=1), datetime.time(12)
+    )
+    hist = e.filter(F.col("ts") < F.lit(cutoff))
+    delta = e.filter(F.col("ts") >= F.lit(cutoff))
+
+    rollup(hist).write.mode("overwrite").partitionBy("day").parquet(out)
+
+    affected = [
+        r["day"] for r in delta.select("day").distinct().collect()
+    ]  # ≤ |delta days| (2 here)
+    existing = (
+        spark.read.parquet(out)
+        .filter(F.col("day").isin(affected))
+        .select(F.col("day").cast("date").alias("day"), "event_type",
+                "n_events", "value_cents")
+    )
+    merged = (
+        existing.unionByName(rollup(delta))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+        )
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    final = spark.read.parquet(out)
+    return final.select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
