@@ -695,3 +695,87 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_dup.alias("is_dup"),
         (bloom_hit | ~is_dup).alias("no_false_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ninter AS BIGINT) AS n_inter,
+           CAST(least(sa.sz, sb.sz) AS BIGINT) AS n_min
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 10 * ninter >= 9 * least(sa.sz, sb.sz)
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 over
+    distinct 3-gram shingles — catches a document quoted or embedded
+    inside a larger one, which symmetric Jaccard under-scores (J of a
+    doc inside one twice its size caps at 0.5). Same LSH-prune →
+    exact-verify pipeline as dedup_near_minhash (candidate recall
+    verified complete at both SFs); the threshold compares in integer
+    cross-multiplication (10·inter ≥ 9·min), and the output carries
+    the exact (inter, min-size) counts the DuckDB inverted-index twin
+    recomputes independently."""
+    from ..operators.dedup import (
+        _spread,
+        minhash_near_dup_pairs_from_feats,
+        shingles,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        _spread(d)
+        .select(
+            F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    feats = sh.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("feats")
+    )
+    cands = minhash_near_dup_pairs_from_feats(
+        feats, jaccard_threshold=0.0
+    ).select("id_a", "id_b")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ninter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    nmin = F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", ninter.alias("n_inter"), nmin.alias("n_min")
+        )
+        .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("n_min"))
+    )

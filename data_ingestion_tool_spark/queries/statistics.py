@@ -3540,3 +3540,103 @@ def quality_order_total_consistency(
         .cast("bigint")
         .alias("n_mismatched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+             a.x AS x1, b.x AS x2
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    r AS (
+      SELECT event_type, slope,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slope, x1, x2
+             ) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+            + MAX(CASE WHEN rn = n // 2 + 1 THEN slope END)) / 2.0
+             AS median_slope
+    FROM r GROUP BY event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series per
+    event type: the MEDIAN of all pairwise slopes — the
+    breakdown-resistant alternative to least-squares (one anomalous
+    day cannot drag the estimate). Slopes are quotients of identical
+    integers (count deltas over epoch-day deltas) so the doubles are
+    bit-equal cross-engine; the median reads VALUES at two ranks of a
+    (slope, x1, x2)-ordered total order — value-determined under ties
+    per the repo quantile rule — and averages them (odd n reads the
+    middle twice).
+
+    Scale shape: the pairwise blowup is DAY-DOMAIN-bounded (days²/2
+    per type, corpus-free — the fact table collapses to |type|×|days|
+    rows map-side first); the ranking window runs on that bounded
+    aggregate, never on raw events."""
+    e = read_events(spark, sf_dir)
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    wn = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) DIV 2"),
+                        F.col("slope"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.expr("n DIV 2 + 1"),
+                        F.col("slope"),
+                    )
+                )
+            )
+            / F.lit(2.0)
+        ).alias("median_slope"),
+    )
