@@ -1347,3 +1347,118 @@ def agg_percent_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFra
             / F.col("total_cents").cast("double")
         ).alias("share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: deterministic-sample revenue estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_aqp_sample_estimate",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR) || '-' ||
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))
+               AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cents) AS BIGINT) AS exact_cents,
+           CAST(10 * SUM(CASE WHEN CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                                   % 10 = 0
+                              THEN cents ELSE 0 END) AS BIGINT) AS est_cents,
+           abs(10 * SUM(CASE WHEN CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                                  % 10 = 0
+                             THEN cents ELSE 0 END) - SUM(cents)) * 20
+             <= SUM(cents) AS within_5pct
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: estimate per-group revenue from a
+    DETERMINISTIC 10% sample (rows whose md5 of the row identity
+    lands in bucket 0 of 10) scaled by the inverse sampling rate — the
+    read-10%-of-100-TB exploration pattern. Unlike engine-RNG samples,
+    the md5 sample is a pure function of row VALUES, so BOTH the
+    estimate and the exact total are bit-exact integers on both
+    engines — the estimate itself is hash-verified, and the 5%
+    relative-error claim rides the output in integer cross-
+    multiplication (|est − exact|·20 ≤ exact). Duplicate rows hash
+    identically (in or out together) — deterministic on multisets.
+
+    Scale shape: one pass, two conditional integer aggregates, map-
+    side combinable; the sample predicate pushes into the scan at real
+    scale (hash of scan columns, no shuffle)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    h = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        )
+    )
+    in_sample = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10 == 0
+    )
+    c = l.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        in_sample.alias("s"),
+    )
+    g = c.groupBy("l_returnflag").agg(
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+        (F.lit(10) * F.sum(F.when(F.col("s"), F.col("cents")).otherwise(0)))
+        .cast("bigint")
+        .alias("est_cents"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_cents",
+        "est_cents",
+        (
+            F.abs(F.col("est_cents") - F.col("exact_cents")) * 20
+            <= F.col("exact_cents")
+        ).alias("within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           COUNT(*) >= 5 AS is_k_anonymous
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a training-data release
+    runs over its quasi-identifiers: every (nation, market-segment)
+    equivalence class with its size k and a k ≥ 5 flag (a class
+    smaller than k re-identifies its members by attribute combination
+    alone). Pure integer counts and an integer threshold — bit-exact
+    cross-engine.
+
+    Scale shape: one map-side-combinable groupBy on the QI columns;
+    the class domain (nations × segments) is bounded, so the result
+    frame is tiny at any corpus size. Composes with text_pii_scrub
+    (content-level PII) as the structural-privacy sibling."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.count(F.lit(1)) >= 5).alias("is_k_anonymous"),
+    )
