@@ -3640,3 +3640,64 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
         ).alias("median_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-crossing detection over ordered series (alerting primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_threshold_crossings",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS nvc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN vc < 10000 AND nvc >= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_up_crossings,
+           CAST(SUM(CASE WHEN vc >= 10000 AND nvc < 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_down_crossings
+    FROM x WHERE nvc IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing detection per event type — the alerting
+    primitive (how often does the value series cross the 100.00 alarm
+    level, in each direction?). A crossing is a property of ADJACENT
+    elements in the (ts, event_id) total order, so it rides
+    :func:`operators.ranking.with_grouped_lead` — one range shuffle +
+    local vectorized shifts with a ≤P-row boundary handoff, no
+    per-type single-task sort, no self-join. Counts are exact integer
+    comparisons of exact cents.
+
+    Scale shape: the lead is computed partition-locally after one
+    range shuffle (the with_grouped_lead boundary pattern); the final
+    aggregate is |type| rows, map-side combinable.
+    """
+    from ..operators.ranking import with_grouped_lead
+
+    e = read_events(spark, sf_dir)
+    base = e.select(
+        "event_type", _cents("value").alias("vc"), "ts", "event_id"
+    )
+    led = with_grouped_lead(
+        base, ["event_type"], ["ts", "event_id"], {"vc": "nvc"}
+    )
+    x = led.where(F.col("nvc").isNotNull())
+    t = F.lit(10000)
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("vc") < t) & (F.col("nvc") >= t), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up_crossings"),
+        F.sum(F.when((F.col("vc") >= t) & (F.col("nvc") < t), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down_crossings"),
+    )
