@@ -2766,3 +2766,128 @@ def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("open_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Availability SLA: 5-minute window coverage per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_uptime_sla_5min",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 300 AS bucket
+      FROM events
+    ),
+    act AS (
+      SELECT event_type, CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_active
+      FROM b GROUP BY event_type
+    ),
+    span AS (
+      SELECT CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS n_total
+      FROM b
+    )
+    SELECT event_type, n_active, n_total,
+           100 * n_active >= 95 * n_total AS meets_95pct_sla
+    FROM act, span
+    """,
+)
+def events_uptime_sla_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability SLA per event type: of all 5-minute windows in the
+    global observation span, how many saw at least one event of the
+    type — the heartbeat/uptime check a pipeline health monitor runs.
+    Buckets are exact integer epoch-seconds DIV 300 (CAST through
+    BIGINT before the floor-divide — the CLAUDE.md epoch rule); the
+    95% SLA flag compares in integer cross-multiplication.
+
+    Scale shape: the fact table collapses to (type, bucket) distinct
+    map-side; the span is a 1-row broadcast scalar joined onto the
+    |type|-row aggregate."""
+    e = read_events(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("bigint") / 300)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    act = b.groupBy("event_type").agg(
+        F.countDistinct("bucket").cast("bigint").alias("n_active")
+    )
+    span = b.agg(
+        (F.max("bucket") - F.min("bucket") + 1)
+        .cast("bigint")
+        .alias("n_total")
+    )
+    return act.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n_active",
+        "n_total",
+        (
+            F.lit(100) * F.col("n_active") >= F.lit(95) * F.col("n_total")
+        ).alias("meets_95pct_sla"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl–Hirschman index of customer revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_concentration_hhi_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) // 100 AS BIGINT) AS rev_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_d) AS BIGINT) AS total_rev_d,
+           CAST(SUM(rev_d * rev_d) AS DOUBLE)
+             / (CAST(SUM(rev_d) AS DOUBLE) * CAST(SUM(rev_d) AS DOUBLE))
+             AS hhi
+    FROM cr GROUP BY c_nationkey
+    """,
+)
+def orders_concentration_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of customer revenue within
+    each nation — the antitrust/market-structure metric (HHI → 1 means
+    one customer dominates; 1/n means perfect equality), sibling of
+    the Pareto/Gini keys. Revenue quantizes to whole dollars (cents
+    DIV 100, exact integer floor) so Σrev² stays in int64 (~1e15 at
+    sf0.1; int64-safe to ~sf3 — the metric is defined on floor-dollar
+    revenue); the HHI is then identical float ops over identical
+    int64s on both engines — no decimal→double cast wobble, no ROUND.
+
+    Scale shape: two map-side-combinable aggregates (customer grain,
+    then nation grain); nothing wider than the customer domain ever
+    shuffles."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cr = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("rev_d"))
+    )
+    return cr.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_d").cast("bigint").alias("total_rev_d"),
+        (
+            F.sum(F.col("rev_d") * F.col("rev_d")).cast("double")
+            / (
+                F.sum("rev_d").cast("double")
+                * F.sum("rev_d").cast("double")
+            )
+        ).alias("hhi"),
+    )

@@ -1135,3 +1135,100 @@ def text_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_bigram_conditional_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT source, t[i] AS x, t[i+1] AS y
+      FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cxy AS (
+      SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM big GROUP BY source, x, y
+    ),
+    cx AS (
+      SELECT source, x, CAST(SUM(cxy) AS BIGINT) AS cx
+      FROM cxy GROUP BY source, x
+    ),
+    terms AS (
+      SELECT cxy.source,
+             cxy.cxy * CAST(ln(CAST(cx.cx AS DOUBLE) / CAST(cxy.cxy AS DOUBLE))
+                            AS DECIMAL(18,9)) AS term,
+             cxy.cxy AS n
+      FROM cxy JOIN cx ON cx.source = cxy.source AND cx.x = cxy.x
+    )
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(term) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+             AS cond_entropy_nats
+    FROM terms GROUP BY source
+    """,
+)
+def text_bigram_conditional_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram conditional entropy H(next | current) per source, in nats
+    — the n-gram language-model predictability metric (low entropy =
+    repetitive/templated text; a corpus-quality signal next to the
+    repetition ratio). H = Σ (c_xy/N)·ln(c_x/c_xy) with c_x the
+    bigram-start marginal. Each term is an identical double (a log of
+    a quotient of identical bigints) QUANTIZED to DECIMAL(18,9) before
+    the integer-weighted decimal sum — the text_unigram_logprob
+    discipline — so the accumulation is order-independent. The mean is
+    emitted UNROUNDED: the decimal sum's 1e-9 granularity makes
+    sum/n sit exactly on ROUND boundaries for a third of the sources
+    (engines' ROUND disagrees there — the CLAUDE.md rule, observed as
+    systematic 1e-9 hash diffs); the raw division of identical exact
+    values is already bit-deterministic.
+
+    Scale shape: bigrams pair array-side (zip_with over two slices,
+    the text_bigram_freq pattern — no per-doc window); the (source, x,
+    y) and (source, x) counts are map-side-combinable aggregates; the
+    marginal joins back on the aggregated bigram-type grain (vocab²
+    bounded), never the raw corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    big = d.select("source", F.explode(bigrams).alias("b")).select(
+        "source", F.col("b.x").alias("x"), F.col("b.y").alias("y")
+    )
+    cxy = big.groupBy("source", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    cx = cxy.groupBy("source", "x").agg(
+        F.sum("cxy").cast("bigint").alias("cx")
+    )
+    terms = cxy.join(cx, ["source", "x"]).select(
+        "source",
+        (
+            # cxy must shrink to decimal(10,0) before the multiply: a
+            # raw bigint widens to decimal(20,0) and 20+18+1 > 38 makes
+            # Spark REDUCE THE SCALE to fit (silent 9→8 digit loss,
+            # observed as ~1e-7 sum drift vs DuckDB); decimal(10,0)
+            # keeps the product exact at (29,9)
+            F.col("cxy").cast("decimal(10,0)")
+            * F.log(
+                F.col("cx").cast("double") / F.col("cxy").cast("double")
+            ).cast("decimal(18,9)")
+        ).alias("term"),
+        F.col("cxy").alias("n"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum("term").cast("double") / F.sum("n").cast("bigint")
+        ).alias("cond_entropy_nats"),
+    )
