@@ -1232,3 +1232,87 @@ def text_bigram_conditional_entropy(
             F.sum("term").cast("double") / F.sum("n").cast("bigint")
         ).alias("cond_entropy_nats"),
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    cst AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ),
+    ct AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term
+    ),
+    nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst),
+    grid AS (
+      SELECT ns.source, ns.n_s, ct.term, ct.c_t,
+             COALESCE(cst.c_st, 0) AS c_st
+      FROM ns CROSS JOIN ct
+      LEFT JOIN cst ON cst.source = ns.source AND cst.term = ct.term
+    ),
+    terms AS (
+      SELECT source,
+             CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+             CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE) AS q
+      FROM grid CROSS JOIN nn n
+    )
+    SELECT source,
+           ROUND(SUM(
+             0.5 * (CASE WHEN p > 0
+                         THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+             + 0.5 * q * ln(2.0 * q / (p + q))
+           ), 6) AS jsd_from_corpus
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the corpus — the SYMMETRIC, bounded (≤ ln 2) sibling of
+    text_kl_source_vs_corpus (KL explodes on source-only terms; JSD's
+    mixture denominator keeps every term finite, so it ranks source
+    drift even with disjoint vocab tails). Identical float expression
+    over identical integer count ratios on both engines, ROUND 6 (the
+    KL key's discipline — composed-float rule).
+
+    Scale shape: the per-source × corpus-vocab grid is |sources| ×
+    |vocab| rows (domain-bounded, never corpus-grain); counts partial-
+    aggregate map-side; the corpus total rides a 1-row broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    cst = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    nn = cst.agg(F.sum("c_st").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(ct)
+        .join(cst, ["source", "term"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_t",
+            F.coalesce("c_st", F.lit(0)).alias("c_st"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n").cast("double")
+    term = F.lit(0.5) * F.when(
+        p > 0, p * F.log(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    return grid.select("source", term.alias("t")).groupBy("source").agg(
+        F.round(F.sum("t"), 6).alias("jsd_from_corpus")
+    )
