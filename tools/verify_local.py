@@ -61,6 +61,11 @@ _MAG_EXTRA = {
     "text_zipf_rank_slope",
     "text_unigram_logprob",
     "text_kl_source_vs_corpus",
+    "text_js_divergence_sources",
+    "text_bigram_conditional_entropy",
+    "embedding_silhouette_per_label",
+    "similarity_centroid_assign_counts",
+    "orders_concentration_hhi_by_nation",
 }
 
 
