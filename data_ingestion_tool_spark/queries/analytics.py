@@ -2891,3 +2891,135 @@ def orders_concentration_hhi_by_nation(
             )
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRE latency percentiles (p50/p95/p99) via value-grain histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_percentiles_p50_p95_p99",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN 100 * cum >= 50 * n THEN cents END) AS p50_cents,
+           MIN(CASE WHEN 100 * cum >= 95 * n THEN cents END) AS p95_cents,
+           MIN(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_value_percentiles_p50_p95_p99(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SRE percentile dashboard: p50/p95/p99 of the value series
+    per event type as type-1 (lower) quantiles — the smallest value
+    whose cumulative count reaches ⌈q·n⌉, chosen with integer
+    cross-multiplication (100·cum ≥ q·n — no float rank boundary).
+
+    Scale shape: the quality_multi_column_iqr technique — the fact
+    table collapses to the VALUE GRAIN map-side (distinct cents per
+    type), the cumulative window sorts only that bounded histogram
+    (never raw events), and the percentile picks are conditional
+    aggregates over it. The window partitions by type over the
+    aggregated grain, so no single-task data funnel exists at any
+    corpus size."""
+    e = read_events(spark, sf_dir)
+    c = e.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(q: int):
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(q) * F.col("n"),
+                F.col("cents"),
+            )
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(50).alias("p50_cents"),
+        pick(95).alias("p95_cents"),
+        pick(99).alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay distribution by order priority (ops histogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_ship_delay_histogram_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(greatest(least(DATEDIFF('day', o.o_orderdate,
+                                        l.l_shipdate) // 15, 8), -8)
+                AS BIGINT) AS delay_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate)
+                              > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority, delay_bucket
+    """,
+)
+def orders_ship_delay_histogram_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: days from
+    order date to each line item's ship date, in 15-day buckets
+    clamped to [-8, 8] (the synthetic ship dates range years either
+    side of the order date), with the over-90-day escalation count —
+    the logistics SLA report under TPC-H Q12's aggregate. Pure integer
+    date arithmetic; Spark's DIV and DuckDB's // agree on negative
+    operands (both floor — hash-proven over thousands of negative
+    deltas), and the clamp keeps the output an enum domain.
+
+    Scale shape: one equi-join on the order key (both sides pruned to
+    three columns) feeding a map-side-combinable aggregate over the
+    priority x 9-bucket enum domain."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    j = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    return j.groupBy(
+        "o_orderpriority",
+        F.greatest(F.least(F.expr("delay DIV 15"), F.lit(8)), F.lit(-8))
+        .cast("bigint")
+        .alias("delay_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("delay") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_90d"),
+    )
