@@ -125,11 +125,24 @@ def main() -> None:
     # and hide a real >2x regression on rerun (round-5 ADVICE).
     here = Path(__file__).resolve().parent
     prev_path = here / "tools" / "bench_prior.json"
-    if not prev_path.exists():
-        prev_path = here / "BENCH.json"
     normalized: dict[str, float] = {}
     regressions: dict[str, float] = {}
+    if not prev_path.exists():
+        # Round-7 ADVICE: falling back to the live BENCH.json here is
+        # the exact self-compare hazard the frozen snapshot removes —
+        # a second bench run in the same round would compare against
+        # its own numbers and hide a >2x regression. Skip the gate
+        # LOUDLY instead; run tools/round_start.py first.
+        print(
+            "bench: WARNING no tools/bench_prior.json — regression gate "
+            "SKIPPED (no prior reference; run tools/round_start.py at "
+            "round start)",
+            file=sys.stderr,
+        )
+        prev_path = None
     try:
+        if prev_path is None:
+            raise FileNotFoundError("bench_prior.json missing")
         prev = json.loads(prev_path.read_text())
         prev_q = prev.get("queries", {})
         prev_sentinel = float(prev.get("sentinel_sec") or 0)

@@ -28,6 +28,7 @@ timestamp).
 """
 
 from __future__ import annotations
+from ..plans.pin import pin
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -175,9 +176,7 @@ def _asof_nearest(
     # id'd frame once in the block manager (ContextCleaner-collected)
     # and every branch reads the SAME physical rows — cf. the identical
     # pin in operators/ranking.py.
-    lid = left.withColumn("__lid", F.monotonically_increasing_id()).localCheckpoint(
-        eager=False
-    )
+    lid = left.withColumn("__lid", F.monotonically_increasing_id()).transform(pin)
     # Arbitrate by the matched right timestamp; reuse the caller's own
     # payload alias when right_ts is already carried (adding a second
     # entry under the same source column would clobber theirs).

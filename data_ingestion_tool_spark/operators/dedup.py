@@ -132,13 +132,15 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
     return sig
 
 
-def simhash_bits_udf():
+def simhash_bits_udf(nbits: int = 64):
     """Vectorized SimHash: per bit position, sign of sum of +/-1
-    contributions across feature hashes; returns array<long> of 64 bits."""
+    contributions across feature hashes; returns array<long> of
+    ``nbits`` bits (64 for the xxhash64 production path, 60 for the
+    md5-prefix cross-engine oracle path)."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def bits_fn(feats_s: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(nbits, dtype=np.uint64)
         out = []
         for f in feats_s:
             h = np.asarray(f, dtype=np.uint64)
@@ -290,10 +292,12 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
-    scheme: str = "chunks",
+    scheme: str = "chunk_pairs",
     allow_recall_loss: bool = False,
+    hash_expr=None,
+    nbits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint, pigeonhole-bucketed
+    """SimHash near-dup: ``nbits``-bit fingerprint, pigeonhole-bucketed
     self-join, exact hamming verify within candidates.
 
     ``max_hamming`` beyond the scheme's pigeonhole guarantee (chunks:
@@ -306,24 +310,52 @@ def simhash_near_dup_pairs(
     exact hamming bound either way); they differ only in chance-
     collision candidate volume:
 
-    - ``chunks`` (default): four 16-bit chunks — hamming<=3 leaves >=1
+    - ``chunks``: four nbits/4-bit chunks — hamming<=3 leaves >=1
       chunk intact. Chance candidates ~ 4·n²/2^16: fine to ~10^5 docs
-      (the soak table in PLANS.md measures it).
-    - ``chunk_pairs``: six ~11-bit chunks, bucket on every PAIR of
+      (the soak table in PLANS.md measures it) but QUADRATIC beyond —
+      kept only for the candidate-volume comparison studies.
+    - ``chunk_pairs`` (default since round 7, the measured 100 TB
+      choice): six ~nbits/6-bit chunks, bucket on every PAIR of
       chunks (C(6,2)=15 keys/doc) — hamming<=3 leaves >=3 chunks
       intact, hence >=3 intact pairs, so recall stays exact while a
       chance collision now needs ~21-22 matching bits instead of 16:
       ~15·n²/2^21.3, an order of magnitude fewer false candidates for
-      ~4x more (tiny) bucket rows. The 100 TB default.
-    """
-    feats = hashed_shingles(df, text_col, id_col, shingle_n)
-    bits = feats.select("id", simhash_bits_udf()("feats").alias("bits"))
+      ~4x more (tiny) bucket rows (PLANS.md soak: 527k vs 60k
+      candidates at 125k docs).
+
+    ``hash_expr`` (shingle-string Column -> int64 Column) defaults to
+    ``F.xxhash64`` (production: full 64-bit ring, JVM-native). The
+    oracle-backed ``dedup_simhash`` query passes an md5-prefix hash +
+    ``nbits=60`` instead — the only per-shingle hash both Spark and
+    DuckDB compute bit-identically — so the driver's differential
+    oracle exercises THIS exact pipeline end-to-end."""
+    if hash_expr is None:
+        feats = hashed_shingles(df, text_col, id_col, shingle_n)
+    else:
+        feats = (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.transform(
+                    shingles(F.col(text_col), shingle_n),
+                    lambda s: hash_expr(s),
+                ).alias("feats"),
+            )
+            .filter(F.size("feats") > 0)
+        )
+    bits = feats.select(
+        "id", simhash_bits_udf(nbits)("feats").alias("bits")
+    )
 
     if scheme == "chunks":
-        bounds = [(i * 16, 16) for i in range(4)]  # (start, width)
+        w4, r4 = divmod(nbits, 4)
+        widths = [w4 + 1] * r4 + [w4] * (4 - r4)
+        starts = [sum(widths[:i]) for i in range(4)]
+        bounds = list(zip(starts, widths))
         guaranteed = 3  # 4 chunks: hamming<=3 leaves >=1 chunk intact
     elif scheme == "chunk_pairs":
-        widths = [11, 11, 11, 11, 10, 10]
+        w6, r6 = divmod(nbits, 6)
+        widths = [w6 + 1] * r6 + [w6] * (6 - r6)
         starts = [sum(widths[:i]) for i in range(6)]
         bounds = list(zip(starts, widths))
         guaranteed = 4  # 6 chunks: hamming<=4 leaves >=2 intact => >=1 pair

@@ -21,6 +21,7 @@ grows superlinearly).
 """
 
 from __future__ import annotations
+from ..plans.pin import pin
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,7 +73,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)  # cut lineage each round
+            .transform(pin, eager=True)  # cut lineage each round
         )
         changed = (
             new_labels.alias("n")
@@ -149,7 +150,7 @@ def hierarchy_closure(
             "dist"
         ),
         F.col(parent_col).isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     for _ in range(max_iter):
         pending = state.filter(~F.col("done")).limit(1).count()
         if pending == 0:
@@ -174,7 +175,7 @@ def hierarchy_closure(
                 .otherwise(F.col("t_done"))
                 .alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
     else:
         # The loop checks convergence at the TOP of each round, so a

@@ -41,6 +41,7 @@ this operator exists for the engine's own analytics surface.
 """
 
 from __future__ import annotations
+from ..plans.pin import pin
 
 from collections.abc import Iterable, Iterator
 
@@ -136,7 +137,9 @@ def _ranged(
     df: DataFrame, order_cols: Iterable[Column | str], num_partitions: int | None
 ) -> tuple[DataFrame, int]:
     """Range-partition and PIN the partitioning with a lazy
-    localCheckpoint.
+    :func:`..plans.pin.pin` (localCheckpoint locally; reliable
+    checkpoint when a cluster checkpoint dir is configured — round-7
+    executor-loss robustness).
 
     The pin is load-bearing, not an optimization: the offsets branch
     and the data branch prune different columns, so without it Catalyst
@@ -153,7 +156,7 @@ def _ranged(
     """
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
-    parted = df.repartitionByRange(p, *_cols(order_cols)).localCheckpoint(eager=False)
+    parted = df.repartitionByRange(p, *_cols(order_cols)).transform(pin)
     return parted, p
 
 
@@ -492,9 +495,7 @@ def with_grouped_global_row_number(
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
     gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
     _validate_group_cols(df, gnames)
-    parted = df.repartitionByRange(p, *_cols(all_cols)).localCheckpoint(
-        eager=False
-    )
+    parted = df.repartitionByRange(p, *_cols(all_cols)).transform(pin)
 
     crows = (
         parted.select(F.spark_partition_id().alias("pid"), *gnames)
@@ -600,7 +601,7 @@ def with_grouped_lead(
     parted = (
         df.repartitionByRange(p, *_cols(all_cols))
         .sortWithinPartitions(*_cols(all_cols))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     local = parted.withColumn("__pid", F.spark_partition_id())
 
@@ -755,6 +756,22 @@ def grouped_adjacent_pair_moments(
     import numpy as np
     import pandas as pd
 
+    # Round-7 ADVICE: this operator renders the group key via str() in
+    # the Arrow pass and emits `g string` — a non-string key would
+    # silently change output type, and a NULL key would become the
+    # literal 'None' (colliding with a real 'None' group and pairing
+    # rows across NULL groups). Enforce the sibling grouped-ranking
+    # contract up front instead: string-typed, validated non-null
+    # inside the partition pass below.
+    gtype = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(
+        group_col
+    )
+    if gtype != "string":
+        raise ValueError(
+            f"grouped_adjacent_pair_moments requires a string group key "
+            f"(got {group_col!r}: {gtype!r}); cast or format the key first"
+        )
+
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
     order_cols = list(order_cols)
@@ -790,10 +807,30 @@ def grouped_adjacent_pair_moments(
             a[3] += int((x * y).sum())
             a[4] += int((x * x).sum())
             a[5] += int((y * y).sum())
+            # Round-7 ADVICE: the per-call bound above limits ONE
+            # batch's increment, but partials accumulate across many
+            # Arrow batches — without this check the overflow would
+            # surface later as a confusing np.array(dtype='int64')
+            # OverflowError instead of the actionable message. Each
+            # increment is < 2^62, so capping totals at 2^62 after
+            # every add keeps the next add below 2^63.
+            if max(abs(a[1]), abs(a[2]), a[3] if a[3] > 0 else -a[3],
+                   a[4], a[5]) >= 2**62:
+                raise OverflowError(
+                    "pair-moment partial would exceed int64; raise "
+                    "shuffle partitions to shrink partitions"
+                )
 
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf["__g"].isna().any():
+                raise ValueError(
+                    "grouped_adjacent_pair_moments: NULL group key — "
+                    "str(None) would collide with a literal 'None' group "
+                    "and pair rows across NULL groups; pre-filter or "
+                    "null-safe encode the key"
+                )
             t = pdf["__g"].to_numpy()
             v = pdf["__v"].to_numpy(dtype=np.int64)
             if pid is None:
@@ -864,7 +901,7 @@ def grouped_adjacent_pair_moments(
 
     slim = base.mapInPandas(pair_partials, out_schema)
     if pin:
-        slim = slim.localCheckpoint(eager=False)
+        slim = slim.transform(pin)
 
     partials = slim.where(F.col("kind") == 0).select(
         "g", "n", "sx", "sy", "sxy", "sxx", "syy"

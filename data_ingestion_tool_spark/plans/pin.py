@@ -1,0 +1,57 @@
+"""Cluster-safe frame pinning (round-7 verdict item 3).
+
+Several multi-consumer pipelines materialize a preprocessed frame once
+and read it from 2-3 branches (the dedup shingle pass, the grouped
+range-shuffle ranking partials, curated-survivor sets). Locally the
+cheapest pin is ``localCheckpoint``: blocks live on executors WITHOUT
+lineage. On a real cluster that is a robustness hazard — an executor
+lost mid-query takes its lineage-free blocks with it and FAILS the job
+instead of recomputing (the round-6 verdict's one robustness flag).
+
+:func:`pin` keeps the local fast path but switches to a RELIABLE
+``DataFrame.checkpoint`` — blocks in fault-tolerant storage (HDFS/S3),
+survives executor loss — whenever the production signal is present:
+
+- ``spark.sparkContext.setCheckpointDir(...)`` has been called (the
+  standard cluster-deploy step), or
+- session conf ``spark.graft.pin.mode`` is set to ``reliable``.
+
+``spark.graft.pin.mode`` values: ``auto`` (default — reliable iff a
+checkpoint dir is configured), ``reliable`` (force; raises if no
+checkpoint dir), ``local`` (force localCheckpoint, the pre-round-7
+behavior). Both kinds preserve the materialized partitioning, which is
+what the pin-dependent operators (ranking two-pass, adjacent-pair
+stitch) actually rely on.
+
+At 100 TB the reliable path IS the classic stage-the-preprocessed-
+features step: one durable write, N branch reads, no recompute storm
+on failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+PIN_MODE_CONF = "spark.graft.pin.mode"
+
+
+def pin(df: DataFrame, eager: bool = False, mode: str | None = None) -> DataFrame:
+    """Materialize ``df`` once for multi-branch reuse (see module doc).
+
+    ``eager=False`` defers materialization to the first action — the
+    usual choice when the first consumer's job should pay for it.
+    """
+    spark = df.sparkSession
+    m = mode or spark.conf.get(PIN_MODE_CONF, "auto")
+    if m not in ("auto", "reliable", "local"):
+        raise ValueError(f"unknown {PIN_MODE_CONF}: {m!r}")
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if m == "reliable" and not has_dir:
+        raise ValueError(
+            "spark.graft.pin.mode=reliable requires "
+            "sparkContext.setCheckpointDir(...) — reliable checkpoints "
+            "need fault-tolerant storage"
+        )
+    if m == "reliable" or (m == "auto" and has_dir):
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
