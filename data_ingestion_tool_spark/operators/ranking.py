@@ -711,7 +711,7 @@ def grouped_adjacent_pair_moments(
     value_col: str,
     *,
     num_partitions: int | None = None,
-    pin: bool = True,
+    pin_frame: bool = True,
 ) -> DataFrame:
     """EXACT integer moments over per-group lag-1 pairs (x_i, x_{i+1})
     of an int64 ``value_col`` under the (group, order) total order —
@@ -741,12 +741,12 @@ def grouped_adjacent_pair_moments(
        guarded by an explicit worst-case bound check (numpy int64
        overflow is silent, so the guard is load-bearing).
 
-    ``pin=True`` (default, required for correctness under lazy
+    ``pin_frame=True`` (default, required for correctness under lazy
     re-execution) localCheckpoints the O(P·G) partials frame so the
     partial-combine branch and the edge-stitch branch read the SAME
     materialized partitioning — without it the two branches could
     re-sample different range bounds and their intra/boundary splits
-    would not compose. ``pin=False`` exists ONLY for plan inspection
+    would not compose. ``pin_frame=False`` exists ONLY for plan inspection
     in tests (tests/test_plans.py reads the pre-pin plan shape).
 
     Returns one row per group: (group, n, sx, sy, sxy, sxx, syy) with
@@ -900,7 +900,7 @@ def grouped_adjacent_pair_moments(
         yield edge
 
     slim = base.mapInPandas(pair_partials, out_schema)
-    if pin:
+    if pin_frame:
         slim = slim.transform(pin)
 
     partials = slim.where(F.col("kind") == 0).select(

@@ -23,5 +23,3004 @@ from ..operators.ranking import (
     with_global_row_number,
 )
 from ..sources.parquet_io import read_events, read_table
-from .registry import query
 from ..plans.pin import pin
+from .registry import query
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS day_max
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(
+               CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+               CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    grid AS (
+      SELECT u.user_id, days.day
+      FROM (SELECT DISTINCT user_id FROM events) u, days
+    )
+    SELECT grid.user_id, grid.day,
+           last_value(daily.day_max IGNORE NULLS) OVER (
+             PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid LEFT JOIN daily
+      ON grid.user_id = daily.user_id AND grid.day = daily.day
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular time series: one row per (user, day) over
+    the observed span, daily max value, gaps filled by carrying the last
+    observation forward (LOCF — days before a user's first observation
+    stay NULL).
+
+    Scale shape: the grid is users × days (generated, never shuffled
+    from the fact side — the 1-row span broadcasts onto the distinct
+    users); the LOCF window shuffles once on user_id, the same key as
+    the daily pre-aggregate, and the daily MAX collapses the fact table
+    BEFORE any join, so the big side moves exactly once. Daily MAX (not
+    "last value that day") keeps the fill deterministic without a
+    per-day tie-break."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.max("value").alias("day_max"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT s.user_id, s.signup_ts, MIN(p.ts) AS first_purchase_ts
+    FROM s JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+     AND p.ts >= s.signup_ts AND p.ts < s.signup_ts + INTERVAL 7 DAY
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step: users whose first signup converts to a purchase
+    within 7 days, with the conversion timestamp.
+
+    Scale shape: stage one collapses the fact table to one row per
+    signup user BEFORE the join (MIN pre-aggregate); the purchase side
+    is filtered by event_type at the scan. The equi-join shuffles on
+    user_id only — the time predicate rides along as a join residual,
+    never a range-join explosion — and the final MIN re-uses the same
+    user_id partitioning. MIN over timestamps is exact, so no rounding
+    is needed anywhere."""
+    ev = read_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(DATEDIFF('day', f.cohort_day, a.act_day) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN firstd f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    as active per whole-week offset from their cohort day — the
+    day-arithmetic form (``datediff // 7``) so no engine-specific
+    week-truncation semantics leak into the result.
+
+    Scale shape: both stages pre-aggregate on user_id (first day, then
+    distinct activity days) before the cohort join, so the join moves
+    one row per user-day, not per event; the final count-distinct is
+    over a (cohort_day, week_offset, user_id)-deduped frame whose
+    cardinality is bounded by users × span-weeks."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("act_day")
+    )
+    firstd = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(firstd, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(F.datediff("act_day", "cohort_day") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "heavy_hitters_brand",
+    oracle="""
+    SELECT p_brand AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) * 1000 >= 41 * (SELECT COUNT(*) FROM part
+                                    WHERE p_brand IS NOT NULL)
+    """,
+)
+def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (share >= 4.1%) over part brands via the
+    two-phase Misra-Gries operator — per-partition bounded-memory
+    candidates, then exact verification of candidates only (the full
+    column never shuffles; see operators/frequency.py). The oracle is
+    the brute-force GROUP BY ... HAVING with the same integer-math
+    threshold, proving the candidate phase loses no recall."""
+    from ..operators.frequency import frequent_items
+
+    p = read_table(spark, sf_dir, "part")
+    return frequent_items(p, "p_brand", min_share=0.041)
+
+
+@query(
+    "agg_sketch_mergeable_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events
+    """,
+)
+def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Datasketches HLL): build one
+    user_id sketch PER DAY, then union-merge the 30 daily sketches into
+    the span-level distinct estimate — no rescan of the events.
+
+    This is the 100 TB incremental pattern: a daily ingest job
+    materializes fixed-width sketches alongside its partition, and any
+    date-range distinct-users question becomes a merge over sketches
+    (bytes per day) instead of a count-distinct shuffle over raw events.
+
+    Promoted from rows-only to a DuckDB-hash oracle (round-4 verdict
+    item 6): the engine-specific estimate itself cannot hash-match, so
+    the output carries (a) the exact day count, (b) the exact distinct
+    user count (the verification twin the sketch replaces at scale),
+    and (c) the accuracy bound AS A VALUE — est_within_5pct compares
+    in integer math (|est − exact| · 20 ≤ exact, no float boundary
+    wobble) and the oracle asserts TRUE. A sketch regression now breaks
+    the driver hash instead of only the unit test; the <5% pin also
+    stays in tests/test_frequency.py."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    sketch = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return sketch.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+@query(
+    "join_asof_next_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT MIN(c.ts) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts >= e.ts) AS next_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every error event, the EARLIEST click by
+    the same user at or after it — pandas merge_asof(direction=
+    "forward") semantics, which DuckDB's (backward-only) ASOF JOIN
+    cannot express, so the oracle is a correlated MIN subquery.
+
+    Same one-shuffle union + ordered-window plan as the backward as-of
+    (operators/asof.py) scanned the other way; the payload is the
+    matched timestamp itself, which is tie-insensitive."""
+    from ..operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "next_click_ts"},
+        direction="forward",
+    )
+
+
+@query(
+    "events_error_click_proximity",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           CAST((SELECT COUNT(*) FROM events c
+                  WHERE c.event_type = 'click'
+                    AND c.ts >= e.ts - INTERVAL 15 MINUTE
+                    AND c.ts <= e.ts + INTERVAL 15 MINUTE) AS BIGINT)
+             AS n_near_clicks
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def events_error_click_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, how many clicks (any user) happened within
+    +-15 minutes — a pure time-range join with NO equi-key, which would
+    plan as a nested loop over every (error, click) pair. The bucketed
+    interval join (operators/intervals.py) restores an equi-key from
+    30-minute time buckets: each +-15min window touches <=2 buckets, so
+    the plan is an ordinary hash join whose degree is clicks-per-half-
+    hour (time locality), not corpus size. LEFT keeps zero-click errors.
+    """
+    from ..operators.intervals import bucketed_interval_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    j = bucketed_interval_join(
+        errors,
+        clicks,
+        start="w_start",
+        end="w_end",
+        point_ts="click_ts",
+        bucket_width_s=1800,
+        how="left",
+    )
+    return j.groupBy("error_id").agg(
+        F.count("click_ts").cast("bigint").alias("n_near_clicks")
+    )
+
+
+@query(
+    "text_entropy_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+    e AS (SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS slc
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(ln(n) - slc / n, 6) AS token_entropy
+    FROM e
+    """,
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) —
+    the repetition/diversity quality signal LLM corpus filters use
+    (low entropy = boilerplate/spam; H = ln(n) - sum(c*ln(c))/n over
+    per-token counts c).
+
+    Scale shape: explode → (doc, token) count → per-doc aggregate, all
+    partial-aggregated map-side; the shuffle carries (doc_id, token)
+    counts, never raw text. Composed float math is ROUNDed to 6
+    decimals on both engines (summation order differs)."""
+    from ..operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    cnts = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    e = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("slc"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(F.log("n") - F.col("slc") / F.col("n"), 6).alias(
+            "token_entropy"
+        ),
+    )
+
+
+@query(
+    "window_trailing_7d_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS trailing_7d_value
+    FROM events
+    """,
+)
+def window_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling sum per user — a TIME-range window frame
+    (every row's frame is [ts-7d, ts], not a fixed row count). Spark
+    range frames need a numeric order column, so both engines order by
+    epoch MICROSECONDS with the frame as an integer-µs bound — second-
+    truncation at the boundary would silently disagree with the
+    oracle's interval arithmetic. The sum is fixed-point (value is
+    2-decimal): bigint accumulate, one division, exact both sides;
+    RANGE frames include all ts-ties so no tie-break is needed."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).over(w)
+            / 100.0
+        ).alias("trailing_7d_value"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, NULLIF(n_regionkey, 0) AS nk FROM nation) n
+    JOIN (SELECT r_name, NULLIF(r_regionkey, 0) AS rk FROM region) r
+      ON n.nk IS NOT DISTINCT FROM r.rk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, and Spark still plans a
+    HASH join on the null-safe comparison (nulls co-hash) — semantics a
+    plain equi-join silently drops. Keys are NULLIF-derived so both
+    engines see identical NULL patterns."""
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("nk")
+    )
+    r = read_table(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk")
+    )
+    return n.join(r, n.nk.eqNullSafe(r.rk)).select("n_name", "r_name")
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT o_custkey, frequency, monetary_cents,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 1 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-score each customer on
+    recency (last order date), frequency (order count), and monetary
+    value (exact cents), then label segments from the score triple.
+    ntile is deterministic under the custkey tie-break; the monetary
+    sum is integer cents so even equal-looking totals rank identically.
+
+    Scale shape: per-customer rollup first (map-side combinable),
+    materialized ONCE (eager localCheckpoint), then the three
+    ``with_global_ntile`` passes run as INDEPENDENT slim projections
+    over the shared grain, submitted concurrently from driver threads
+    (the standard Spark pattern for independent subplans — threads only
+    submit jobs; all row work stays on executors), and equi-joined back
+    on the grain key. Each pass is one PARALLEL range shuffle +
+    closed-form bucket math (operators/ranking.py), never a single-task
+    global sort, so the plan survives customer grains of billions of
+    rows; vs the former CHAINED passes this overlaps the three aux
+    count jobs and shuffles 2-column frames instead of progressively
+    wider ones (round-4 verdict item 2: 2.00 → 1.20 s at sf0.1).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    ).transform(pin, eager=True)
+
+    def score(args: tuple[str, list[str]]) -> DataFrame:
+        out_col, keys = args
+        slim = per_cust.select(*dict.fromkeys([*keys, "o_custkey"]))
+        return with_global_ntile(slim, keys, 4, out_col).select(
+            "o_custkey", out_col
+        )
+
+    with ThreadPoolExecutor(3) as ex:
+        s_r, s_f, s_m = list(
+            ex.map(
+                score,
+                [
+                    ("r_score", ["last_order", "o_custkey"]),
+                    ("f_score", ["frequency", "o_custkey"]),
+                    ("m_score", ["monetary_cents", "o_custkey"]),
+                ],
+            )
+        )
+    scored = (
+        per_cust.join(s_r, "o_custkey")
+        .join(s_f, "o_custkey")
+        .join(s_m, "o_custkey")
+        .select(
+            "o_custkey",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") == 4) & (F.col("m_score") == 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 1, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )
+
+
+@query(
+    "events_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, date_trunc('week', CAST(ts AS DATE))
+    )
+    SELECT event_type, CAST(week AS DATE) AS week, CAST(cnt AS BIGINT) AS cnt,
+           CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                    AS DOUBLE) - 1.0 AS wow_growth
+    FROM weekly
+    """,
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI pulse metric:
+    weekly counts, the prior week via lag, and the growth ratio (an
+    identical bigint quotient; NULL for each type's first week, which
+    both engines agree on). Spark's ``date_trunc('week', date)`` and
+    DuckDB's both snap to Monday.
+
+    Scale shape: the rollup collapses events map-side to |type × week|
+    rows; the lag window runs over that tiny aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    weekly = (
+        e.select(
+            "event_type",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias(
+                "week"
+            ),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        (
+            F.col("cnt").cast("double")
+            / F.lag("cnt").over(w).cast("double")
+            - 1.0
+        ).alias("wow_growth"),
+    )
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.ts FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)),
+                      c.ts, c.event_id
+             LIMIT 1) AS nearest_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each error, the click by the
+    same user closest in time EITHER way, ties to the earlier click —
+    pandas merge_asof(direction='nearest'), which neither engine has
+    natively (the oracle is a correlated ORDER BY abs(Δt) LIMIT 1).
+    Payload is the matched timestamp, so the check is tie-insensitive
+    beyond the documented earlier-wins rule."""
+    from ..operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "nearest_click_ts"},
+        direction="nearest",
+    )
+
+
+@query(
+    "events_top_path_3grams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      FROM events
+    )
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    HAVING COUNT(*) >= 10
+    """,
+)
+def events_top_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral paths (event-type trigrams within each
+    user's timeline) with a min-support floor — the path-mining
+    counterpart of the 2-step Markov matrix; support ≥ 10 keeps the
+    output the frequent-path set, not the long tail.
+
+    Scale shape: one shuffle on user_id serves both lead() offsets;
+    the trigram count is map-side-combinable over ≤ |type|³ keys.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_c,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c,
+             row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(MIN(CASE WHEN cum_c * 5 >= total_c * 4 THEN rn END)
+                AS BIGINT) AS n_cust_to_80pct,
+           MAX(n_cust) AS n_customers,
+           MAX(total_c) AS total_rev_cents
+    FROM ranked
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 revenue concentration: how many top customers
+    (by exact integer cents revenue) carry 80% of total revenue. The
+    crossing is integer cross-multiplication (cum·5 ≥ total·4 — the
+    CLAUDE.md share-threshold rule), so the boundary customer is
+    engine-exact.
+
+    Scale shape: the per-customer rollup collapses orders first; the
+    ranked cumsum is ``with_global_prefix_sum`` (operators/ranking.py)
+    — one parallel range shuffle + vectorized int64 partition cumsums
+    stitched by broadcast offsets, replacing the former single-task
+    global window so the plan survives billion-customer grain.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    ranked = with_global_prefix_sum(
+        per_cust,
+        [F.desc("rev_c"), F.asc("o_custkey")],
+        "rev_c",
+        rn="rn",
+        cum="cum_c",
+        n_col="n_cust",
+        total_col="total_c",
+    )
+    return ranked.agg(
+        F.min(
+            F.when(F.col("cum_c") * 5 >= F.col("total_c") * 4, F.col("rn"))
+        )
+        .cast("bigint")
+        .alias("n_cust_to_80pct"),
+        F.max("n_cust").alias("n_customers"),
+        F.max("total_c").alias("total_rev_cents"),
+    )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c, o_custkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(rn AS DECIMAL(18,0)) * rev_c)
+                     AS DECIMAL(38,0)) AS DOUBLE) * 2.0
+             / (CAST(MAX(n) AS DOUBLE)
+                * CAST(CAST(SUM(rev_c) AS DECIMAL(38,0)) AS DOUBLE))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE)
+             AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary behind the Pareto query: G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over revenue sorted ascending (ranks tie-broken by
+    custkey; equal revenues contribute symmetrically so the tie order
+    cannot change the sum). Rank-weighted sums accumulate in
+    DECIMAL(38,0) (rank × cents passes 10^17 at sf1) and the final
+    expression is an identical double on both engines.
+
+    Scale shape: per-customer rollup, then ``with_global_row_number``
+    (operators/ranking.py) — parallel range-shuffle ranking instead of
+    the former single-task global window — and one moment pass.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    ranked = with_global_row_number(
+        per_cust, ["rev_c", "o_custkey"], rn="rn", n_col="n"
+    ).select("rev_c", "rn", "n")
+    nd = F.max("n").cast("double")
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        (
+            F.sum(F.col("rn").cast("decimal(18,0)") * F.col("rev_c"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            * F.lit(2.0)
+            / (nd * F.sum("rev_c").cast("decimal(38,0)").cast("double"))
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT event_type, hod, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) * 24.0
+             / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+             AS load_factor
+    FROM h
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: the load factor is the
+    hour's share × 24 (1.0 = perfectly uniform traffic) — capacity
+    planning's first chart. Integer counts; the factor is an identical
+    bigint quotient.
+
+    Scale shape: map-side-combinable rollup to |type|×24 rows; the
+    share window runs over that aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    h = (
+        e.select("event_type", F.hour("ts").cast("int").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return h.select(
+        "event_type",
+        "hod",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            * F.lit(24.0)
+            / F.sum("cnt").over(Window.partitionBy("event_type")).cast("bigint")
+        ).alias("load_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session duration histogram (sessionize → bucketed durations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS dur_min
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(dur_min // 5 AS BIGINT) AS bucket_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_single_event,
+           CAST(MIN(dur_min) AS BIGINT) AS lo_min,
+           CAST(MAX(dur_min) AS BIGINT) AS hi_min
+    FROM per_session GROUP BY bucket_5min
+    """,
+)
+def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of user-session lengths: 30-min-gap sessionization
+    (the sessionize_events machinery), per-session duration in whole
+    minutes (integer µs subtraction, non-negative floor division — the
+    DIV/`//` agreement zone), bucketed into 5-minute bins with the
+    single-event ("bounce") sessions counted per bin. The product
+    question behind it: how long do people actually stay?
+
+    Scale shape: one shuffle on user_id (sessionization windows), then
+    a per-session rollup on the same partitioning and a tiny
+    domain-bounded histogram aggregate. No global windows.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "(unix_micros(MAX(ts)) - unix_micros(MIN(ts))) DIV 60000000"
+        ).alias("dur_min"),
+    )
+    return per_session.groupBy(
+        F.expr("dur_min DIV 5").cast("bigint").alias("bucket_5min")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+        F.min("dur_min").cast("bigint").alias("lo_min"),
+        F.max("dur_min").cast("bigint").alias("hi_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: time-to-convert distribution per signup cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ),
+    d AS (
+      SELECT date_trunc('month', signup_ts) AS cohort_month, user_id,
+             (epoch_us(purchase_ts) - epoch_us(signup_ts)) // 1000000
+               AS delay_sec
+      FROM conv
+    ),
+    ranked AS (
+      SELECT cohort_month, delay_sec,
+             row_number() OVER (PARTITION BY cohort_month
+                                ORDER BY delay_sec, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_month) AS n
+      FROM d
+    )
+    SELECT cohort_month, CAST(MAX(n) AS BIGINT) AS n_converted,
+           MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN delay_sec END)
+             AS median_delay_sec,
+           MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN delay_sec END)
+             AS p90_delay_sec
+    FROM ranked GROUP BY cohort_month
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from first signup to first purchase, by signup cohort
+    month: exact type-1 median and p90 of the per-user conversion delay
+    (value-at-index over integer seconds — rank position math is the
+    repo's interpolation-free quantile pattern; the rank tie-break is
+    (delay, user_id), and the VALUE at the index is what's reported, so
+    it is deterministic even with duplicate delays).
+
+    Scale shape: both funnel legs collapse to per-user MINs first (one
+    shuffle each on user_id, map-side combinable), the join is
+    user-grain, and the ranking windows are PARTITIONED by cohort month
+    — per-cohort cardinality is users/month, never the full fact table.
+    """
+    e = read_events(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        s.join(p, ["user_id"])
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    d = conv.select(
+        F.date_trunc("month", "signup_ts").cast("date").alias("cohort_month"),
+        "user_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(signup_ts)) DIV 1000000"
+        ).alias("delay_sec"),
+    )
+    wrank = Window.partitionBy("cohort_month").orderBy("delay_sec", "user_id")
+    ranked = d.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("cohort_month"))
+    )
+    return ranked.groupBy("cohort_month").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("delay_sec"))
+        ).alias("median_delay_sec"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(90 * (n - 1)) DIV 100 + 1"),
+                F.col("delay_sec"),
+            )
+        ).alias("p90_delay_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: linear credit over the pre-purchase window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.pid, p.value, t.touch_type,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 1 HOUR
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(value / n_touches AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+    FROM joined GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the click/view touches in the hour before it, summed
+    per touch type. Each share value/n is an identical double division;
+    shares are quantized to DECIMAL(18,6) before summing so the rollup
+    is order-independent (the composed-float rule — raw double share
+    sums differ in final ulps with partition order).
+
+    Scale shape: the touch⋈purchase join is an equi-join on user_id
+    with a time-band predicate — Spark shuffles both sides on user_id
+    once and the band filter prunes within the join; per-purchase touch
+    counts come from a window over the already-joined (small) credit
+    set, partitioned by purchase id. The 1-hour band bounds the blowup
+    per purchase.
+    """
+    e = read_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    credited = joined.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum((F.col("value") / F.col("n_touches")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: support / confidence / lift per brand pair
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    sup AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(sa.cnt AS BIGINT) AS cnt_a,
+           CAST(sb.cnt AS BIGINT) AS cnt_b,
+           CAST(p.pair_cnt AS DOUBLE) / CAST(sa.cnt AS DOUBLE)
+             AS confidence_a_to_b,
+           CAST(p.pair_cnt AS DOUBLE) * n.n_orders
+             / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.brand = p.brand_a
+    JOIN sup sb ON sb.brand = p.brand_b, n
+    WHERE p.pair_cnt * 100 >= n.n_orders
+    """,
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on the order→brand basket: support
+    (pair count), confidence P(b|a), and lift P(ab)/(P(a)P(b)) for
+    every brand pair with ≥ 1% support — the minimum-support prune is
+    the integer-math share threshold (pair_cnt·100 ≥ n_orders, the
+    CLAUDE.md float-boundary rule). Confidence and lift are divisions/
+    products of identical exact integers, bit-equal cross-engine.
+
+    Scale shape: baskets collapse to the (order, brand) DISTINCT grain
+    first; the pair fan-out is quadratic only in basket size (bounded
+    ~7 items/order); supports and pairs are map-side-combinable counts;
+    the final joins are on the brand-domain-bounded pair list
+    (broadcast-sized). Classic a-priori first pass, no all-pairs over
+    the catalog.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    ob = ob.transform(pin, eager=False)
+    n_df = ob.agg(F.count_distinct("ok").alias("n_orders"))
+    sup = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    sa = sup.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    sb = sup.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("pair_cnt") * 100 >= F.col("n_orders"))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+        F.col("cnt_a").cast("bigint").alias("cnt_a"),
+        F.col("cnt_b").cast("bigint").alias("cnt_b"),
+        (F.col("pair_cnt").cast("double") / F.col("cnt_a").cast("double")).alias(
+            "confidence_a_to_b"
+        ),
+        (
+            F.col("pair_cnt").cast("double")
+            * F.col("n_orders")
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase survival curve (order-gap retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_repeat_gap_survival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_30,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_90,
+           CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS BIGINT)
+             AS beyond_180,
+           CAST(SUM(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s30,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s90,
+           CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS s180
+    FROM g
+    """,
+)
+def orders_repeat_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve of the repeat-purchase gap: S(t) =
+    P(days between consecutive orders > t) at t = 30/90/180 — the
+    retention-modeling primitive (no censoring model; pure empirical
+    tail shares). Gap days are exact integer date_diffs; survival
+    shares are single divisions of identical integers.
+
+    Scale shape: one shuffle on o_custkey for the per-customer lag
+    window, then a map-side-combinable scalar rollup. Day-grain
+    integer math end to end.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    n = F.count(F.lit(1))
+    outs = [n.cast("bigint").alias("n_gaps")]
+    for t in (30, 90, 180):
+        outs.append(
+            F.sum(F.when(F.col("gap_days") > t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"beyond_{t}")
+        )
+    for t in (30, 90, 180):
+        outs.append(
+            (
+                F.sum(F.when(F.col("gap_days") > t, 1).otherwise(0)).cast("double")
+                / n
+            ).alias(f"s{t}")
+        )
+    return gaps.groupBy().agg(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve (cumulative revenue by months since join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS join_ts FROM orders
+      GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', f.join_ts) AS DATE) AS cohort_month,
+             date_diff('month', date_trunc('month', f.join_ts),
+                       date_trunc('month', o.o_orderdate)) AS age_months,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+      SELECT cohort_month, age_months,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM rev WHERE age_months <= 11 GROUP BY cohort_month, age_months
+    )
+    SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+           rev_cents, n_orders,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                ORDER BY age_months
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM m
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue of each signup-month cohort
+    by months-since-join (first year) — the companion to
+    cohort_retention_weekly that tracks VALUE instead of presence.
+    Revenue in exact cents; month ages are integer date_diffs; the
+    cumulative sum is a per-cohort windowed bigint (DuckDB windowed
+    SUM(bigint) → HUGEINT, so the oracle CASTs the window result — the
+    CLAUDE.md rule).
+
+    Scale shape: first-order MINs collapse per customer (one shuffle),
+    the join is customer-grain broadcast-eligible, and the rollup +
+    cumsum run on the cohort×12 domain-bounded frame.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("join_ts"))
+    j = o.join(first, "o_custkey")
+    rev = j.select(
+        F.date_trunc("month", "join_ts").cast("date").alias("cohort_month"),
+        (
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"),
+                F.date_trunc("month", "join_ts"),
+            )
+        )
+        .cast("long")
+        .alias("age_months"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).filter(F.col("age_months") <= 11)
+    m = rev.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "cohort_month",
+        F.col("age_months").cast("bigint").alias("age_months"),
+        "rev_cents",
+        "n_orders",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score (exponential recency weighting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_decay_engagement_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    s AS (
+      SELECT e.user_id,
+             CAST(SUM(CAST(
+               CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+               * exp(-CAST(epoch_us(a.now_ts) - epoch_us(e.ts) AS DOUBLE)
+                     / 86400000000.0 / 7.0)
+               AS DECIMAL(20,12))) AS DOUBLE) AS raw_score,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e, anchor a
+      GROUP BY e.user_id
+    )
+    SELECT user_id, n_events, ROUND(raw_score, 6) AS decay_score
+    FROM s
+    """,
+)
+def events_decay_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: Σ value·e^(−Δt/7d) per user, Δt
+    from the corpus max timestamp (the deterministic "now") — the
+    decayed score feeding ranking/churn models, where yesterday's
+    activity counts ~14% more than a day before. Δt is exact integer
+    µs; the exp argument is an identical double expression; each term
+    quantizes to DECIMAL(20,12) before the per-user sum (order-free)
+    and the score rounds to 6 — engines' exp() may differ in the last
+    ulp, which rounding absorbs (the EWMA composed-float rule).
+
+    Scale shape: the one-row anchor broadcasts into the scan; one
+    map-side-combinable aggregate per user. λ lives in the projection,
+    so re-tuning the half-life is a constant change, not a replan.
+    """
+    e = read_events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    j = e.crossJoin(F.broadcast(anchor))
+    term = (
+        F.col("value").cast("decimal(18,2)").cast("double")
+        * F.exp(
+            -(
+                (
+                    F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("ts"))
+                ).cast("double")
+            )
+            / 86400000000.0
+            / 7.0
+        )
+    ).cast("decimal(20,12)")
+    s = j.groupBy("user_id").agg(
+        F.sum(term).cast("double").alias("raw_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return s.select(
+        "user_id", "n_events", F.round("raw_score", 6).alias("decay_score")
+    )
+
+
+@query(
+    "events_churn_inactivity_flags",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    u AS (
+      SELECT e.user_id,
+             MIN(CAST(e.ts AS DATE)) AS first_day,
+             MAX(e.ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e GROUP BY e.user_id
+    )
+    SELECT CAST(date_trunc('week', u.first_day) AS DATE) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN epoch_us(a.now_ts) - epoch_us(u.last_ts)
+                              > 7 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned_7d,
+           CAST(SUM(CASE WHEN epoch_us(a.now_ts) - epoch_us(u.last_ts)
+                              > 3 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned_3d,
+           CAST(SUM(u.n_events) AS BIGINT) AS total_events
+    FROM u, anchor a
+    GROUP BY date_trunc('week', u.first_day)
+    """,
+)
+def events_churn_inactivity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn by signup cohort: users whose LAST event is
+    more than 3/7 days before the corpus end count as churned, rolled
+    up by first-seen week — the counterpart of cohort retention that
+    product teams actually alert on. All integer µs comparisons against
+    the deterministic anchor.
+
+    Scale shape: one per-user MIN/MAX aggregate (map-side combinable),
+    the one-row anchor broadcast, then a cohort-week rollup over the
+    user grain.
+    """
+    e = read_events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    j = u.crossJoin(F.broadcast(anchor))
+    idle_us = F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("last_ts"))
+    return j.groupBy(
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(idle_us > 7 * 86400000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned_7d"),
+        F.sum(F.when(idle_us > 3 * 86400000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned_3d"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time (operational event-sweep analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT o_orderdate AS day, 1 AS delta FROM orders
+      UNION ALL
+      SELECT d.done_day AS day, -1 AS delta
+      FROM done d JOIN orders o ON o.o_orderkey = d.l_orderkey
+    ),
+    daily AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+      FROM deltas GROUP BY day
+    )
+    SELECT day, net_change,
+           CAST(SUM(net_change) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: +1 on the order date, -1 on the day the
+    LAST line item ships (the testdata lineitem carries l_shipdate only), net per day, then a running sum — the
+    event-sweep that turns two fact tables into an operational
+    "how many orders are in flight" time series. All-integer math.
+
+    Scale shape: the per-order completion date is one map-side-
+    combinable groupBy on l_orderkey; the completion join shuffles on
+    the same key. The running sum's window is over DAY grain (a few
+    thousand rows after aggregation, bounded by calendar span — not by
+    fact volume), which is the documented pre-aggregated-grain bound
+    for a global window.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_day"))
+    opened = o.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("delta"))
+    closed = done.join(
+        o.select("o_orderkey"), done["l_orderkey"] == F.col("o_orderkey")
+    ).select(F.col("done_day").alias("day"), F.lit(-1).alias("delta"))
+    daily = (
+        opened.unionAll(closed)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("net_change"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types (set-similarity at segment level)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_audience_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    distinct-user intersection and Jaccard similarity — the segment-
+    overlap question behind campaign targeting and funnel design.
+    Jaccard is one exact-bigint division (identical double expression),
+    so no rounding is needed.
+
+    Scale shape: the DISTINCT is a map-side-combinable shuffle on
+    (event_type, user_id); the self-join shuffles on user_id with
+    per-user fanout bounded by |types| (≤5), so intersection work is
+    O(users · types²) worst case, never corpus². Size lookups join on
+    the |types|-row aggregate (broadcast).
+    """
+    ev = read_events(spark, sf_dir)
+    d = ev.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b"))
+    j = inter.join(sa, "type_a").join(sb, "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-transaction candidates (data-quality screen on orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_duplicate_candidates_window",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 100000 AS band
+      FROM orders
+    ),
+    w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, band,
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey, band
+               ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             lag(o_orderkey) OVER (
+               PARTITION BY o_custkey, band
+               ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+      FROM b
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           CAST(band AS BIGINT) AS band, prev_orderkey, prev_date,
+           CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 90
+    """,
+)
+def orders_duplicate_candidates_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction screen: orders by the SAME customer in the
+    SAME $1000 amount band within 90 days of each other — the classic
+    double-submit / near-duplicate data-quality check, expressed as a
+    lag window inside (customer, band) blocks rather than a self-join.
+    The band is exact integer math (cents DIV 100000 — never float
+    floor-division, whose boundary behavior differs per engine); gaps
+    are integer day arithmetic.
+
+    Scale shape: one shuffle on (o_custkey, band); each window block
+    is one customer's orders in one band (tiny), so the sort
+    parallelizes across blocks. No self-join, no range join, output is
+    only the flagged pairs.
+    """
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "band",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DIV 100000"),
+    )
+    w = Window.partitionBy("o_custkey", "band").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "band",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+    return d.filter(
+        F.col("prev_date").isNotNull()
+        & (F.datediff(F.col("o_orderdate"), F.col("prev_date")) <= 90)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "band",
+        "prev_orderkey",
+        "prev_date",
+        F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+        .cast("int")
+        .alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-maxima peak detection on the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_detection_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    n AS (
+      SELECT event_type, hour, cnt,
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS prev_cnt,
+             lead(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS next_cnt
+      FROM h
+    )
+    SELECT event_type, hour, cnt, prev_cnt, next_cnt
+    FROM n
+    WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+      AND cnt > prev_cnt AND cnt > next_cnt
+    """,
+)
+def events_peak_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima detection on the hourly event-rate series per
+    type: an hour is a peak when its count strictly exceeds both
+    neighboring buckets — the burst detector that feeds alerting and
+    capacity review. Strictly integer math; series endpoints (no
+    neighbor) are excluded rather than treated as peaks.
+
+    Scale shape: the stream collapses to (type, hour) counts with
+    map-side combine; the lag/lead windows run per type over hour
+    grain (calendar-bounded), reusing the same shuffle partitioning.
+    """
+    ev = read_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    n = h.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        F.lead("cnt").over(w).alias("next_cnt"),
+    )
+    return n.filter(
+        F.col("prev_cnt").isNotNull()
+        & F.col("next_cnt").isNotNull()
+        & (F.col("cnt") > F.col("prev_cnt"))
+        & (F.col("cnt") > F.col("next_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-band migration matrix (year-over-year segment movement)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_spend_band_migration",
+    oracle="""
+    WITH y AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, year(o_orderdate)
+    ),
+    b AS (
+      SELECT o_custkey, yr,
+             CASE WHEN cents < 30000000 THEN 'low'
+                  WHEN cents < 55000000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM y
+    )
+    SELECT a.band AS band_1996, c.band AS band_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM b a JOIN b c
+      ON a.o_custkey = c.o_custkey AND a.yr = 1996 AND c.yr = 1997
+    GROUP BY a.band, c.band
+    """,
+)
+def orders_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year segment migration matrix: customers are banded
+    low/mid/high by total 1996 spend (fixed cutoffs in exact cents, so
+    banding is pure integer math), re-banded on 1997 spend, and the
+    3×3 transition matrix counts who moved where — the churn/upsell
+    movement report behind lifecycle marketing. Customers active in
+    only one of the two years drop out (inner join), matching the
+    "movement between known states" semantics.
+
+    Scale shape: one groupBy to (customer, year) grain with map-side
+    combine, then a self-join on customer over that pre-aggregated
+    frame — shuffle rows = active customers, never order facts. The
+    matrix aggregate is 9 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    y = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    b = y.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("cents") < 30000000, "low")
+        .when(F.col("cents") < 55000000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.o_custkey") == F.col("c.o_custkey"))
+            & (F.col("a.yr") == 1996)
+            & (F.col("c.yr") == 1997),
+        )
+        .groupBy(
+            F.col("a.band").alias("band_1996"), F.col("c.band").alias("band_1997")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two daily series (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_corr_click_purchase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(ts AS DATE)
+    ),
+    w AS (
+      SELECT day, x, y,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS BIGINT) AS sx,
+             CAST(SUM(y) OVER win AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS rolling_corr
+    FROM w WHERE n = 14
+    """,
+)
+def events_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily click value and
+    daily purchase value — the co-movement monitor ("are clicks still
+    converting?") on the pre-aggregated daily series. Daily sums are
+    exact bigint cents, the trailing window sums bigints (and their
+    integer cross-products) exactly, and the correlation closed form
+    divides identical doubles; only the final composed expression gets
+    a ROUND(9) pin. Partial leading windows (< 14 days) are excluded.
+
+    Scale shape: events collapse to day grain first (map-side
+    combine); the moving windows run over ~thousands of day rows — the
+    documented pre-aggregated-grain bound for an unpartitioned window.
+    """
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return w.filter(F.col("n") == 14).select(
+        "day", F.round(corr, 9).alias("rolling_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based bot detection (rate + interarrival-regularity screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_detection_rules",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, (t_us - prev_us) // 1000000 AS gap_s
+      FROM g WHERE prev_us IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS m_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, m_gaps + 1 AS n_events,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(m_gaps AS DOUBLE), 6) AS mean_gap_s,
+           CAST(CASE WHEN (m_gaps + 1) * 3600 > 50 * s1 THEN 1 ELSE 0 END
+                AS INT) AS is_high_rate,
+           CAST(CASE WHEN 4 * m_gaps * s2 < 5 * s1 * s1 THEN 1 ELSE 0 END
+                AS INT) AS is_regular
+    FROM u WHERE m_gaps >= 9
+    """,
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot screen per user: sustained rate above 50
+    events/hour (n·3600 > 50·total-gap-seconds) and suspiciously
+    regular inter-arrival times (coefficient of variation below 0.5,
+    tested as the cross-multiplied integer inequality 4·m·Σd² < 5·(Σd)²
+    — population-variance form, no float threshold to wobble). Gaps
+    are integer seconds from exact epoch microseconds; only the
+    reported mean is a float (ROUND 6). Users need ≥10 events to be
+    scored.
+
+    Scale shape: one shuffle on user_id; the lag window and both
+    aggregates reuse it. Integer moments stay under int64 (gap ≤ data
+    span in seconds, squared and summed over per-user event counts).
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev_us"),
+    )
+    d = g.filter(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        F.expr("(t_us - prev_us) DIV 1000000").alias("gap_s"),
+    )
+    u = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_gaps"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+    return u.filter(F.col("m_gaps") >= 9).select(
+        "user_id",
+        (F.col("m_gaps") + 1).alias("n_events"),
+        F.round(F.col("s1").cast("double") / F.col("m_gaps").cast("double"), 6)
+        .alias("mean_gap_s"),
+        F.when((F.col("m_gaps") + 1) * 3600 > 50 * F.col("s1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_high_rate"),
+        F.when(
+            4 * F.col("m_gaps") * F.col("s2") < 5 * F.col("s1") * F.col("s1"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_regular"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apdex score per event type (SRE satisfaction metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_apdex_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value <= 100.00 THEN 1 ELSE 0 END) AS BIGINT)
+             AS satisfied,
+           CAST(SUM(CASE WHEN value > 100.00 AND value <= 400.00
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+           ROUND((CAST(SUM(CASE WHEN value <= 100.00 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  + 0.5 * CAST(SUM(CASE WHEN value > 100.00 AND value <= 400.00
+                               THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS apdex
+    FROM events GROUP BY event_type
+    """,
+)
+def events_apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (application performance index) per event type treating
+    ``value`` as a latency: satisfied ≤ T (100.00), tolerating ≤ 4T,
+    apdex = (satisfied + tolerating/2) / n — the SRE satisfaction
+    rollup. Threshold comparisons are against exact 2-decimal values
+    (no float wobble at the boundary: 100.00 is exactly representable
+    and the data carries 2 decimals), counts are exact, and the score
+    is one identical division, ROUND(9).
+
+    Scale shape: single map-side-combinable groupBy; conditional
+    counts fold into the same partial aggregate.
+    """
+    ev = read_events(spark, sf_dir)
+    sat = F.sum(F.when(F.col("value") <= 100.00, 1).otherwise(0)).cast("bigint")
+    tol = F.sum(
+        F.when((F.col("value") > 100.00) & (F.col("value") <= 400.00), 1).otherwise(
+            0
+        )
+    ).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        sat.alias("satisfied"),
+        tol.alias("tolerating"),
+        F.round(
+            (sat.cast("double") + 0.5 * tol.cast("double"))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("apdex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily new vs cumulative unique users (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: users bucketed by their FIRST active day,
+    giving daily new-user counts and the cumulative unique-user curve
+    — computed from the first-seen aggregate, not by re-deduplicating
+    an ever-growing prefix per day (the naive cumulative-distinct is
+    quadratic in days). All-integer math.
+
+    Scale shape: one shuffle on user_id for MIN(day), one map-side
+    combinable count to day grain, then a running sum over day rows
+    (pre-aggregated-grain global window, calendar-bounded).
+    """
+    ev = read_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order vs repeat revenue split per month (acquisition vs retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_first_vs_repeat_revenue",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderdate, o_totalprice,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(is_first) AS BIGINT) AS n_first_orders,
+           CAST(SUM(1 - is_first) AS BIGINT) AS n_repeat_orders,
+           SUM(CASE WHEN is_first = 1
+               THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) / 100.0 AS first_revenue,
+           SUM(CASE WHEN is_first = 0
+               THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) / 100.0 AS repeat_revenue
+    FROM tagged GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def orders_first_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention revenue split: each month's order count
+    and revenue divided into a customer's FIRST-ever order (earliest
+    date, orderkey tie-break, exactly one per customer) vs all repeat
+    orders — the growth-mix report behind "is revenue new or
+    returning?". Revenue accumulates in exact cents.
+
+    Scale shape: the first-order identification is a window-free
+    min-aggregate on o_custkey joined back on the same key (one
+    shuffle, reused); monthly rollup is map-side combinable.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("first_ord")
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        "o_orderdate",
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderdate") == F.col("first_ord.o_orderdate"))
+            & (F.col("o_orderkey") == F.col("first_ord.o_orderkey")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return tagged.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum("is_first").cast("bigint").alias("n_first_orders"),
+        F.sum(1 - F.col("is_first")).cast("bigint").alias("n_repeat_orders"),
+        (F.sum(F.when(F.col("is_first") == 1, cents).otherwise(0)) / 100.0).alias(
+            "first_revenue"
+        ),
+        (F.sum(F.when(F.col("is_first") == 0, cents).otherwise(0)) / 100.0).alias(
+            "repeat_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_min_sketch_brands",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS est_not_below_exact, TRUE AS eps_misses_within_tolerance
+    FROM part GROUP BY p_brand
+    """,
+)
+def agg_count_min_sketch_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (the frequency sibling of
+    the HLL distinct sketch): one fixed-width CMS built over p_brand in
+    a single JVM aggregation, then per-brand estimates checked against
+    exact counts. CMS guarantees est ≥ exact ALWAYS (deterministic — a
+    per-brand hard pin), and est ≤ exact + ε·N only with the configured
+    confidence 1−δ (δ=0.001): a per-brand TRUE pin on the eps bound
+    would turn a legitimate probabilistic miss (possible after any
+    benign eps/confidence/seed/sketch-internals change) into a
+    misleading hard hash failure. So the eps check rides the output as
+    a COUNTED bound instead (round-5 ADVICE): the number of brands
+    exceeding exact + ceil(ε·N) must be ≤ 1 out of the 25-brand domain
+    (P[≥2 misses] ≤ C(25,2)·δ² ≈ 3e-4 — a real sketch regression still
+    breaks the hash, a single tail event doesn't). Integer-math slack,
+    seeded ⇒ deterministic today.
+
+    Scale shape: the sketch is a fixed-width mergeable aggregate
+    (map-side partial merge, O(width·depth) state); the driver-side
+    estimate loop runs over the BOUNDED brand domain (25 values —
+    documented tiny collect). At 100 TB you'd persist per-partition
+    sketches and merge on demand, same as the daily HLL pattern.
+    """
+    import math
+
+    p = read_table(spark, sf_dir, "part").select("p_brand")
+    eps = 0.001
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_min_sketch(
+            "p_brand", F.lit(eps), F.lit(0.999), F.lit(42)
+        ).alias("cms"),
+    ).collect()[0]
+    n, sketch_bytes = agg["n"], agg["cms"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    )
+    slack = math.ceil(eps * n)
+    exact = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    # bounded collect: the 25-value brand domain with exact counts
+    rows = exact.collect()
+    est = {r["p_brand"]: int(cms.estimateCount(r["p_brand"])) for r in rows}
+    eps_misses = sum(
+        1 for r in rows if est[r["p_brand"]] > r["exact_cnt"] + slack
+    )
+    est_map = F.create_map(
+        *[c for b in est for c in (F.lit(b), F.lit(est[b]))]
+    )
+    e = F.element_at(est_map, F.col("p_brand"))
+    return exact.select(
+        "p_brand",
+        "exact_cnt",
+        (e >= F.col("exact_cnt")).alias("est_not_below_exact"),
+        F.lit(eps_misses <= 1).alias("eps_misses_within_tolerance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly flags (z-score over the day domain, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_anomaly_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d
+    )
+    SELECT day, x AS n_events,
+           ROUND((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                        / CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS z,
+           (x * n - sx) * (x * n - sx) * (n - 1)
+             > 4 * n * (n * sxx - sx * sx) AS is_anomaly
+    FROM d, m
+    """,
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: z-score each day's event count
+    against the mean/std of the whole span, flagging |z| > 2 days. The
+    z value is an identical closed-form expression of exact bigint
+    sufficient statistics on both engines (ROUND 9 per the composed-
+    float rule); the FLAG is pure integer cross-multiplication —
+    (x·n − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²) — so boundary days cannot
+    wobble (int64-safe to ~sf10² day volumes: see magnitudes in the
+    oracle twin).
+
+    Scale shape: the fact table collapses to |days| rows map-side; the
+    one-row moment frame broadcast-joins back onto the day domain.
+    """
+    e = read_events(spark, sf_dir)
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    x = F.col("x")
+    z = (
+        (x.cast("double") - sx.cast("double") / n.cast("double"))
+        / F.sqrt(
+            (n * sxx - sx * sx).cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+            / n.cast("double")
+            * n.cast("double")
+        )
+    )
+    return d.crossJoin(F.broadcast(m)).select(
+        "day",
+        x.alias("n_events"),
+        F.round(z, 9).alias("z"),
+        (
+            (x * n - sx) * (x * n - sx) * (n - 1) > 4 * n * (n * sxx - sx * sx)
+        ).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix (user-behavior model)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types per user
+    session stream: P(next = to | current = from), the standard
+    user-behavior model behind next-action prediction and funnel
+    surprise detection. Probabilities are quotients of identical
+    bigint counts — bit-equal cross-engine, no rounding.
+
+    Scale shape: the lead() window partitions by user_id — HIGH
+    cardinality, so the standard partitioned window is already fully
+    parallel (each user's slice is small; this is the regime where
+    plain windows beat the grouped-ranking machinery, per the
+    operators/ranking.py docstring). Then a map-side-combinable
+    (from, to) count and a |types|²-row share window.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return c.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy("from_type")).cast("double")
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding 7-day distinct users via mergeable daily HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hll_sliding_7d_distinct",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    exact AS (
+      SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_users
+      FROM days d JOIN active a
+        ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, exact_users, TRUE AS est_within_5pct FROM exact
+    """,
+)
+def events_hll_sliding_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed the INCREMENTAL
+    way: one HLL sketch per day (built once from raw events), then each
+    day's answer is a union-merge of its 7 daily sketches — the
+    pattern that makes sliding distinct affordable at 100 TB, where
+    the exact spread-join (each (user, day) row replicated 7x, then a
+    count-distinct shuffle) reprocesses the raw grain for every window.
+    Output carries the EXACT count (the oracle-checkable twin) plus the
+    sketch-accuracy bound as a value (|est − exact| · 20 ≤ exact,
+    integer math), so the driver hash pins both the window semantics
+    and the sketch quality — the agg_sketch_mergeable_distinct pattern
+    extended to windows.
+
+    Scale shape: daily sketches are |days| fixed-width blobs (map-side
+    combinable); the 7-way merge joins the day DOMAIN to itself —
+    work bounded by days x 7 sketch merges, independent of event
+    volume. The exact twin costs the spread join once for the gate.
+    """
+    e = read_events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    d2 = daily.select(F.col("day").alias("sk_day"), "sk")
+    est = (
+        daily.select("day")
+        .join(
+            d2,
+            (F.col("sk_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("sk_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("est_users")
+        )
+    )
+    active = e.select("user_id", day.alias("aday")).distinct()
+    exact = (
+        daily.select("day")
+        .join(
+            active,
+            (F.col("aday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("aday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table over customer revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_decile_lift_table",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    staged AS (
+      SELECT rev_c, ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+      FROM per_cust
+    ),
+    agg AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_cents
+      FROM staged GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM agg)
+    SELECT decile, n_customers, rev_cents,
+           CAST(rev_cents AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share,
+           CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_rev_cents
+    FROM agg, tot
+    """,
+)
+def orders_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table — the model-evaluation artifact ("top 10% of
+    customers carry X% of revenue") marketers and ranking models are
+    scored with: global revenue deciles, per-decile customer counts,
+    revenue share, and the cumulative gains curve. Shares are
+    quotients of identical bigints; the cumulative sum runs over the
+    10-row decile domain.
+
+    Scale shape: per-customer rollup (map-side combinable), then the
+    global NTILE(10) through the PARALLEL literal-offset ranking
+    operator — no single-task sort over the customer grain; the gains
+    window touches 10 aggregate rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_c")
+    )
+    staged = with_global_ntile(
+        per_cust, [F.desc("rev_c"), F.asc("o_custkey")], 10, "decile"
+    )
+    agg = staged.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("rev_cents"),
+    )
+    tot = agg.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        (F.col("rev_cents").cast("double") / F.col("total").cast("double")).alias(
+            "rev_share"
+        ),
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation detection heuristic (integer fences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_detection_heuristic",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS active_us
+      FROM events GROUP BY user_id
+    ),
+    top_type AS (
+      SELECT user_id,
+             CAST(MAX(cnt) AS BIGINT) AS top_type_cnt
+      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, p.active_us, t.top_type_cnt,
+           p.n_events >= 50 AND p.n_events * 60000000 > p.active_us * 5
+             AS high_rate,
+           t.top_type_cnt * 5 >= p.n_events * 4 AS monotonous,
+           (p.n_events >= 50 AND p.n_events * 60000000 > p.active_us * 5)
+             AND t.top_type_cnt * 5 >= p.n_events * 4 AS bot_flag
+    FROM per_user p JOIN top_type t ON p.user_id = t.user_id
+    """,
+)
+def events_bot_detection_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening — the traffic-hygiene filter run before
+    any engagement analytics: flag users whose sustained rate exceeds
+    5 events/minute over their active span (with a 50-event support
+    floor) AND whose behavior is monotonous (one event type ≥ 80% of
+    their actions). Every fence is integer cross-multiplication
+    (n·60e6 > µs·5, top·5 ≥ n·4 — the CLAUDE.md threshold rule), so
+    boundary users classify identically cross-engine; the active span
+    is exact integer MICROSECONDS on both sides (unix_micros ==
+    epoch_us — truncating to seconds per-endpoint vs per-difference
+    disagrees by one at fractional boundaries).
+
+    Scale shape: two map-side-combinable aggregations over the user
+    grain + one equi-join on user_id — no windows, no gaps computation;
+    the heuristic reads three sufficient statistics per user.
+    """
+    e = read_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("active_us"),
+    )
+    top_type = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_type_cnt"))
+    )
+    j = per_user.join(top_type, "user_id")
+    high_rate = (F.col("n_events") >= 50) & (
+        F.col("n_events") * 60_000_000 > F.col("active_us") * 5
+    )
+    monotonous = F.col("top_type_cnt") * 5 >= F.col("n_events") * 4
+    return j.select(
+        "user_id",
+        "n_events",
+        "active_us",
+        "top_type_cnt",
+        high_rate.alias("high_rate"),
+        monotonous.alias("monotonous"),
+        (high_rate & monotonous).alias("bot_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC revenue classification (80/15/5 inventory-style classes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_c,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+      FROM per_cust
+    ),
+    classed AS (
+      SELECT o_custkey, rev_c,
+             CASE WHEN (cum_c - rev_c) * 5 < total_c * 4 THEN 'A'
+                  WHEN (cum_c - rev_c) * 20 < total_c * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis — the inventory/CRM classing rule: customers whose
+    revenue falls in the first 80% of the descending cumulative curve
+    are 'A', the next 15% 'B', the tail 'C'. Class membership is
+    decided on the EXCLUSIVE cumulative (cum − own, so the customer
+    that crosses a boundary belongs to the class it started in) with
+    integer cross-multiplied thresholds — no float share ever touches
+    a boundary.
+
+    Scale shape: the descending cumulative runs through the PARALLEL
+    literal-offset prefix-sum (operators/ranking.py); classing is a
+    projection; the final rollup is 3 rows. The oracle's single-sort
+    window is the fixture-scale twin.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_c")
+    )
+    ranked = with_global_prefix_sum(
+        per_cust,
+        [F.desc("rev_c"), F.asc("o_custkey")],
+        "rev_c",
+        rn="__rn",
+        cum="cum_c",
+        total_col="total_c",
+    )
+    excl = F.col("cum_c") - F.col("rev_c")
+    classed = ranked.select(
+        "rev_c",
+        F.when(excl * 5 < F.col("total_c") * 4, "A")
+        .when(excl * 20 < F.col("total_c") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("class_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution (log-ish latency buckets per type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_gap_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN gap_us < 1000000 THEN '0_under_1s'
+                WHEN gap_us < 60000000 THEN '1_under_1m'
+                WHEN gap_us < 600000000 THEN '2_under_10m'
+                WHEN gap_us < 3600000000 THEN '3_under_1h'
+                ELSE '4_over_1h' END AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type, gap_bucket
+    """,
+)
+def events_interarrival_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type — the latency
+    profile behind session-gap tuning and bot screening: each user's
+    consecutive-event gaps in exact integer MICROSECONDS, bucketed on
+    integer boundaries (1s / 1m / 10m / 1h). Bucket edges are integer
+    compares of exact µs — no float, no boundary wobble.
+
+    Scale shape: the lag window partitions by user_id (high
+    cardinality — the parallel regime); the histogram is a map-side-
+    combinable (type, bucket) count to ≤ 5×5 rows.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") < 1_000_000, "0_under_1s")
+        .when(F.col("gap_us") < 60_000_000, "1_under_1m")
+        .when(F.col("gap_us") < 600_000_000, "2_under_10m")
+        .when(F.col("gap_us") < 3_600_000_000, "3_under_1h")
+        .otherwise("4_over_1h")
+    )
+    return seq.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report (integer day buckets vs the data's horizon)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_open_order_aging",
+    oracle="""
+    WITH h AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+    aged AS (
+      SELECT CAST(date_diff('day', o_orderdate, horizon) AS BIGINT) AS age_d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders, h WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_d < 30 THEN '0_under_30d'
+                WHEN age_d < 90 THEN '1_under_90d'
+                WHEN age_d < 365 THEN '2_under_1y'
+                ELSE '3_over_1y' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_value_cents
+    FROM aged GROUP BY age_bucket
+    """,
+)
+def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging — the accounts-receivable-style report: orders
+    still open ('O'), bucketed by whole days outstanding relative to
+    the data's horizon (the max order date — derived from the data so
+    the report is reproducible at any snapshot), with exact-cents open
+    value per bucket. Day ages and bucket edges are pure integers.
+
+    Scale shape: the one-row horizon broadcast-joins onto the filtered
+    scan (status predicate pushed to parquet); one map-side-combinable
+    rollup to 4 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    h = o.agg(F.max("o_orderdate").alias("horizon"))
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.datediff(
+                F.col("horizon").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("age_d"),
+            cents.alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") < 30, "0_under_30d")
+        .when(F.col("age_d") < 90, "1_under_90d")
+        .when(F.col("age_d") < 365, "2_under_1y")
+        .otherwise("3_over_1y")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Availability SLA: 5-minute window coverage per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_uptime_sla_5min",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 300 AS bucket
+      FROM events
+    ),
+    act AS (
+      SELECT event_type, CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_active
+      FROM b GROUP BY event_type
+    ),
+    span AS (
+      SELECT CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS n_total
+      FROM b
+    )
+    SELECT event_type, n_active, n_total,
+           100 * n_active >= 95 * n_total AS meets_95pct_sla
+    FROM act, span
+    """,
+)
+def events_uptime_sla_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability SLA per event type: of all 5-minute windows in the
+    global observation span, how many saw at least one event of the
+    type — the heartbeat/uptime check a pipeline health monitor runs.
+    Buckets are exact integer epoch-seconds DIV 300 (CAST through
+    BIGINT before the floor-divide — the CLAUDE.md epoch rule); the
+    95% SLA flag compares in integer cross-multiplication.
+
+    Scale shape: the fact table collapses to (type, bucket) distinct
+    map-side; the span is a 1-row broadcast scalar joined onto the
+    |type|-row aggregate."""
+    e = read_events(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("bigint") / 300)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    act = b.groupBy("event_type").agg(
+        F.countDistinct("bucket").cast("bigint").alias("n_active")
+    )
+    span = b.agg(
+        (F.max("bucket") - F.min("bucket") + 1)
+        .cast("bigint")
+        .alias("n_total")
+    )
+    return act.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n_active",
+        "n_total",
+        (
+            F.lit(100) * F.col("n_active") >= F.lit(95) * F.col("n_total")
+        ).alias("meets_95pct_sla"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl–Hirschman index of customer revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_concentration_hhi_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) // 100 AS BIGINT) AS rev_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_d) AS BIGINT) AS total_rev_d,
+           CAST(SUM(rev_d * rev_d) AS DOUBLE)
+             / (CAST(SUM(rev_d) AS DOUBLE) * CAST(SUM(rev_d) AS DOUBLE))
+             AS hhi
+    FROM cr GROUP BY c_nationkey
+    """,
+)
+def orders_concentration_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of customer revenue within
+    each nation — the antitrust/market-structure metric (HHI → 1 means
+    one customer dominates; 1/n means perfect equality), sibling of
+    the Pareto/Gini keys. Revenue quantizes to whole dollars (cents
+    DIV 100, exact integer floor) so Σrev² stays in int64 (~1e15 at
+    sf0.1; int64-safe to ~sf3 — the metric is defined on floor-dollar
+    revenue); the HHI is then identical float ops over identical
+    int64s on both engines — no decimal→double cast wobble, no ROUND.
+
+    Scale shape: two map-side-combinable aggregates (customer grain,
+    then nation grain); nothing wider than the customer domain ever
+    shuffles."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cr = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("rev_d"))
+    )
+    return cr.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_d").cast("bigint").alias("total_rev_d"),
+        (
+            F.sum(F.col("rev_d") * F.col("rev_d")).cast("double")
+            / (
+                F.sum("rev_d").cast("double")
+                * F.sum("rev_d").cast("double")
+            )
+        ).alias("hhi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRE latency percentiles (p50/p95/p99) via value-grain histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_percentiles_p50_p95_p99",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN 100 * cum >= 50 * n THEN cents END) AS p50_cents,
+           MIN(CASE WHEN 100 * cum >= 95 * n THEN cents END) AS p95_cents,
+           MIN(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_value_percentiles_p50_p95_p99(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SRE percentile dashboard: p50/p95/p99 of the value series
+    per event type as type-1 (lower) quantiles — the smallest value
+    whose cumulative count reaches ⌈q·n⌉, chosen with integer
+    cross-multiplication (100·cum ≥ q·n — no float rank boundary).
+
+    Scale shape: the quality_multi_column_iqr technique — the fact
+    table collapses to the VALUE GRAIN map-side (distinct cents per
+    type), the cumulative window sorts only that bounded histogram
+    (never raw events), and the percentile picks are conditional
+    aggregates over it. The window partitions by type over the
+    aggregated grain, so no single-task data funnel exists at any
+    corpus size."""
+    e = read_events(spark, sf_dir)
+    c = e.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(q: int):
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(q) * F.col("n"),
+                F.col("cents"),
+            )
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(50).alias("p50_cents"),
+        pick(95).alias("p95_cents"),
+        pick(99).alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay distribution by order priority (ops histogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_ship_delay_histogram_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(greatest(least(DATEDIFF('day', o.o_orderdate,
+                                        l.l_shipdate) // 15, 8), -8)
+                AS BIGINT) AS delay_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate)
+                              > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority, delay_bucket
+    """,
+)
+def orders_ship_delay_histogram_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: days from
+    order date to each line item's ship date, in 15-day buckets
+    clamped to [-8, 8] (the synthetic ship dates range years either
+    side of the order date), with the over-90-day escalation count —
+    the logistics SLA report under TPC-H Q12's aggregate. Pure integer
+    date arithmetic; Spark's DIV and DuckDB's // agree on negative
+    operands (both floor — hash-proven over thousands of negative
+    deltas), and the clamp keeps the output an enum domain.
+
+    Scale shape: one equi-join on the order key (both sides pruned to
+    three columns) feeding a map-side-combinable aggregate over the
+    priority x 9-bucket enum domain."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    j = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    return j.groupBy(
+        "o_orderpriority",
+        F.greatest(F.least(F.expr("delay DIV 15"), F.lit(8)), F.lit(-8))
+        .cast("bigint")
+        .alias("delay_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("delay") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_90d"),
+    )

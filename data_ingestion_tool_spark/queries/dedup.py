@@ -7,5 +7,845 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 from ..sources.parquet_io import read_table
-from .registry import QUERIES, query
 from ..plans.pin import pin
+from .registry import QUERIES, query
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: min-id representative per fingerprint. The
+    shuffle carries (digest, id) pairs only."""
+    return DD.exact_dedup_by_content(read_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_PAIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ninter AS BIGINT) AS n_inter,
+           CAST(sa.sz + sb.sz - ninter AS BIGINT) AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE {num} * ninter >= {den} * (sa.sz + sb.sz - ninter)
+"""
+
+
+def _exact_verified_pairs(
+    spark: SparkSession, sf_dir: str, num: int, den: int
+) -> DataFrame:
+    return _exact_verified_pairs_df(
+        read_table(spark, sf_dir, "documents"), num, den
+    )
+
+
+def _exact_verified_pairs_df(d: DataFrame, num: int, den: int) -> DataFrame:
+    """LSH candidates → EXACT distinct-shingle Jaccard ≥ den/num in
+    integer cross-multiplication (num·inter ≥ den·union — no float
+    boundary). Shingle sets are distinct STRING 3-grams on both
+    engines, so inter/union counts match DuckDB exactly (no hash-
+    collision surface).
+
+    The shingle arrays are computed ONCE and pinned (lazy
+    localCheckpoint): three consumers read them — the minhash feature
+    derivation (xxhash64 over the same strings) and both sides of the
+    verify join — where the naive composition re-tokenized the corpus
+    per branch. At 100 TB this is the persist-the-preprocessed-
+    features step of any dedup pipeline."""
+    from ..operators.dedup import (
+        _spread,
+        minhash_near_dup_pairs_from_feats,
+        shingles,
+    )
+
+    sh = (
+        _spread(d)
+        .select(
+            F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .transform(pin, eager=False)
+    )
+    feats = sh.select(
+        "id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("feats"),
+    )
+    cands = minhash_near_dup_pairs_from_feats(
+        feats, jaccard_threshold=0.0
+    ).select("id_a", "id_b")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ninter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    nunion = (
+        F.size("sh_a").cast("bigint")
+        + F.size("sh_b").cast("bigint")
+        - ninter
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ninter.alias("n_inter"),
+            nunion.alias("n_union"),
+        )
+        .filter(F.lit(num) * F.col("n_inter") >= F.lit(den) * F.col("n_union"))
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_SHINGLE_PAIR_ORACLE.format(num=2, den=1),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banded-LSH near-dup detection, promoted to a FULL
+    differential oracle (round-6, the bound-as-value family): the LSH
+    stage only PRUNES candidates; every emitted pair is verified by the
+    EXACT distinct-shingle Jaccard (2·inter ≥ union, integer math), and
+    the output carries the exact (n_inter, n_union) counts — never the
+    minhash estimate. The DuckDB twin computes ALL exact-Jaccard ≥ 0.5
+    pairs via a shingle inverted-index join, so the hash check proves
+    both precision (exact verify can't emit a false positive) AND
+    recall (a banding miss would drop a row and fail the hash).
+
+    Seed-dependence note: 16 bands × 4 rows at J = 0.8 (the data's
+    minimum true-pair similarity at sf0.01 AND sf0.1) misses a pair
+    with p ≈ 2e-4 under random permutations; under the fixed seed 42
+    the candidate set is deterministic and verified complete at both
+    scales. tests/test_dedup_recall.py pins recall separately.
+
+    Scale shape: candidates from banded buckets (never all-pairs; soak
+    table pins ~linear growth); exact verify joins shingle arrays onto
+    the CANDIDATE pairs only."""
+    return _exact_verified_pairs(spark, sf_dir, num=2, den=1)
+
+
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+1, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-1, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    feat AS (
+      SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+      FROM sh
+    ),
+    bitsum AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM feat
+      CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS f
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3), FULL differential oracle
+    (promoted round 8, r7-verdict item 3).
+
+    The cross-engine trick: per-shingle hash = int64 of the first 15
+    hex digits of md5 (the one hash both engines compute bit-identically
+    — CLAUDE.md conv/0x-cast identity), so fingerprints are 60-bit and
+    the whole pipeline (tokenize → distinct bigram shingles → md5-prefix
+    hash → per-bit sign-of-sum → fingerprint) is replayed exactly by the
+    DuckDB twin. Production keeps xxhash64/64-bit via the operator
+    default; this query pins the SAME bucketed pipeline
+    (scheme=chunk_pairs: C(6,2)=15 pair-buckets, hamming<=3 recall
+    exact by pigeonhole) on the oracle-able hash.
+
+    The oracle computes ALL-PAIRS hamming over the 60-bit fingerprints
+    (fine at oracle scale; 5000 docs at sf0.1), so a hash match proves
+    both precision (exact verify) AND recall (a bucketing miss drops a
+    row and fails the hash)."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def md5_prefix60(s):
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    return DD.simhash_near_dup_pairs(
+        d,
+        max_hamming=3,
+        hash_expr=md5_prefix60,
+        nbits=60,
+        scheme="chunk_pairs",
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_PAIR_ORACLE.format(num=5, den=4),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 over LSH-pruned candidate pairs —
+    promoted to a full differential oracle alongside dedup_near_minhash
+    (round 6): same exact-verify pipeline, tighter threshold in integer
+    cross-multiplication (5·inter ≥ 4·union, exact at the J = 0.8
+    boundary the data actually contains). The DuckDB twin enumerates
+    ALL exact ≥ 0.8 pairs via the shingle inverted index, so the hash
+    proves precision + recall of the pruned pipeline."""
+    return _exact_verified_pairs(spark, sf_dir, num=5, den=4)
+
+
+_RESOLVE_CLUSTERS_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 2 * ninter >= sa.sz + sb.sz - ninter
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cid FROM r GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cid
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ),
+    cl AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             MIN(doc_id) AS keeper_id
+      FROM lab GROUP BY cid
+    )
+    SELECT cluster_size,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           MIN(keeper_id) AS min_keeper
+    FROM cl GROUP BY cluster_size
+"""
+
+
+@query("dedup_resolve_clusters", oracle=_RESOLVE_CLUSTERS_ORACLE)
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: near-dup pairs → connected
+    components (iterative hash-min label propagation) → one keeper per
+    cluster → cluster-size census. PROMOTED to a full differential
+    oracle in round 6: the pair input is now the EXACT-verified
+    minhash pipeline (see dedup_near_minhash — the approximate stage
+    only prunes, so DuckDB replays the identical pair graph via the
+    shingle inverted index) and the iterative operator is checked
+    against an independent recursive-CTE transitive closure, the
+    dedup_clusters_prefix_jaccard pattern. Singletons keep themselves
+    (left join + coalesce on both engines).
+
+    Scale shape: label propagation shuffles only the near-dup PAIR
+    graph (tiny vs corpus), one join + aggregate per round with
+    persist-per-round lineage cuts; the census is |sizes| rows."""
+    from ..operators.graph import dedup_clusters
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _exact_verified_pairs(spark, sf_dir, num=2, den=1).select(
+        "id_a", "id_b"
+    )
+    out = dedup_clusters(pairs, d, "doc_id")
+    return out.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("keeper_id").alias("min_keeper"),
+    )
+
+
+def _pipeline_prep_oracle() -> str:
+    """Composed DuckDB twin of the END-TO-END pipeline — every stage of
+    the Spark composition replayed: langid argmax (the text_langid
+    oracle), quality gates (integer token fence + the identical float
+    ratio compare of identical doubles), the exact-verified shingle
+    pair graph RESTRICTED to gated docs (the dedup_near_minhash
+    oracle), recursive-CTE cluster closure with min-id keepers, and
+    the per-source census."""
+    from ..operators.text import ENGLISH_STOPWORDS, LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    en = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, l.lang,
+             len(list_filter(t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best AS (
+      SELECT doc_id, MAX({{'h': h, 'l': lang}}) AS b
+      FROM hits GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT f.doc_id, f.source, len(f.t) AS nt, f.t
+      FROM toks f JOIN best ON best.doc_id = f.doc_id
+      WHERE (CASE WHEN best.b.h > 0 THEN best.b.l ELSE 'und' END) = 'en'
+        AND len(f.t) >= 20
+        AND CAST(len(list_filter(f.t, x -> list_contains([{en}], x)))
+                 AS DOUBLE) / greatest(len(f.t), 1) >= 0.05
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id, array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM gated,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 2 * ninter >= sa.sz + sb.sz - ninter
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cid FROM r GROUP BY node),
+    keep AS (
+      SELECT g.doc_id, g.source, g.nt
+      FROM gated g LEFT JOIN comp ON comp.node = g.doc_id
+      WHERE g.doc_id = COALESCE(comp.cid, g.doc_id)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM keep GROUP BY source
+    """
+
+
+@query("pipeline_training_data_prep", oracle=_pipeline_prep_oracle())
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep — the engine's component operators
+    chained the way a 100 TB corpus pipeline runs them:
+
+      language-ID → quality gates → exact-verified near-dup pairs →
+      connected-components cluster resolution → keep one doc per
+      cluster → per-source corpus stats.
+
+    PROMOTED to a full differential oracle in round 6: with every
+    stage now individually oracle-expressible (langid argmax, integer
+    quality fences, the exact-verified pair graph, recursive-closure
+    clustering), the WHOLE COMPOSITION is replayed in one DuckDB query
+    — the strongest end-to-end check in the suite. The float
+    stopword-ratio gate compares identical doubles (same division,
+    same literal) on both engines.
+
+    Scale shape: the gates are codegen'd column filters (prune early,
+    before the expensive signature stage); the minhash stage only
+    PRUNES candidates (recall verified complete on this corpus — any
+    banding miss fails the hash loudly); the CC loop shuffles only the
+    near-dup PAIR list, never the corpus."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.text import lang_id, quality_features
+
+    d = read_table(spark, sf_dir, "documents")
+    # The gated frame feeds THREE consumers (pair generation, cluster
+    # resolution, the keeper join) — pin the filtered slim projection
+    # once so the langid/quality expression tree runs a single pass
+    # over the corpus instead of once per branch (6.4s → ~4.7s at
+    # sf0.1). At 100 TB this is the standard persist-the-curated-subset
+    # step: the frame is the post-gate SURVIVOR set, already pruned to
+    # four columns.
+    gated = (
+        quality_features(lang_id(d))
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+        .select("doc_id", "text", "source", "n_tokens")
+        .transform(pin, eager=False)
+    )
+    pairs = _exact_verified_pairs_df(
+        gated.select("doc_id", "text"), num=2, den=1
+    ).select("id_a", "id_b")
+    resolved = dedup_clusters(pairs, gated, "doc_id")
+    kept = gated.join(
+        resolved.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
+        "doc_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix clustering (shared-header detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_boilerplate_prefix_clusters",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, md5(substring(text, 1, 64)) AS prefix_digest
+      FROM documents
+    )
+    SELECT prefix_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc_id
+    FROM p
+    GROUP BY prefix_digest
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-boilerplate detection: documents whose first 64
+    characters hash identically form a prefix cluster — the cheap
+    screen for template headers, licence banners, and scraped
+    navigation chrome that survives full-document dedup because the
+    bodies differ. Reports cluster size, how many sources share the
+    boilerplate (cross-source spread ⇒ template, single-source ⇒
+    house style), and a sample doc. md5 is identical cross-engine;
+    substring is 1-based in both.
+
+    Scale shape: shuffle carries (digest, source, doc_id) only —
+    never text; group-by combines map-side. The 64-char prefix read
+    is scan-local.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_digest"),
+    )
+    return (
+        p.groupBy("prefix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("sample_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard verify stage over prefix-bucketed candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_prefix_bucket_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_sz,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_sz
+      FROM t a JOIN t b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter_sz, union_sz,
+           CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE inter_sz * 2 >= union_sz
+    """,
+)
+def dedup_prefix_bucket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of a candidate-based near-dup pipeline, made
+    exact and oracle-checkable: candidate pairs come from a cheap
+    blocking key (identical 20-char lowercase prefix — the boilerplate
+    signal), then each pair gets an EXACT distinct-token Jaccard and
+    survives at ≥ 0.5, compared in integers (2·|A∩B| ≥ |A∪B|, the
+    CLAUDE.md threshold rule; union via inclusion-exclusion so both
+    engines subtract the same intersection count). This is the same
+    two-phase shape as MinHash-LSH → verify, with a deterministic
+    blocking key in place of banded hashes so the whole pipeline
+    hash-matches DuckDB.
+
+    Scale shape: one shuffle on the block key; the quadratic term is
+    per-bucket and buckets are boilerplate clusters (bounded — the
+    PLANS.md simhash soak argument); token arrays travel once per doc
+    into the join, and the Jaccard math is array-function codegen, no
+    Python.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    from ..operators import text as TX
+
+    t = d.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 20).alias("bucket"),
+        F.array_distinct(TX.tokens("text")).alias("toks"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("bigint").alias("inter_sz"),
+            union.cast("bigint").alias("union_sz"),
+        )
+        .where(F.col("inter_sz") * 2 >= F.col("union_sz"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter_sz",
+        "union_sz",
+        (
+            F.col("inter_sz").cast("double") / F.col("union_sz").cast("double")
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component clusters over DETERMINISTIC pairs (oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_prefix_jaccard",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 2
+            >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    )
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM r GROUP BY node
+    """,
+)
+def dedup_clusters_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clusters with a FULL differential
+    oracle: pairs come from the deterministic prefix-blocked exact-
+    Jaccard verify stage (dedup_prefix_bucket_jaccard), so DuckDB can
+    replay the identical graph and close it with a RECURSIVE CTE —
+    the iterative hash-min label-propagation operator
+    (operators/graph.py) is hash-checked against an independent
+    transitive-closure formulation, not just rows-counted (the
+    minhash-fed sibling dedup_resolve_clusters stays rows-only because
+    its PAIR INPUT is the approximate part). Cluster id = min doc_id
+    in the component on both sides.
+
+    Scale shape: pair generation is the bucketed join (linear soak,
+    PLANS.md); label propagation runs on the PAIR graph only (near-dup
+    pairs, tiny vs corpus), one join + aggregate per round with
+    persist-per-round lineage cuts. The oracle's closure is
+    fixture-scale machinery; the Spark side is the 100 TB path.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = QUERIES["dedup_prefix_bucket_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup prefilter (broadcast bitset membership)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    filt AS (SELECT h FROM h WHERE source < 'src2' AND source >= 'src10'),
+    probe AS (SELECT doc_id, h FROM h
+              WHERE source >= 'src2' OR source < 'src10'),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS b FROM filt
+        UNION ALL
+        SELECT CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4096 AS b FROM filt
+      )
+    ),
+    p AS (
+      SELECT doc_id, h,
+             CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS b1,
+             CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4096 AS b2
+      FROM probe
+    )
+    SELECT doc_id,
+           (b1 IN (SELECT b FROM bits)) AND (b2 IN (SELECT b FROM bits))
+             AS bloom_hit,
+           h IN (SELECT h FROM filt) AS is_dup,
+           ((b1 IN (SELECT b FROM bits)) AND (b2 IN (SELECT b FROM bits)))
+             OR NOT (h IN (SELECT h FROM filt)) AS no_false_negative
+    FROM p
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter — the broadcast-bitset pattern that
+    replaces a full shuffle anti-join at 100 TB: hash the REFERENCE
+    partition's content fingerprints into an m-bit set (m = 4096 here;
+    sized to corpus at scale), broadcast it, and probe every incoming
+    document with k = 2 bit tests. A bloom miss PROVES novelty (no
+    false negatives — pinned per row as a boolean the oracle requires
+    TRUE); hits fall through to the exact check. The filter here is a
+    deterministic md5-derived bitset — identical integer math on both
+    engines (md5 hex → int via conv/0x-cast, CLAUDE.md rule), so the
+    whole query is a FULL differential oracle with no probabilistic
+    tolerance, unlike impl-dependent sketch objects.
+
+    Reference split: sources 'src10'..'src19' (string-range predicate)
+    build the filter; the rest probe. Output per probe doc: bloom_hit,
+    exact is_dup, and the no-false-negative invariant.
+
+    Scale shape: the bitset frame is ≤ m rows (broadcast); both probe
+    joins are broadcast hash joins; the exact is_dup check is a
+    broadcast left-semi on the reference hashes (itself prefiltered by
+    bloom_hit at real scale). The probe side — the 100 TB side — never
+    shuffles.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    is_filt = (F.col("source") < "src2") & (F.col("source") >= "src10")
+    filt = h.filter(is_filt).select("h")
+    probe = h.filter(~is_filt).select("doc_id", "h")
+
+    def bit(col, start):
+        return (
+            F.conv(F.substring(col, start, 8), 16, 10).cast("bigint") % 4096
+        )
+
+    bits = (
+        filt.select(bit(F.col("h"), 1).alias("b"))
+        .unionAll(filt.select(bit(F.col("h"), 9).alias("b")))
+        .distinct()
+    )
+    p = probe.select(
+        "doc_id", "h", bit(F.col("h"), 1).alias("b1"), bit(F.col("h"), 9).alias("b2")
+    )
+    b1s = bits.select(F.col("b").alias("b1"), F.lit(1).alias("__h1"))
+    b2s = bits.select(F.col("b").alias("b2"), F.lit(1).alias("__h2"))
+    dups = filt.select("h", F.lit(1).alias("__d")).distinct()
+    out = (
+        p.join(F.broadcast(b1s), "b1", "left")
+        .join(F.broadcast(b2s), "b2", "left")
+        .join(F.broadcast(dups), "h", "left")
+    )
+    bloom_hit = F.col("__h1").isNotNull() & F.col("__h2").isNotNull()
+    is_dup = F.col("__d").isNotNull()
+    return out.select(
+        "doc_id",
+        bloom_hit.alias("bloom_hit"),
+        is_dup.alias("is_dup"),
+        (bloom_hit | ~is_dup).alias("no_false_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ninter AS BIGINT) AS n_inter,
+           CAST(least(sa.sz, sb.sz) AS BIGINT) AS n_min
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 10 * ninter >= 9 * least(sa.sz, sb.sz)
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 over
+    distinct 3-gram shingles — catches a document quoted or embedded
+    inside a larger one, which symmetric Jaccard under-scores (J of a
+    doc inside one twice its size caps at 0.5). Same LSH-prune →
+    exact-verify pipeline as dedup_near_minhash (candidate recall
+    verified complete at both SFs); the threshold compares in integer
+    cross-multiplication (10·inter ≥ 9·min), and the output carries
+    the exact (inter, min-size) counts the DuckDB inverted-index twin
+    recomputes independently."""
+    from ..operators.dedup import (
+        _spread,
+        minhash_near_dup_pairs_from_feats,
+        shingles,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        _spread(d)
+        .select(
+            F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .transform(pin, eager=False)
+    )
+    feats = sh.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("feats")
+    )
+    cands = minhash_near_dup_pairs_from_feats(
+        feats, jaccard_threshold=0.0
+    ).select("id_a", "id_b")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ninter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    nmin = F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", ninter.alias("n_inter"), nmin.alias("n_min")
+        )
+        .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("n_min"))
+    )

@@ -33,16 +33,23 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_metadata(with_binary_payload(d, "text"))
 
 
-@query("multimodal_decode_resize")  # rows-only: fake-decoder features
+@query("multimodal_decode_resize")  # rows-only: accuracy-tested real pixels
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode (deterministic fake codec behind the production seam) →
-    resize planning as pure column math. One mapInPandas pass, then
-    codegen'd arithmetic."""
-    from ..operators.multimodal import decode_images, resize_plan
+    """REAL decode → resize, un-gated (round-8, r6-verdict item 6): text
+    bytes synthesize a deterministic 24-bpp BMP executor-side
+    (with_bmp_payload), bmp_pixels does actual BI_RGB pixel decode
+    (bottom-up rows, 4-byte padding), nn_resize does numpy
+    nearest-neighbor to max_side=64 — no codec libs anywhere. Output
+    carries the resized image's mean and the sha256 of its raw bytes.
+    Accuracy is pinned against an independent pure-Python reference in
+    tests/test_multimodal.py (rows-only here: DuckDB has no byte-level
+    blob indexing to replay the pixel math)."""
+    from ..operators.multimodal import decode_resize_images, with_bmp_payload
 
     d = read_table(spark, sf_dir, "documents")
-    decoded = decode_images(with_binary_payload(d, "text"))
-    return resize_plan(decoded, max_side=64)
+    return decode_resize_images(
+        with_bmp_payload(d, "text"), max_side=64
+    ).orderBy("doc_id")
 
 
 @query("multimodal_frame_sample")  # rows-only: executor-side fan-out

@@ -28,5 +28,3677 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_events, read_table
-from .registry import query
 from ..plans.pin import pin
+from .registry import query
+
+# Exact cents for a column that is exactly 2-decimal (events.value,
+# l_extendedprice): decimal quantization is exact, the bigint is the
+# true scaled integer.
+def _cents(col: str) -> F.Column:
+    return F.expr(f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+
+_SQL_CENTS = "CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Histogram with fixed bins
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 90_000  # cents: $900.00 (observed price min is ~$900.68)
+_HIST_W = 520_500  # cents per bin: ($105,000 - $900) / 20
+_HIST_N = 20
+
+
+@query(
+    "histogram_price_fixed_bins",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents FROM lineitem
+    )
+    SELECT CAST((cents - {_HIST_LO}) // {_HIST_W} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM c
+    WHERE cents >= {_HIST_LO} AND cents < {_HIST_LO + _HIST_W * _HIST_N}
+    GROUP BY 1
+    """,
+)
+def histogram_price_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem prices over 20 fixed bins.
+
+    Bin assignment is pure integer math on exact cents — no float
+    boundary wobble, and Spark ``DIV`` == DuckDB ``//`` because the
+    shifted value is kept non-negative by the range filter.
+
+    Scale shape: one map-side-combinable groupBy on a 20-value key; the
+    scan reads one column. Fixed (not data-dependent) bounds mean no
+    extra pass to find min/max — the production pattern for dashboard
+    histograms over append-only data.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    return (
+        li.select(cents.alias("cents"))
+        .where(
+            (F.col("cents") >= _HIST_LO)
+            & (F.col("cents") < _HIST_LO + _HIST_W * _HIST_N)
+        )
+        .select(
+            F.expr(f"CAST((cents - {_HIST_LO}) DIV {_HIST_W} AS INT)").alias(
+                "bucket"
+            ),
+            F.col("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_per_user",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event_type per user. Raw ``mode()`` breaks ties
+    arbitrarily in both engines; ranking (count DESC, value ASC) makes
+    the answer a function of the data.
+
+    Scale shape: counts collapse the fact table first (map-side
+    partials), then the window ranks the *aggregated* (user, type)
+    pairs — cardinality ≈ users × |type|, tiny next to the raw events.
+    """
+    e = read_events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent rank within group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS pct_rank
+    FROM customer
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each customer's balance inside its market
+    segment. ``percent_rank`` = (rank-1)/(n-1) — a quotient of
+    identical small integers, so the doubles are bit-equal cross-engine
+    without rounding; the custkey tie-break makes the ORDER BY a total
+    order, so rank == row_number and the grouped PARALLEL range-shuffle
+    ranking (operators/ranking.py) reconstructs percent_rank without
+    funneling each segment through one task.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    c = read_table(spark, sf_dir, "customer")
+    ranked = with_grouped_global_row_number(
+        c,
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        rn="__rn",
+        n_col="__n",
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection via order statistics (type-1 quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_iqr_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1_cents,
+             MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) AS q3_cents
+      FROM ranked GROUP BY grp
+    )
+    SELECT c.grp, MAX(q.n) AS n, MAX(q.q1_cents) AS q1_cents,
+           MAX(q.q3_cents) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                           OR 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN q ON c.grp = q.grp
+    GROUP BY c.grp
+    """,
+)
+def outlier_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per return flag: Q1/Q3 as exact
+    value-at-index order statistics (index ``(n-1)//4``, the type-1
+    quantile — no interpolation, so no cross-engine float drift), fences
+    compared in doubled-cents integer math (``2x < 5·q1 − 3·q3`` ⟺
+    ``x < q1 − 1.5·IQR``).
+
+    Scale shape: ranking per group runs through the PARALLEL grouped
+    range-shuffle operator (operators/ranking.py
+    with_grouped_global_row_number) — a plain
+    ``Window.partitionBy(grp)`` funnels each 3-way group's entire row
+    set through ONE task, serial at 100x; the 3-row quartile table
+    broadcasts back onto the scan.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
+    )
+    q = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 4 + 1"), F.col("cents"))
+        ).alias("q1_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    joined = c.join(F.broadcast(q), "grp")
+    return joined.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("q1_cents").alias("q1_cents"),
+        F.max("q3_cents").alias("q3_cents"),
+        F.sum(
+            F.when(
+                (2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"))
+                | (2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    agg AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM agg
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next = to | current = from). The probability is a quotient of
+    identical bigints on both engines — bit-equal, no rounding needed.
+
+    Scale shape: the lead() window shuffles the events once on user_id
+    (sequences are per-user, so partitions are independent); the
+    transition matrix is |type|² rows, and its normalizing window runs
+    on that tiny aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    agg = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(wt).cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS yc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(yc) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * yc) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * xc) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(yc AS DECIMAL(18,0)) * yc) AS DECIMAL(38,0)) AS syy
+      FROM x WHERE yc IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+    FROM m
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the value series per event type (is the
+    series trending or mean-reverting?). Pearson r over (x_i, x_{i+1})
+    pairs, computed from EXACT integer moments (cents as bigints,
+    moment sums in DECIMAL(38,0)); the only float ops are the final
+    identical-expression casts/divide/sqrt on identical integers, so
+    the doubles agree bit-for-bit cross-engine.
+
+    Scale shape (round-6 replan — ONE full-data pass, one job): lag
+    pairing rides :func:`operators.ranking.grouped_adjacent_pair_moments`
+    — one range shuffle on (type, ts, id), an Arrow-batched mapInPandas
+    emitting O(P·|type|) exact int64 pair-moment partials + edge rows,
+    boundary pairs stitched on the ≤P-row edge frame, DECIMAL(38,0)
+    combine. No pinned two-pass ranking, no self-join, no per-type
+    single-task sort — replaces the round-5 rank+join plan (two extra
+    jobs + two hash exchanges of the full frame; ~2x faster at sf0.1
+    and one full-data pass at any scale). See the operator docstring
+    for the int64 overflow guard and the pin rationale.
+    """
+    e = read_events(spark, sf_dir)
+    from ..operators.ranking import grouped_adjacent_pair_moments
+
+    base = e.select(
+        "event_type", _cents("value").alias("xc"), "ts", "event_id"
+    )
+    m = grouped_adjacent_pair_moments(
+        base, "event_type", ["ts", "event_id"], "xc"
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponentially-weighted moving average), final value per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ewma_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * 0.9 + x * 0.1), 9) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α = 0.1) of each user's value series — the classic
+    streaming smoother, evaluated as an exact left fold in (ts,
+    event_id) order on both engines: DuckDB ``list_reduce`` over an
+    ordered list, Spark ``F.aggregate`` over a sorted struct array.
+    Identical recurrence ⇒ identical doubles; rounded to 9 decimals as
+    composed-float hygiene.
+
+    Scale shape: one shuffle on user_id; per-user sequences are short
+    (bounded by user activity, not table size), so the collect_list is
+    a per-group array, never a driver collect. For unbounded sequences
+    the streaming engine's stateful variant (stream_stateful_running_max
+    pattern) is the production path.
+    """
+    e = read_events(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            acc * F.lit(0.9) + x["value"] * F.lit(0.1)
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(fold, 9).alias("ewma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join on edit distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    SELECT a.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 15
+    GROUP BY a.p_brand
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate candidates among part names: pairs within edit
+    distance 15, blocked on (brand, size) so the join is an equi-join
+    with a codegen levenshtein filter — never an all-pairs product.
+    Both engines implement classic Levenshtein (unit costs), so the
+    distances and integer aggregates match exactly.
+
+    Scale shape: the blocking key bounds each hash-join bucket to one
+    (brand, size) group; pair work grows with Σ block² — the standard
+    entity-resolution trade (pick blocks so the quadratic term stays
+    local and bounded, here ≤ ~30 rows per block at sf0.1).
+    """
+    p = read_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_size"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 15)
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly counts in exact integer math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0)) * xc) AS DECIMAL(38,0)) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(MAX(m.n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN
+                 (m.n * c.xc - m.s) * (m.n * c.xc - m.s)
+                   > 9 * (m.n * m.ss - m.s * m.s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY c.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count |z| > 3 anomalies per event type WITHOUT any float math:
+    z² > 9 ⟺ (n·x − S)² > 9·(n·SS − S²) over exact cents, with moment
+    products in DECIMAL(38,0) (the cross term n·SS·9 overflows int64
+    past ~10⁵ rows/group — the decimal width is the 100 TB headroom).
+    A float z-score wobbles for points sitting exactly on the fence;
+    integer cross-multiplication cannot (CLAUDE.md threshold rule).
+
+    Scale shape: moments are one map-side-combinable pass to |type|
+    rows; the 5-row moment table broadcasts back onto the scan for the
+    fence test — the fact table moves zero times.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select("event_type", _cents("value").alias("xc"))
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("xc").cast("decimal(18,0)") * F.col("xc"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    j = c.join(F.broadcast(m), "event_type")
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    fence = dev * dev > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(fence, 1).otherwise(0)).alias("n_anomalies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_twap_per_user",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(CAST(SUM(CAST(xc AS DECIMAL(18,0)) * dt_us) AS DECIMAL(38,0))
+                AS DOUBLE)
+             / CAST(CAST(SUM(dt_us) AS DECIMAL(38,0)) AS DOUBLE)
+             / 100.0 AS twap
+    FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series: each
+    observation is weighted by how long it remained current
+    (hold-until-next-event segments — the standard TWAP/TVWAP over
+    irregular ticks). Numerator and denominator accumulate as EXACT
+    integers (cents × microseconds in DECIMAL(38,0) — the per-row
+    product alone can pass 10^17), and only the final identical
+    division chain runs in doubles.
+
+    Scale shape: one shuffle on user_id for the lead() window, then a
+    map-side-combinable aggregation on the same key — Catalyst reuses
+    the window's partitioning, so the fact table moves once.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "user_id",
+            _cents("value").alias("xc"),
+            F.unix_micros(F.col("ts")).alias("us"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (
+            F.sum(F.col("xc").cast("decimal(18,0)") * F.col("dt_us"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.sum("dt_us").cast("decimal(38,0)").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           CAST(xor(o_orderkey, 1023) AS BIGINT) AS bxor,
+           (o_orderkey & 255) << 4 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (AND/OR/XOR/shifts/popcount) — the ops
+    hash-partitioners, bloom filters, and bitmap indexes are made of.
+    Pure integer in, integer out; the shift operand is pre-masked so
+    results stay far from the int64 edge on both engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.expr("o_orderkey & 255").alias("band"),
+            F.expr("o_orderkey | 4096").alias("bor"),
+            F.expr("o_orderkey ^ 1023").cast("bigint").alias("bxor"),
+            F.expr("shiftleft(o_orderkey & 255, 4)").cast("bigint").alias("shl"),
+            F.expr("shiftright(o_orderkey, 3)").alias("shr"),
+            F.expr("bit_count(o_orderkey)").cast("int").alias("popcnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INT) AS island
+      FROM daily
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len
+      FROM seq GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the classic
+    gaps-and-islands pattern: ``day − row_number(day)`` is constant
+    exactly within a consecutive run, so runs reduce to a groupBy on
+    that island key. Pure date/integer math end to end.
+
+    Scale shape: the DISTINCT collapses the fact table to (user, day)
+    first; window + both aggregations share the user_id partitioning,
+    so the post-distinct data shuffles once.
+    """
+    e = read_events(spark, sf_dir)
+    daily = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = seq.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact, from integer rank moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_spearman_corr",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS px,
+             {_SQL_CENTS.format(col='l_quantity')} AS qy
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp,
+             2 * rank() OVER (PARTITION BY grp ORDER BY px)
+               + COUNT(*) OVER (PARTITION BY grp, px) - 1 AS r2x,
+             2 * rank() OVER (PARTITION BY grp ORDER BY qy)
+               + COUNT(*) OVER (PARTITION BY grp, qy) - 1 AS r2y,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    u AS (
+      SELECT grp, n, r2x - (n + 1) AS ux, r2y - (n + 1) AS uy FROM r
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(CAST(SUM(ux * uy) AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(CAST(SUM(ux * ux) AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(SUM(uy * uy) AS BIGINT) AS DOUBLE))
+             AS spearman_rho
+    FROM u GROUP BY grp
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation of price vs quantity per
+    return flag. lineitem has NO unique key (duplicate (orderkey,
+    linenumber) pairs exist), so row_number ranks are engine-arbitrary
+    under ties — instead each row gets its AVERAGE rank, doubled to
+    stay integer (r2 = 2·rank_min + ties − 1), which is a function of
+    the VALUE alone. Centering by the exact mean (n+1) makes ΣuΣv
+    vanish, so rho = Σuv/√(Σu²·Σv²) needs only bigint sums (≤ n³/3 ≈
+    2.7·10^15 at sf0.1; fits int64 through ~sf1) and one identical
+    float expression — no decimal products (their 38-digit cap rounds
+    per-engine in the last ulp; learned from the first draft).
+
+    Scale shape: two ranking windows on the same 3-value partition key
+    plus per-value tie counts (same shuffle), then map-side-combinable
+    moments.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("px"),
+        _cents("l_quantity").alias("qy"),
+    )
+    wx = Window.partitionBy("grp").orderBy("px")
+    wy = Window.partitionBy("grp").orderBy("qy")
+    r = base.select(
+        "grp",
+        (
+            2 * F.rank().over(wx)
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "px"))
+            - 1
+        ).alias("r2x"),
+        (
+            2 * F.rank().over(wy)
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "qy"))
+            - 1
+        ).alias("r2y"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    u = r.select(
+        "grp",
+        "n",
+        (F.col("r2x") - (F.col("n") + 1)).alias("ux"),
+        (F.col("r2y") - (F.col("n") + 1)).alias("uy"),
+    )
+    m = u.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("ux") * F.col("uy")).cast("bigint").alias("suv"),
+        F.sum(F.col("ux") * F.col("ux")).cast("bigint").alias("su2"),
+        F.sum(F.col("uy") * F.col("uy")).cast("bigint").alias("sv2"),
+    )
+    return m.select(
+        "grp",
+        "n",
+        (
+            F.col("suv").cast("double")
+            / F.sqrt(F.col("su2").cast("double") * F.col("sv2").cast("double"))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event type × day of week)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             COUNT(*) AS observed
+      FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE)) + 1
+    ),
+    tot AS (
+      SELECT event_type, dow, observed,
+             CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_total,
+             CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) AS col_total,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      FROM o
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(row_total * col_total AS DOUBLE)
+             / CAST(grand_total AS DOUBLE) AS expected,
+           (CAST(observed AS DOUBLE)
+              - CAST(row_total * col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(row_total * col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           / (CAST(row_total * col_total AS DOUBLE)
+              / CAST(grand_total AS DOUBLE)) AS chi2_term
+    FROM tot
+    """,
+)
+def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency terms for event_type × day-of-week: is
+    event mix independent of weekday? Emits observed, expected
+    (row·col/grand, an identical-expression double over identical
+    bigints), and each cell's (O−E)²/E contribution — summing the
+    column gives the test statistic; per-cell terms localize WHERE the
+    independence breaks. Day-of-week is aligned to Spark's 1=Sunday
+    convention (DuckDB's ``dayofweek`` is 0-based — the oracle adds 1).
+
+    Scale shape: the contingency table is one map-side-combinable
+    groupBy; the three marginal windows run over the |types|×7 cells.
+    """
+    e = read_events(spark, sf_dir)
+    o = (
+        e.select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = o.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand_total"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    ).cast("double")
+    dev = F.col("observed").cast("double") - expected
+    return tot.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (fraud/quality screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share,
+           ln(1.0 + 1.0 / digit) / ln(10.0) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+)
+def histogram_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-significant-
+    digit shares next to the log10(1+1/d) expectation — the classic
+    anomaly/fraud sniff test for financial columns. The digit is
+    extracted from the exact cents integer's decimal string (identical
+    cross-engine; no float log in the digit path), and share/expected
+    are identical float expressions.
+
+    Scale shape: map-side-combinable groupBy onto 9 digit rows; the
+    share window runs over those 9 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        " AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    d = o.where(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    return agg.select(
+        "digit",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy()).cast("bigint").cast("double")
+        ).alias("share"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias(
+            "benford_expected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile table per group (order statistics, generalizing the IQR query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_deciles_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    marks AS (
+      SELECT grp, d.decile,
+             (d.decile * (n - 1)) // 10 + 1 AS target_rn
+      FROM (SELECT DISTINCT grp, n FROM ranked) g,
+           (SELECT unnest(generate_series(1, 9)) AS decile) d
+    )
+    SELECT m.grp, CAST(m.decile AS INT) AS decile, r.cents AS value_cents
+    FROM marks m JOIN ranked r
+      ON r.grp = m.grp AND r.rn = m.target_rn
+    """,
+)
+def quantile_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nine deciles per return flag as exact value-at-index order
+    statistics (rank (d·(n−1))//10 + 1) — the full distribution
+    profile the IQR query samples at two points. No interpolation, so
+    no cross-engine drift; the decile grid is generated, never scanned.
+
+    Scale shape: the grouped PARALLEL range-shuffle ranking
+    (operators/ranking.py — no per-group single-task sort), then a
+    broadcast join of the 9·|grp| marks back onto the ranked rows.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
+    )
+    g = ranked.select("grp", "n").distinct()
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    marks = g.crossJoin(deciles).select(
+        F.col("grp").alias("m_grp"),
+        "decile",
+        (F.expr("(decile * (n - 1)) DIV 10") + 1).alias("target_rn"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(marks),
+            (ranked.grp == marks.m_grp) & (ranked.rn == marks.target_rn),
+        )
+        .select("grp", "decile", F.col("cents").alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival median per user (order statistic over computed gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_median",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, dt_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY dt_us) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE dt_us IS NOT NULL
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dt_us END) AS median_gap_us
+    FROM ranked GROUP BY user_id
+    """,
+)
+def events_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time between consecutive events per user (type-1 order
+    statistic over exact microsecond gaps) — the cadence feature
+    behind churn/engagement models, immune to the outlier gaps that
+    wreck a mean. Gap values are integers; the median is value-at-
+    index, so both engines agree exactly.
+
+    Scale shape: the lead() window and both the ranking window and the
+    final aggregate share the user_id partitioning — one shuffle.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", F.unix_micros(F.col("ts")).alias("us"), "ts", "event_id")
+        .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("dt_us").isNotNull())
+    )
+    wr = Window.partitionBy("user_id").orderBy("dt_us")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("dt_us"))
+        ).alias("median_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU rolling engagement ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau_ratio",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM active GROUP BY day
+    ),
+    spread AS (
+      SELECT user_id,
+             CAST(day + CAST(unnest(generate_series(0, 6)) AS INT) AS DATE)
+               AS obs_day
+      FROM active
+    ),
+    wau AS (
+      SELECT obs_day AS day, COUNT(DISTINCT user_id) AS wau
+      FROM spread GROUP BY obs_day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users over trailing-7-day weekly actives (the
+    "stickiness" engagement metric). Windowed COUNT(DISTINCT) isn't
+    directly expressible, so each (user, active day) pair is spread
+    onto the 7 observation days it supports and distinct-counted per
+    day — a 7× linear fan-out instead of a quadratic self-join, and
+    the exact-count twin of the mergeable-HLL sketch rollup
+    (agg_sketch_mergeable_distinct) for when approximate won't do.
+    Integer counts; the ratio is an identical bigint quotient.
+
+    Scale shape: DISTINCT collapses the fact table first; the fan-out
+    multiplies the small (user, day) set, not raw events; days with
+    DAU but a 7-day window truncated at the data's start still count
+    (both engines enumerate the same grid).
+    """
+    e = read_events(spark, sf_dir)
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+    wau = spread.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust preprocessing: clamp to [p5, p95])
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_winsorized_mean",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    fences AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (5 * (n - 1)) // 100 + 1 THEN cents END)
+               AS p5_cents,
+             MAX(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN cents END)
+               AS p95_cents
+      FROM ranked GROUP BY grp
+    )
+    SELECT c.grp, MAX(f.n) AS n, MAX(f.p5_cents) AS p5_cents,
+           MAX(f.p95_cents) AS p95_cents,
+           CAST(SUM(least(greatest(c.cents, f.p5_cents), f.p95_cents))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(SUM(CASE WHEN c.cents < f.p5_cents
+                          OR c.cents > f.p95_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM c JOIN fences f ON c.grp = f.grp
+    GROUP BY c.grp
+    """,
+)
+def outlier_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-preprocessing sibling of the IQR
+    count: clamp every value into [p5, p95] (exact value-at-index
+    percentiles) and report the clamped sum + how many rows were
+    clamped. All integer: the winsorized mean downstream is
+    winsorized_sum_cents / n / 100 with no float accumulation.
+
+    Scale shape: identical to outlier_iqr_price — the grouped PARALLEL
+    range-shuffle ranking (no per-group single-task sort), 3-row fence
+    table broadcast back onto the scan.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
+    )
+    fences = ranked.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * (n - 1)) DIV 100 + 1"), F.col("cents"))
+        ).alias("p5_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(95 * (n - 1)) DIV 100 + 1"), F.col("cents")
+            )
+        ).alias("p95_cents"),
+    )
+    j = c.join(F.broadcast(fences), "grp")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p5_cents")), F.col("p95_cents"))
+    return j.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("p5_cents").alias("p5_cents"),
+        F.max("p95_cents").alias("p95_cents"),
+        F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+        F.sum(
+            F.when(
+                (F.col("cents") < F.col("p5_cents"))
+                | (F.col("cents") > F.col("p95_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clamped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted average (exact integer numerator/denominator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS price_c,
+             {_SQL_CENTS.format(col='l_quantity')} AS qty_c
+      FROM lineitem
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(price_c AS DECIMAL(18,0)) * qty_c)
+                     AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(SUM(qty_c) AS DECIMAL(38,0)) AS DOUBLE) / 100.0
+             AS qty_weighted_avg_price
+    FROM c GROUP BY grp
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: numerator and
+    denominator accumulate as exact integers (cents × quantity-cents
+    in DECIMAL(38,0) headroom), with one identical division chain at
+    the end — the aggregation AVG can't express without float drift.
+
+    Scale shape: one map-side-combinable pass.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_quantity").alias("qty_c"),
+    )
+    return c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("price_c").cast("decimal(18,0)") * F.col("qty_c"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.sum("qty_c").cast("decimal(38,0)").cast("double")
+            / F.lit(100.0)
+        ).alias("qty_weighted_avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (ordered scalar folds)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list_prepend(0.0, list(CAST(value AS DOUBLE)
+                                    ORDER BY ts, event_id)) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> greatest(0.0, acc + x - 5.0)), 9) AS cusum_hi,
+           ROUND(list_reduce(list_transform(vals, v -> -v),
+                 (acc, x) -> least(0.0, acc + x + 5.0)), 9) AS cusum_lo
+    FROM s
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control-chart state per user: the upper cusum
+    S⁺ = max(0, S⁺ + x − k) accumulates upward drift beyond allowance
+    k=5, the lower mirror accumulates downward drift — the classic
+    sequential change-point detector. Both engines run the identical
+    left fold in (ts, event_id) order (a 0.0 is prepended so the first
+    real element passes through the recurrence too); identical
+    recurrence ⇒ identical doubles, rounded to 9 as hygiene.
+
+    Scale shape: one shuffle on user_id; per-user arrays stay
+    group-local (the streaming twin would carry S⁺/S⁻ as
+    applyInPandasWithState state instead of an array).
+    """
+    e = read_events(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    hi = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x["value"] - F.lit(5.0)),
+    )
+    lo = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: F.least(F.lit(0.0), acc - x["value"] + F.lit(5.0)),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(hi, 9).alias("cusum_hi"),
+        F.round(lo, 9).alias("cusum_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing moving average (ROWS frame, exact cents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_average_rows",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+           CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS BIGINT) / 100.0 AS moving_avg
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_average_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-observation moving average per user (ROWS frame —
+    the count-based sibling of the RANGE/time frames elsewhere in the
+    suite). The frame sum is exact integer cents; the average is one
+    identical division — no float accumulation across the frame.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select("user_id", "event_id", "ts", _cents("value").alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("win_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"),
+        (
+            F.sum("cents").over(w).cast("bigint").cast("double")
+            / F.count(F.lit(1)).over(w).cast("bigint")
+            / F.lit(100.0)
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via sweep line (+1/-1 deltas, running sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS t, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE), ts + INTERVAL 5 MINUTE, -1, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT day,
+             CAST(SUM(delta) OVER (
+               PARTITION BY day ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT day, MAX(live) AS peak_concurrency
+    FROM swept GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day, each event counted live for 5
+    minutes — the classic sweep line: +1 at start, −1 at expiry,
+    running sum, daily max. The sweep order carries (delta, event_id)
+    tie-breaks so an expiry at the same instant as an arrival
+    decrements FIRST (delta −1 < +1) — both engines sweep identically
+    and the counts are pure integers. (Day-boundary-straddling windows
+    count toward the start day — the partition is the sweep scope.)
+
+    Scale shape: the union doubles the rows once, the sweep is one
+    day-partitioned window, the max collapses it — no joins at all,
+    where the naive formulation is a quadratic self-join.
+    """
+    e = read_events(spark, sf_dir)
+    starts = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = e.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select(
+        "day", F.sum("delta").over(w).cast("bigint").alias("live")
+    )
+    return swept.groupBy("day").agg(F.max("live").alias("peak_concurrency"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via distributed global ranking (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_equidepth_price",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents FROM lineitem
+    ),
+    r AS (SELECT cents, ntile(8) OVER (ORDER BY cents) AS bucket FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM r GROUP BY bucket
+    """,
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of lineitem price — 8 buckets
+    of equal row count with exact value boundaries, the optimizer-
+    statistics primitive the fixed-bin histogram can't provide on
+    skewed data.
+
+    Runs the distributed global-ranking operator (operators/ranking.py)
+    over the FULL fact table — one parallel range shuffle, never a
+    single-task sort — then closed-form NTILE math and a per-bucket
+    rollup. Determinism without a unique tie-break: equal cents
+    colocate under range partitioning and the per-bucket aggregates
+    (count, min, max) depend only on the sorted MULTISET — the value at
+    each rank position is unique even when tied rows swap ranks."""
+    from ..operators.ranking import ntile_from_rn, with_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(_cents("l_extendedprice").alias("cents"))
+    ranked = with_global_row_number(c, ["cents"], rn="__rn", n_col="__n")
+    return (
+        ranked.select(
+            "cents", ntile_from_rn("__rn", "__n", 8).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form linear regression from exact integer moments (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_regr_slope_intercept",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM({_SQL_CENTS.format(col='l_extendedprice')}) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * {_SQL_CENTS.format(col='l_extendedprice')}) AS BIGINT)
+               AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def agg_regr_slope_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of price-cents on quantity per return flag
+    (REGR_SLOPE / REGR_INTERCEPT) — closed form from exact int64
+    moments, so both engines feed IDENTICAL integers into the SAME
+    IEEE double expression: every product/difference/division is a
+    correctly-rounded op on identical operands, hence bit-identical
+    cross-engine with NO rounding fence. Integer bounds (documented):
+    sxy <= n_rows·50·10^7 ≈ 3e15 at sf1 < 2^53, so every moment sum
+    converts to double exactly; the >2^53 magnitudes only ever appear
+    as double PRODUCTS, which round identically.
+
+    Scale shape: one map-side-combinable aggregate over the fact table;
+    the regression math runs on |groups| rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = _cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests: Kolmogorov-Smirnov and Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    e AS (
+      SELECT cents, SUM(ia) AS a_cnt, COUNT(*) AS t_cnt
+      FROM c GROUP BY cents
+    ),
+    g AS (
+      SELECT CAST(SUM(a_cnt) OVER (ORDER BY cents) AS BIGINT) AS ca,
+             CAST(SUM(t_cnt) OVER (ORDER BY cents) AS BIGINT) AS ct
+      FROM e
+    ),
+    t AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS na,
+             CAST(SUM(t_cnt) - SUM(a_cnt) AS BIGINT) AS nb
+      FROM e
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(MAX(ABS(g.ca * t.nb - (g.ct - g.ca) * t.na)) AS BIGINT)
+             AS d_num,
+           CAST(MAX(ABS(g.ca * t.nb - (g.ct - g.ca) * t.na)) AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_stat
+    FROM g, t GROUP BY t.na, t.nb
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the price
+    distributions of returned ('R') vs non-returned ('N') line items:
+    D = max_v |ECDF_A(v) - ECDF_B(v)|, compared in INTEGER math as
+    max |cumA·nB - cumB·nA| so the supremum is exact (float ECDF
+    differences wobble at ties); the statistic itself is one division
+    of identical integers, bit-equal cross-engine while nA·nB < 2^53.
+
+    Scale shape: group-by collapses the fact table to the distinct-value
+    grain (domain-bounded: prices live in a fixed cents range), then
+    ``with_global_prefix_sums`` (operators/ranking.py) runs BOTH groups'
+    cumulative counts over one range shuffle — no single-task global
+    window, no second pass. Bound: exact integer compare needs
+    n_a·n_b < 2^63 (~3·10^9 rows per side); beyond that flip `d_num`
+    to the double ECDF difference and keep the same plan.
+    """
+    from ..operators.ranking import with_global_prefix_sums
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        _cents("l_extendedprice").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ia"),
+    )
+    e = c.groupBy("cents").agg(
+        F.sum("ia").alias("a_cnt"), F.count(F.lit(1)).alias("t_cnt")
+    )
+    g = with_global_prefix_sums(
+        e,
+        ["cents"],
+        ["a_cnt", "t_cnt"],
+        rn="__rn",
+        tot_prefix="tot_",
+    )
+    na = F.col("tot_a_cnt")
+    nb = F.col("tot_t_cnt") - F.col("tot_a_cnt")
+    diff = F.abs(
+        F.col("cum_a_cnt") * nb - (F.col("cum_t_cnt") - F.col("cum_a_cnt")) * na
+    )
+    return (
+        g.select(
+            na.alias("n_a"), nb.alias("n_b"), diff.alias("diff")
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("diff").cast("bigint").alias("d_num"),
+            (
+                F.max("diff").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='l_extendedprice')} AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    e AS (
+      SELECT cents, SUM(ia) AS a_cnt, COUNT(*) AS t_cnt
+      FROM c GROUP BY cents
+    ),
+    g AS (
+      SELECT a_cnt,
+             CAST(SUM(t_cnt) OVER (ORDER BY cents) AS BIGINT) - t_cnt
+               AS before_cnt,
+             t_cnt
+      FROM e
+    ),
+    t AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS na,
+             CAST(SUM(t_cnt) - SUM(a_cnt) AS BIGINT) AS nb
+      FROM e
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1)) AS BIGINT)
+             AS two_rank_sum_a,
+           CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1))
+                - t.na * (t.na + 1) AS BIGINT) AS two_u_a,
+           CAST(CAST(SUM(g.a_cnt * (2 * g.before_cnt + g.t_cnt + 1))
+                     - t.na * (t.na + 1) AS BIGINT) AS DOUBLE) / 2 AS u_a
+    FROM g, t GROUP BY t.na, t.nb
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic for returned vs non-returned
+    line-item prices, with tie-aware AVERAGE ranks held exactly in
+    integers: for a distinct value with `t` total occurrences starting
+    after `b` smaller rows, each occurrence's average rank is
+    (2b + t + 1)/2 — so 2·R_A = Σ a_cnt·(2b + t + 1) stays a bigint and
+    U_A = R_A − nA(nA+1)/2 is exact (halves only, so 2U is integral).
+    This is the lineitem-has-no-unique-key-safe rank construction from
+    CLAUDE.md (value-determined average ranks, never row_number ties).
+
+    Scale shape: same distinct-value grain + one
+    ``with_global_prefix_sum`` range shuffle as stats_ks_two_sample;
+    the rank sum is a plain map-side-combinable aggregate on top.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        _cents("l_extendedprice").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ia"),
+    )
+    e = c.groupBy("cents").agg(
+        F.sum("ia").alias("a_cnt"), F.count(F.lit(1)).alias("t_cnt")
+    )
+    g = with_global_prefix_sum(
+        e, ["cents"], "t_cnt", rn="__rn", cum="cum_t", n_col=None,
+        total_col="__ttot",
+    ).withColumn("before_cnt", F.col("cum_t") - F.col("t_cnt"))
+    two_r = F.sum(
+        F.col("a_cnt") * (2 * F.col("before_cnt") + F.col("t_cnt") + 1)
+    ).cast("bigint")
+    totals = g.groupBy().agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        (F.sum("t_cnt") - F.sum("a_cnt")).cast("bigint").alias("n_b"),
+        two_r.alias("two_rank_sum_a"),
+    )
+    return totals.select(
+        "n_a",
+        "n_b",
+        "two_rank_sum_a",
+        (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("two_u_a"),
+        (
+            (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .cast("double")
+            / 2
+        ).alias("u_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on a bounded group grain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kendall_tau_brand",
+    oracle=f"""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x,
+             CAST(SUM({_SQL_CENTS.format(col='l.l_extendedprice')})
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    p AS (
+      SELECT CASE WHEN (a.x - c.x) * (a.y - c.y) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x - c.x) * (a.y - c.y) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = c.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = c.y THEN 1 ELSE 0 END AS ty
+      FROM b a JOIN b c ON a.brand < c.brand
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n,
+             CAST(SUM(con) AS BIGINT) AS c_pairs,
+             CAST(SUM(dis) AS BIGINT) AS d_pairs,
+             CAST(SUM(tx) AS BIGINT) AS tie_x,
+             CAST(SUM(ty) AS BIGINT) AS tie_y
+      FROM p
+    )
+    SELECT n, c_pairs, d_pairs, tie_x, tie_y,
+           CAST(c_pairs - d_pairs AS DOUBLE)
+             / sqrt(CAST((n * (n - 1) / 2 - tie_x)
+                         * (n * (n - 1) / 2 - tie_y) AS DOUBLE)) AS tau_b
+    FROM s
+    """,
+)
+def stats_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between total quantity and total
+    revenue across part brands. The fact table collapses to the brand
+    grain first (domain-bounded: ~25 brands), so the O(n²) pairwise
+    concordance scan is over a TINY broadcast frame — all-pairs on the
+    raw table would be the classic quadratic blowup; all-pairs on a
+    bounded aggregate is free. Concordant/discordant/tie counts are
+    pure integer; tau-b is one sqrt of an exact-integer product (< 2^53)
+    and one division — both IEEE correctly-rounded, so bit-equal
+    cross-engine without any rounding fudge.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(_cents("l_extendedprice")).cast("bigint").alias("y"),
+        )
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        F.broadcast(c), F.col("a.brand") < F.col("c.brand")
+    ).select(
+        (
+            F.when(
+                (F.col("a.x") - F.col("c.x")) * (F.col("a.y") - F.col("c.y")) > 0, 1
+            ).otherwise(0)
+        ).alias("con"),
+        (
+            F.when(
+                (F.col("a.x") - F.col("c.x")) * (F.col("a.y") - F.col("c.y")) < 0, 1
+            ).otherwise(0)
+        ).alias("dis"),
+        F.when(F.col("a.x") == F.col("c.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("c.y"), 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.groupBy().agg(
+        F.sum("con").cast("bigint").alias("c_pairs"),
+        F.sum("dis").cast("bigint").alias("d_pairs"),
+        F.sum("tx").cast("bigint").alias("tie_x"),
+        F.sum("ty").cast("bigint").alias("tie_y"),
+    )
+    n_df = b.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = s.crossJoin(F.broadcast(n_df))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return s.select(
+        "n",
+        "c_pairs",
+        "d_pairs",
+        "tie_x",
+        "tie_y",
+        (
+            (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("tie_x")) * (n0 - F.col("tie_y"))).cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (exact, integer cumulative weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_weighted_median",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS q_units,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS w_cents
+      FROM lineitem
+    ),
+    e AS (
+      SELECT grp, q_units, CAST(SUM(w_cents) AS BIGINT) AS w
+      FROM c GROUP BY grp, q_units
+    ),
+    g AS (
+      SELECT grp, q_units, w,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY q_units)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM e
+    )
+    SELECT grp, MAX(tw) AS total_w_cents,
+           MIN(CASE WHEN 2 * cw >= tw THEN q_units END)
+             AS weighted_median_q_units
+    FROM g GROUP BY grp
+    """,
+)
+def quantile_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest
+    quantity value whose cumulative price weight reaches half the
+    group's total (lower weighted median, 2·cum ≥ tot compared in
+    integer cents — the CLAUDE.md integer-threshold rule, so the
+    boundary row can't flip on float rounding).
+
+    Scale shape: fact table collapses to (group, distinct-quantity)
+    grain — quantity is a 1..50 domain, so the windowed frame is
+    dozens of rows per group; the windows are PARTITIONED (per-group),
+    never the single-task global sort.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "q_units"
+        ),
+        _cents("l_extendedprice").alias("w_cents"),
+    )
+    e = c.groupBy("grp", "q_units").agg(F.sum("w_cents").cast("bigint").alias("w"))
+    wspec = Window.partitionBy("grp").orderBy("q_units")
+    g = e.withColumn(
+        "cw",
+        F.sum("w").over(wspec.rowsBetween(Window.unboundedPreceding, 0)).cast(
+            "bigint"
+        ),
+    ).withColumn("tw", F.sum("w").over(Window.partitionBy("grp")).cast("bigint"))
+    return g.groupBy("grp").agg(
+        F.max("tw").alias("total_w_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("q_units"))).alias(
+            "weighted_median_q_units"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle count / clustering coefficient on brand co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.brand AS u, b.brand AS v
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+    ),
+    deg AS (
+      SELECT brand, COUNT(*) AS d FROM (
+        SELECT u AS brand FROM edges UNION ALL SELECT v AS brand FROM edges
+      ) GROUP BY brand
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+                    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+             CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+             CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS BIGINT)
+               AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+             AS global_clustering
+    FROM agg
+    """,
+)
+def graph_triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the brand
+    co-purchase graph (brands are nodes; an edge means two brands appear
+    in the same order). The standard i<j<k enumeration: each triangle is
+    counted once via ordered edges (u<v), wedges from the degree sum —
+    clustering = 3·triangles / wedges, one division of exact integers.
+
+    Scale shape: the per-order pair blowup is quadratic in ORDER SIZE
+    (bounded ~7 line items), never in table size; the edge/degree/
+    triangle joins run on the brand-domain-bounded edge list (≤ n² ~
+    hundreds of rows for tens of brands), explicitly broadcast. The only
+    full-table work is the lineitem⋈part scan and the (order, brand)
+    DISTINCT — one shuffle each.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .select(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .distinct()
+    )
+    edges = F.broadcast(edges.transform(pin, eager=False))
+    deg = (
+        edges.select(F.col("u").alias("brand"))
+        .unionAll(edges.select(F.col("v").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes_edges = deg.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = nodes_edges.crossJoin(n_edges).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        (
+            (3 * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("global_clustering"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: 3-iteration weighted PageRank on brand co-occurrence
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_D = 0.85
+
+
+@query(
+    "graph_pagerank_brands",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, COUNT(*) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    w AS (
+      SELECT u, v, cnt FROM und
+      UNION ALL
+      SELECT v AS u, u AS v, cnt FROM und
+    ),
+    outw AS (
+      SELECT u, CAST(SUM(cnt) AS BIGINT) AS ow FROM w GROUP BY u
+    ),
+    n AS (SELECT COUNT(*) AS n FROM outw),
+    r0 AS (
+      SELECT outw.u AS brand, 1.0 / n.n AS r FROM outw, n
+    ),
+    r1 AS (
+      SELECT w.v AS brand,
+             0.15 / MAX(n.n) + {_PR_D} * CAST(SUM(CAST(
+               r0.r * CAST(w.cnt AS DOUBLE) / CAST(outw.ow AS DOUBLE)
+               AS DECIMAL(20,12))) AS DOUBLE) AS r
+      FROM w JOIN r0 ON r0.brand = w.u JOIN outw ON outw.u = w.u, n
+      GROUP BY w.v
+    ),
+    r2 AS (
+      SELECT w.v AS brand,
+             0.15 / MAX(n.n) + {_PR_D} * CAST(SUM(CAST(
+               r1.r * CAST(w.cnt AS DOUBLE) / CAST(outw.ow AS DOUBLE)
+               AS DECIMAL(20,12))) AS DOUBLE) AS r
+      FROM w JOIN r1 ON r1.brand = w.u JOIN outw ON outw.u = w.u, n
+      GROUP BY w.v
+    ),
+    r3 AS (
+      SELECT w.v AS brand,
+             0.15 / MAX(n.n) + {_PR_D} * CAST(SUM(CAST(
+               r2.r * CAST(w.cnt AS DOUBLE) / CAST(outw.ow AS DOUBLE)
+               AS DECIMAL(20,12))) AS DOUBLE) AS r
+      FROM w JOIN r2 ON r2.brand = w.u JOIN outw ON outw.u = w.u, n
+      GROUP BY w.v
+    )
+    SELECT brand, ROUND(r, 9) AS pagerank FROM r3
+    """,
+)
+def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 fixed iterations, uniform
+    init) over the undirected brand co-purchase graph — the iterative
+    graph algorithm expressed BOTH as a Spark join loop and as chained
+    SQL CTEs, so the differential oracle covers a class usually stuck
+    with rows-only checks. Determinism: every per-edge contribution
+    r·w/outw is an identical double expression, quantized to
+    DECIMAL(20,12) before the neighbor SUM so accumulation order can't
+    leak ulps; the damped update is identical arithmetic on identical
+    doubles; final rank rounded to 9 (composed-float rule).
+
+    Scale shape: the fact-table work is one lineitem⋈part scan + the
+    (order, brand) DISTINCT; afterwards all iterations run on the
+    brand-domain-bounded edge list (broadcast, hundreds of rows). For
+    graphs that DON'T fit in a broadcast, the same loop holds with
+    shuffle joins per iteration + localCheckpoint per round —
+    operators/graph.py's label-propagation pattern.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = und.select("u", "v", "cnt").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "cnt")
+    )
+    w = w.transform(pin, eager=False)
+    outw = w.groupBy("u").agg(F.sum("cnt").cast("bigint").alias("ow"))
+    n_df = outw.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    r = outw.crossJoin(F.broadcast(n_df)).select(
+        F.col("u").alias("brand"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    wj = w.join(F.broadcast(outw), "u")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            F.col("r") * F.col("cnt").cast("double") / F.col("ow").cast("double")
+        ).cast("decimal(20,12)")
+        r = (
+            wj.join(F.broadcast(r), wj.u == r.brand)
+            .crossJoin(F.broadcast(n_df))
+            .groupBy(F.col("v").alias("brand2"))
+            .agg(
+                (
+                    F.lit(0.15) / F.max("n")
+                    + F.lit(_PR_D) * F.sum(contrib).cast("double")
+                ).alias("r")
+            )
+            .withColumnRenamed("brand2", "brand")
+        )
+    return r.select("brand", F.round("r", 9).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) from decimal-exact moments
+# ---------------------------------------------------------------------------
+
+_WT_SQL_MOM = """
+      CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n{i},
+      CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value END
+               AS DECIMAL(18,2))) AS DOUBLE) AS s{i},
+      CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value * value END
+               AS DECIMAL(18,4))) AS DOUBLE) AS q{i}
+"""
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+      {_WT_SQL_MOM.format(t='purchase', i=1)},
+      {_WT_SQL_MOM.format(t='click', i=2)}
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    v AS (
+      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM m
+    )
+    SELECT n1, n2, ROUND(m1, 6) AS mean_1, ROUND(m2, 6) AS mean_2,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
+    FROM v
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean event value of
+    'purchase' vs 'click' events — the A/B-testing primitive. One pass:
+    both groups' (n, Σx, Σx²) come from a single filtered-conditional
+    aggregate (map-side combinable, no per-group scan), sums are
+    decimal-exact so they're order-independent, and the composed float
+    tail (variance → sqrt → ratio) is identical-expression on both
+    engines, rounded to 6 (the agg_stats drift rule).
+
+    Scale shape: one whole-table aggregate to a single row; everything
+    after is scalar arithmetic. The same shape covers any two cohorts
+    expressible as a CASE over a partition-prunable column.
+    """
+    e = read_events(spark, sf_dir)
+
+    def mom(t: str, i: int) -> list:
+        cond = F.col("event_type") == t
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("value")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"s{i}"),
+            F.sum(
+                F.when(cond, F.col("value") * F.col("value")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias(f"q{i}"),
+        ]
+
+    m = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy()
+        .agg(*(mom("purchase", 1) + mom("click", 2)))
+    )
+    v = m.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)).alias("v2"),
+    )
+    vn1 = F.col("v1") / F.col("n1")
+    vn2 = F.col("v2") / F.col("n2")
+    return v.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_1"),
+        F.round("m2", 6).alias("mean_2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(vn1 + vn2), 6).alias("t_stat"),
+        F.round(
+            (vn1 + vn2) * (vn1 + vn2)
+            / (vn1 * vn1 / (F.col("n1") - 1) + vn2 * vn2 / (F.col("n2") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval from deterministic hash resamples
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+
+@query(
+    "stats_bootstrap_mean_ci",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)) AS hx
+      FROM lineitem
+    ),
+    d AS (
+      SELECT cents, {", ".join(
+        f"CAST('0x' || substring(hx, {i + 1}, 1) AS BIGINT) AS d{i}"
+        for i in range(_BOOT_B // 4))}
+      FROM h
+    ),
+    s AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN (d{r // 4} >> {r % 4}) % 2 = 0 THEN cents ELSE 0 END)"
+        f" AS s{r},"
+        f" SUM(CASE WHEN (d{r // 4} >> {r % 4}) % 2 = 0 THEN 1 ELSE 0 END)"
+        f" AS n{r}"
+        for r in range(_BOOT_B))}
+      FROM d
+    ),
+    m AS (
+      SELECT r, ROUND(mean_cents / 100, 9) AS m FROM (
+        {" UNION ALL ".join(
+          f"SELECT {r} AS r, CAST(s{r} AS DOUBLE) / n{r} AS mean_cents FROM s"
+          for r in range(_BOOT_B)
+        )}
+      )
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(CAST(m AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS mean_of_means,
+           MAX(CASE WHEN rn = 1 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi
+    FROM ranked
+    """,
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence interval for the mean price without
+    any engine RNG: replicate r keeps the rows whose row-key md5 has
+    bit r clear — 32 deterministic, engine-identical half-samples from
+    ONE md5 per row (128 hash bits fund all 32 replicates; hashing per
+    (row, replicate) pair was 3x the cost for nothing), each averaged
+    in exact integer cents, CI = order statistics of the replicate
+    means (type-1, value-at-index over the 32-row frame). The m-out-of-n
+    (m≈n/2) bootstrap — same 1/√n error scaling, reproducible enough to
+    hash-verify cross-engine.
+
+    Scale shape: NO fan-out at all — the 32 replicate sums/counts are
+    64 conditional aggregates in a single map-side-combinable pass
+    (shuffle carries one 64-column row per partition), then the means
+    unpivot into a 32-row frame for the ranking window. One scan, one
+    md5 per row, and the 8 hex→int digit extractions are hoisted into
+    the projection so the 64 aggregates share them instead of
+    re-deriving the digit per condition.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        _cents("l_extendedprice").alias("cents"),
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hx"),
+    )
+
+    h = h.select(
+        "cents",
+        *[
+            F.expr(
+                f"CAST(conv(substring(hx, {i + 1}, 1), 16, 10) AS BIGINT)"
+            ).alias(f"d{i}")
+            for i in range(_BOOT_B // 4)
+        ],
+    )
+
+    def bit_clear(r: int) -> F.Column:
+        return (F.shiftright(F.col(f"d{r // 4}"), r % 4) % 2) == 0
+
+    aggs = []
+    for r in range(_BOOT_B):
+        keep = bit_clear(r)
+        aggs.append(
+            F.sum(F.when(keep, F.col("cents")).otherwise(0)).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"n{r}"))
+    s = h.groupBy().agg(*aggs)
+    stack_expr = ", ".join(
+        f"{r}, CAST(s{r} AS DOUBLE) / n{r}" for r in range(_BOOT_B)
+    )
+    m = s.selectExpr(
+        f"stack({_BOOT_B}, {stack_expr}) AS (r, mean_cents)"
+    ).select("r", F.round(F.col("mean_cents") / 100, 9).alias("m"))
+    ranked = m.withColumn("rn", F.row_number().over(Window.orderBy("m", "r")))
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        (
+            F.sum(F.col("m").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_of_means"),
+        F.max(F.when(F.col("rn") == 1, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between time halves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+               AS half,
+             LEAST(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        // 5000 AS INT), 9) AS bin
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      FROM c GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST((CAST(c.n_ref AS DOUBLE) / t.tot_ref
+                   - CAST(c.n_cur AS DOUBLE) / t.tot_cur)
+                  * ln((CAST(c.n_ref AS DOUBLE) / t.tot_ref)
+                       / (CAST(c.n_cur AS DOUBLE) / t.tot_cur))
+                  AS DECIMAL(20,12)) AS term,
+             c.n_ref, c.n_cur
+      FROM c JOIN t ON c.event_type = t.event_type
+      WHERE c.n_ref > 0 AND c.n_cur > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(term) AS DOUBLE), 9) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the observation window — the standard "has this
+    feature's distribution drifted" monitor. Value domain is cut into
+    10 fixed $50 bins (integer cents, `//`/DIV agreement zone); each
+    PSI term (p−q)·ln(p/q) is an identical-expression double over
+    exact integer ratios, quantized to DECIMAL(20,12) before the sum so
+    bin accumulation order can't leak ulps; bins empty on either side
+    are excluded (no smoothing constant to disagree about).
+
+    Scale shape: one pass to the (type, bin, half) grain — a
+    domain-bounded frame (types × 10 bins) — then scalar math. The
+    split date is a constant (monitoring always compares fixed
+    windows), so both engines bin identically with no median scan.
+    """
+    e = read_events(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.expr(
+                "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " DIV 5000 AS INT)"
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_cur").cast("bigint").alias("tot_cur"),
+    )
+    j = c.join(F.broadcast(t), "event_type").filter(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    )
+    p = F.col("n_ref").cast("double") / F.col("tot_ref")
+    q = F.col("n_cur").cast("double") / F.col("tot_cur")
+    terms = j.select(
+        "event_type", ((p - q) * F.log(p / q)).cast("decimal(20,12)").alias("term")
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum("term").cast("double"), 9).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD (median absolute deviation) robust outlier fence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outlier_mad_robust",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS grp,
+             {_SQL_CENTS.format(col='value')} AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT grp, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+               AS med_cents
+      FROM r1 GROUP BY grp
+    ),
+    dev AS (
+      SELECT c.grp, ABS(c.cents - m.med_cents) AS adev, c.cents,
+             m.med_cents
+      FROM c JOIN med m ON c.grp = m.grp
+    ),
+    r2 AS (
+      SELECT grp, adev, cents, med_cents,
+             row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT grp, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END)
+               AS mad_cents
+      FROM r2 GROUP BY grp
+    )
+    SELECT d.grp, MAX(d.med_cents) AS median_cents,
+           MAX(x.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN ABS(d.cents - d.med_cents) * 10000
+                          > 3 * 14826 * x.mad_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad x ON d.grp = x.grp
+    GROUP BY d.grp
+    """,
+)
+def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation: |x − median| >
+    3·1.4826·MAD (the normal-consistency constant), with BOTH order
+    statistics exact value-at-index and the fence compared in scaled
+    integer math (10⁴·dev > 3·14826·MAD — all bigint, the CLAUDE.md
+    no-float-boundary rule; the 1.4826 constant clears its denominator
+    into the left side). Unlike z-scores, immune to the outliers
+    inflating their own fence.
+
+    Scale shape: two grouped PARALLEL range-shuffle ranking passes
+    (value, then absolute deviation; operators/ranking.py — no
+    per-group single-task sort) + a broadcast of the per-group
+    median/MAD rows back onto the scan — the outlier_iqr_price fence
+    pattern, ×2.
+    """
+    e = read_events(spark, sf_dir)
+    c = e.select(
+        F.col("event_type").alias("grp"), _cents("value").alias("cents")
+    )
+    from ..operators.ranking import with_grouped_global_row_number
+
+    r1 = with_grouped_global_row_number(c, ["grp"], ["cents"], rn="rn", n_col="n")
+    med = r1.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("cents"))
+        ).alias("med_cents")
+    )
+    dev = c.join(F.broadcast(med), "grp").select(
+        "grp",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    r2 = with_grouped_global_row_number(dev, ["grp"], ["adev"], rn="rn", n_col="n")
+    mad = r2.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("adev"))
+        ).alias("mad_cents")
+    )
+    out = dev.join(F.broadcast(mad), "grp")
+    return out.groupBy("grp").agg(
+        F.max("med_cents").alias("median_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.col("adev") * 10000 > 3 * 14826 * F.col("mad_cents"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) quartiles — the percentile_cont surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_cont_quartiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             {_SQL_CENTS.format(col='l_extendedprice')} AS cents
+      FROM lineitem
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(cents, 0.25) AS q1_cents,
+           quantile_cont(cents, 0.5) AS q2_cents,
+           quantile_cont(cents, 0.75) AS q3_cents
+    FROM c GROUP BY grp
+    """,
+)
+def quantile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-INTERPOLATED quartiles (``percentile_cont`` semantics)
+    — the continuous sibling of the repo's type-1 value-at-index
+    quantiles. Safe cross-engine for DYADIC fractions only: the rank
+    position (n−1)·q and the interpolation lo + frac·(hi−lo) are exact
+    double arithmetic when q ∈ {{.25, .5, .75}} (powers of two) and the
+    values are integer cents — both engines land on the same double.
+    Non-dyadic q (e.g. 0.9) re-introduces representation error and
+    belongs to the type-1 family instead (quantile_deciles_price).
+
+    Scale shape: the grouped PARALLEL range-shuffle ranking
+    (operators/ranking.py), then a broadcast join of the ≤ 2 marks per
+    quartile back onto the ranked rows and exact integer interpolation
+    (v_lo·(4−rem) + v_hi·rem)/4 — identical to quantile_cont's
+    lo + frac·(hi−lo) for dyadic fractions over integer cents. The
+    earlier ``percentile()`` aggregate was retired: Spark's exact
+    percentile is an ObjectAggregate that BUFFERS every group value in
+    executor memory per quantile (20 s at sf0.1, OOM territory at
+    100×); the rank-marks plan touches each row once and holds
+    nothing.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    )
+    ranked = with_grouped_global_row_number(
+        c, ["grp"], ["cents"], rn="rn", n_col="n"
+    )
+    g = ranked.select("grp", "n").distinct()
+    qs = spark.range(1, 4).select(F.col("id").cast("int").alias("q"))
+    marks = g.crossJoin(qs).select(
+        F.col("grp").alias("m_grp"),
+        "q",
+        (F.expr("(q * (n - 1)) DIV 4") + 1).alias("rn_lo"),
+        F.expr("(q * (n - 1)) % 4").alias("rem"),
+        (
+            F.expr("(q * (n - 1)) DIV 4")
+            + 1
+            + F.when(F.expr("(q * (n - 1)) % 4") > 0, 1).otherwise(0)
+        ).alias("rn_hi"),
+    )
+    hit = ranked.join(
+        F.broadcast(marks),
+        (ranked.grp == marks.m_grp)
+        & ((ranked.rn == marks.rn_lo) | (ranked.rn == marks.rn_hi)),
+    )
+    t1 = hit.groupBy("grp", "q").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("rn_lo"), F.col("cents"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("rn") == F.col("rn_hi"), F.col("cents"))).alias(
+            "v_hi"
+        ),
+        F.max("rem").alias("rem"),
+    )
+    val = (
+        F.col("v_lo") * (4 - F.col("rem")) + F.col("v_hi") * F.col("rem")
+    ).cast("double") / 4.0
+    t2 = t1.select("grp", "q", "n", val.alias("val"))
+    return t2.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("q") == 1, F.col("val"))).alias("q1_cents"),
+        F.max(F.when(F.col("q") == 2, F.col("val"))).alias("q2_cents"),
+        F.max(F.when(F.col("q") == 3, F.col("val"))).alias("q3_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (does mean event value differ across event types?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    comp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM((CAST(s2 AS DOUBLE) / 10000.0)
+                 - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+                   / CAST(n AS DOUBLE)) AS ssw,
+             CAST(SUM(s1) AS BIGINT) AS s1_tot
+      FROM g
+    ),
+    grand AS (
+      SELECT g.event_type, g.n, g.s1, c.k, c.n_total, c.ssw,
+             CAST(c.s1_tot AS DOUBLE) / 100.0 / CAST(c.n_total AS DOUBLE)
+               AS grand_mean
+      FROM g, comp c
+    ),
+    ssb_t AS (
+      SELECT max(k) AS k, max(n_total) AS n_total, max(ssw) AS ssw,
+             SUM(CAST(n AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean))
+               AS ssb
+      FROM grand
+    )
+    SELECT k AS k_groups, n_total,
+           ROUND(ssb / CAST(n_total AS DOUBLE), 6) AS ssb_per_row,
+           ROUND(ssw / CAST(n_total AS DOUBLE), 6) AS ssw_per_row,
+           ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                 / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM ssb_t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: F = (SSB/(k-1)) / (SSW/(n-k))
+    plus the eta-squared effect size, answering "does mean event value
+    differ by type beyond noise?". Sufficient statistics (n, Sigma-v,
+    Sigma-v-squared) are accumulated in FIXED-POINT bigints (value is
+    exactly 2-decimal, so v*100 and the identical-expression double
+    product v*v*1e4 round to the same integers on both engines; group
+    sums stay far under 2^53 even at 100x sf0.1), then SSW/SSB use the
+    closed forms over those exact integers so the only float work is a
+    handful of identical expressions per group. Final stats ROUND(6)
+    on both sides; the sums-of-squares are emitted as SCALE-STABLE
+    per-row quantities (SS / n_total) so their absolute magnitude never
+    outgrows the 6-decimal rounding granularity as row count scales
+    (raw SS ~ 1e10 at sf0.1 would leave <1e-6 of ulp headroom;
+    ADVICE r4).
+
+    Scale shape: one map-side-combinable groupBy to k=|event_type|
+    rows; everything after runs on k rows. No raw-row second pass, no
+    global sort, no window over the fact table.
+    """
+    e = read_events(spark, sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value") * 10000, 0).cast("bigint")
+        ).alias("s2"),
+    )
+    comp = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.col("s2").cast("double") / 10000.0
+            - (F.col("s1").cast("double") / 100.0)
+            * (F.col("s1").cast("double") / 100.0)
+            / F.col("n").cast("double")
+        ).alias("ssw"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+    )
+    grand = g.crossJoin(F.broadcast(comp)).withColumn(
+        "grand_mean",
+        F.col("s1_tot").cast("double") / 100.0 / F.col("n_total").cast("double"),
+    )
+    mean_dev = (
+        F.col("s1").cast("double") / 100.0 / F.col("n").cast("double")
+        - F.col("grand_mean")
+    )
+    ssb_t = grand.agg(
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+        F.max("ssw").alias("ssw"),
+        F.sum(F.col("n").cast("double") * mean_dev * mean_dev).alias("ssb"),
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n_total").cast("double")
+    return ssb_t.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(F.col("ssb") / n_d, 6).alias("ssb_per_row"),
+        F.round(F.col("ssw") / n_d, 6).alias("ssw_per_row"),
+        F.round(
+            (F.col("ssb") / (k_d - F.lit(1.0)))
+            / (F.col("ssw") / (n_d - k_d)),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (effect size for lang × source association on documents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, observed,
+             CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+             CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT) AS col_total,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      FROM o
+    ),
+    s AS (
+      SELECT max(grand_total) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+             SUM((CAST(observed AS DOUBLE)
+                  - CAST(row_total * col_total AS DOUBLE)
+                    / CAST(grand_total AS DOUBLE))
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(row_total * col_total AS DOUBLE)
+                      / CAST(grand_total AS DOUBLE))
+                 / (CAST(row_total * col_total AS DOUBLE)
+                    / CAST(grand_total AS DOUBLE))) AS chi2
+      FROM m
+    )
+    SELECT n, r, c, ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM s
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang × source association on documents — the
+    normalized [0,1] effect size sqrt(chi2 / (n·min(r-1,c-1))) that the
+    chi-square statistic alone doesn't give. Expected counts are the
+    identical double expression row·col/n over exact bigints; the chi2
+    sum runs over only r×c contingency cells (≤100), so cross-engine
+    summation-order drift is bounded far below the ROUND(6) pin on
+    both sides.
+
+    Scale shape: one map-side-combinable groupBy to r×c cells;
+    marginals are windows over those cells, never the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    m = o.select(
+        "lang",
+        "source",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("lang")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("source")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand_total"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    ).cast("double")
+    dev = F.col("observed").cast("double") - expected
+    s = m.agg(
+        F.max("grand_total").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+        F.sum(dev * dev / expected).alias("chi2"),
+    )
+    return s.select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means (arithmetic / geometric / harmonic) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_geo_harmonic_means",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0)
+                 / COUNT(*), 6) AS arith_mean,
+           ROUND(exp(CAST(SUM(CAST(ln(l_quantity) AS DECIMAL(18,9)))
+                          AS DOUBLE) / COUNT(*)), 6) AS geo_mean,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(CAST(1.0 / l_quantity AS DECIMAL(18,10)))
+                        AS DOUBLE), 6) AS harm_mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Pythagorean means of l_quantity per return flag —
+    the rate/ratio aggregation surface (harmonic for rates, geometric
+    for multiplicative factors) next to the plain average. Per-row
+    ln(q) and 1/q are identical double expressions; each is quantized
+    to a decimal whose GROUP-SUM integer form stays under 2^53 at 100x
+    sf0.1 (scale 9 for ln ≤ 3.92, scale 10 for 1/q ≤ 1), accumulated
+    exactly, and only then divided/exponentiated — so the engines'
+    different summation orders can't drift. Final ROUND(6).
+
+    Scale shape: one map-side-combinable groupBy; no second pass, no
+    windows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    sum_cents = F.sum(F.round(q * 100, 0).cast("bigint"))
+    sum_ln = F.sum(F.log(q).cast("decimal(18,9)")).cast("double")
+    sum_inv = F.sum((F.lit(1.0) / q).cast("decimal(18,10)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        F.round((sum_cents / 100.0) / n, 6).alias("arith_mean"),
+        F.round(F.exp(sum_ln / n), 6).alias("geo_mean"),
+        F.round(n.cast("double") / sum_inv, 6).alias("harm_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for a monthly proportion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_wilson_ci_return_rate",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+    )
+    SELECT month, n, r,
+           ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_hat,
+           ROUND(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 9) AS wilson_lo,
+           ROUND(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  + 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 9) AS wilson_hi
+    FROM m
+    """,
+)
+def stats_wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate with a 95% Wilson score interval — the
+    small-sample-safe CI (never leaves [0,1], unlike the normal
+    approximation) for monitoring a proportion over time. Counts are
+    exact; the Wilson closed form is one identical float expression of
+    those counts (z=1.96 constants pre-squared: z²=3.8416,
+    z²/2=1.9208, z²/4=0.9604), pinned with ROUND(9).
+
+    Scale shape: one map-side-combinable groupBy to month grain; the
+    CI math runs on month rows only.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("r").cast("double") / nd
+    half = F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + 0.9604 / nd) / nd)
+    denom = F.lit(1.0) + 3.8416 / nd
+    return m.select(
+        "month",
+        "n",
+        "r",
+        F.round(p, 9).alias("p_hat"),
+        F.round((p + 1.9208 / nd - half) / denom, 9).alias("wilson_lo"),
+        F.round((p + 1.9208 / nd + half) / denom, 9).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (how varied is each user's event mix?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_entropy_event_mix",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_total
+      FROM c GROUP BY user_id
+    ),
+    u AS (
+      SELECT c.user_id,
+             CAST(MAX(t.n_total) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS k_types,
+             SUM(-(CAST(cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                 * ln(CAST(cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+               AS entropy
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id
+    )
+    SELECT user_id, n_events, k_types,
+           ROUND(entropy, 9) AS entropy,
+           ROUND(CASE WHEN k_types > 1
+                      THEN entropy / ln(CAST(k_types AS DOUBLE))
+                      ELSE 0.0 END, 9) AS norm_entropy
+    FROM u
+    """,
+)
+def events_user_entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, raw and
+    normalized by ln(types-used) — the behavioral-diversity score that
+    separates single-action bots (entropy 0) from organic users.
+    Counts are exact; each p·ln(p) term is an identical double
+    expression and the per-user sum spans at most |event types| terms,
+    pinned with ROUND(9). Single-type users get normalized entropy 0
+    (not a 0/0).
+
+    Scale shape: one shuffle to (user, type) counts with map-side
+    combine; the second aggregate reuses user partitioning. No windows
+    over raw facts.
+    """
+    ev = read_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("bigint").cast(
+        "double"
+    )
+    terms = c.select(
+        "user_id",
+        "cnt",
+        (-p * F.log(p)).alias("term"),
+    )
+    u = terms.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("k_types"),
+        F.sum("term").alias("entropy"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "k_types",
+        F.round(F.col("entropy"), 9).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("k_types") > 1,
+                F.col("entropy") / F.log(F.col("k_types").cast("double")),
+            ).otherwise(0.0),
+            9,
+        ).alias("norm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: price-on-size regression per brand (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_brand_price_size_regression",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_size) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM(p_size * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sxy,
+             CAST(SUM(p_size * p_size) AS BIGINT) AS sxx
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0, 9)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE) / 100.0
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 9) AS intercept
+    FROM m
+    """,
+)
+def part_brand_price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of retail price on part size — GROUPED regression
+    (one model per brand in a single pass), the segmentation twin of
+    the global agg_regr_slope_intercept. Moments (n, Σx, Σy, Σxy, Σx²)
+    accumulate as exact int64s (price in cents, size a small int), and
+    slope/intercept are identical closed-form double expressions of
+    those integers, ROUND(9).
+
+    Scale shape: one map-side-combinable groupBy; models-per-group
+    math runs on |brands| rows. No second pass, no windows.
+    """
+    p = read_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_size").cast("bigint").alias("sx"),
+        F.sum(cents).cast("bigint").alias("sy"),
+        F.sum(F.col("p_size") * cents).cast("bigint").alias("sxy"),
+        F.sum(F.col("p_size") * F.col("p_size")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope_cents = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        nd * F.col("sxx").cast("double") - sx * sx
+    )
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope_cents / 100.0, 9).alias("slope"),
+        F.round((sy / 100.0 - slope_cents / 100.0 * sx) / nd, 9).alias(
+            "intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whole-table numeric profile: IQR fences for every column in one pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_multi_column_iqr",
+    oracle="""
+    WITH c AS (
+      SELECT col_name, cents FROM (
+        SELECT 'quantity' AS col_name,
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice',
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'discount',
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT) FROM lineitem
+      )
+    ),
+    ranked AS (
+      SELECT col_name, cents,
+             row_number() OVER (PARTITION BY col_name ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY col_name) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT col_name, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1_cents,
+             MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS med_cents,
+             MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END)
+               AS q3_cents
+      FROM ranked GROUP BY col_name
+    )
+    SELECT c.col_name, MAX(q.n) AS n,
+           MAX(q.q1_cents) AS q1_cents, MAX(q.med_cents) AS med_cents,
+           MAX(q.q3_cents) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM c JOIN q ON c.col_name = q.col_name
+    GROUP BY c.col_name
+    """,
+)
+def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric table profile: every lineitem money/measure
+    column is UNPIVOTed to (column, value) rows, quartiles come from
+    ONE grouped parallel ranking over all columns at once (column name
+    = group key), and Tukey 1.5·IQR outlier counts land per column —
+    the data-profiling sweep that would otherwise run N separate
+    quantile jobs. All order statistics are exact value-at-index; the
+    fences are the 2·x vs 5·Q1−3·Q3 integer cross-multiplication.
+
+    Scale shape: quantiles come from the VALUE-GRAIN cumulative
+    histogram — one map-side-combinable groupBy to (column, distinct
+    value) counts, then per-column cumulative windows over the value
+    domain (≤ price-domain cardinality rows per column, bounded by the
+    column's value range — NOT by row count; the fact table itself is
+    never window-sorted), then one broadcast of the 4-row fence table
+    back onto the stacked scan. Columns profile in parallel. For
+    unbounded-domain columns use the row-grain ranking operator
+    (operators/ranking.py) instead.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.selectExpr(
+        "stack(4,"
+        " 'quantity', CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
+        " 'extendedprice', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),"
+        " 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT),"
+        " 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
+        ") AS (col_name, cents)"
+    )
+    vc = c.groupBy("col_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("col_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "col_name",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("col_name")).alias("n"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    r1 = F.expr("(n - 1) DIV 4 + 1")
+    r2 = F.expr("(n - 1) DIV 2 + 1")
+    r3 = F.expr("(3 * (n - 1)) DIV 4 + 1")
+    q = cum.groupBy("col_name").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when((F.col("cum_prev") < r1) & (r1 <= F.col("cum")), F.col("cents"))
+        ).alias("q1_cents"),
+        F.max(
+            F.when((F.col("cum_prev") < r2) & (r2 <= F.col("cum")), F.col("cents"))
+        ).alias("med_cents"),
+        F.max(
+            F.when((F.col("cum_prev") < r3) & (r3 <= F.col("cum")), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    j = c.join(F.broadcast(q), "col_name")
+    return j.groupBy("col_name").agg(
+        F.max("n").alias("n"),
+        F.max("q1_cents").alias("q1_cents"),
+        F.max("med_cents").alias("med_cents"),
+        F.max("q3_cents").alias("q3_cents"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency percentiles per priority (grouped ranking consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fulfillment_latency_quartiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT grp, days,
+             row_number() OVER (PARTITION BY grp ORDER BY days) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM lat
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q1_days,
+           CAST(MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q2_days,
+           CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN days END)
+                AS BIGINT) AS q3_days
+    FROM ranked GROUP BY grp
+    """,
+)
+def orders_fulfillment_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quartiles per order priority — the SLA
+    dashboard: days between order placement and each line item's ship
+    date, type-1 quartiles per priority. Integer day latencies make
+    the order statistics engine-exact (positions with duplicate values
+    are value-determined — the lineitem tie rule).
+
+    Scale shape: the orders→lineitem equi-join shuffles on orderkey;
+    quartile extraction runs through the grouped PARALLEL ranking
+    operator (JVM literal-map path) — no per-priority single-task
+    sort; the rank-hit filter reduces map-side before the final
+    5-row-per-group aggregate.
+    """
+    from ..operators.ranking import with_grouped_global_row_number
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    ranked = with_grouped_global_row_number(
+        lat, ["grp"], ["days"], rn="rn", n_col="n"
+    )
+    hit = ranked.where(
+        (F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"))
+        | (F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"))
+        | (F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"))
+    )
+    return hit.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q1_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q2_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("days"))
+        ).cast("bigint").alias("q3_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly categorical drift monitor (chi-square vs the global mix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_mix_drift_monthly",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+             o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY ym, pri
+    ),
+    m AS (
+      SELECT ym, pri, obs,
+             CAST(SUM(obs) OVER (PARTITION BY ym) AS BIGINT) AS month_n,
+             CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS pri_n,
+             CAST(SUM(obs) OVER () AS BIGINT) AS total_n
+      FROM cell
+    )
+    SELECT ym, CAST(MAX(month_n) AS BIGINT) AS n_orders,
+           ROUND(SUM(
+             (CAST(obs AS DOUBLE)
+              - CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                / CAST(total_n AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+                - CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                  / CAST(total_n AS DOUBLE))
+             / (CAST(month_n AS DOUBLE) * CAST(pri_n AS DOUBLE)
+                / CAST(total_n AS DOUBLE))), 6) AS chi2
+    FROM m GROUP BY ym
+    """,
+)
+def orders_priority_mix_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor: per month, the chi-square statistic
+    of that month's order-priority mix against the expectation under
+    the GLOBAL mix (expected cell = month_n·pri_n/total_n) — the
+    relational sibling of the text KL-drift check, flagging months
+    whose intake distribution shifted. All inputs are exact integer
+    counts; chi2 is an identical closed-form expression of identical
+    integers on both sides, ROUND(6) per the composed-float rule.
+
+    Scale shape: the fact table collapses to the (month, priority)
+    grid map-side (≤ months×5 rows); the margin windows run over that
+    tiny grid, never over raw orders.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    m = cell.select(
+        "ym",
+        "pri",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("ym")).cast("bigint").alias(
+            "month_n"
+        ),
+        F.sum("obs").over(Window.partitionBy("pri")).cast("bigint").alias(
+            "pri_n"
+        ),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("total_n"),
+    )
+    exp = (
+        F.col("month_n").cast("double")
+        * F.col("pri_n").cast("double")
+        / F.col("total_n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - exp
+    return m.groupBy("ym").agg(
+        F.max("month_n").cast("bigint").alias("n_orders"),
+        F.round(F.sum(dev * dev / exp), 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand neighborhood Jaccard (item-item co-purchase similarity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_brand_neighborhood_jaccard",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sz AS (SELECT brand, COUNT(*) AS s FROM ob GROUP BY brand),
+    com AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS c
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, CAST(c AS BIGINT) AS n_common_orders,
+           CAST(sa.s + sb.s - c AS BIGINT) AS n_union_orders
+    FROM com JOIN sz sa ON sa.brand = brand_a
+             JOIN sz sb ON sb.brand = brand_b
+    WHERE 20 * c >= sa.s + sb.s - c
+    """,
+)
+def graph_brand_neighborhood_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item co-purchase similarity: Jaccard of two brands' ORDER
+    sets (the collaborative-filtering "customers who bought X also
+    bought Y" primitive), emitted as exact integer (common, union)
+    counts for pairs above a 5% overlap floor — the threshold compares
+    in integer cross-multiplication (20·common ≥ union), never a float
+    share.
+
+    Scale shape: the co-occurrence join keys on the ORDER (inverted
+    index — per-order pair fan-out bounded by order size², never
+    all-brand-pairs over the corpus); sizes and the pair frame are
+    brand-domain-bounded (≤ |brands|² rows) and broadcast onto the
+    aggregate. Same graph grain as graph_triangle_count_brands.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    sz = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+    a, b = ob.alias("a"), ob.alias("b")
+    com = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb"))
+    return (
+        com.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c").cast("bigint").alias("n_common_orders"),
+            (F.col("sa") + F.col("sb") - F.col("c"))
+            .cast("bigint")
+            .alias("n_union_orders"),
+        )
+        .filter(
+            F.lit(20) * F.col("n_common_orders") >= F.col("n_union_orders")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table order-total consistency audit (data quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_order_total_consistency",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))
+               * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                        AS BIGINT))
+             ) AS BIGINT) AS recomputed_u
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 10000 AS stored_u,
+             li.recomputed_u
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN stored_u = recomputed_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           CAST(SUM(CASE WHEN stored_u <> recomputed_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def quality_order_total_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table consistency audit — the referential DQ check every
+    warehouse runs: does each order's stored o_totalprice equal the
+    TPC-H recomputation Σ extendedprice·(1+tax)·(1−discount) over its
+    line items? Both sides evaluate in EXACT integer micro-units
+    (cents × basis-point factors = 1e-6 dollars in int64; per-order
+    sums « 2^53), so equal/unequal can never wobble on float rounding
+    — the audit counts whatever the generator actually produced,
+    identically on both engines.
+
+    Scale shape: one map-side-combinable per-order aggregate of
+    lineitem, one equi-join to orders on its key, one enum-grain
+    rollup. Int64 bound: max per-order recomputed ≈ 7 items × 1e7
+    cents × 1e4 ≈ 7e11 « 2^63.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ep = _cents("l_extendedprice")
+    tax = _cents("l_tax")
+    disc = _cents("l_discount")
+    rec = li.groupBy("l_orderkey").agg(
+        F.sum(ep * (F.lit(100) + tax) * (F.lit(100) - disc))
+        .cast("bigint")
+        .alias("recomputed_u")
+    )
+    j = o.join(rec, o.o_orderkey == rec.l_orderkey).select(
+        "o_orderstatus",
+        (_cents("o_totalprice") * F.lit(10000)).alias("stored_u"),
+        "recomputed_u",
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(F.col("stored_u") == F.col("recomputed_u"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_consistent"),
+        F.sum(
+            F.when(F.col("stored_u") != F.col("recomputed_u"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+             a.x AS x1, b.x AS x2
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    r AS (
+      SELECT event_type, slope,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slope, x1, x2
+             ) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+            + MAX(CASE WHEN rn = n // 2 + 1 THEN slope END)) / 2.0
+             AS median_slope
+    FROM r GROUP BY event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series per
+    event type: the MEDIAN of all pairwise slopes — the
+    breakdown-resistant alternative to least-squares (one anomalous
+    day cannot drag the estimate). Slopes are quotients of identical
+    integers (count deltas over epoch-day deltas) so the doubles are
+    bit-equal cross-engine; the median reads VALUES at two ranks of a
+    (slope, x1, x2)-ordered total order — value-determined under ties
+    per the repo quantile rule — and averages them (odd n reads the
+    middle twice).
+
+    Scale shape: the pairwise blowup is DAY-DOMAIN-bounded (days²/2
+    per type, corpus-free — the fact table collapses to |type|×|days|
+    rows map-side first); the ranking window runs on that bounded
+    aggregate, never on raw events."""
+    e = read_events(spark, sf_dir)
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    wn = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) DIV 2"),
+                        F.col("slope"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.expr("n DIV 2 + 1"),
+                        F.col("slope"),
+                    )
+                )
+            )
+            / F.lit(2.0)
+        ).alias("median_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-crossing detection over ordered series (alerting primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_threshold_crossings",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS nvc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN vc < 10000 AND nvc >= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_up_crossings,
+           CAST(SUM(CASE WHEN vc >= 10000 AND nvc < 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_down_crossings
+    FROM x WHERE nvc IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing detection per event type — the alerting
+    primitive (how often does the value series cross the 100.00 alarm
+    level, in each direction?). A crossing is a property of ADJACENT
+    elements in the (ts, event_id) total order, so it rides
+    :func:`operators.ranking.with_grouped_lead` — one range shuffle +
+    local vectorized shifts with a ≤P-row boundary handoff, no
+    per-type single-task sort, no self-join. Counts are exact integer
+    comparisons of exact cents.
+
+    Scale shape: the lead is computed partition-locally after one
+    range shuffle (the with_grouped_lead boundary pattern); the final
+    aggregate is |type| rows, map-side combinable.
+    """
+    from ..operators.ranking import with_grouped_lead
+
+    e = read_events(spark, sf_dir)
+    base = e.select(
+        "event_type", _cents("value").alias("vc"), "ts", "event_id"
+    )
+    led = with_grouped_lead(
+        base, ["event_type"], ["ts", "event_id"], {"vc": "nvc"}
+    )
+    x = led.where(F.col("nvc").isNotNull())
+    t = F.lit(10000)
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("vc") < t) & (F.col("nvc") >= t), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up_crossings"),
+        F.sum(F.when((F.col("vc") >= t) & (F.col("nvc") < t), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down_crossings"),
+    )

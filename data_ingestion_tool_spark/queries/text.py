@@ -7,5 +7,1313 @@ from pyspark.sql import functions as F
 
 from ..operators import text as TX
 from ..sources.parquet_io import read_table
-from .registry import query
 from ..plans.pin import pin
+from .registry import query
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents) t
+    WHERE word <> ''
+    GROUP BY word HAVING COUNT(*) >= 5
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → count: the classic text-analysis shape. Stays
+    in codegen until the single count shuffle (partial-aggregated)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_text,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','that'], x)))
+                  AS BIGINT) AS sw_hits
+      FROM documents)
+    SELECT doc_id, n_chars_text, n_tokens,
+           CAST(sw_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+             AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length, token count, stopword ratio — all
+    codegen'd column expressions (see operators.text.quality_features
+    for the full feature set)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("content_hash"))
+
+
+def _langid_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id — the heuristic is a
+    DETERMINISTIC closed form (per-language stopword hit counts →
+    argmax with (hits, lang) tuple order, 'und' on zero evidence), so
+    it gets a full differential oracle rather than the rows-only check
+    it shipped with (round-6 promotion). The VALUES table is generated
+    from the same LANG_STOPWORDS constant the Spark operator reads."""
+    from ..operators.text import LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, l.lang,
+             len(list_filter(t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best AS (
+      SELECT doc_id, MAX({{'h': h, 'l': lang}}) AS b
+      FROM hits GROUP BY doc_id
+    )
+    SELECT CASE WHEN b.h > 0 THEN b.l ELSE 'und' END AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (operators.text.lang_id) → per-language
+    document counts. Promoted to a full DuckDB-hash oracle in round 6:
+    the classifier is an identical closed-form argmax on both engines
+    (ties break by the (hits, lang) tuple order — Spark array_max over
+    structs == DuckDB MAX over structs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        TX.lang_id(d)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "sql_function_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           md5(lower(trim(text))) AS content_hash
+    FROM documents
+    """,
+)
+def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's registered SQL UDFs driven purely through
+    ``spark.sql`` — proves the SQL surface exists and that the SQL-UDF
+    bodies inline (no Python boundary; see functions/register.py)."""
+    from ..functions import register_sql_functions
+
+    register_sql_functions(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               dit_token_count(text) AS n_tokens,
+               dit_fingerprint(text) AS content_hash
+        FROM documents
+        """
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    feature-weighting primitive. Shape: explode → (doc,term) partial
+    agg → term-level doc-frequency agg (tiny, broadcasts back) → one
+    window per doc. The corpus-size scalar rides a 1-row broadcast
+    cross join, never a collect. Window ORDER BY uses the ROUNDED
+    score + term tie-break so ranks match the oracle exactly (raw
+    ln() differs in final ulps across libms)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+@query(
+    "text_bigram_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> x <> ''), 1) AS pos
+      FROM documents),
+    big AS (
+      SELECT term || ' ' || LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM tok)
+    SELECT bigram, COUNT(*) AS cnt FROM big
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram HAVING COUNT(*) >= 20
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram LM / collocation prep). The
+    Spark side pairs adjacent tokens ARRAY-SIDE (zip_with over two
+    slices) — zero per-document shuffle, unlike the oracle's
+    LEAD-window formulation which must cluster by doc; only the final
+    bigram count shuffles, partial-aggregated."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    # zip_with over two slices — NOT transform with get(toks, i+1),
+    # which re-embeds the whole tokenize expression per element and
+    # makes the row O(tokens²) (measured 4.1s → 0.6s at sf0.1)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS repetition
+    FROM t
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token ratio per document — the boilerplate/stuffing
+    signal quality filters gate on. Pure column expressions, no
+    shuffle at all."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.repetition_ratio("text").alias("repetition"),
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH toklist AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM toklist),
+    tri AS (
+      SELECT doc_id,
+             term || ' ' || LEAD(term, 1) OVER w || ' '
+                  || LEAD(term, 2) OVER w AS gram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grams AS (SELECT DISTINCT doc_id, gram FROM tri WHERE gram IS NOT NULL),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+    FROM scored
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scores: the held-out slice (doc_id % 50
+    = 0) plays the eval suite; every training doc reports the fraction
+    of its distinct trigrams that leak from it. The benchmark gram set
+    broadcasts (eval suites stay small at any corpus scale); the
+    corpus explodes locally and never shuffles before the per-doc
+    aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return TX.contamination_scores(train, bench)
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at '
+               || lower(replace(c_name, '#', '.')) || '@corp.example'
+               || ' or call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS contact
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b555-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(contact,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(
+                  regexp_replace(contact,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\\b555-\\d{4}\\b'))
+              AS BIGINT) AS n_redactions
+    FROM synth
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone-shaped tokens) — the corpus text
+    carries no PII, so both engines synthesize the same contact string
+    from customer fields and the differential check exercises the
+    actual scrub regexes. Pure regexp codegen, no shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    synth = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("reach "),
+            F.col("c_name"),
+            F.lit(" at "),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@corp.example or call 555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("contact"),
+    )
+    return TX.pii_scrub(synth, "contact").select(
+        "c_custkey", "scrubbed", "n_redactions"
+    )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS n_sentences,
+             greatest(CAST(len(list_filter(
+                 string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS BIGINT), 1) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch_score
+    FROM t
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    proxy (``[aeiouy]+`` runs — the standard cheap estimator).
+    Sentence/word/syllable counts are integers from identical regexes
+    (plain character classes behave the same under Java regex and
+    RE2), and the score is the identical float expression over
+    identical integers — bit-equal cross-engine, no rounding needed.
+
+    Scale shape: pure per-row codegen — counting regex matches never
+    materializes the match arrays into a shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast("bigint"),
+        F.lit(1),
+    )
+    n_words = F.greatest(TX.token_count("text"), F.lit(1))
+    n_syll = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    return t.withColumn(
+        "flesch_score",
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
+    )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(lower(text), '[aeiou\\s]', '', 'g'))
+                AS BIGINT) AS n_consonant_chars
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark's vectorized batch
+    transfer, ~10-100x over row-at-a-time pickling): counts
+    non-vowel, non-space characters in Python while the oracle does
+    the same with a regex — proving the Python-side semantics line up
+    exactly with the SQL twin. The registry's ONLY row-logic Python
+    UDF, and deliberately so: everything expressible stays JVM-side
+    (CLAUDE.md scale rules); this entry documents the escape hatch
+    done right.
+
+    Scale shape: Arrow batches stream through the Python worker
+    pinned to the scan — no shuffle; throughput bounded by the Python
+    worker pool (spark.sql.execution.arrow.maxRecordsPerBatch tunes
+    batch amortization).
+    """
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def n_consonant_chars(text: str) -> int:
+        if text is None:
+            return None
+        # NO \v here: the oracle's regex class [aeiou\s] is RE2 \s =
+        # [\t\n\f\r ], which excludes vertical tab — the drop sets must
+        # match character-for-character or a \v in any document counts
+        # differently on the two sides.
+        drop = set("aeiou \t\n\r\f")
+        return sum(1 for ch in text.lower() if ch not in drop)
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_consonant_chars("text").alias("n_consonant_chars"))
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freqs AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freqs),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ln(CAST(f.cnt AS DOUBLE) / CAST(total.total AS DOUBLE))
+                  AS DECIMAL(18,9)) AS logp
+      FROM toks t JOIN freqs f ON t.tok = f.tok, total
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(logp) AS DOUBLE) AS sum_logprob,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: each token
+    contributes ln(corpus_freq/total); low average log-probability
+    flags unusual/garbage text — the cheap perplexity proxy used in
+    corpus filtering. Each term is an identical double (a log of a
+    quotient of identical bigints) QUANTIZED to DECIMAL(18,9) before
+    summation, so the per-doc sum is decimal-exact and
+    order-independent — a raw float SUM over thousands of log terms
+    differs in final ulps by partition order (the CLAUDE.md dsum rule,
+    applied to logs).
+
+    Scale shape: the frequency table is a map-side-combinable count;
+    the (token → logp) join is broadcast-size for real vocabularies;
+    the final per-doc sum shares the doc_id grouping with the explode.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freqs.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).cast("decimal(18,9)").alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("logp").cast("double").alias("sum_logprob"),
+        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+@query(
+    "text_chunk_dedup_crossdoc",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS k
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, k * 10 + 1, k * 10 + 10), ' ')
+               AS chunk
+      FROM k
+    ),
+    g AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN g.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM ch c JOIN g USING (chunk) GROUP BY c.doc_id
+    """,
+)
+def text_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style chunk-level cross-document dedup signal:
+    split each document into non-overlapping 10-token chunks, count per
+    doc how many of its chunks also occur in ANOTHER document. The
+    downstream scrub drops or rewrites those chunks; this emits the
+    per-doc audit (total chunks, shared chunks).
+
+    Scale shape: chunking is array math on the scan (no HOF
+    re-embedding: ``toks`` is bound as a column before the transform);
+    the global chunk census is one hash groupBy on the chunk string —
+    at 100 TB you'd pre-hash chunks to 128-bit digests so the shuffle
+    carries 16-byte keys, which is the only change this plan needs.
+    Exact string equality both sides; counts are integers."""
+    d = read_table(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    nch = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    chunks = F.when(
+        nch > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda k: F.array_join(F.slice(F.col("toks"), k * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = d2.select("doc_id", F.explode(chunks).alias("chunk"))
+    g = ch.groupBy("chunk").agg(
+        F.count_distinct(F.col("doc_id")).alias("ndocs")
+    )
+    return (
+        ch.join(g, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )
+
+
+@query(
+    "text_token_estimate_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]{5,}'))
+                AS BIGINT) AS n_long_words
+    FROM documents
+    """,
+)
+def text_token_estimate_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate — the budget sizer that whitespace
+    counting undershoots: a GPT-2-style pre-tokenizer class (letter
+    runs | single digits | punctuation) counted per document, plus the
+    long-word count that correlates with subword splits. Pure
+    ``regexp_count`` codegen (the identical RE2-compatible class on
+    both engines), no explode, no shuffle — per-row scan math."""
+    d = read_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(low, F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.regexp_count(low, F.lit("[a-z]{5,}")).cast("bigint").alias(
+            "n_long_words"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: hapax legomena per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS freq FROM tok GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM tf GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per language: hapax legomena (terms
+    seen exactly once) and dis legomena (exactly twice) over the corpus
+    vocabulary — the lexical-diversity signal a training-data curation
+    pass uses to spot boilerplate-heavy vs organic text. Pure integer
+    counts; the ratio is one division of identical integers.
+
+    Scale shape: tokenize → per-(lang, term) count (one shuffle,
+    map-side combinable) → per-lang rollup of the vocabulary grain.
+    The vocabulary frame is the only shuffled data after the first
+    aggregate; raw text never moves twice.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        (
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's law: log-log slope of the top-100 rank-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_rank_slope",
+    oracle=r"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf QUALIFY rnk <= 100
+    ),
+    pts AS (
+      SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(20,11)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(20,11)) AS y,
+             CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                  AS DECIMAL(20,11)) AS xy,
+             CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                  AS DECIMAL(20,11)) AS xx
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank) for
+    the corpus's top-100 terms (natural text sits near −1; heavily
+    templated/duplicated corpora flatten). Determinism: ranks and
+    frequencies are exact integers; each ln/product is an identical
+    double expression on both engines (ln is correctly rounded; DuckDB
+    `ln`, never its base-10 `log` — CLAUDE.md), then every point is
+    quantized to DECIMAL(20,11) before summing so the Σ is
+    order-independent and its integer form stays < 2^53 for the
+    decimal→double cast. Final slope rounded to 6.
+
+    Scale shape: term counting is the one big shuffle; the top-100 is a
+    distributed TakeOrdered (orderBy+limit), and the regression runs on
+    a 100-row frame. QUALIFY-style rank windows never see the full
+    vocabulary on the Spark side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top100 = tf.orderBy(F.desc("freq"), F.asc("term")).limit(100)
+    ranked = top100.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    pts = ranked.select(
+        lx.cast("decimal(20,11)").alias("x"),
+        ly.cast("decimal(20,11)").alias("y"),
+        (lx * ly).cast("decimal(20,11)").alias("xy"),
+        (lx * lx).cast("decimal(20,11)").alias("xx"),
+    )
+    s = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (Jaccard over term sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_overlap_sources",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    sz AS (
+      SELECT source, COUNT(*) AS vocab FROM tok GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.vocab AS BIGINT) AS vocab_a,
+           CAST(sb.vocab AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.vocab + sb.vocab - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    WHERE i.n_common * 4 >= (sa.vocab + sb.vocab - i.n_common) * 3
+    """,
+)
+def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (reported above 75%
+    overlap — the integer-math threshold 4·|∩| ≥ 3·|∪|): the corpus-
+    level contamination/redundancy signal that says two "different"
+    sources are really the same crawl. Jaccard itself is one division
+    of identical exact integers.
+
+    Scale shape: the corpus collapses to the DISTINCT (source, term)
+    grain first; the pair counting joins on term, where each term
+    contributes at most |sources|² bounded pairs (sources are a small
+    domain) — so the join output is vocab-linear, never corpus-
+    quadratic. Per-source vocab sizes broadcast back onto the pair
+    list.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    out = (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .filter(
+            F.col("n_common") * 4
+            >= (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")) * 3
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("vocab_a").cast("bigint").alias("vocab_a"),
+        F.col("vocab_b").cast("bigint").alias("vocab_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each source's unigram distribution from the corpus mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_kl_source_vs_corpus",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    cst AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ),
+    ct AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term
+    ),
+    nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst)
+    SELECT cst.source,
+           CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(SUM(
+             (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))
+           ), 6) AS kl_from_corpus
+    FROM cst
+    JOIN ns USING (source)
+    JOIN ct USING (term)
+    CROSS JOIN nn
+    GROUP BY cst.source
+    """,
+)
+def text_kl_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution — the distribution-shift monitor for a
+    training-data mix (a source whose KL spikes is drifting away from
+    the blend it was weighted for). The corpus is the mixture, so every
+    source term has corpus support and no smoothing is needed; counts
+    are exact bigints, p/q are identical double divisions, and only the
+    per-source sum of ln-terms is float-order-sensitive — pinned with
+    ROUND(6) on both sides (drift is ~1e-13 at this vocab size).
+
+    Scale shape: the corpus collapses to (source, term) counts with
+    map-side combine; marginals reuse that aggregate (term shuffle =
+    vocab-sized, source/total aggregates broadcast back). No per-row
+    second pass over documents.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    cst = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    cst = cst.transform(pin, eager=False)
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    nn = cst.agg(F.sum("c_st").cast("bigint").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n").cast("double")
+    joined = (
+        cst.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+    )
+    return joined.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_corpus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty per source (how much n-gram mass is source-exclusive?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_trigram_novelty_per_source",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> x <> ''), 1) AS pos
+      FROM documents),
+    tri AS (
+      SELECT source,
+             term || ' ' || LEAD(term) OVER w || ' ' || LEAD(term, 2) OVER w
+               AS trigram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    st AS (
+      SELECT DISTINCT source, trigram FROM tri WHERE trigram IS NOT NULL),
+    ns AS (
+      SELECT trigram, COUNT(*) AS nsrc FROM st GROUP BY trigram)
+    SELECT st.source,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN ns.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           CAST(SUM(CASE WHEN ns.nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+    FROM st JOIN ns ON st.trigram = ns.trigram
+    GROUP BY st.source
+    """,
+)
+def text_trigram_novelty_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram novelty: the share of a source's distinct
+    word-trigrams that appear in NO other source — high novelty means
+    the source contributes genuinely new phrasing to the corpus; low
+    novelty flags near-duplicate scrapes worth down-weighting in the
+    mixture. The share is a quotient of identical bigints (bit-equal
+    cross-engine, no rounding needed).
+
+    Spark builds trigrams ARRAY-SIDE (zip_with over three slices — the
+    bigram lesson: never re-embed the tokenize expression inside a HOF
+    lambda), so no per-doc window; the oracle uses the LEAD-window
+    formulation, a genuine differential check.
+
+    Scale shape: explode → (source, trigram) distinct (map-side
+    combine) → trigram-keyed count + join back — two shuffles on the
+    trigram key, both partial-aggregated; no corpus-sized window, no
+    driver-side state.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.zip_with(
+            F.slice(toks, 2, n2),
+            F.slice(toks, 3, n2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    st = (
+        d.select("source", F.explode(tri).alias("trigram"))
+        .distinct()
+    )
+    ns = st.groupBy("trigram").agg(F.count(F.lit(1)).alias("nsrc"))
+    j = st.join(ns, "trigram")
+    excl = F.sum(F.when(F.col("nsrc") == 1, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        excl.cast("bigint").alias("n_exclusive"),
+        (excl.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "novelty_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing document vectors (hashed bag-of-words)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_feature_hashing_bow",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(CAST(CONCAT('0x', substring(md5(term), 1, 6)) AS BIGINT) % 16
+                AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM tok GROUP BY doc_id, dim
+    """,
+)
+def text_feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (the "hashing trick") document vectors: each
+    token hashes into one of 16 dimensions via md5, and the document's
+    sparse bag-of-words vector is the per-dimension token count —
+    vocabulary-free featurization that needs NO global dictionary
+    build, which is what makes it the 100 TB-friendly text vectorizer
+    (a learned vocab is a second full pass + a broadcast dictionary).
+    md5 gives identical dimension assignment on both engines.
+
+    Scale shape: explode → (doc, dim) count with map-side combine —
+    one shuffle keyed by (doc_id, dim); output is the sparse COO form
+    downstream ANN/classifiers consume. The doc_id < 200 cap only
+    bounds the ORACLE's output for the gate; the operator itself is a
+    full-corpus scan shape.
+    """
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dim = F.expr(
+        "CAST(CAST(conv(substring(md5(term), 1, 6), 16, 10) AS BIGINT) % 16"
+        " AS INT)"
+    )
+    return tok.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+
+
+@query(
+    "text_token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source, CAST(least(n // 50, 8) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source, bucket
+    """,
+)
+def text_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source in fixed 50-token buckets
+    (capped at bucket 8) — the context-window sizing report every
+    training pipeline reads before choosing sequence length and packing
+    strategy. Pure integer bucket math (DIV, no float log), map-side
+    combinable aggregate over source × 9 buckets."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", TX.token_count("text").alias("n")
+    )
+    return (
+        d.select(
+            "source",
+            F.least(F.expr("n DIV 50"), F.lit(8).cast("bigint")).alias(
+                "bucket"
+            ),
+            "n",
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "text_bigram_conditional_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT source, t[i] AS x, t[i+1] AS y
+      FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cxy AS (
+      SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM big GROUP BY source, x, y
+    ),
+    cx AS (
+      SELECT source, x, CAST(SUM(cxy) AS BIGINT) AS cx
+      FROM cxy GROUP BY source, x
+    ),
+    terms AS (
+      SELECT cxy.source,
+             cxy.cxy * CAST(ln(CAST(cx.cx AS DOUBLE) / CAST(cxy.cxy AS DOUBLE))
+                            AS DECIMAL(18,9)) AS term,
+             cxy.cxy AS n
+      FROM cxy JOIN cx ON cx.source = cxy.source AND cx.x = cxy.x
+    )
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(term) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+             AS cond_entropy_nats
+    FROM terms GROUP BY source
+    """,
+)
+def text_bigram_conditional_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram conditional entropy H(next | current) per source, in nats
+    — the n-gram language-model predictability metric (low entropy =
+    repetitive/templated text; a corpus-quality signal next to the
+    repetition ratio). H = Σ (c_xy/N)·ln(c_x/c_xy) with c_x the
+    bigram-start marginal. Each term is an identical double (a log of
+    a quotient of identical bigints) QUANTIZED to DECIMAL(18,9) before
+    the integer-weighted decimal sum — the text_unigram_logprob
+    discipline — so the accumulation is order-independent. The mean is
+    emitted UNROUNDED: the decimal sum's 1e-9 granularity makes
+    sum/n sit exactly on ROUND boundaries for a third of the sources
+    (engines' ROUND disagrees there — the CLAUDE.md rule, observed as
+    systematic 1e-9 hash diffs); the raw division of identical exact
+    values is already bit-deterministic.
+
+    Scale shape: bigrams pair array-side (zip_with over two slices,
+    the text_bigram_freq pattern — no per-doc window); the (source, x,
+    y) and (source, x) counts are map-side-combinable aggregates; the
+    marginal joins back on the aggregated bigram-type grain (vocab²
+    bounded), never the raw corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    big = d.select("source", F.explode(bigrams).alias("b")).select(
+        "source", F.col("b.x").alias("x"), F.col("b.y").alias("y")
+    )
+    cxy = big.groupBy("source", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    cx = cxy.groupBy("source", "x").agg(
+        F.sum("cxy").cast("bigint").alias("cx")
+    )
+    terms = cxy.join(cx, ["source", "x"]).select(
+        "source",
+        (
+            # cxy must shrink to decimal(10,0) before the multiply: a
+            # raw bigint widens to decimal(20,0) and 20+18+1 > 38 makes
+            # Spark REDUCE THE SCALE to fit (silent 9→8 digit loss,
+            # observed as ~1e-7 sum drift vs DuckDB); decimal(10,0)
+            # keeps the product exact at (29,9)
+            F.col("cxy").cast("decimal(10,0)")
+            * F.log(
+                F.col("cx").cast("double") / F.col("cxy").cast("double")
+            ).cast("decimal(18,9)")
+        ).alias("term"),
+        F.col("cxy").alias("n"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum("term").cast("double") / F.sum("n").cast("bigint")
+        ).alias("cond_entropy_nats"),
+    )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    cst AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ),
+    ct AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term
+    ),
+    nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst),
+    grid AS (
+      SELECT ns.source, ns.n_s, ct.term, ct.c_t,
+             COALESCE(cst.c_st, 0) AS c_st
+      FROM ns CROSS JOIN ct
+      LEFT JOIN cst ON cst.source = ns.source AND cst.term = ct.term
+    ),
+    terms AS (
+      SELECT source,
+             CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+             CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE) AS q
+      FROM grid CROSS JOIN nn n
+    )
+    SELECT source,
+           ROUND(SUM(
+             0.5 * (CASE WHEN p > 0
+                         THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+             + 0.5 * q * ln(2.0 * q / (p + q))
+           ), 6) AS jsd_from_corpus
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the corpus — the SYMMETRIC, bounded (≤ ln 2) sibling of
+    text_kl_source_vs_corpus (KL explodes on source-only terms; JSD's
+    mixture denominator keeps every term finite, so it ranks source
+    drift even with disjoint vocab tails). Identical float expression
+    over identical integer count ratios on both engines, ROUND 6 (the
+    KL key's discipline — composed-float rule).
+
+    Scale shape: the per-source × corpus-vocab grid is |sources| ×
+    |vocab| rows (domain-bounded, never corpus-grain); counts partial-
+    aggregate map-side; the corpus total rides a 1-row broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    cst = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    nn = cst.agg(F.sum("c_st").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(ct)
+        .join(cst, ["source", "term"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_t",
+            F.coalesce("c_st", F.lit(0)).alias("c_st"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n").cast("double")
+    term = F.lit(0.5) * F.when(
+        p > 0, p * F.log(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    return grid.select("source", term.alias("t")).groupBy("source").agg(
+        F.round(F.sum("t"), 6).alias("jsd_from_corpus")
+    )

@@ -292,3 +292,115 @@ def test_bmp_payloads_through_decode_images_plumbing(spark):
     assert got[2].mean_pixel == 1.0
     assert abs(got[3].mean_pixel - 50 / 255.0) < 1e-12
     assert (got[3].height, got[3].width, got[3].channels) == (1, 3, 3)
+
+
+# --- real decode→resize path (round-8: un-gated BMP pixels) ---------------
+
+
+def _nn_reference(px_rows, out_h, out_w):
+    """Independent pure-Python nearest-neighbor: out(y,x) =
+    in(floor(y*h/out_h), floor(x*w/out_w)). No numpy — pins the
+    operator's index-scaling rule from first principles."""
+    h, w = len(px_rows), len(px_rows[0])
+    return [
+        [px_rows[y * h // out_h][x * w // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+
+
+def test_bmp_pixels_orientation_palette_alpha():
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import bmp_pixels
+
+    # 24-bpp 2x2: pixel array comes back TOP-down regardless of storage
+    rows = [[10, 20, 30, 40, 50, 60], [70, 80, 90, 100, 110, 120]]
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    assert (bmp_pixels(_bmp(2, 2, rows)) == want).all()
+    assert (bmp_pixels(_bmp(2, 2, rows, top_down=True)) == want).all()
+    # 8-bpp palette indirection → BGR triples
+    pal = [(min(3 * i, 255),) * 3 + (0,) for i in range(256)]
+    px8 = bmp_pixels(_bmp(3, 1, [[0, 1, 2]], bpp=8, palette=pal))
+    assert (px8 == np.array([[[0] * 3, [3] * 3, [6] * 3]], dtype=np.uint8)).all()
+    # 32-bpp: alpha dropped
+    px32 = bmp_pixels(_bmp(1, 1, [[10, 20, 30, 0xFF]], bpp=32))
+    assert (px32 == np.array([[[10, 20, 30]]], dtype=np.uint8)).all()
+
+
+def test_bmp_encode_gray24_roundtrip():
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        bmp_encode_gray24,
+        bmp_decode,
+        bmp_pixels,
+    )
+
+    data = bytes(range(1, 71))  # 70 bytes, width 32 → 3 rows, wraps
+    px = bmp_pixels(bmp_encode_gray24(data, width=32))
+    assert px.shape == (3, 32, 3)
+    idx = np.arange(3 * 32) % 70
+    want = np.frombuffer(data, dtype=np.uint8)[idx].reshape(3, 32)
+    assert (px[:, :, 0] == want).all()  # gray replicated across BGR
+    assert (px == px[:, :, :1]).all()
+    # empty input → 1px black, still a valid BMP
+    assert bmp_decode(bmp_encode_gray24(b"", width=32))["height"] == 1
+
+
+def test_nn_resize_matches_pure_python_reference():
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import nn_resize
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for oh, ow in [(5, 4), (13, 9), (1, 1), (7, 9)]:
+        got = nn_resize(px, oh, ow)
+        want = np.array(
+            _nn_reference([list(map(list, r)) for r in px.tolist()], oh, ow),
+            dtype=np.uint8,
+        )
+        assert got.shape == (oh, ow, 3)
+        assert (got == want).all()
+
+
+def test_decode_resize_images_end_to_end(spark):
+    """Whole pipeline through Spark on known texts: dims, mean, and sha
+    match a driver-side recomputation built from the pure-Python
+    reference (independent of nn_resize's numpy indexing)."""
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        decode_resize_images,
+        with_bmp_payload,
+    )
+
+    texts = ["hello world " * 40, "short", "x" * 5000]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_resize_images(
+            with_bmp_payload(df, "text"), max_side=64
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8")
+        w, h = 32, -(-len(data) // 32)
+        idx = np.arange(h * w) % len(data)
+        gray = np.frombuffer(data, dtype=np.uint8)[idx].reshape(h, w)
+        scale = min(1.0, 64 / max(h, w))
+        oh, ow = max(1, int(h * scale)), max(1, int(w * scale))
+        rows = [[[int(v)] * 3 for v in r] for r in gray.tolist()]
+        out = np.array(_nn_reference(rows, oh, ow), dtype=np.uint8)
+        r = got[i]
+        assert (r["height"], r["width"]) == (h, w)
+        assert (r["out_height"], r["out_width"]) == (oh, ow)
+        assert abs(r["resized_mean"] - float(out.mean()) / 255.0) < 1e-12
+        assert r["resized_sha"] == hashlib.sha256(out.tobytes()).hexdigest()

@@ -72,22 +72,28 @@ def test_unpinned_lineage_recomputes(spark):
 
 def test_pin_reliable_writes_checkpoint_files(spark, tmp_path):
     ckdir = str(tmp_path / "ck")
+    # setCheckpointDir cannot be unset, so lock the SESSION to the
+    # local pin path BEFORE setting the dir: whatever order the other
+    # tests run in, they never observe mode=auto resolving to reliable.
+    # Reliable behavior is exercised via explicit mode= overrides
+    # scoped to this test.
+    spark.conf.set(PIN_MODE_CONF, "local")
     spark.sparkContext.setCheckpointDir(ckdir)
+    acc = spark.sparkContext.accumulator(0)
+    pinned = pin(_counting_frame(spark, acc), eager=True, mode="reliable")
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert files, "reliable pin wrote no checkpoint files"
+    assert pinned.count() == 100
+    assert acc.value == 100  # eager materialization, single pass
+    # auto mode resolves to reliable iff a dir is set; flip the conf
+    # only inside this try and restore it even if the assert fails.
     try:
-        acc = spark.sparkContext.accumulator(0)
-        pinned = pin(_counting_frame(spark, acc), eager=True)
-        files = [
-            os.path.join(r, f)
-            for r, _, fs in os.walk(ckdir)
-            for f in fs
-        ]
-        assert files, "reliable pin wrote no checkpoint files"
-        assert pinned.count() == 100
-        assert acc.value == 100  # eager materialization, single pass
-        # auto mode now also resolves to reliable (dir is the signal)
+        spark.conf.set(PIN_MODE_CONF, "auto")
         pinned2 = pin(spark.range(5), eager=True)
         assert pinned2.count() == 5
     finally:
-        # Spark can't unset a checkpoint dir; force the session back to
-        # the local pin path so later tests keep pre-round-7 behavior.
         spark.conf.set(PIN_MODE_CONF, "local")

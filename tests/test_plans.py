@@ -401,7 +401,7 @@ def test_autocorr_single_pass_boundary_plan(q, spark, sf_dir):
     )
     prepin = simple_plan(
         grouped_adjacent_pair_moments(
-            base, "event_type", ["ts", "event_id"], "xc", pin=False
+            base, "event_type", ["ts", "event_id"], "xc", pin_frame=False
         )
     )
     assert "InPandas" in prepin  # the fused pair-moment operator

@@ -19,6 +19,25 @@ def test_oracles_subset_of_queries():
     assert len(QUERIES) >= 40
 
 
+# Registry-shrink tripwire (round-8 verdict item 7): round 7's botched
+# bulk edit truncated four query modules and deleted 133 registrations;
+# nothing asserted the inventory size, so bench + driver ran green on
+# the shrunken registry. Bump the floors when keys are ADDED; any net
+# shrink must fail loudly here.
+REGISTRY_FLOOR_QUERIES = 330
+REGISTRY_FLOOR_ORACLES = 322
+
+
+def test_registry_never_shrinks():
+    assert len(QUERIES) >= REGISTRY_FLOOR_QUERIES, (
+        f"query registry shrank: {len(QUERIES)} < {REGISTRY_FLOOR_QUERIES} "
+        "— a query module was probably truncated (see round-7 verdict)"
+    )
+    assert len(ORACLES) >= REGISTRY_FLOOR_ORACLES, (
+        f"oracle registry shrank: {len(ORACLES)} < {REGISTRY_FLOOR_ORACLES}"
+    )
+
+
 def test_entry_flagship(spark):
     df = E.entry(spark)
     assert df.columns == ["c_name", "o_orderkey", "o_totalprice"]
