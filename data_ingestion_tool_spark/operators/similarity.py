@@ -293,6 +293,289 @@ def embedding_near_dup_pairs(
     )
 
 
+# --- cross-engine exact-integer SRP (round-8 oracle-promotion path) -------
+#
+# The float SRP above is the production default (gaussian planes, BLAS
+# matmul). This variant makes the WHOLE pipeline replayable bit-for-bit
+# by a SQL engine, the same move dedup_simhash made for minhash-style
+# hashing: md5-derived INTEGER hyperplanes + integer-quantized vectors,
+# so every bucket bit is the sign of an exact int64 dot product and the
+# threshold verify is exact integer cross-multiplication — no float
+# boundary anywhere a row can appear or vanish.
+
+INT_SRP_MOD = 2001  # plane components in [-1000, 1000]
+INT_SRP_SCALE = 1_000_000  # vector quantization: decimal(9,6) → ·10^6
+
+# Exactness budget (why these constants are safe for |v| < ~2, dim ≤ 64):
+# |vq| ≤ 2·10^6  ⇒ plane dot ≤ 64·2e6·1000 = 1.3e11 (int64 exact);
+# pair dot / norms ≤ 64·(2e6)² = 2.6e14 < 2^53 (exact as int64 AND as
+# double); dot² ≤ 6.6e28 → decimal(29,0)/int128, still exact.
+
+
+def int_srp_planes(
+    n_tables: int, n_planes: int, dim: int, mod: int = INT_SRP_MOD
+) -> list[list[list[int]]]:
+    """Deterministic integer hyperplanes: component (t, p, d) is
+    ``md5int60(f"{t}-{p}-{d}") mod 2001 − 1000`` where md5int60 is the
+    first 15 hex digits of the md5 as an int. A SQL twin rebuilds the
+    exact matrix from its own md5() (md5 is md5; the rest is integer
+    arithmetic) — no RNG-state coupling with numpy."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"{t}-{p}-{d}".encode()).hexdigest()[:15], 16)
+                % mod
+                - mod // 2
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def quantize_vec(vec_col) -> Column:
+    """array<long> quantization of a float-vector column: component →
+    double (exact widen) → decimal(9,6) (the cross-engine-identical
+    rounding step, proven by embedding_centroid_per_label) → ·10^6 →
+    int64. Two engines casting the same float this way get the same
+    integer, so everything downstream is exact."""
+    return F.transform(
+        vec_col,
+        lambda x: (
+            x.cast("double").cast("decimal(9,6)")
+            * F.lit(INT_SRP_SCALE).cast("decimal(7,0)")
+        ).cast("long"),
+    )
+
+
+def _int_dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_int_srp_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[int]]],
+    out_id: str,
+    use_numpy: bool | None = None,
+) -> DataFrame:
+    """(out_id, out_id_q: array<long>, tbl, bkt) — integer twin of
+    :func:`_with_srp_buckets`. Bucket bit p is ``dot_int > 0`` (STRICT:
+    an exact-zero dot is a definite 0-bit on both engines — unlike the
+    float path's >= 0, there is no sign ambiguity to paper over).
+    Same literal-budget split as the float path: plane literals ride
+    codegen while small, else one numpy int64 matmul per Arrow batch
+    (exact — magnitudes stay under 2^53, see the budget note above)."""
+    vq = quantize_vec(vec_col)
+    n_tables = len(tables)
+    n_literals = n_tables * len(tables[0]) * len(tables[0][0])
+    if use_numpy is None:
+        use_numpy = n_literals > IVF_MAX_CODEBOOK_LITERALS
+    qcol = f"{out_id}_q"
+    if not use_numpy:
+
+        def table_key(t: int) -> Column:
+            key = F.lit(0).cast("long")
+            for p, plane in enumerate(tables[t]):
+                lit_plane = F.array(*[F.lit(int(c)).cast("long") for c in plane])
+                s = _int_dot(F.col(qcol), lit_plane)
+                key = key + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0)).cast(
+                    "long"
+                )
+            return key
+
+        base = df.select(F.col(id_col).alias(out_id), vq.alias(qcol))
+        return base.select(
+            out_id,
+            qcol,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), table_key(t).alias("bkt")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, qcol, "tb.tbl", "tb.bkt")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pmats = [np.array(t, dtype=np.int64) for t in tables]
+    pows = [2 ** np.arange(len(t), dtype=np.int64) for t in tables]
+    base = df.select(F.col(id_col).alias(out_id), vq.alias(qcol))
+    schema = StructType(
+        [
+            base.schema[out_id],
+            StructField(qcol, ArrayType(LongType())),
+            StructField("tbl", IntegerType()),
+            StructField("bkt", LongType()),
+        ]
+    )
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[qcol].map(np.asarray).values).astype(np.int64)
+            out = []
+            for t, (pm, pw) in enumerate(zip(pmats, pows)):
+                bits = (vmat @ pm.T) > 0  # exact int64, strict sign
+                part = pdf[[out_id, qcol]].copy()
+                part["tbl"] = t
+                part["bkt"] = bits @ pw
+                out.append(part)
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(buckets, schema)
+
+
+def _int_cosine_verify(
+    dot_col: Column, na2: Column, nb2: Column, num: int, den: int
+) -> Column:
+    """cos ≥ num/den, decided in EXACT integer math (no float boundary):
+    dot > 0 AND den²·dot² ≥ num²·na2·nb2, with the squares/products in
+    decimal(29..32,0) — int64 inputs ≤ 2.6e14, so every intermediate is
+    exact and far under decimal-38 / int128."""
+    d = dot_col.cast("decimal(14,0)")
+    a = na2.cast("decimal(14,0)")
+    b = nb2.cast("decimal(14,0)")
+    return (dot_col > 0) & (
+        F.lit(den * den).cast("decimal(6,0)") * d * d
+        >= F.lit(num * num).cast("decimal(6,0)") * a * b
+    )
+
+
+def embedding_near_dup_pairs_int(
+    df: DataFrame,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs on the exact-integer SRP path:
+    candidates from integer buckets, threshold verify cos ≥ num/den by
+    integer cross-multiplication, score = dot/(√na2·√nb2) over
+    identical int64 inputs (bit-equal across engines; ≤ 2^53 so the
+    int→double widen is exact). Same bucketed-never-all-pairs scale
+    shape as :func:`embedding_near_dup_pairs`."""
+    tables = int_srp_planes(n_tables, n_planes, dim)
+    b = _with_int_srp_buckets(df, id_col, vec_col, tables, "id")
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.id_q").alias("qa"),
+            F.col("y.id_q").alias("qb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dp = _int_dot(F.col("qa"), F.col("qb"))
+    na2 = _int_dot(F.col("qa"), F.col("qa"))
+    nb2 = _int_dot(F.col("qb"), F.col("qb"))
+    return (
+        cand.withColumn("dp", dp)
+        .withColumn("na2", na2)
+        .withColumn("nb2", nb2)
+        .filter(
+            _int_cosine_verify(
+                F.col("dp"), F.col("na2"), F.col("nb2"),
+                threshold_num, threshold_den,
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+
+
+def lsh_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k on the exact-integer SRP path (cross-engine
+    twin of :func:`lsh_topk`): integer buckets generate candidates, the
+    exact integer-quantized cosine re-ranks them. Every score is a
+    deterministic function of identical int64 triples, so a SQL engine
+    replaying the buckets gets the same candidates, the same doubles,
+    and the same row_number order (score desc, neighbor_id tie-break)."""
+    tables = int_srp_planes(n_tables, n_planes, dim)
+    cb = _with_int_srp_buckets(corpus, id_col, vec_col, tables, "neighbor_id")
+    qb = _with_int_srp_buckets(queries, id_col, vec_col, tables, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_id_q", "neighbor_id", "neighbor_id_q")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dp = _int_dot(F.col("query_id_q"), F.col("neighbor_id_q"))
+    na2 = _int_dot(F.col("query_id_q"), F.col("query_id_q"))
+    nb2 = _int_dot(F.col("neighbor_id_q"), F.col("neighbor_id_q"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dp.cast("double")
+            / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 9).alias("score"),
+            "rank",
+        )
+    )
+
+
 def _sq_dist(a, b) -> Column:
     d = F.zip_with(a, b, lambda x, y: x - y)
     return dot(d, d)

@@ -46,25 +46,135 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 9))
 
 
-@query("similarity_topk_lsh")  # rows-only: approximate (recall < 1)
+# Cross-engine exact-integer SRP scaffold shared by the two promoted
+# LSH keys (round-8): md5-derived integer hyperplanes + decimal(9,6)
+# vector quantization make the WHOLE pipeline — bucketing included —
+# replayable bit-for-bit in DuckDB, so the oracle checks the actual
+# approximate output (candidates AND scores), not a stand-in.
+_INT_SRP_COMMON = """
+    planes AS (
+      SELECT tt.t, pp.p, dd.d,
+             (CAST('0x' || substr(md5(tt.t || '-' || pp.p || '-' || dd.d),
+                                  1, 15) AS BIGINT) % 2001) - 1000 AS r
+      FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+           (SELECT unnest(generate_series(0, 7)) AS p) pp,
+           (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ),
+    vq AS (
+      SELECT vec_id, d, x FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS x
+        FROM embeddings)
+    ),
+    dots AS (
+      SELECT vec_id, t, p, SUM(x * r) AS s
+      FROM vq JOIN planes USING (d)
+      GROUP BY vec_id, t, p
+    ),
+    keys AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << p)
+                           ELSE 0 END) AS BIGINT) AS bkt
+      FROM dots GROUP BY vec_id, t
+    ),
+    norms AS (
+      SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM vq GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH {_INT_SRP_COMMON},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keys q JOIN keys c ON q.t = c.t AND q.bkt = c.bkt
+      WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+    ),
+    pairdot AS (
+      SELECT query_id, neighbor_id, CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM cand
+      JOIN vq xa ON xa.vec_id = query_id
+      JOIN vq xb ON xb.vec_id = neighbor_id AND xb.d = xa.d
+      GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dp AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS score
+      FROM pairdot
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(score, 9) AS score, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN: sub-linear candidate generation,
-    exact re-rank inside buckets. Deterministic under the fixed seed."""
+    """Hyperplane-LSH bucketed ANN, promoted to a FULL differential
+    oracle (round-8): the exact-integer SRP path (md5-derived integer
+    planes, decimal(9,6)-quantized vectors — operators/similarity.py
+    int_srp_planes/quantize_vec) makes every bucket bit the sign of an
+    exact int64 dot, so DuckDB replays candidate generation AND the
+    re-rank scores bit-for-bit. Production keeps the gaussian/BLAS
+    path (SIM.lsh_topk); this query pins the same bucketed
+    sub-linear-candidates shape on the oracle-able parameterization."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return SIM.lsh_topk(emb, queries, k=TOP_K).orderBy("query_id", "rank")
+    return SIM.lsh_topk_int(emb, queries, k=TOP_K).orderBy("query_id", "rank")
 
 
-@query("dedup_embedding_cosine")  # rows-only
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets. The synthetic
-    embeddings are near-random (max pairwise cosine ~0.51 at sf0.01), so
-    the threshold is 0.4 = 'unusually similar for this corpus'; real
-    near-dup corpora would use 0.9+."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.4).orderBy(
-        "id_a", "id_b"
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_INT_SRP_COMMON},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    pairdot AS (
+      SELECT id_a, id_b, CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM cand
+      JOIN vq xa ON xa.vec_id = id_a
+      JOIN vq xb ON xb.vec_id = id_b AND xb.d = xa.d
+      GROUP BY id_a, id_b
     )
+    SELECT id_a, id_b,
+           ROUND(CAST(dp AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 9) AS score
+    FROM pairdot
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE dp > 0
+      AND 25 * (CAST(dp AS HUGEINT) * dp)
+          >= 4 * (CAST(na.n2 AS HUGEINT) * nb.n2)
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets, promoted to a
+    FULL differential oracle (round-8): same exact-integer SRP scaffold
+    as similarity_topk_lsh, with the cos ≥ 0.4 threshold decided by
+    integer cross-multiplication (25·dot² ≥ 4·na2·nb2 ∧ dot > 0 — no
+    float boundary a pair can straddle). The synthetic embeddings are
+    near-random (max pairwise cosine ~0.51 at sf0.01), so 0.4 means
+    'unusually similar for this corpus'; real near-dup corpora would
+    use 0.9+."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs_int(
+        emb, threshold_num=2, threshold_den=5
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -187,3 +187,34 @@ def test_simhash_rejects_bound_beyond_pigeonhole_guarantee(spark):
     simhash_near_dup_pairs(d, max_hamming=4, scheme="chunk_pairs")
     # explicit opt-out: fine
     simhash_near_dup_pairs(d, max_hamming=6, scheme="chunks", allow_recall_loss=True)
+
+
+def test_embedding_near_dup_int_planted(spark, sf_dir):
+    """The cross-engine exact-integer SRP path (round-8 promotion) must
+    keep the same recall property as the gaussian float path: scaled
+    clones share every bucket bit with their originals (identical
+    direction → identical int-dot signs), so no planted pair is lost.
+    Threshold 0.98 = 49/50 (integer cross-multiplication form)."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        embedding_near_dup_pairs_int,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").limit(30).select(
+        "vec_id", "embedding"
+    )
+    clones = e.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    both = e.unionByName(clones)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_int(
+            both, threshold_num=49, threshold_den=50
+        ).collect()
+    }
+    orig = {r.vec_id for r in e.collect()}
+    found = sum((i, i + 10_000) in pairs for i in orig)
+    # quantization perturbs direction by <=1e-6 per component — far
+    # inside the 0.98 threshold for a 1.01-scaled clone
+    assert found / len(orig) >= 0.95, f"int-SRP recall {found}/{len(orig)}"
