@@ -12,10 +12,11 @@ from .registry import query
 N_QUERY_VECS = 10
 TOP_K = 5
 
-
-@query(
-    "similarity_topk_cosine",
-    oracle=f"""
+# Brute-force exact cosine top-k over the full corpus — the oracle for
+# similarity_topk_cosine AND for the full-probe/exhaustive ANN
+# invariant keys below (an ANN configured to prune nothing must equal
+# brute force exactly).
+_BRUTE_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
                WHERE vec_id < {N_QUERY_VECS}),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -32,8 +33,10 @@ TOP_K = 5
            FROM scored)
     SELECT query_id, neighbor_id, ROUND(score, 9) AS score, rank FROM ranked
     WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("similarity_topk_cosine", oracle=_BRUTE_TOPK_ORACLE)
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k: query block broadcast (in the
     mapInPandas closure), corpus streamed partition-local with numpy
@@ -342,6 +345,67 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=TOP_K, n_centroids=16, n_probe=4, m=16, n_codes=32,
         rerank=8,
     )
+
+
+# --- ANN machinery invariants (round-8 oracle promotion) -------------------
+#
+# An ANN index configured to prune NOTHING must equal brute force
+# exactly: IVF probing every cell scans the whole corpus; PQ with a
+# shortlist >= corpus re-ranks everything exactly. These keys run the
+# REAL index machinery (k-means routing, cell assignment, ADC lookup
+# tables, shortlist windows, exact re-rank) through that invariant, so
+# the driver's differential hash verifies the machinery end-to-end —
+# a cell-assignment bug that drops or duplicates one vector, or a
+# shortlist window off-by-one, breaks the hash. The PRUNED
+# configurations (similarity_topk_ivf/pq/ivfpq) stay rows-only with
+# recall tests: they are the scale path, and their output depends on
+# the trained codebooks no SQL engine can replay.
+
+# rerank=400 ⇒ shortlist_k = k·rerank = 2000 ≥ corpus at sf0.01 (500)
+# and sf0.1 (2000): nothing is pruned at oracle scales.
+_EXHAUSTIVE_RERANK = 400
+
+
+@query("similarity_topk_ivf_fullprobe", oracle=_BRUTE_TOPK_ORACLE)
+def similarity_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_centroids: every cell probed ⇒ exact by
+    construction, so the brute-force SQL is a true oracle for the whole
+    routing + cell-scan + re-rank pipeline (see the invariant note
+    above). Scores round to 9: the zip_with fold vs DuckDB's
+    list_dot_product differ only in final ulps."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=16)
+    return out.withColumn("score", F.round("score", 9))
+
+
+@query("similarity_topk_pq_exhaustive", oracle=_BRUTE_TOPK_ORACLE)
+def similarity_topk_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with an exhaustive shortlist (k·rerank ≥ corpus): the ADC
+    stage still encodes, builds per-query lookup tables, and windows
+    the shortlist — but prunes nothing, so the exact re-rank equals
+    brute force and the differential hash checks the full PQ pipeline
+    (invariant note above)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.pq_topk(
+        emb, queries, k=TOP_K, m=16, n_codes=32, rerank=_EXHAUSTIVE_RERANK
+    )
+    return out.withColumn("score", F.round("score", 9))
+
+
+@query("similarity_topk_ivfpq_exhaustive", oracle=_BRUTE_TOPK_ORACLE)
+def similarity_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with full probing AND an exhaustive shortlist: the
+    composite router + ADC + re-rank machinery with pruning disabled
+    must equal brute force (invariant note above)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.ivfpq_topk(
+        emb, queries, k=TOP_K, n_centroids=16, n_probe=16, m=16, n_codes=32,
+        rerank=_EXHAUSTIVE_RERANK,
+    )
+    return out.withColumn("score", F.round("score", 9))
 
 
 @query(
