@@ -501,7 +501,11 @@ def sample_frames(
                     ids.append(i)
                     idxs.append(f_idx)
                     shas.append(
-                        hashlib.sha256(raw + f_idx.to_bytes(4, "big")).hexdigest()
+                        # payload || "-" || idx (ASCII suffix, so a SQL
+                        # twin can replay it: sha256(text || '-' || i))
+                        hashlib.sha256(
+                            raw + b"-" + str(f_idx).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}

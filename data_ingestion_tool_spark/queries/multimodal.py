@@ -52,11 +52,33 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("multimodal_frame_sample")  # rows-only: executor-side fan-out
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, text,
+             1 + (CAST('0x' || substr(sha256(text), 9, 2) AS INT) % 8) AS n
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, sha256(text || '-' || i) AS sha
+      FROM meta, LATERAL unnest(generate_series(0, n - 1, 2)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled_frames,
+           MIN(sha) AS first_sha
+    FROM frames GROUP BY doc_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling: each payload fans out to its sampled
-    frames inside the executor (mapInPandas emits more rows than it
-    gets — no shuffle), then a per-document frame count."""
+    """Video-style frame sampling, promoted to a FULL differential
+    oracle (round-8): each payload fans out to its sampled frames
+    inside the executor (mapInPandas emits more rows than it gets — no
+    shuffle), then a per-document frame count. The stand-in decode is
+    sha-derived (n_frames = 1 + digest[4] % 8; frame_sha =
+    sha256(payload || '-' || idx)), so DuckDB replays the fan-out
+    exactly: digest byte 4 is hex chars 9-10, the ASCII '-idx' suffix
+    is the same bytes as the varchar concat."""
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import sample_frames
@@ -64,7 +86,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     frames = sample_frames(with_binary_payload(d, "text"), every_n=2)
     return frames.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames"),
         F.min("frame_sha").alias("first_sha"),
     )
 
