@@ -521,6 +521,14 @@ AUDIO_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("zcr", T.DoubleType()),
+        # exact integer partials (round-8): additively mergeable across
+        # windows, so doc/corpus profiles compute from identical ints
+        # with no per-window float rounding in the path — the property
+        # the differential oracle needs, and the right production shape
+        # for two-level aggregation anyway.
+        T.StructField("sq_sum", T.LongType()),
+        T.StructField("n_crossings", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
     ]
 )
 
@@ -547,26 +555,30 @@ def audio_window_features(
 
         for pdf in it:
             ids, widx, ns, rms, zcr = [], [], [], [], []
+            sqs, ncr, npr = [], [], []
             for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                x = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
+                xi = np.frombuffer(bytes(b), dtype=np.int8).astype(np.int64)
+                x = xi.astype(np.float64)
                 for w in range(0, len(x), window):
                     seg = x[w : w + window]
+                    segi = xi[w : w + window]
                     ids.append(i)
                     widx.append(w // window)
                     ns.append(len(seg))
                     rms.append(round(float(np.sqrt(np.mean(seg * seg))), 6))
-                    zcr.append(
-                        round(
-                            float(
-                                np.mean(
-                                    np.signbit(seg[:-1]) != np.signbit(seg[1:])
-                                )
-                            ),
-                            6,
+                    cross = (
+                        int(
+                            (np.signbit(seg[:-1]) != np.signbit(seg[1:])).sum()
                         )
                         if len(seg) > 1
-                        else 0.0
+                        else 0
                     )
+                    zcr.append(
+                        round(cross / (len(seg) - 1), 6) if len(seg) > 1 else 0.0
+                    )
+                    sqs.append(int((segi * segi).sum()))
+                    ncr.append(cross)
+                    npr.append(max(len(seg) - 1, 0))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -574,6 +586,9 @@ def audio_window_features(
                     "n_samples": ns,
                     "rms": rms,
                     "zcr": zcr,
+                    "sq_sum": pd.Series(sqs, dtype="int64"),
+                    "n_crossings": pd.Series(ncr, dtype="int64"),
+                    "n_pairs": pd.Series(npr, dtype="int64"),
                 }
             )
 

@@ -91,23 +91,80 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_features")  # executor-side fan-out: rows-only
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(strlen(text) AS BIGINT) AS len
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, len, i,
+             CASE WHEN ub >= 128 THEN ub - 256 ELSE ub END AS v
+      FROM (
+        SELECT doc_id, len, i,
+               CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS ub
+        FROM b, LATERAL unnest(generate_series(0, len - 1)) AS u(i)
+        WHERE len > 0)
+    ),
+    pairs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN (a.v < 0) <> (a.nv < 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT doc_id, i, v,
+               LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+        FROM x) a
+      WHERE nv IS NOT NULL AND (i % 256) <> 255
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST((s.len + 255) // 256 AS BIGINT) AS n_windows,
+           ROUND(sqrt(CAST(s.sq AS DOUBLE) / CAST(s.len AS DOUBLE)), 9)
+             AS rms_all,
+           CASE WHEN COALESCE(p.n_pairs, 0) > 0
+                THEN ROUND(CAST(p.n_crossings AS DOUBLE)
+                           / CAST(p.n_pairs AS DOUBLE), 9)
+                ELSE 0.0 END AS zcr_all
+    FROM (SELECT doc_id, MAX(len) AS len, CAST(SUM(v * v) AS BIGINT) AS sq
+          FROM x GROUP BY doc_id) s
+    LEFT JOIN pairs p ON p.doc_id = s.doc_id
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style feature extraction over binary payloads treated as
-    int8 PCM (no codec needed — the bytes are the samples): windowed
-    RMS + zero-crossing rate executor-side, then a per-document
-    profile. Accuracy vs a pure-Python reference is unit-tested
-    (tests/test_multimodal.py)."""
+    int8 PCM (the bytes ARE the samples — no codec), promoted to a FULL
+    differential oracle (round-8): the windowed mapInPandas fan-out now
+    emits exact integer partials (sq_sum, crossings, pairs — window-
+    LOCAL pairs, so boundary pairs between windows are excluded on both
+    engines), and the doc profile aggregates those ints, making every
+    output an identical-integer expression both engines compute
+    bit-equal (round 9 = composed-float hygiene). DuckDB gets at the
+    payload bytes via hex(encode(text)) two-char slices. Per-window
+    rounded rms/zcr stay unit-tested vs a pure-Python reference."""
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import audio_window_features
 
     d = read_table(spark, sf_dir, "documents")
     feats = audio_window_features(with_binary_payload(d, "text"))
+    sum_n = F.sum("n_samples").cast("bigint")
+    sum_sq = F.sum("sq_sum").cast("bigint")
+    sum_cr = F.sum("n_crossings").cast("bigint")
+    sum_pr = F.sum("n_pairs").cast("bigint")
     return feats.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        F.round(F.avg("rms"), 6).alias("mean_rms"),
-        F.round(F.avg("zcr"), 6).alias("mean_zcr"),
+        F.round(
+            F.sqrt(sum_sq.cast("double") / sum_n.cast("double")), 9
+        ).alias("rms_all"),
+        F.when(
+            sum_pr > 0,
+            F.round(sum_cr.cast("double") / sum_pr.cast("double"), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zcr_all"),
     )
 
 
