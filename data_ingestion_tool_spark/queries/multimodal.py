@@ -33,22 +33,73 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_metadata(with_binary_payload(d, "text"))
 
 
-@query("multimodal_decode_resize")  # rows-only: accuracy-tested real pixels
+@query(
+    "multimodal_decode_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             greatest(CAST(strlen(text) AS BIGINT), 1) AS len,
+             CAST(strlen(text) AS BIGINT) AS len0
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx, len, len0,
+             (len + 31) // 32 AS h,
+             least(1.0, 64.0 / CAST(greatest((len + 31) // 32, 32)
+                                    AS DOUBLE)) AS s
+      FROM b
+    ),
+    tgt AS (
+      SELECT doc_id, hx, len, len0, h,
+             greatest(CAST(floor(CAST(h AS DOUBLE) * s) AS BIGINT), 1)
+               AS oh,
+             greatest(CAST(floor(32.0 * s) AS BIGINT), 1) AS ow
+      FROM dims
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN len0 = 0 THEN 0
+                  ELSE CAST('0x' || substr(hx,
+                       2 * ((((j.j * h) // oh) * 32
+                             + ((k.k * 32) // ow)) % len) + 1, 2) AS INT)
+             END AS g
+      FROM tgt,
+           LATERAL unnest(generate_series(0, oh - 1)) AS j(j),
+           LATERAL unnest(generate_series(0, ow - 1)) AS k(k)
+    )
+    SELECT t.doc_id, t.h AS height, CAST(32 AS BIGINT) AS width,
+           t.oh AS out_height, t.ow AS out_width,
+           ROUND(m.mg / 255.0, 9) AS resized_mean
+    FROM tgt t
+    JOIN (SELECT doc_id, CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mg
+          FROM px GROUP BY doc_id) m ON m.doc_id = t.doc_id
+    """,
+)
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode → resize, un-gated (round-8, r6-verdict item 6): text
-    bytes synthesize a deterministic 24-bpp BMP executor-side
+    """REAL decode → resize with a FULL differential oracle (round-8):
+    text bytes synthesize a deterministic 24-bpp BMP executor-side
     (with_bmp_payload), bmp_pixels does actual BI_RGB pixel decode
     (bottom-up rows, 4-byte padding), nn_resize does numpy
-    nearest-neighbor to max_side=64 — no codec libs anywhere. Output
-    carries the resized image's mean and the sha256 of its raw bytes.
-    Accuracy is pinned against an independent pure-Python reference in
-    tests/test_multimodal.py (rows-only here: DuckDB has no byte-level
-    blob indexing to replay the pixel math)."""
+    nearest-neighbor to max_side=64 — no codec libs anywhere. The
+    synthesized pixel (y, x) is byte[(y·32+x) mod len] in all three
+    channels, so DuckDB replays decode AND resize via hex-slice byte
+    access; the scale factor is replayed in the operator's own IEEE
+    double math (floor(h · 64/maxside) — NOT integer division: 64/96
+    rounds to 63.999…97, so h=96 resizes to 63 rows on both engines).
+    resized_sha (raw-bytes digest) stays operator/unit-test-only —
+    the one column SQL cannot replay. Pure-Python-reference accuracy
+    tests in tests/test_multimodal.py cover the full pixel path."""
     from ..operators.multimodal import decode_resize_images, with_bmp_payload
 
     d = read_table(spark, sf_dir, "documents")
-    return decode_resize_images(
-        with_bmp_payload(d, "text"), max_side=64
+    out = decode_resize_images(with_bmp_payload(d, "text"), max_side=64)
+    return out.select(
+        "doc_id",
+        "height",
+        "width",
+        "out_height",
+        "out_width",
+        F.round("resized_mean", 9).alias("resized_mean"),
     ).orderBy("doc_id")
 
 
