@@ -259,7 +259,14 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the same LSH bucketing
-    (self-join form): pairs sharing a bucket, exact cosine >= threshold."""
+    (self-join form): pairs sharing a bucket, exact cosine >= threshold.
+
+    Sizing at scale: a table has 2^n_planes buckets, so expected
+    chance-candidates ~ n_tables·n²/2^n_planes — n_planes must grow
+    with the corpus (≈ log2(n·n_tables / target_candidates) bits;
+    100 TB of embeddings wants 24-32 planes, not the toy default 8).
+    Raising n_planes cuts recall per table; compensate with n_tables
+    (recall ≈ 1-(1-p^planes)^tables for match prob p)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -301,7 +308,10 @@ def embedding_near_dup_pairs(
 # hashing: md5-derived INTEGER hyperplanes + integer-quantized vectors,
 # so every bucket bit is the sign of an exact int64 dot product and the
 # threshold verify is exact integer cross-multiplication — no float
-# boundary anywhere a row can appear or vanish.
+# boundary anywhere a row can appear or vanish. The float path's
+# bucket-sizing rule applies unchanged (2^n_planes buckets/table —
+# grow n_planes with the corpus); the exactness budget below holds to
+# ~2000 dims at these magnitudes, so production dimensionalities fit.
 
 INT_SRP_MOD = 2001  # plane components in [-1000, 1000]
 INT_SRP_SCALE = 1_000_000  # vector quantization: decimal(9,6) → ·10^6
