@@ -388,7 +388,11 @@ def _with_int_srp_buckets(
     n_tables = len(tables)
     n_literals = n_tables * len(tables[0]) * len(tables[0][0])
     if use_numpy is None:
-        use_numpy = n_literals > IVF_MAX_CODEBOOK_LITERALS
+        # Lower budget than the float path: the int fold is the same
+        # interpreted-HOF shape, but Catalyst ALSO pays to fold 32
+        # aggregate trees of long literals (measured at sf0.1, 4×8×64:
+        # expression 8.9s vs numpy 2.3s for the bucket stage alone).
+        use_numpy = n_literals > 512
     qcol = f"{out_id}_q"
     if not use_numpy:
 
