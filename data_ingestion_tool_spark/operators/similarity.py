@@ -691,20 +691,77 @@ def ivf_centroids(
         .collect()
     )
     cents = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    # Fused Lloyd step (round-8): ONE mapInPandas pass assigns every
+    # local batch to cells via a numpy distance matmul AND emits
+    # per-task (cell, vector-sum, count) partials — replacing the
+    # retired assign-job + posexplode-shuffle + means-job chain (three
+    # jobs and an n×dim row explosion; the fixed job overhead dominated
+    # the whole IVF query at bench scale). The driver combine is
+    # bounded by O(tasks × n_centroids × dim) partial rows — fine to
+    # ~10^4 tasks; past that, insert a groupBy(cid) tree-combine in
+    # front (same partials, one tiny shuffle) before collecting.
+    import numpy as np
+    import pandas as pd
+
     for _ in range(refine_iters):
-        assigned = _assign_cells(
-            corpus.select(_as_double(vec_col).alias("v")), "v", cents, 1, "cids"
-        ).withColumn("cid", F.col("cids")[0])
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.col("pm.m").alias("v"))
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+        cn2 = (cmat * cmat).sum(axis=1)
+
+        def partials(it):
+            acc_s: dict[int, np.ndarray] = {}
+            acc_n: dict[int, int] = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vm = np.stack(pdf["v"].map(np.asarray).values)
+                d2 = (
+                    (vm * vm).sum(axis=1)[:, None]
+                    - 2.0 * (vm @ cmat.T)
+                    + cn2[None, :]
+                )
+                # argmin's first-minimum rule == ties → smaller cid
+                # (cents are sorted by id)
+                a = d2.argmin(axis=1)
+                for j in np.unique(a):
+                    m = a == j
+                    cid = int(cell_ids[j])
+                    if cid in acc_n:
+                        acc_s[cid] = acc_s[cid] + vm[m].sum(axis=0)
+                        acc_n[cid] += int(m.sum())
+                    else:
+                        acc_s[cid] = vm[m].sum(axis=0)
+                        acc_n[cid] = int(m.sum())
+            if acc_n:
+                yield pd.DataFrame(
+                    {
+                        "cid": pd.Series(list(acc_n), dtype="int64"),
+                        "s": [acc_s[c].tolist() for c in acc_n],
+                        "n": pd.Series(
+                            [acc_n[c] for c in acc_n], dtype="int64"
+                        ),
+                    }
+                )
+
+        rows = (
+            corpus.select(_as_double(vec_col).alias("v"))
+            .mapInPandas(partials, "cid long, s array<double>, n long")
             .collect()
         )
-        cents = sorted((int(r.cid), list(r.v)) for r in means)
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            a = np.asarray(r.s, dtype=np.float64)
+            if r.cid in counts:
+                sums[r.cid] = sums[r.cid] + a
+                counts[r.cid] += r.n
+            else:
+                sums[r.cid] = a
+                counts[r.cid] = r.n
+        # empty cells drop, matching the retired groupBy semantics
+        cents = sorted(
+            (int(c), (sums[c] / counts[c]).tolist()) for c in counts
+        )
     return cents
 
 
@@ -726,8 +783,16 @@ def ivf_topk(
     or the task closure as a numpy matrix past
     IVF_MAX_CODEBOOK_LITERALS; see :func:`_assign_cells`); queries
     explode to (query, cell) pairs and broadcast; the candidate join
-    touches ~n_probe/n_centroids of the corpus.
+    touches ~n_probe/n_centroids of the corpus. Scoring (round-8) is a
+    vectorized einsum per Arrow batch with a per-batch top-k prune —
+    the global window ranks O(k × batches × queries) rows, never the
+    candidate set (the retired per-pair HOF-fold version spent 14× the
+    brute-force matmul's time at full probe and shipped every candidate
+    to the window).
     """
+    import numpy as np
+    import pandas as pd
+
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c = _assign_cells(
         corpus.select(
@@ -741,14 +806,43 @@ def ivf_topk(
         ),
         "qv", cents, n_probe, "cids",
     ).withColumn("cid", F.explode("cids")).drop("cids")
-    scored = (
+    joined = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
-        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+
+    def score_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qm = np.stack(pdf["qv"].map(np.asarray).values)
+            cm = np.stack(pdf["cv"].map(np.asarray).values)
+            dots = np.einsum("ij,ij->i", qm, cm)
+            s = dots / (
+                np.linalg.norm(qm, axis=1) * np.linalg.norm(cm, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "score": s,
+                }
+            )
+            # per-batch top-k per query, same order as the global
+            # window (score desc, neighbor_id) — pruning-safe: the
+            # global top-k is a subset of the union of batch top-ks
+            yield (
+                out.sort_values(
+                    ["query_id", "score", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    scored = joined.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
