@@ -470,3 +470,77 @@ def test_prefix_sum_and_ntile_match_window(spark, vals, parts, k):
         ).collect()
     }
     assert got_nt == ref_nt
+
+
+# --- round-8 kernels: BMP synth/decode, NN resize, md5 quantization ------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=200),
+    width=st.integers(min_value=1, max_value=48),
+)
+def test_bmp_gray24_roundtrip_property(data, width):
+    """forall bytes/width: encode→decode returns the modulo-wrapped
+    gray array with the declared dims (row padding, bottom-up storage,
+    and the empty-input fallback all exercised by the generator)."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        bmp_encode_gray24,
+        bmp_pixels,
+    )
+
+    px = bmp_pixels(bmp_encode_gray24(data, width=width))
+    src = data if data else b"\x00"
+    h = -(-len(src) // width)
+    idx = np.arange(h * width) % len(src)
+    want = np.frombuffer(src, dtype=np.uint8)[idx].reshape(h, width)
+    assert px.shape == (h, width, 3)
+    assert (px[:, :, 0] == want).all()
+    assert (px == px[:, :, :1]).all()  # gray replicated across BGR
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    oh=st.integers(min_value=1, max_value=24),
+    ow=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_nn_resize_property(h, w, oh, ow, seed):
+    """forall shapes (up- AND down-scaling): nn_resize == the pure
+    double-loop index rule out(y,x) = in(y*h//oh, x*w//ow)."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.multimodal import nn_resize
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = nn_resize(px, oh, ow)
+    assert got.shape == (oh, ow, 3)
+    for y in range(oh):
+        for x in range(ow):
+            assert (got[y, x] == px[y * h // oh, x * w // ow]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8"), min_size=0, max_size=40
+    )
+)
+def test_md5_prefix60_python_vs_duckdb_property(s):
+    """forall unicode strings: the md5-prefix int60 identity the
+    dedup_simhash and int-SRP oracles rest on holds byte-for-byte
+    (DuckDB md5() hashes the varchar's UTF-8, same bytes Python sees)."""
+    import hashlib
+
+    import duckdb
+
+    want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.connect().execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
+    ).fetchone()[0]
+    assert got == want
