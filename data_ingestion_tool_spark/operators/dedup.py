@@ -219,9 +219,14 @@ def minhash_near_dup_pairs_from_feats(
     array<long>)`` frame — lets callers that ALSO need the shingle sets
     (the exact-verify pipelines) compute shingles once and derive the
     hashed features instead of re-tokenizing the corpus per branch."""
+    from ..plans.pin import pin
+
+    # Pin the signatures: the banded self-join reads them on both
+    # sides; unpinned, the 64-permutation UDF runs twice (same shape
+    # and fix as the simhash bits pin above).
     sig = feats.select(
         "id", minhash_signature_udf(num_hashes, seed)("feats").alias("sig")
-    )
+    ).transform(pin, eager=False)
     banded = _band_explode(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -343,9 +348,15 @@ def simhash_near_dup_pairs(
             )
             .filter(F.size("feats") > 0)
         )
+    from ..plans.pin import pin
+
+    # Pin the fingerprints: the bucket self-join reads this frame on
+    # BOTH sides, and without the pin each side re-runs the whole
+    # shingle→hash→bit-sum pipeline (measured 3.0s → 2.0s at sf0.1).
+    # At 100 TB this is the standard persist-the-signatures step.
     bits = feats.select(
         "id", simhash_bits_udf(nbits)("feats").alias("bits")
-    )
+    ).transform(pin, eager=False)
 
     if scheme == "chunks":
         w4, r4 = divmod(nbits, 4)

@@ -274,8 +274,14 @@ def embedding_near_dup_pairs(
         [rng.standard_normal(dim).tolist() for _ in range(n_planes)]
         for _ in range(n_tables)
     ]
-    b = _with_srp_buckets(df, id_col, vec_col, tables, "id").withColumnRenamed(
-        "id_v", "v"
+    from ..plans.pin import pin
+
+    # Pin the bucketed frame: the self-join otherwise evaluates the
+    # projection/bucketing pipeline once per side.
+    b = (
+        _with_srp_buckets(df, id_col, vec_col, tables, "id")
+        .withColumnRenamed("id_v", "v")
+        .transform(pin, eager=False)
     )
     x, y = b.alias("x"), b.alias("y")
     cand = (
@@ -493,8 +499,14 @@ def embedding_near_dup_pairs_int(
     identical int64 inputs (bit-equal across engines; ≤ 2^53 so the
     int→double widen is exact). Same bucketed-never-all-pairs scale
     shape as :func:`embedding_near_dup_pairs`."""
+    from ..plans.pin import pin
+
     tables = int_srp_planes(n_tables, n_planes, dim)
-    b = _with_int_srp_buckets(df, id_col, vec_col, tables, "id")
+    # Pinned for the same both-sides-of-the-self-join reason as the
+    # float variant above.
+    b = _with_int_srp_buckets(df, id_col, vec_col, tables, "id").transform(
+        pin, eager=False
+    )
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(
