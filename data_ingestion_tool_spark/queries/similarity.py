@@ -181,6 +181,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_INT_SRP_COMMON},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    pairdot AS (
+      SELECT id_a, id_b, CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM cand
+      JOIN vq xa ON xa.vec_id = id_a
+      JOIN vq xb ON xb.vec_id = id_b AND xb.d = xa.d
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM pairdot
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dp > 0
+        AND 25 * (CAST(dp AS HUGEINT) * dp)
+            >= 4 * (CAST(na.n2 AS HUGEINT) * nb.n2)
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cid FROM r GROUP BY node),
+    lab AS (
+      SELECT em.vec_id, em.label, COALESCE(comp.cid, em.vec_id) AS cid
+      FROM embeddings em LEFT JOIN comp ON comp.node = em.vec_id
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN vec_id = cid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN vec_id = cid THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM lab GROUP BY label
+    """,
+)
+def dedup_semantic_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup END-TO-END with a FULL differential
+    oracle: embedding-cosine near-dup pairs (the exact-integer SRP
+    scaffold of dedup_embedding_cosine — every bucket bit and the
+    cos ≥ 0.4 verify are exact int64/int128 decisions DuckDB replays) →
+    connected components (hash-min label propagation) → min-id keeper
+    per cluster → per-label kept/dropped census. The oracle replays the
+    whole composition, closing the clusters with an independent
+    recursive-CTE transitive closure.
+
+    Scale shape: candidates come from SRP bucket self-joins (never
+    all-pairs); the CC loop shuffles only the near-dup PAIR graph; the
+    census is one labels-sized aggregate. This is the curation step
+    that drops semantically-redundant documents before training — at
+    100 TB the pair graph is orders of magnitude smaller than the
+    corpus, and the signature frame is pinned so it computes once."""
+    from ..operators.graph import dedup_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs_int(
+        emb, threshold_num=2, threshold_den=5
+    ).select("id_a", "id_b")
+    resolved = dedup_clusters(pairs, emb, "vec_id")
+    lab = emb.select("vec_id", "label").join(resolved, "vec_id")
+    keeper = F.col("vec_id") == F.col("keeper_id")
+    return (
+        lab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(keeper, 1).otherwise(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.sum(F.when(keeper, 0).otherwise(1)).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            "n_kept",
+            "n_dropped",
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "embedding_centroid_per_label",
     oracle="""
     SELECT label, pos,
