@@ -68,6 +68,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hashed_linear_score(col: Column | str, n_dims: int = 64) -> Column:
+    """fastText/CCNet-style linear text-quality score over feature-hashed
+    bag-of-words, as ONE codegen'd column expression: each token hashes
+    into ``n_dims`` buckets (md5 — the hashing trick, no vocabulary
+    build), the bucket's weight is an md5-derived integer in
+    [-1000, 1000], and the document score is the exact int64 sum of its
+    tokens' weights. In production the weight vector is learned and
+    broadcast as literals; the md5-derived stand-in keeps the whole
+    scorer deterministic and bit-replayable cross-engine (same
+    hex-prefix→int trick as simhash's oracle path).
+
+    Scale shape: zero joins, zero shuffles — a full-corpus scan scores
+    every document in one pass inside whole-stage codegen; only the
+    downstream census aggregates."""
+    t = tokens(col)
+
+    def w(term: Column) -> Column:
+        dim = (
+            F.conv(F.substring(F.md5(term), 1, 6), 16, 10).cast("bigint")
+            % n_dims
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w-"), dim.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+        ) - 1000
+
+    return F.aggregate(
+        t, F.lit(0).cast("bigint"), lambda acc, x: acc + w(x)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Normalized-content fingerprint (md5 of lowercased trimmed text).
 

@@ -1317,3 +1317,61 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select("source", term.alias("t")).groupBy("source").agg(
         F.round(F.sum("t"), 6).alias("jsd_from_corpus")
     )
+
+
+@query(
+    "quality_hashed_classifier_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             CAST(SUM(
+               (CAST('0x' || substr(md5('w-' || CAST(
+                    CAST('0x' || substr(md5(term), 1, 6) AS BIGINT) % 64
+                  AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000
+             ) AS BIGINT) AS score
+      FROM tok GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY source
+    """,
+)
+def quality_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the way CCNet/GPT-3-style corpus
+    pipelines gate documents: a linear classifier over feature-hashed
+    bag-of-words scores every doc, and the per-source census reports
+    how many clear the score>0 gate. The weight vector here is
+    md5-derived (deterministic stand-in for learned weights — the
+    serving machinery is identical: hash token → dim, sum dim weights),
+    so the WHOLE scorer is exact int64 math the DuckDB twin replays
+    bit-for-bit.
+
+    Scale shape: scoring is one codegen'd expression per document —
+    no vocabulary broadcast, no join, no per-doc shuffle (the score
+    folds inside F.aggregate on the scan); only the |sources|-row
+    census shuffles. The 100 TB quality-gate pass is therefore
+    scan-bound, which is the point of the hashing trick."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", TX.hashed_linear_score(F.col("text")).alias("score")
+    ).filter(F.size(TX.tokens("text")) > 0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )
