@@ -1142,3 +1142,67 @@ def ingest_incremental_rollup_merge(
         "n_events",
         "value_cents",
     )
+
+
+@query(
+    "ingest_txn_log_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 3 = 1),
+    v2 AS (SELECT o_orderkey, o_orderstatus, cents * 2 AS cents
+           FROM base WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'O'),
+    snaps AS (
+      SELECT 0 AS version, * FROM v0
+      UNION ALL SELECT 1, * FROM v0
+      UNION ALL SELECT 1, * FROM v1
+      UNION ALL SELECT 2, * FROM v1
+      UNION ALL SELECT 2, * FROM v2
+    )
+    SELECT version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM snaps GROUP BY version
+    """,
+)
+def ingest_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table format with TIME TRAVEL
+    (sources/txnlog.py): three commits — append v0, append v1, then a
+    replace that retires v0's batch and adds a recomputed one — and the
+    query reads all three SNAPSHOTS after the fact, proving historical
+    versions stay readable (v0/v1 are resolved from the log AFTER v2
+    retired v0's file) and that replace semantics are exact.
+
+    Scale shape: the log is kilobytes of driver-side JSON (same as a
+    Delta/Iceberg manifest head); every snapshot read is a normal
+    distributed parquet scan of exactly the live files, so pruning and
+    pushdown are unchanged. Commit is atomic put-if-absent on the log
+    entry — optimistic concurrency, reads never block."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    t = TxnLogTable(spark, _scratch("txnlog"))
+    _, b0 = t.commit(base.where(F.col("o_orderkey") % 3 == 0))
+    t.commit(base.where(F.col("o_orderkey") % 3 == 1))
+    t.commit(
+        base.where(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderstatus") != "O")
+        ).withColumn("cents", F.col("cents") * 2),
+        remove=[b0],
+    )
+    snaps = [
+        t.snapshot(v).withColumn("version", F.lit(v)) for v in (0, 1, 2)
+    ]
+    allv = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    return allv.groupBy("version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )

@@ -1,0 +1,138 @@
+"""Minimal transaction-log table format (Delta/Iceberg-shaped).
+
+The lakehouse primitive a 100 TB deployment needs under every
+``ingest_*`` pattern in this repo: writers commit immutable parquet
+batches plus a tiny JSON log entry; readers resolve a SNAPSHOT (latest
+or any historical version — time travel) from the log and read exactly
+the live data files. The reference (``backend/main.py``) delegates
+storage to a database and has no table format; this extension gives the
+engine's own parquet tables the same append / replace / read-consistent
+semantics.
+
+Design points, scaled down but real:
+
+- **The log is the table.** A version is committed iff ``_log/<v>.json``
+  exists; data files unreferenced by the log are invisible (a failed
+  writer leaves garbage, never corruption).
+- **Optimistic concurrency.** A commit materializes its entry at
+  ``<v>.json`` via hard-link-from-temp (atomic put-if-absent on POSIX;
+  object stores use the same conditional-put). A losing racer retries
+  at ``v+1`` — reads never block.
+- **Snapshots are manifest math.** live(v) = union of ``add`` minus
+  ``remove`` over entries ≤ v, resolved driver-side over kilobytes of
+  JSON; the DATA read is a normal distributed parquet scan of the live
+  files, so partition pruning / predicate pushdown apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first."""
+
+
+class TxnLogTable:
+    """A parquet table with a JSON transaction log and time travel."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._logdir = os.path.join(root, "_log")
+        os.makedirs(self._logdir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- log internals -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self._logdir)
+            if f.endswith(".json")
+        )
+
+    def _entry(self, v: int) -> dict:
+        with open(os.path.join(self._logdir, f"{v}.json")) as fh:
+            return json.load(fh)
+
+    def _put_entry(self, v: int, entry: dict) -> None:
+        """Atomic put-if-absent: hard-link a temp file into place; EEXIST
+        means a concurrent writer won this version."""
+        fd, tmp = tempfile.mkstemp(dir=self._logdir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(entry, fh)
+            try:
+                os.link(tmp, os.path.join(self._logdir, f"{v}.json"))
+            except FileExistsError as exc:
+                raise CommitConflict(f"version {v} already committed") from exc
+        finally:
+            os.unlink(tmp)
+
+    # -- public API ----------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        remove: list[str] | None = None,
+        max_retries: int = 5,
+    ) -> tuple[int, str]:
+        """Write ``df`` as a new immutable batch and commit a log entry.
+
+        ``mode='append'`` adds the batch; ``mode='overwrite'`` also
+        removes every batch live at commit time; ``remove`` names
+        specific batches to retire (replace/compact). Returns
+        ``(version, batch_name)``. The parquet write happens ONCE; only
+        the cheap log put retries on a version race.
+        """
+        versions = self.versions()
+        v = (versions[-1] + 1) if versions else 0
+        batch = f"batch-{v:05d}-{os.urandom(4).hex()}"
+        df.write.mode("error").parquet(os.path.join(self.root, "data", batch))
+        for _ in range(max_retries):
+            drop = sorted(
+                self.live_batches() if mode == "overwrite" else (remove or [])
+            )
+            try:
+                self._put_entry(
+                    v, {"version": v, "add": [batch], "remove": drop}
+                )
+                return v, batch
+            except CommitConflict:
+                v = self.versions()[-1] + 1
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def live_batches(self, version: int | None = None) -> list[str]:
+        versions = self.versions()
+        if not versions:
+            return []
+        if version is None:
+            version = versions[-1]
+        if version not in versions:
+            raise ValueError(f"unknown version {version}")
+        live: list[str] = []
+        for v in versions:
+            if v > version:
+                break
+            e = self._entry(v)
+            live = [b for b in live if b not in set(e.get("remove", []))]
+            live.extend(e.get("add", []))
+        return live
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: latest) — time travel.
+
+        Resolves the live file set from the log (driver-side, tiny) and
+        reads it as one distributed parquet scan."""
+        live = self.live_batches(version)
+        if not live:
+            raise ValueError("empty table has no snapshot")
+        return self.spark.read.parquet(
+            *(os.path.join(self.root, "data", b) for b in live)
+        )

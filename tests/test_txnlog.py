@@ -1,0 +1,93 @@
+"""Transaction-log table format: commit atomicity, time travel,
+replace/overwrite semantics — the edges the differential oracle of
+``ingest_txn_log_time_travel`` cannot see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.sources.txnlog import (
+    CommitConflict,
+    TxnLogTable,
+)
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    v0, _ = t.commit(spark.range(10))
+    v1, _ = t.commit(spark.range(10, 25))
+    assert (v0, v1) == (0, 1)
+    assert t.snapshot(0).count() == 10
+    assert t.snapshot(1).count() == 25
+    assert t.snapshot().count() == 25  # latest
+
+
+def test_replace_retires_batch_but_history_survives(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(spark.range(10))
+    t.commit(spark.range(100, 105), remove=[b0])
+    assert t.live_batches() != [b0]
+    assert t.snapshot().count() == 5
+    # v0 still readable after its batch was retired from the head
+    assert t.snapshot(0).count() == 10
+
+
+def test_overwrite_drops_all_live(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10))
+    t.commit(spark.range(20))
+    t.commit(spark.range(3), mode="overwrite")
+    assert t.snapshot().count() == 3
+    assert len(t.live_batches()) == 1
+    assert t.snapshot(1).count() == 30
+
+
+def test_commit_conflict_retries_to_next_version(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(5))
+    # Simulate a racing writer grabbing version 1 between the version
+    # probe and the log put: pre-create 1.json, then commit.
+    t._put_entry(1, {"version": 1, "add": [], "remove": []})
+    v, _ = t.commit(spark.range(7))
+    assert v == 2
+    assert t.snapshot().count() == 12  # 5 + 0 + 7
+
+
+def test_put_entry_is_put_if_absent(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t._put_entry(0, {"version": 0, "add": [], "remove": []})
+    with pytest.raises(CommitConflict):
+        t._put_entry(0, {"version": 0, "add": ["x"], "remove": []})
+
+
+def test_unknown_version_and_empty_table_raise(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        t.snapshot()
+    t.commit(spark.range(1))
+    with pytest.raises(ValueError):
+        t.live_batches(99)
+
+
+def test_unreferenced_data_is_invisible(spark, tmp_path):
+    """A failed writer's orphan parquet dir never shows up in a read."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(4))
+    orphan = str(tmp_path / "t" / "data" / "batch-orphan")
+    spark.range(1000).write.parquet(orphan)
+    assert t.snapshot().count() == 4
+
+
+def test_schema_projection_pushdown_reaches_scan(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(100).withColumn("v", F.col("id") * 2))
+    plan = (
+        t.snapshot()
+        .filter(F.col("id") > 90)
+        .select("v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
