@@ -3024,3 +3024,99 @@ def orders_ship_delay_histogram_by_priority(
         .cast("bigint")
         .alias("n_over_90d"),
     )
+
+
+@query(
+    "events_gapfill_linear_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS day_max
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(
+               CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+               CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    grid AS (
+      SELECT u.user_id, days.day
+      FROM (SELECT DISTINCT user_id FROM events) u, days
+    ),
+    j AS (
+      SELECT grid.user_id, grid.day, daily.day_max,
+             last_value(daily.day_max IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN daily.day_max IS NOT NULL
+                             THEN grid.day END IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(daily.day_max IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN daily.day_max IS NOT NULL
+                              THEN grid.day END IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid LEFT JOIN daily
+        ON grid.user_id = daily.user_id AND grid.day = daily.day
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+             WHEN day_max IS NOT NULL THEN day_max
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                      / CAST(nd - pd AS DOUBLE))
+           END, 9) AS filled_value
+    FROM j
+    """,
+)
+def events_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the sibling of
+    events_gapfill_locf for metrics where carrying forward lies
+    (sensor/meter readings): each missing (user, day) cell gets
+    prev + (next-prev) · gap_fraction between its nearest observed
+    neighbors; cells before the first / after the last observation stay
+    NULL. The interpolation expression is the IDENTICAL IEEE double
+    computation on both engines (same operands, same order), rounded to
+    9 decimals per the composed-float rule.
+
+    Scale shape: identical to the LOCF key — daily MAX collapses the
+    fact table before any join, the users×days grid is generated (the
+    1-row span broadcasts), and BOTH neighbor windows ride the same
+    user_id shuffle; no extra pass vs LOCF despite needing both
+    directions."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.max("value").alias("day_max"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_max").isNotNull(), F.col("day"))
+    pv = F.last("day_max", ignorenulls=True).over(back)
+    pd_ = F.last(obs_day, ignorenulls=True).over(back)
+    nv = F.first("day_max", ignorenulls=True).over(fwd)
+    nd = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(
+        nd, pd_
+    ).cast("double")
+    filled = F.when(F.col("day_max").isNotNull(), F.col("day_max")).when(
+        pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.round(filled, 9).alias("filled_value")
+    )
