@@ -286,6 +286,65 @@ def with_bmp_payload(
     return df.withColumn(out_col, enc(F.col(src_col)))
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def image_ahash_bands(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over image payloads, emitted as
+    FOUR 16-bit bands: real BMP pixel decode (:func:`bmp_pixels`) →
+    8×8 nearest-neighbor downsample (:func:`nn_resize`) → bit(j,k) =
+    [sample·64 > sum of samples] (the strict-integer compare — no mean
+    rounding anywhere) → band b packs rows 2b..2b+1. Bands double as
+    the LSH blocking key for Hamming near-dup search: two images within
+    Hamming distance 6 of a 64-bit hash agree on ≥1 of 4 bands
+    (pigeonhole), so a band-equality self-join finds every such pair
+    without an all-pairs scan.
+
+    All math is exact int64 (samples ≤ 255, sums ≤ 255·64), so the
+    whole hash — decode, resample, threshold, packing — replays
+    bit-for-bit in SQL over the synthesized payload's byte stream."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = []
+            bands: list[list[int]] = [[], [], [], []]
+            w2 = (
+                np.int64(1)
+                << (np.arange(2)[:, None] * 8 + np.arange(8)[None, :])
+            )
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                px = bmp_pixels(bytes(b))
+                g = nn_resize(px, 8, 8)[:, :, 0].astype(np.int64)
+                bits = (g * 64 > int(g.sum())).astype(np.int64)
+                ids.append(int(i))
+                for band in range(4):
+                    bands[band].append(
+                        int((bits[2 * band : 2 * band + 2] * w2).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "b0": pd.Series(bands[0], dtype="int64"),
+                    "b1": pd.Series(bands[1], dtype="int64"),
+                    "b2": pd.Series(bands[2], dtype="int64"),
+                    "b3": pd.Series(bands[3], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -496,3 +496,106 @@ def multimodal_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
             / (F.col("width") * F.col("height") * 3 * 255)
         ).alias("mean_pixel"),
     )
+
+
+@query(
+    "multimodal_image_ahash_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             greatest(CAST(strlen(text) AS BIGINT), 1) AS len,
+             CAST(strlen(text) AS BIGINT) AS len0
+      FROM documents
+    ),
+    dims AS (SELECT doc_id, hx, len, len0, (len + 31) // 32 AS h FROM b),
+    samp AS (
+      SELECT doc_id, j.j AS j, k.k AS k,
+             CASE WHEN len0 = 0 THEN 0
+                  ELSE CAST('0x' || substr(hx,
+                       2 * ((((j.j * h) // 8) * 32 + 4 * k.k) % len) + 1, 2)
+                       AS INT) END AS s
+      FROM dims,
+           LATERAL unnest(generate_series(0, 7)) AS j(j),
+           LATERAL unnest(generate_series(0, 7)) AS k(k)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total
+            FROM samp GROUP BY doc_id),
+    bits AS (
+      SELECT samp.doc_id, j, k,
+             CASE WHEN s * 64 > total THEN 1 ELSE 0 END AS bit
+      FROM samp JOIN tot ON tot.doc_id = samp.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << ((j % 2) * 8 + k)))
+                  AS BIGINT) AS v
+      FROM bits GROUP BY doc_id, j // 2
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN v END) AS b0,
+             MAX(CASE WHEN band = 1 THEN v END) AS b1,
+             MAX(CASE WHEN band = 2 THEN v END) AS b2,
+             MAX(CASE WHEN band = 3 THEN v END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS INT) AS hamming
+      FROM wide a JOIN wide b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+    """,
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup END-TO-END with a FULL differential
+    oracle: real BMP pixel decode → 8×8 downsample → 64-bit average
+    hash packed as four 16-bit bands (operators/multimodal.py
+    image_ahash_bands) → band-equality LSH self-joins for candidates
+    (Hamming ≤ 6 ⟹ ≥1 equal band by pigeonhole, so recall is exact by
+    construction) → exact bit_count Hamming verify. Every stage is
+    integer math over the synthesized payload's bytes, so DuckDB
+    replays decode, resample, threshold, banding, blocking AND the
+    verify — the multimodal sibling of dedup_simhash's chunk-pair
+    scheme.
+
+    Scale shape: hashing is one Arrow-batched mapInPandas pass (no
+    shuffle); the four band self-joins shuffle 5-column hash rows, not
+    images, and the pinned band frame computes once. Candidates are
+    bucket-bounded — never all-pairs."""
+    from ..operators.multimodal import image_ahash_bands, with_bmp_payload
+    from ..plans.pin import pin
+
+    d = read_table(spark, sf_dir, "documents")
+    bands = image_ahash_bands(with_bmp_payload(d, "text")).transform(
+        pin, eager=False
+    )
+    cols = ("b0", "b1", "b2", "b3")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = None
+    for c in cols:
+        j = a.join(
+            b,
+            (F.col(f"a.{c}") == F.col(f"b.{c}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{x}").alias(f"a{x}") for x in cols],
+            *[F.col(f"b.{x}").alias(f"b{x}") for x in cols],
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.expr(
+        "CAST(bit_count(ab0 ^ bb0) + bit_count(ab1 ^ bb1)"
+        " + bit_count(ab2 ^ bb2) + bit_count(ab3 ^ bb3) AS INT)"
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -404,3 +404,57 @@ def test_decode_resize_images_end_to_end(spark):
         assert (r["out_height"], r["out_width"]) == (oh, ow)
         assert abs(r["resized_mean"] - float(out.mean()) / 255.0) < 1e-12
         assert r["resized_sha"] == hashlib.sha256(out.tobytes()).hexdigest()
+
+
+def test_image_ahash_bands_match_pure_python(spark):
+    """Operator aHash bands vs an independent pure-Python walk of the
+    synthesized-BMP byte formula: sample(j,k) = data[((j*h)//8*32+4k)
+    mod len], bit = sample*64 > sum, band b packs rows 2b..2b+1."""
+    from data_ingestion_tool_spark.operators.multimodal import (
+        image_ahash_bands,
+        with_bmp_payload,
+    )
+
+    texts = ["hello world " * 40, "short", "x" * 5000, "", "abc" * 11]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in image_ahash_bands(with_bmp_payload(df, "text")).collect()
+    }
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8") or b"\x00"
+        n = len(data)
+        h = -(-n // 32)
+        samples = [
+            [data[(((j * h) // 8) * 32 + 4 * k) % n] for k in range(8)]
+            for j in range(8)
+        ]
+        total = sum(sum(r) for r in samples)
+        expect = [0, 0, 0, 0]
+        for j in range(8):
+            for k in range(8):
+                if samples[j][k] * 64 > total:
+                    expect[j // 2] |= 1 << ((j % 2) * 8 + k)
+        r = got[i]
+        assert [r["b0"], r["b1"], r["b2"], r["b3"]] == expect, f"doc {i}"
+
+
+def test_image_ahash_identical_payloads_collide(spark):
+    """Exact duplicate images must hash identically (Hamming 0) and
+    differ from a non-duplicate."""
+    from data_ingestion_tool_spark.operators.multimodal import (
+        image_ahash_bands,
+        with_bmp_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "duplicate payload " * 30), (1, "duplicate payload " * 30),
+         (2, "something else entirely " * 25)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in image_ahash_bands(with_bmp_payload(df, "text")).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
