@@ -1375,3 +1375,110 @@ def quality_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+def _gopher_rules_oracle() -> str:
+    from ..operators.text import ENGLISH_STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT source, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sumlen,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks, x -> list_contains([{en}], x)))
+                  AS BIGINT) AS stop_hits,
+             n_chars,
+             n_chars - CAST(length(regexp_replace(text, '[#!?]', '', 'g'))
+                            AS BIGINT) AS sym
+      FROM t
+    ),
+    r AS (
+      SELECT source,
+             CASE WHEN n BETWEEN 10 AND 2000 THEN 0 ELSE 1 END AS f_len,
+             CASE WHEN 3 * n <= sumlen AND sumlen <= 12 * n
+                  THEN 0 ELSE 1 END AS f_wordlen,
+             CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END AS f_stop,
+             CASE WHEN 10 * sym <= n_chars THEN 0 ELSE 1 END AS f_sym,
+             CASE WHEN 5 * n_alpha >= 4 * n THEN 0 ELSE 1 END AS f_alpha
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_len + f_wordlen + f_stop + f_sym + f_alpha
+                         = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(f_len) AS BIGINT) AS fail_len,
+           CAST(SUM(f_wordlen) AS BIGINT) AS fail_wordlen,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+           CAST(SUM(f_sym) AS BIGINT) AS fail_sym,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha
+    FROM r GROUP BY source
+    """
+
+
+@query("filter_gopher_quality_rules", oracle=_gopher_rules_oracle())
+def filter_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule-based quality filtering — the
+    standard pre-model gate battery for LLM training corpora: token
+    count in [10, 2000], mean token length in [3, 12], ≥2 stopwords,
+    symbol ratio ≤ 10%, and ≥80% alphabetic tokens. EVERY rule is
+    decided in integer math (cross-multiplied ratios — 3n ≤ Σlen ≤
+    12n, 10·sym ≤ chars, 5·alpha ≥ 4n), so no float boundary exists
+    anywhere and the per-source pass/fail census hash-matches DuckDB
+    exactly. Output includes the per-rule fail breakdown auditors
+    actually want (which gate is dropping a source's docs).
+
+    Scale shape: all five rules are codegen'd expressions over the
+    token array of a single scan — no explode, no join, no per-doc
+    shuffle; only the |sources|-row census aggregates."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks).cast("bigint")
+    sumlen = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x).cast("bigint"),
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast(
+        "bigint"
+    )
+    sw = F.array(*[F.lit(w) for w in TX.ENGLISH_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(sw, x))
+    ).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    sym = n_chars - F.length(F.regexp_replace("text", "[#!?]", "")).cast(
+        "bigint"
+    )
+    fails = {
+        "f_len": ~n.between(10, 2000),
+        "f_wordlen": ~((3 * n <= sumlen) & (sumlen <= 12 * n)),
+        "f_stop": stop_hits < 2,
+        "f_sym": 10 * sym > n_chars,
+        "f_alpha": 5 * n_alpha < 4 * n,
+    }
+    flagged = d.select(
+        "source",
+        *[F.when(c, 1).otherwise(0).alias(k) for k, c in fails.items()],
+    )
+    total_f = sum(F.col(k) for k in fails)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(total_f == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        *[
+            F.sum(k).cast("bigint").alias("fail" + k[1:])
+            for k in fails
+        ],
+    )
