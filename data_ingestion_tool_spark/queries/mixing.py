@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
+from ..plans.pin import pin
 from ..sources.parquet_io import read_table
 from .registry import query
 
@@ -965,4 +966,97 @@ def pack_sequences_fixed_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.groupBy("block_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "mix_moore_lewis_source_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT source, term AS w1,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bg AS (SELECT source, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    cs AS (SELECT source, w1, w2, COUNT(*) AS c_s
+           FROM bg GROUP BY source, w1, w2),
+    cs1 AS (SELECT source, w1, SUM(c_s) AS c_s1
+            FROM cs GROUP BY source, w1),
+    c AS (SELECT w1, w2, SUM(c_s) AS c FROM cs GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS c1 FROM c GROUP BY w1),
+    j AS (
+      SELECT cs.source, cs.c_s,
+             CAST(cs.c_s AS DOUBLE)
+               * (ln(CAST(cs.c_s AS DOUBLE)) - ln(CAST(cs1.c_s1 AS DOUBLE))
+                  - ln(CAST(c.c AS DOUBLE)) + ln(CAST(c1.c1 AS DOUBLE)))
+               AS term
+      FROM cs
+      JOIN cs1 USING (source, w1)
+      JOIN c USING (w1, w2)
+      JOIN c1 USING (w1)
+    )
+    SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(term) / SUM(c_s), 6) AS moore_lewis_score
+    FROM j GROUP BY source
+    """,
+)
+def mix_moore_lewis_source_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis data selection at source granularity — THE classic
+    domain-relevance score for training-data curation: mean over a
+    source's bigram occurrences of ln P_src(w2|w1) − ln P_corpus(w2|w1)
+    (cross-entropy difference between the in-domain LM and the corpus
+    LM; positive ⇒ the source is more predictable by its own LM, i.e.
+    distinctive). Unsmoothed is exact here because every scored bigram
+    occurs in both LMs by construction. Counts are exact ints; each ln
+    sees the identical double on both engines; the occurrence-weighted
+    mean rounds to 6 decimals (composed-float rule — verified at
+    sf0.1).
+
+    Scale shape: one explode → (source, w1, w2) count with map-side
+    combine, then the three marginal count frames REUSE that
+    aggregated frame (pinned — bigram stats are orders smaller than
+    the corpus, the standard LM-count materialization), and the joins
+    are on bigram/unigram keys, never on documents."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = d.select("source", F.explode(pairs).alias("p")).select(
+        "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cs = (
+        ex.groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .transform(pin, eager=False)
+    )
+    cs1 = cs.groupBy("source", "w1").agg(F.sum("c_s").alias("c_s1"))
+    c = cs.groupBy("w1", "w2").agg(F.sum("c_s").alias("c"))
+    c1 = c.groupBy("w1").agg(F.sum("c").alias("c1"))
+    ln = F.log
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    term = dd("c_s") * (
+        ln(dd("c_s")) - ln(dd("c_s1")) - ln(dd("c")) + ln(dd("c1"))
+    )
+    j = (
+        cs.join(cs1, ["source", "w1"])
+        .join(c, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("source", "c_s", term.alias("term"))
+    )
+    return j.groupBy("source").agg(
+        F.sum("c_s").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("term") / F.sum("c_s"), 6).alias("moore_lewis_score"),
     )

@@ -63,6 +63,7 @@ _MAG_EXTRA = {
     "text_kl_source_vs_corpus",
     "text_js_divergence_sources",
     "text_bigram_conditional_entropy",
+    "mix_moore_lewis_source_score",
     "embedding_silhouette_per_label",
     "similarity_centroid_assign_counts",
     "orders_concentration_hhi_by_nation",
