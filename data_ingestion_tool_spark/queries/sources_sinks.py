@@ -1206,3 +1206,77 @@ def ingest_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
     )
+
+
+@query(
+    "ingest_txn_log_compact_evolve",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, cents, NULL AS o_orderstatus
+      FROM base WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, cents, o_orderstatus
+      FROM base WHERE o_orderkey % 4 IN (1, 2)
+    )
+    SELECT COALESCE(o_orderstatus, 'none') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(4 AS INT) AS n_versions
+    FROM merged GROUP BY COALESCE(o_orderstatus, 'none')
+    """,
+)
+def ingest_txn_log_compact_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + log-driven compaction on the transaction-log
+    table format: batch 0 has (key, cents), batches 1-2 add a status
+    column (ADD COLUMN evolution — merge_schema backfills NULL for old
+    rows), then a compaction rewrites all three small batches as ONE
+    and commits it atomically with their removal. The final census must
+    be byte-identical to the pre-compaction content — compaction is a
+    metadata swap, never a data change — and the version count proves
+    the log recorded all four commits.
+
+    Scale shape: compaction reads the live set once and writes once
+    (the small-files fix at manifest level — at 100 TB this runs
+    per-partition with the same one-commit atomicity); the schema
+    merge is a footer-only operation per file."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    t = TxnLogTable(spark, _scratch("txnev"))
+    t.commit(
+        base.where(F.col("o_orderkey") % 4 == 0).select("o_orderkey", "cents")
+    )
+    t.commit(
+        base.where(F.col("o_orderkey") % 4 == 1).select(
+            "o_orderkey", "cents", "o_orderstatus"
+        )
+    )
+    t.commit(
+        base.where(F.col("o_orderkey") % 4 == 2).select(
+            "o_orderkey", "cents", "o_orderstatus"
+        )
+    )
+    live = t.live_batches()
+    compacted = t.snapshot(merge_schema=True).coalesce(1)
+    t.commit(compacted, remove=live)
+    final = t.snapshot()
+    return (
+        final.groupBy(
+            F.coalesce("o_orderstatus", F.lit("none")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn(
+            "n_versions", F.lit(len(t.versions())).cast("int")
+        )
+    )

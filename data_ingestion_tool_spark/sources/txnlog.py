@@ -125,14 +125,21 @@ class TxnLogTable:
             live.extend(e.get("add", []))
         return live
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """The table AS OF ``version`` (default: latest) — time travel.
 
         Resolves the live file set from the log (driver-side, tiny) and
-        reads it as one distributed parquet scan."""
+        reads it as one distributed parquet scan. ``merge_schema=True``
+        unions evolved batch schemas (added columns backfill NULL),
+        the add-column path of schema evolution under this format."""
         live = self.live_batches(version)
         if not live:
             raise ValueError("empty table has no snapshot")
-        return self.spark.read.parquet(
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *(os.path.join(self.root, "data", b) for b in live)
         )
