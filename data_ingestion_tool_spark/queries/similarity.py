@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
@@ -83,7 +83,7 @@ _INT_SRP_COMMON = """
                            ELSE 0 END) AS BIGINT) AS bkt
       FROM dots GROUP BY vec_id, t
     ),
-    norms AS (
+    norms AS MATERIALIZED (
       SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM vq GROUP BY vec_id
     )
 """
@@ -1029,4 +1029,224 @@ def similarity_centroid_assign_counts(
     )
     return out.groupBy("label", "nearest_label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+def _mmr_oracle(pool_k: int = 20, n_pick: int = 5) -> str:
+    """Unrolled-recursion DuckDB twin of the MMR selection: the greedy
+    argmax loop becomes n_pick chained CTE steps, each re-ranking the
+    unselected pool by score − λ·max-sim-to-selected with the same
+    (margin DESC, cid) tie-break the operator uses."""
+    steps = []
+    for i in range(2, n_pick + 1):
+        steps.append(f"""
+    cand{i} AS MATERIALIZED (
+      SELECT p.query_id, p.cid, p.score,
+             p.score - 0.5 * MAX(ps.sim) AS margin
+      FROM pool p
+      JOIN sel{i - 1} s ON s.query_id = p.query_id
+      JOIN psim ps ON ps.ca = p.cid AND ps.cb = s.cid
+      LEFT JOIN sel{i - 1} x
+        ON x.query_id = p.query_id AND x.cid = p.cid
+      WHERE x.cid IS NULL
+      GROUP BY p.query_id, p.cid, p.score
+    ),
+    s{i} AS (
+      SELECT query_id, cid, margin, CAST({i} AS INT) AS pick_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY margin DESC, cid) AS rn FROM cand{i})
+      WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT query_id, cid FROM sel{i - 1}
+               UNION ALL SELECT query_id, cid FROM s{i})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, pick_rank, cid, margin FROM s{i}"
+        for i in range(1, n_pick + 1)
+    )
+    return f"""
+    WITH vq AS MATERIALIZED (
+      SELECT vec_id, d, x FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS x
+        FROM embeddings)
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2
+      FROM vq GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT xa.vec_id AS query_id, xb.vec_id AS cid,
+             CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM vq xa JOIN vq xb ON xb.d = xa.d AND xb.vec_id <> xa.vec_id
+      WHERE xa.vec_id < 10
+      GROUP BY xa.vec_id, xb.vec_id
+    ),
+    scored AS (
+      SELECT query_id, cid,
+             CAST(dp AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS score
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = cid
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, cid, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, cid) AS rn FROM scored)
+      WHERE rn <= {pool_k}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.cid AS ca, b.cid AS cb
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.cid <> b.cid
+    ),
+    pdp AS (
+      SELECT ca, cb, CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM pairs
+      JOIN vq xa ON xa.vec_id = ca
+      JOIN vq xb ON xb.vec_id = cb AND xb.d = xa.d
+      GROUP BY ca, cb
+    ),
+    psim AS MATERIALIZED (
+      SELECT ca, cb,
+             CAST(dp AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS sim
+      FROM pdp
+      JOIN norms na ON na.vec_id = ca
+      JOIN norms nb ON nb.vec_id = cb
+    ),
+    s1 AS MATERIALIZED (
+      SELECT query_id, cid, score AS margin, CAST(1 AS INT) AS pick_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, cid) AS rn FROM pool)
+      WHERE rn = 1
+    ),
+    sel1 AS MATERIALIZED (SELECT query_id, cid FROM s1),{",".join(steps)}
+    SELECT query_id, pick_rank, cid AS neighbor_id, ROUND(margin, 9) AS margin
+    FROM ({union})
+    """
+
+
+@query("similarity_topk_mmr_diversified", oracle=_mmr_oracle())
+def similarity_topk_mmr_diversified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified top-k — the
+    retrieval-side curation op that trades relevance against redundancy
+    (λ=0.5): greedily pick 5 of the top-20 cosine pool, each step
+    re-scoring unselected candidates by score − λ·max-sim-to-selected.
+    On the exact-integer quantized vectors every cosine is the same
+    double on both engines, so the greedy argmax (tie-break: margin
+    DESC, cid) is deterministic and the FULL selection replays in an
+    unrolled-recursion DuckDB twin.
+
+    Scale shape: the pool stage is the bucketed/brute top-k machinery
+    (one broadcast of 10 query vectors, rank ≤ 20); the quadratic part
+    — pairwise sims and the greedy loop — runs on 20-row pools ONLY,
+    inside one applyInPandas per query (380 int dots per group). At
+    100 TB the pool bound keeps MMR O(queries · k²) regardless of
+    corpus size."""
+    import pandas as pd
+
+    from ..plans.pin import pin
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    iq = emb.select(
+        "vec_id", SIM.quantize_vec(F.col("embedding")).alias("qv")
+    ).withColumn("n2", SIM._int_dot(F.col("qv"), F.col("qv")))
+    qs = (
+        iq.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    c = iq.select(
+        F.col("vec_id").alias("cid"), F.col("qv"), F.col("n2")
+    )
+    dp = SIM._int_dot(F.col("qqv"), F.col("qv"))
+    score = dp.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = (
+        c.join(F.broadcast(qs), F.col("cid") != F.col("query_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "cid", "score", "qv", "n2")
+        .transform(pin, eager=False)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sim = SIM._int_dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double"))
+        * F.sqrt(F.col("b.n2").cast("double"))
+    )
+    feed = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cid") != F.col("b.cid")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.cid").alias("cid_a"),
+        F.col("a.score").alias("score_a"),
+        F.col("b.cid").alias("cid_b"),
+        sim.alias("sim"),
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        scores: dict[int, float] = {}
+        sims: dict[tuple[int, int], float] = {}
+        for ca, sa, cb, s in zip(
+            pdf["cid_a"], pdf["score_a"], pdf["cid_b"], pdf["sim"]
+        ):
+            scores[int(ca)] = float(sa)
+            sims[(int(ca), int(cb))] = float(s)
+        selected: list[int] = []
+        rows = []
+        for rank in range(1, 6):
+            best = None
+            for cid, sc in scores.items():
+                if cid in selected:
+                    continue
+                m = (
+                    sc - 0.5 * max(sims[(cid, s)] for s in selected)
+                    if selected
+                    else sc
+                )
+                key = (m, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid, m)
+            if best is None:
+                break
+            selected.append(best[1])
+            rows.append((qid, rank, best[1], best[2]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "pick_rank", "neighbor_id", "margin"]
+        ).astype(
+            {
+                "query_id": "int64",
+                "pick_rank": "int32",
+                "neighbor_id": "int64",
+                "margin": "float64",
+            }
+        )
+
+    out = feed.groupBy("query_id").applyInPandas(
+        mmr,
+        "query_id long, pick_rank int, neighbor_id long, margin double",
+    )
+    return out.select(
+        "query_id", "pick_rank", "neighbor_id", F.round("margin", 9).alias("margin")
     )
