@@ -1482,3 +1482,69 @@ def filter_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in fails
         ],
     )
+
+
+@query(
+    "text_chunk_sliding_window",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             CAST((length(text) - 1) // 96 AS INT) + 1 AS n_chunks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_chunks - 1)) AS i
+      FROM n
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             CAST(i * 96 + 1 AS BIGINT) AS start_pos,
+             substr(text, i * 96 + 1, 128) AS chunk
+      FROM idx
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, start_pos,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS chunk_digest
+    FROM ch
+    """,
+)
+def text_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunk materialization: every document
+    becomes overlapping 128-char windows on a 96-char stride (32-char
+    overlap carries context across boundaries), each chunk emitted with
+    its provenance (doc_id, index, 1-based start offset) and a 60-bit
+    md5-prefix digest — the retrieval corpus a vector indexer consumes,
+    and the digest the chunk-level deduper joins on. Exact cross-engine:
+    substr/length are char-based and md5 is bit-identical in both
+    engines, so the oracle replays every chunk boundary and digest.
+
+    Scale shape: pure narrow ops on the scan — sequence+explode then
+    substring, no shuffle at all (the explode multiplies rows ~6x at
+    this chunk/stride ratio but stays partition-local); at 100 TB the
+    chunker is the map stage feeding the embedding UDF, and the digest
+    keeps downstream dedup shuffles at 8 bytes/key."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chunks = (
+        (F.length("text") - 1) / F.lit(96)
+    ).cast("int") + F.lit(1)
+    ch = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .withColumn(
+            "chunk",
+            F.expr("substring(text, chunk_idx * 96 + 1, 128)"),
+        )
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * 96 + 1).cast("bigint").alias("start_pos"),
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.conv(F.substring(F.md5("chunk"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("chunk_digest"),
+    )
