@@ -1060,3 +1060,119 @@ def mix_moore_lewis_source_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_s").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("term") / F.sum("c_s"), 6).alias("moore_lewis_score"),
     )
+
+
+@query(
+    "mix_dsir_hashed_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term,
+             generate_subscripts(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, term AS w1,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT)
+               % 1024 AS f
+      FROM big WHERE w2 IS NOT NULL
+    ),
+    dfc AS MATERIALIZED (
+      SELECT doc_id, f, COUNT(*) AS c FROM feat GROUP BY doc_id, f
+    ),
+    qf AS MATERIALIZED (SELECT f, SUM(c) AS q FROM dfc GROUP BY f),
+    tf AS MATERIALIZED (
+      SELECT f, SUM(c) AS t
+      FROM dfc JOIN documents USING (doc_id)
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      GROUP BY f
+    ),
+    tot AS (
+      SELECT (SELECT SUM(q) FROM qf) AS qt,
+             (SELECT COALESCE(SUM(t), 0) FROM tf) AS tt
+    ),
+    j AS (
+      SELECT d.doc_id, d.c,
+             CAST(d.c AS DOUBLE)
+               * (ln(CAST(COALESCE(t.t, 0) + 1 AS DOUBLE))
+                  - ln(CAST(tot.tt + 1024 AS DOUBLE))
+                  - ln(CAST(q.q + 1 AS DOUBLE))
+                  + ln(CAST(tot.qt + 1024 AS DOUBLE))) AS term
+      FROM dfc d JOIN qf q USING (f) LEFT JOIN tf t USING (f), tot
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(term), 6) AS dsir_logweight
+    FROM j GROUP BY doc_id
+    """,
+)
+def mix_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    per-document importance log-weights over HASHED bigram features:
+    bigrams hash into 1024 buckets (the dimensionality bound that makes
+    the method run at corpus scale), the target LM is the src0-src3
+    slice, the raw LM is the whole corpus, and each document scores
+    Σ_f c_df·(ln p̂_target(f) − ln q̂_raw(f)) with add-one smoothing.
+    Downstream, sampling ∝ exp(weight) tilts the corpus toward the
+    target domain. Feature counts are exact ints; every ln sees the
+    identical double; the per-doc sum rounds to 6 (composed-float
+    rule — verified at sf0.1).
+
+    Scale shape: one explode → (doc, f) count with map-side combine
+    (the hashed space caps distinct features at 1024·docs), the two LM
+    count frames reuse that aggregate (pinned), and the scoring join is
+    on the 1024-key feature column — broadcast-sized by construction —
+    so the corpus is never reshuffled."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    f_col = F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 1024
+    ex = d.select(
+        "doc_id", "source", F.explode(pairs).alias("bg")
+    ).select("doc_id", "source", f_col.alias("f"))
+    dfc = (
+        ex.groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(pin, eager=False)
+    )
+    qf = dfc.groupBy("f").agg(F.sum("c").alias("q"))
+    tf = (
+        dfc.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .groupBy("f")
+        .agg(F.sum("c").alias("t"))
+    )
+    tot = qf.agg(F.sum("q").alias("qt")).crossJoin(
+        tf.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
+    )
+    ln = F.log
+    dd = lambda c: c.cast("double")  # noqa: E731
+    term = dd(F.col("c")) * (
+        ln(dd(F.coalesce(F.col("t"), F.lit(0)) + 1))
+        - ln(dd(F.col("tt") + 1024))
+        - ln(dd(F.col("q") + 1))
+        + ln(dd(F.col("qt") + 1024))
+    )
+    j = (
+        dfc.join(F.broadcast(qf), "f")
+        .join(F.broadcast(tf), "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "c", term.alias("term"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("term"), 6).alias("dsir_logweight"),
+    )
