@@ -1280,3 +1280,56 @@ def ingest_txn_log_compact_evolve(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_versions", F.lit(len(t.versions())).cast("int")
         )
     )
+
+
+@query(
+    "ingest_txn_log_vacuum",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 3 < 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(2 AS INT) AS n_removed,
+           CAST(1 AS INT) AS n_live_files,
+           CAST(3 AS INT) AS n_versions
+    FROM base
+    """,
+)
+def ingest_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire-snapshots on the transaction-log format: two
+    appended batches are compacted into one (their tombstones make them
+    unreachable from the latest snapshot), then vacuum(retain=1)
+    physically deletes exactly the two unreachable batch dirs — never
+    a live one — while the log keeps all three versions for audit. The
+    post-vacuum snapshot must still serve the full pre-compaction
+    content: storage reclaim is invisible to readers of retained
+    versions.
+
+    Scale shape: reachability is driver-side manifest math over
+    kilobytes of JSON; the data deletes are per-batch object-store
+    removals. The snapshot read stays one distributed parquet scan."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", cents.alias("cents"))
+    t = TxnLogTable(spark, _scratch("txnvac"))
+    t.commit(base.where(F.col("o_orderkey") % 3 == 0))
+    t.commit(base.where(F.col("o_orderkey") % 3 == 1))
+    live = t.live_batches()
+    t.commit(t.snapshot().coalesce(1), remove=live)
+    removed = t.vacuum(retain_versions=1)
+    n_live = len(t.live_batches())
+    # Eager summary: the snapshot must be readable AFTER the physical
+    # deletes, which is the property under test.
+    return t.snapshot().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.lit(len(removed)).cast("int").alias("n_removed"),
+        F.lit(n_live).cast("int").alias("n_live_files"),
+        F.lit(len(t.versions())).cast("int").alias("n_versions"),
+    )

@@ -125,6 +125,33 @@ class TxnLogTable:
             live.extend(e.get("add", []))
         return live
 
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data batches unreachable from the newest
+        ``retain_versions`` snapshots (Delta/Iceberg VACUUM / expire-
+        snapshots). The log stays intact — history remains auditable —
+        but time travel older than the retention horizon afterwards
+        fails on missing files, exactly the documented trade. Returns
+        the deleted batch names (sorted).
+
+        Scale shape: reachability is manifest math over the tiny JSON
+        log (driver-side); the deletes are per-batch and embarrassingly
+        parallel on an object store."""
+        import shutil
+
+        versions = self.versions()
+        keep: set[str] = set()
+        for v in versions[-retain_versions:] if retain_versions else []:
+            keep.update(self.live_batches(v))
+        datadir = os.path.join(self.root, "data")
+        removed = sorted(
+            b
+            for b in os.listdir(datadir)
+            if b.startswith("batch-") and b not in keep
+        )
+        for b in removed:
+            shutil.rmtree(os.path.join(datadir, b))
+        return removed
+
     def snapshot(
         self, version: int | None = None, merge_schema: bool = False
     ) -> DataFrame:

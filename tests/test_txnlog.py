@@ -91,3 +91,37 @@ def test_schema_projection_pushdown_reaches_scan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+
+
+def test_vacuum_deletes_only_unreachable(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(spark.range(10))
+    _, b1 = t.commit(spark.range(10, 30))
+    t.commit(t.snapshot().coalesce(1), remove=[b0, b1])
+    removed = t.vacuum(retain_versions=1)
+    assert sorted(removed) == sorted([b0, b1])
+    # latest snapshot unaffected; log keeps full history
+    assert t.snapshot().count() == 30
+    assert t.versions() == [0, 1, 2]
+    # time travel past the retention horizon now fails on missing files
+    with pytest.raises(Exception):
+        t.snapshot(0).count()
+
+
+def test_vacuum_retain_two_keeps_previous_snapshot(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(spark.range(5))
+    t.commit(spark.range(100, 103), mode="overwrite")
+    assert t.vacuum(retain_versions=2) == []
+    assert t.snapshot(0).count() == 5  # still reachable: retained
+    assert t.vacuum(retain_versions=1) == [b0]
+
+
+def test_vacuum_sweeps_orphans(spark, tmp_path):
+    """A failed writer's orphan batch dir is reclaimed by vacuum."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(4))
+    orphan = str(tmp_path / "t" / "data" / "batch-orphan")
+    spark.range(10).write.parquet(orphan)
+    assert t.vacuum(retain_versions=1) == ["batch-orphan"]
+    assert t.snapshot().count() == 4
