@@ -3120,3 +3120,247 @@ def events_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(daily, ["user_id", "day"], "left").select(
         "user_id", "day", F.round(filled, 9).alias("filled_value")
     )
+
+
+@query(
+    "orders_holt_linear_monthly",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT month, yc, CAST(yc AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (ORDER BY month) AS t
+      FROM m
+    ),
+    hw AS (
+      SELECT t, month, yc, y, y AS level, CAST(0 AS DOUBLE) AS trend
+      FROM s WHERE t = 1
+      UNION ALL
+      SELECT s.t, s.month, s.yc, s.y,
+             0.5 * s.y + 0.5 * (hw.level + hw.trend),
+             0.5 * ((0.5 * s.y + 0.5 * (hw.level + hw.trend)) - hw.level)
+               + 0.5 * hw.trend
+      FROM hw JOIN s ON s.t = hw.t + 1
+    )
+    SELECT month, yc AS revenue_cents, level, trend,
+           level + trend AS forecast_next
+    FROM hw
+    """,
+)
+def orders_holt_linear_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over monthly
+    revenue (α=β=0.5): level_t = ½y_t + ½(level+trend), trend_t =
+    ½Δlevel + ½trend, initialized (y_1, 0); forecast_next = level+trend
+    is the one-step-ahead forecast the capacity planner reads. NO
+    rounding: both engines run the identical left-associated IEEE
+    double recursion (the oracle's recursive CTE mirrors the loop
+    term-for-term), so all 3 float columns hash bit-identically —
+    rounding would actually BREAK determinism here because dyadic
+    rationals (cents/2^k) can land exactly on .5 rounding boundaries.
+
+    Scale shape: the monthly rollup is the distributed part (one
+    map-side-combinable groupBy over orders); the smoothing recursion
+    is inherently sequential over the ~80-row month series — bounded by
+    the CALENDAR, not the data — and runs in one applyInPandas task."""
+    import pandas as pd
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    m = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        levels, trends = [], []
+        level = trend = 0.0
+        for i, yc in enumerate(pdf["revenue_cents"]):
+            y = float(yc)
+            if i == 0:
+                level, trend = y, 0.0
+            else:
+                new_level = 0.5 * y + 0.5 * (level + trend)
+                trend = 0.5 * (new_level - level) + 0.5 * trend
+                level = new_level
+            levels.append(level)
+            trends.append(trend)
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf[
+            ["month", "revenue_cents", "level", "trend", "forecast_next"]
+        ]
+
+    return m.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        holt,
+        "month date, revenue_cents long, level double, "
+        "trend double, forecast_next double",
+    )
+
+
+@query(
+    "orders_lorenz_curve_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM per_cust
+    ),
+    agg AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           decile_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) * 1000000
+                  // (SUM(decile_cents) OVER ()) AS BIGINT)
+             AS cum_share_ppm
+    FROM agg
+    """,
+)
+def orders_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve concentration profile of customer spend: customers
+    sorted ascending by lifetime cents (custkey tie-break) into NTILE
+    deciles; each decile reports its population, its cents, and the
+    CUMULATIVE share of total spend in exact parts-per-million (integer
+    floor-division — no float share can wobble at a boundary). The
+    curve's sag below the diagonal is the whale-concentration signal
+    the companion agg_gini_coefficient summarizes to one number.
+
+    Scale shape: one groupBy on custkey, then a single global sort of
+    the CUSTOMER AGGREGATE (orders of magnitude smaller than orders) —
+    at 100 TB the ntile would ride range-partitioned rank math instead
+    of one window partition, same decile boundaries."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("cents"), F.col("o_custkey"))
+    )
+    agg = (
+        per_cust.select("cents", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("decile_cents").over(wcum).cast("bigint")
+    total = F.sum("decile_cents").over(wall).cast("bigint")
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "decile_cents",
+        cum.alias("cum_cents"),
+        F.expr(
+            "CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT)"
+            " * 1000000 DIV CAST(SUM(decile_cents) OVER () AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )
+
+
+@query(
+    "orders_frequent_brand_triples",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+    triples AS (
+      SELECT i1.b AS brand_a, i2.b AS brand_b, i3.b AS brand_c,
+             COUNT(*) AS n_orders
+      FROM items i1
+      JOIN items i2 ON i2.ok = i1.ok AND i2.b > i1.b
+      JOIN items i3 ON i3.ok = i1.ok AND i3.b > i2.b
+      GROUP BY i1.b, i2.b, i3.b
+    )
+    SELECT brand_a, brand_b, brand_c,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_orders * 1000000 // n_baskets AS BIGINT) AS support_ppm
+    FROM triples, nb
+    WHERE n_orders * 1000 >= n_baskets
+    """,
+)
+def orders_frequent_brand_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent-itemset mining at 3-itemset level (the apriori /
+    FP-growth workhorse beyond pairwise lift): baskets are orders,
+    items are the DISTINCT part brands in each order, and a brand
+    triple is frequent when its support clears 0.1% of baskets —
+    decided in integer cross-multiplication (n·1000 ≥ baskets), with
+    support reported in exact ppm. Ordered b1<b2<b3 canonicalizes each
+    set to one row.
+
+    Scale shape: the basket→item frame is deduped once and pinned (it
+    feeds three join sides); candidate growth is bounded by per-basket
+    item count k as C(k,3), NOT by catalog size — the apriori property
+    in join form. All joins shuffle on the basket key, so the triple
+    enumeration is partition-local per order; the census groupBy on the
+    25³-bounded triple key is broadcast-scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    nb = items.agg(F.count_distinct("ok").alias("n_baskets"))
+    i1, i2, i3 = items.alias("i1"), items.alias("i2"), items.alias("i3")
+    triples = (
+        i1.join(
+            i2,
+            (F.col("i2.ok") == F.col("i1.ok"))
+            & (F.col("i2.b") > F.col("i1.b")),
+        )
+        .join(
+            i3,
+            (F.col("i3.ok") == F.col("i1.ok"))
+            & (F.col("i3.b") > F.col("i2.b")),
+        )
+        .groupBy(
+            F.col("i1.b").alias("brand_a"),
+            F.col("i2.b").alias("brand_b"),
+            F.col("i3.b").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        triples.crossJoin(F.broadcast(nb))
+        .filter(F.col("n_orders") * 1000 >= F.col("n_baskets"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.expr("CAST(n_orders * 1000000 DIV n_baskets AS BIGINT)").alias(
+                "support_ppm"
+            ),
+        )
+    )
