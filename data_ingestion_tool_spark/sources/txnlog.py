@@ -82,14 +82,18 @@ class TxnLogTable:
         mode: str = "append",
         remove: list[str] | None = None,
         max_retries: int = 5,
+        meta: dict | None = None,
     ) -> tuple[int, str]:
         """Write ``df`` as a new immutable batch and commit a log entry.
 
         ``mode='append'`` adds the batch; ``mode='overwrite'`` also
         removes every batch live at commit time; ``remove`` names
-        specific batches to retire (replace/compact). Returns
-        ``(version, batch_name)``. The parquet write happens ONCE; only
-        the cheap log put retries on a version race.
+        specific batches to retire (replace/compact). ``meta`` attaches
+        writer metadata to the log entry (e.g. a streaming micro-batch
+        id — the idempotence token an exactly-once sink scans with
+        ``has_meta``). Returns ``(version, batch_name)``. The parquet
+        write happens ONCE; only the cheap log put retries on a
+        version race.
         """
         versions = self.versions()
         v = (versions[-1] + 1) if versions else 0
@@ -99,14 +103,25 @@ class TxnLogTable:
             drop = sorted(
                 self.live_batches() if mode == "overwrite" else (remove or [])
             )
+            entry = {"version": v, "add": [batch], "remove": drop}
+            if meta:
+                entry["meta"] = meta
             try:
-                self._put_entry(
-                    v, {"version": v, "add": [batch], "remove": drop}
-                )
+                self._put_entry(v, entry)
                 return v, batch
             except CommitConflict:
                 v = self.versions()[-1] + 1
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def has_meta(self, key: str, value) -> bool:
+        """True iff some committed entry carries ``meta[key] == value``
+        — the put-if-absent dedup scan an exactly-once streaming sink
+        runs before committing a (possibly replayed) micro-batch. The
+        scan is over the tiny driver-side log."""
+        return any(
+            self._entry(v).get("meta", {}).get(key) == value
+            for v in self.versions()
+        )
 
     def live_batches(self, version: int | None = None) -> list[str]:
         versions = self.versions()

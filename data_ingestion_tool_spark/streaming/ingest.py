@@ -75,3 +75,48 @@ def stream_ingest_parquet(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_ingest_txnlog(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_root: str,
+    transform=None,
+    max_files_per_trigger: int = 1,
+):
+    """Stream a (finite) parquet source into a transaction-log table,
+    EXACTLY-ONCE: each micro-batch commits as one table version tagged
+    ``meta={"src_batch": id}``, and a replayed batch id is detected by
+    scanning the log (``has_meta``) and skipped — the put-if-absent
+    idempotence pattern Delta's ``txnAppId/txnVersion`` implements.
+    Returns the TxnLogTable.
+
+    At scale the log scan is kilobytes of driver-side JSON per commit;
+    each batch write is a normal distributed parquet write."""
+    from ..sources.txnlog import TxnLogTable
+
+    t = TxnLogTable(spark, table_root)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    stream = reader.parquet(source_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if t.has_meta("src_batch", batch_id):
+            return  # replayed micro-batch: already committed
+        t.commit(batch_df, meta={"src_batch": batch_id})
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "spark-graft-ckpt", f"txn-{uuid.uuid4().hex}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t

@@ -125,3 +125,32 @@ def test_vacuum_sweeps_orphans(spark, tmp_path):
     spark.range(10).write.parquet(orphan)
     assert t.vacuum(retain_versions=1) == ["batch-orphan"]
     assert t.snapshot().count() == 4
+
+
+def test_commit_meta_roundtrip_and_has_meta(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3), meta={"src_batch": 0})
+    t.commit(spark.range(3, 6))  # no meta
+    assert t.has_meta("src_batch", 0)
+    assert not t.has_meta("src_batch", 1)
+    assert not t.has_meta("other", 0)
+
+
+def test_streaming_sink_skips_replayed_batch(spark, tmp_path):
+    """The exactly-once guard: a second run over the SAME source with a
+    fresh checkpoint re-delivers every micro-batch; all must be skipped."""
+    from data_ingestion_tool_spark.streaming.ingest import (
+        stream_ingest_txnlog,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(20).repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    root = str(tmp_path / "table")
+    t = stream_ingest_txnlog(spark, src, schema, root)
+    assert len(t.versions()) == 2
+    assert t.snapshot().count() == 20
+    # fresh checkpoint => foreachBatch re-delivers ids 0..1 (replay)
+    t2 = stream_ingest_txnlog(spark, src, schema, root)
+    assert len(t2.versions()) == 2  # nothing double-appended
+    assert t2.snapshot().count() == 20
