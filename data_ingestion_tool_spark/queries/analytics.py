@@ -3364,3 +3364,66 @@ def orders_frequent_brand_triples(
             ),
         )
     )
+
+
+@query(
+    "events_burst_detection_hourly",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour_idx, n_events,
+             COALESCE(SUM(n_events) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS prev_24h
+      FROM hc
+    )
+    SELECT event_type, hour_idx,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(prev_24h AS BIGINT) AS prev_24h,
+           CAST(CASE WHEN prev_24h > 0 AND 12 * n_events > prev_24h
+                     THEN 1 ELSE 0 END AS INT) AS is_burst
+    FROM w
+    """,
+)
+def events_burst_detection_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burst detection per event type: an hour bursts when its count
+    strictly exceeds 2x the trailing-24h hourly mean, decided entirely
+    in integer cross-multiplication (12·c > Σprev — never a float mean
+    a count can straddle). The RANGE frame on the integer hour index
+    handles silent hours correctly: missing hours contribute nothing
+    to the trailing sum rather than shrinking the window (a ROWS frame
+    would silently look further back than 24h).
+
+    Scale shape: one map-side-combinable groupBy to hourly grain, then
+    a window over the HOURLY frame (8760 rows/type/year regardless of
+    event volume) — the raw event table never enters the window."""
+    ev = read_events(spark, sf_dir)
+    hc = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    prev = F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    return hc.select(
+        "event_type",
+        F.col("hour_idx").cast("bigint").alias("hour_idx"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        prev.cast("bigint").alias("prev_24h"),
+        F.when(
+            (prev > 0) & (12 * F.col("n_events") > prev), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_burst"),
+    )
