@@ -1250,3 +1250,133 @@ def similarity_topk_mmr_diversified(
     return out.select(
         "query_id", "pick_rank", "neighbor_id", F.round("margin", 9).alias("margin")
     )
+
+
+@query(
+    "similarity_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH vq AS MATERIALIZED (
+      SELECT vec_id, d, x FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS x
+        FROM embeddings)
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2
+      FROM vq GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT xa.vec_id AS query_id, xb.vec_id AS cid,
+             CAST(SUM(xa.x * xb.x) AS BIGINT) AS dp
+      FROM vq xa JOIN vq xb ON xb.d = xa.d AND xb.vec_id <> xa.vec_id
+      WHERE xa.vec_id < {N_QUERY_VECS}
+      GROUP BY xa.vec_id, xb.vec_id
+    ),
+    scored AS (
+      SELECT query_id, cid,
+             CAST(dp AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cos,
+             nq.n2 + nc.n2 - 2 * dp AS l2sq
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = cid
+    ),
+    ranked AS (
+      SELECT query_id, cid, l2sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cid) AS r_dense,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2sq, cid) AS r_l2
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, cid,
+             CAST(r_dense AS BIGINT) AS rank_dense,
+             CAST(r_l2 AS BIGINT) AS rank_l2,
+             1.0 / (60 + r_dense) + 1.0 / (60 + r_l2) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, cid AS neighbor_id, rank_dense, rank_l2, rrf,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, cid) AS rn FROM fused)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def similarity_hybrid_rrf_fusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two dense retrieval
+    rankings — cosine and squared-L2 — the standard hybrid-search merge
+    (unnormalized scorers disagree, so fuse RANKS, not scores). On the
+    exact-integer quantized vectors l2sq = n_a + n_b − 2·dot is an
+    exact int64 and every cosine is the same double on both engines, so
+    both rankings (vec_id tie-break), the fused 1/(60+r) sums, and the
+    final top-k replay bit-for-bit with NO rounding anywhere.
+
+    Scale shape: the candidate stage here is brute per-query for the
+    oracle's sake; production swaps in the bucketed LSH/IVF candidate
+    paths (same module) and fuses EXACTLY the same way — RRF only needs
+    ranks, so it composes with any retriever pair. The fusion itself is
+    two window functions over per-query candidate lists."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    iq = emb.select(
+        "vec_id", SIM.quantize_vec(F.col("embedding")).alias("qv")
+    ).withColumn("n2", SIM._int_dot(F.col("qv"), F.col("qv")))
+    qs = iq.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("n2").alias("qn2"),
+    )
+    c = iq.select(
+        F.col("vec_id").alias("cid"), F.col("qv"), F.col("n2")
+    )
+    dp = SIM._int_dot(F.col("qqv"), F.col("qv"))
+    scored = (
+        c.join(F.broadcast(qs), F.col("cid") != F.col("query_id"))
+        .withColumn("dp", dp)
+        .select(
+            "query_id",
+            "cid",
+            (
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).alias("cos"),
+            (F.col("qn2") + F.col("n2") - 2 * F.col("dp")).alias("l2sq"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    wl = Window.partitionBy("query_id").orderBy("l2sq", "cid")
+    fused = scored.select(
+        "query_id",
+        "cid",
+        F.row_number().over(wd).alias("r_dense"),
+        F.row_number().over(wl).alias("r_l2"),
+    ).withColumn(
+        "rrf",
+        F.lit(1.0) / (60 + F.col("r_dense"))
+        + F.lit(1.0) / (60 + F.col("r_l2")),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cid")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            F.col("r_dense").cast("bigint").alias("rank_dense"),
+            F.col("r_l2").cast("bigint").alias("rank_l2"),
+            "rrf",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

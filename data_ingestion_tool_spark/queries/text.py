@@ -1548,3 +1548,100 @@ def text_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_digest"),
     )
+
+
+@query(
+    "text_bm25_query_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    gstats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ),
+    q AS (SELECT unnest(['hash', 'join', 'vector', 'scan', 'merge'])
+            AS term),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok JOIN q USING (term) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (CAST(g.n_docs - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * ((CAST(dl.dl AS DOUBLE)
+                              * CAST(g.n_docs AS DOUBLE))
+                              / CAST(g.sum_dl AS DOUBLE)))))
+               AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN gstats g
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           ROUND(SUM(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2 b=0.75, Lucene idf) lexical retrieval scores
+    for the 5-term query {hash, join, vector, scan, merge} — the
+    sparse-retrieval half every hybrid RAG stack pairs with dense
+    cosine. All inputs (tf, df, dl, N, Σdl) are exact integers; each
+    per-term score is ONE identical float expression on both engines;
+    the per-doc sum spans ≤5 terms and rounds to 6 (composed-float
+    rule — verified at sf0.1).
+
+    Scale shape: tf is a map-side-combinable groupBy AFTER a
+    broadcast-semi-join on the 5-term query (the corpus-wide token
+    explode is filtered before any shuffle); df and the global length
+    stats are broadcast-sized; doc length joins on doc_id. At 100 TB
+    this is the standard inverted-index build restricted to the query
+    vocabulary."""
+    terms = ["hash", "join", "vector", "scan", "merge"]
+    d = read_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    )
+    dl = toked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    glob = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toked.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(pin, eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dd = lambda c: c.cast("double")  # noqa: E731
+    idf = F.log(
+        F.lit(1.0)
+        + (dd(F.col("n_docs") - F.col("df")) + 0.5)
+        / (dd(F.col("df")) + 0.5)
+    )
+    norm = (dd(F.col("dl")) * dd(F.col("n_docs"))) / dd(F.col("sum_dl"))
+    tfpart = (dd(F.col("tf")) * 2.2) / (
+        dd(F.col("tf")) + 1.2 * (0.25 + 0.75 * norm)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfpart).alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.round(F.sum("s"), 6).alias("bm25"),
+    )
