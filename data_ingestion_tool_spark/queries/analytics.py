@@ -3427,3 +3427,60 @@ def events_burst_detection_hourly(
         .cast("int")
         .alias("is_burst"),
     )
+
+
+@query(
+    "orders_new_vs_returning_monthly",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS first_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT date_trunc('month', o.o_orderdate) AS month,
+           CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate)
+                              = f.first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_customer_orders,
+           CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate)
+                              <> f.first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_orders,
+           CAST(COUNT(DISTINCT CASE WHEN date_trunc('month', o.o_orderdate)
+                                         = f.first_month
+                                    THEN o.o_custkey END) AS BIGINT)
+             AS new_customers
+    FROM orders o JOIN first_order f USING (o_custkey)
+    GROUP BY date_trunc('month', o.o_orderdate)
+    """,
+)
+def orders_new_vs_returning_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Growth accounting: per month, orders placed by customers in
+    their FIRST month vs returning customers, plus the distinct count
+    of newly acquired customers — the new/returning split every
+    revenue dashboard leads with. Pure MIN/COUNT integer math.
+
+    Scale shape: the first-month frame is one groupBy on custkey; the
+    month census joins orders to it on the same key (co-partitioned
+    shuffle), then aggregates at month grain. No window over the raw
+    fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    month = F.trunc("o_orderdate", "month")
+    first = o.groupBy("o_custkey").agg(
+        F.min(month.alias("m")).alias("first_month")
+    )
+    j = o.join(first, "o_custkey").select(
+        month.alias("month"), "first_month", "o_custkey"
+    )
+    is_new = F.col("month") == F.col("first_month")
+    return j.groupBy("month").agg(
+        F.sum(F.when(is_new, 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_customer_orders"),
+        F.sum(F.when(is_new, 0).otherwise(1))
+        .cast("bigint")
+        .alias("returning_orders"),
+        F.count_distinct(F.when(is_new, F.col("o_custkey")))
+        .cast("bigint")
+        .alias("new_customers"),
+    )

@@ -1645,3 +1645,80 @@ def text_bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
         F.round(F.sum("s"), 6).alias("bm25"),
     )
+
+
+@query(
+    "text_tfidf_keywords_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS MATERIALIZED (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tfidf, 9) AS tfidf,
+           CAST(rn AS INT) AS keyword_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf · ln(N/df), term tie-break) — the summarization/tagging
+    primitive behind faceted corpus browsers and weak topic labels.
+    tf/df/N are exact integers and the ranking replays exactly (a
+    1-ulp ln() disagreement between libm builds cannot reorder terms
+    whose exact scores differ); the reported score rounds to 9 because
+    ln is not correctly-rounded identically across engines.
+
+    Scale shape: tf is a map-side-combinable groupBy; df aggregates the
+    already-compressed tf frame (pinned, reused for df and scoring);
+    the top-k window partitions by doc_id — embarrassingly parallel,
+    no global sort."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(pin, eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tfidf = F.col("tf").cast("double") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("tfidf", 9).alias("tfidf"),
+            F.col("rn").cast("int").alias("keyword_rank"),
+        )
+    )
