@@ -893,11 +893,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·w) candidate budget — no bucket-size blowup, ever.
 
     Scale shape: the sort is range-partitioned by the 2-char block
-    (the production multi-pass SNM key hierarchy); row_number and the
-    rank-band self-join ride that one shuffle, and the ranked frame is
-    pinned so the tokenize/rank pipeline runs once, not once per join
-    side. Candidate count is ≤ 3n by construction — the budget a 100 TB
-    pass can sign up for blind."""
+    (the production multi-pass SNM key hierarchy); row_number rides
+    that one shuffle, and the ranked frame is pinned so the
+    tokenize/rank pipeline runs once, not once per join side. The
+    window band is generated as an EQUI-join on (blk, rn+δ), δ∈{1,2,3}
+    — a hash join that emits exactly ≤3n candidate rows; joining on blk
+    alone with a rank-band residual would materialize |block|² pairs
+    first, which is precisely the bucket blowup SNM exists to avoid."""
     d = read_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -914,15 +916,23 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t.select(
         "doc_id", "blk", "toks", F.row_number().over(w).alias("rn")
     ).transform(pin, eager=False)
-    a, b = ranked.alias("a"), ranked.alias("b")
+    a = (
+        ranked.select(
+            "doc_id",
+            "blk",
+            "toks",
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("delta"),
+        )
+        .select(
+            "doc_id", "blk", "toks", (F.col("rn") + F.col("delta")).alias("rn")
+        )
+        .alias("a")
+    )
+    b = ranked.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("b.rn") - F.col("a.rn") >= 1)
-        & (F.col("b.rn") - F.col("a.rn") <= 3),
-    ).select(
+    pairs = a.join(b, ["blk", "rn"]).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         inter.cast("bigint").alias("inter_sz"),
