@@ -1462,3 +1462,71 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
         (F.count(F.lit(1)) >= 5).alias("is_k_anonymous"),
     )
+
+
+@query(
+    "privacy_l_diversity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                                      WHEN c_acctbal < 5000 THEN 'low'
+                                      ELSE 'high' END) AS BIGINT) AS l,
+             CAST(MAX(cnt_top) AS BIGINT) AS top_sens_cnt
+      FROM (
+        SELECT c_nationkey, c_mktsegment, c_acctbal,
+               COUNT(*) OVER (
+                 PARTITION BY c_nationkey, c_mktsegment,
+                              CASE WHEN c_acctbal < 0 THEN 'debt'
+                                   WHEN c_acctbal < 5000 THEN 'low'
+                                   ELSE 'high' END) AS cnt_top
+        FROM customer)
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, k, l, top_sens_cnt,
+           l >= 2 AND 2 * top_sens_cnt <= k AS is_l_diverse
+    FROM cls
+    """,
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    k-anonymity: within each (nation, segment) equivalence class,
+    count DISTINCT sensitive values (account-balance band) and the
+    largest single band's share. A class passes when l ≥ 2 AND no band
+    exceeds half the class (the simple-majority homogeneity attack
+    bound), both decided in integers. k-anonymity alone lets an
+    attacker learn the sensitive value when a class is homogeneous;
+    this catches exactly that.
+
+    Scale shape: one window at (QI, sensitive) grain riding the same
+    shuffle as the class groupBy; class domain bounded by QI
+    cardinality, so the audit output is tiny at any corpus size."""
+    c = read_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment", band)
+    cls = (
+        c.withColumn("cnt_top", F.count(F.lit(1)).over(w))
+        .withColumn("band", band)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.count_distinct("band").cast("bigint").alias("l"),
+            F.max("cnt_top").cast("bigint").alias("top_sens_cnt"),
+        )
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l",
+        "top_sens_cnt",
+        (
+            (F.col("l") >= 2)
+            & (2 * F.col("top_sens_cnt") <= F.col("k"))
+        ).alias("is_l_diverse"),
+    )
