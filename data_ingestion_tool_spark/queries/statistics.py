@@ -3702,3 +3702,103 @@ def events_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_down_crossings"),
     )
+
+
+@query(
+    "orders_mann_kendall_trend",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.yc > a.yc THEN 1
+                           WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM m a JOIN m b ON b.month > a.month
+    ),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM m GROUP BY yc) WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+    SELECT n AS n_months, s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_x18,
+           ROUND((CAST(s_stat AS DOUBLE)
+                  - CAST(CASE WHEN s_stat > 0 THEN 1
+                              WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / 18.0), 9) AS z_score
+    FROM s, ties, nn
+    """,
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test over monthly revenue —
+    the distribution-free 'is this series trending?' answer robust to
+    outliers and seasonality spikes. S = Σ_{i<j} sign(y_j − y_i) and
+    the tie-corrected variance numerator (·18) stay exact int64; only
+    the final continuity-corrected z-score is float (one identical
+    expression, rounded to 9).
+
+    Scale shape: the distributed work is the monthly rollup; the
+    O(m²) pair sum runs on the ~80-row MONTH frame (bounded by the
+    calendar, broadcast-joined), never on the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    m = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum(cents).cast("bigint").alias("yc"))
+        .transform(pin, eager=False)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.col("b.month") > F.col("a.month"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.yc") > F.col("a.yc"), 1)
+                .when(F.col("b.yc") < F.col("a.yc"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        m.groupBy("yc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("tie_term")
+        )
+    )
+    nn = m.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    var_x18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    sgn = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    z = (
+        F.col("s_stat").cast("double") - sgn.cast("double")
+    ) / F.sqrt(var_x18.cast("double") / 18.0)
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_months"),
+            "s_stat",
+            var_x18.alias("var_x18"),
+            F.round(z, 9).alias("z_score"),
+        )
+    )

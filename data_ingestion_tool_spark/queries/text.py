@@ -1722,3 +1722,70 @@ def text_tfidf_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("keyword_rank"),
         )
     )
+
+
+@query(
+    "quality_pareto_skyline_2d",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+               AS BIGINT) AS n_unique_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n_unique_tokens, n_chars,
+             MIN(n_chars) OVER (PARTITION BY n_unique_tokens) AS min_eq,
+             MIN(n_chars) OVER (ORDER BY n_unique_tokens DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS min_higher
+      FROM f
+    )
+    SELECT doc_id, n_unique_tokens, n_chars
+    FROM w
+    WHERE n_chars = min_eq
+      AND (min_higher IS NULL OR n_chars < min_higher)
+    """,
+)
+def quality_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over (lexical richness ↑, length ↓): the documents
+    no other document beats on both axes — maximal unique-token count
+    for their size. The curation move behind 'best exemplars per
+    budget' selection: anything OFF the skyline is dominated and can be
+    dropped without losing the quality/cost frontier. Dominance is
+    decided by two window MINs (strictly-richer frame + equal-richness
+    partition), NOT an O(n²) pairwise join; all values exact integers.
+
+    Scale shape: one global sort by the richness key (the same shuffle
+    serves both windows); the classic distributed skyline refinement —
+    local skyline per partition, then merge — drops out of this exact
+    plan under AQE because dominated rows never leave their partition's
+    window frame."""
+    d = read_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(F.array_distinct(TX.tokens("text")))
+        .cast("bigint")
+        .alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    w_eq = Window.partitionBy("n_unique_tokens")
+    w_hi = Window.orderBy(F.col("n_unique_tokens").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w2 = f.select(
+        "doc_id",
+        "n_unique_tokens",
+        "n_chars",
+        F.min("n_chars").over(w_eq).alias("min_eq"),
+        F.min("n_chars").over(w_hi).alias("min_higher"),
+    )
+    return w2.filter(
+        (F.col("n_chars") == F.col("min_eq"))
+        & (
+            F.col("min_higher").isNull()
+            | (F.col("n_chars") < F.col("min_higher"))
+        )
+    ).select("doc_id", "n_unique_tokens", "n_chars")
