@@ -1789,3 +1789,83 @@ def quality_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_chars") < F.col("min_higher"))
         )
     ).select("doc_id", "n_unique_tokens", "n_chars")
+
+
+@query(
+    "text_zipf_alpha_fit",
+    oracle="""
+    WITH tc AS (
+      SELECT term, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r
+      FROM tc
+    ),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked WHERE r <= 500
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6)
+             AS zipf_alpha,
+           ROUND((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+                 / n, 6) AS log_c
+    FROM s
+    """,
+)
+def text_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus token distribution: OLS of ln(freq)
+    on ln(rank) over the top-500 ranks gives freq ≈ C·rank^(−α); a
+    natural-text α sits near 1, and a corpus drifting away from its
+    usual α is a strong contamination/generation-loop signal. The
+    top-500 cap makes the float sums a FIXED-size reduction —
+    scale-stable by construction — and the fitted α/ln C round to 6
+    (composed-float rule; ranks and counts themselves are exact ints
+    with a term tie-break at the cut).
+
+    Scale shape: term counting is the map-side-combinable wordcount;
+    the top-500 cut is one ORDER BY LIMIT over the already-aggregated
+    vocabulary (TakeOrdered, no full sort); the regression reduces 500
+    rows."""
+    d = read_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    pts = (
+        tc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 500)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    ) / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("log_c"),
+    )
