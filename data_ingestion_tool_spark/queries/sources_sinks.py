@@ -1333,3 +1333,62 @@ def ingest_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_live).cast("int").alias("n_live_files"),
         F.lit(len(t.versions())).cast("int").alias("n_versions"),
     )
+
+
+@query(
+    "ingest_txn_log_mor_deletes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    a AS (SELECT * FROM base WHERE o_orderkey % 4 IN (0, 1)),
+    b AS (SELECT * FROM base WHERE o_orderkey % 4 IN (1, 2)),
+    survivors AS (
+      SELECT * FROM a WHERE o_orderkey % 8 NOT IN (0, 1)
+      UNION ALL
+      SELECT * FROM b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM survivors
+    """,
+)
+def ingest_txn_log_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes with SEQUENCE semantics on the
+    transaction-log format: v0 appends keys {0,1 mod 4}, v1 commits an
+    equality-delete file for {0,1 mod 8} (no data rewrite), v2 appends
+    keys {1,2 mod 4}. The MoR snapshot must drop the deleted keys from
+    the v0 batch ONLY — the v2 batch RE-INSERTS some of the same keys
+    (1 mod 8 ⊂ 1 mod 4) and those survive because their batch postdates
+    the delete (Iceberg sequence-number semantics; a naive global
+    anti-join would wrongly kill them, which is exactly the bug this
+    oracle would catch).
+
+    Scale shape: the delete file is broadcast against one scan of the
+    live set; nothing is rewritten until compaction folds tombstones
+    in."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", cents.alias("cents"))
+    t = TxnLogTable(spark, _scratch("txnmor"))
+    t.commit(base.where(F.col("o_orderkey") % 4 <= 1))
+    t.commit_deletes(
+        base.where(F.col("o_orderkey") % 8 <= 1).select("o_orderkey")
+    )
+    t.commit(
+        base.where(
+            (F.col("o_orderkey") % 4 == 1) | (F.col("o_orderkey") % 4 == 2)
+        )
+    )
+    snap = t.snapshot_mor("o_orderkey")
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -140,6 +140,92 @@ class TxnLogTable:
             live.extend(e.get("add", []))
         return live
 
+    def commit_deletes(
+        self, keys_df: DataFrame, max_retries: int = 5
+    ) -> tuple[int, str]:
+        """Merge-on-read row-level delete: write the key set as a
+        DELETE batch and log it under ``add_deletes``. No data file is
+        rewritten — readers apply the tombstones at scan time
+        (``snapshot_mor``), and a later compaction folds them in. The
+        Iceberg equality-delete-file pattern on this format."""
+        versions = self.versions()
+        v = (versions[-1] + 1) if versions else 0
+        batch = f"batch-{v:05d}-del-{os.urandom(4).hex()}"
+        keys_df.write.mode("error").parquet(
+            os.path.join(self.root, "data", batch)
+        )
+        for _ in range(max_retries):
+            try:
+                self._put_entry(
+                    v, {"version": v, "add_deletes": [batch], "remove": []}
+                )
+                return v, batch
+            except CommitConflict:
+                v = self.versions()[-1] + 1
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def _live_with_versions(
+        self, version: int | None, key: str
+    ) -> list[tuple[str, int]]:
+        """Live batches under log-entry list ``key`` ('add' or
+        'add_deletes'), each with the version that added it."""
+        versions = self.versions()
+        if not versions:
+            return []
+        if version is None:
+            version = versions[-1]
+        if version not in versions:
+            raise ValueError(f"unknown version {version}")
+        live: list[tuple[str, int]] = []
+        for v in versions:
+            if v > version:
+                break
+            e = self._entry(v)
+            gone = set(e.get("remove", []))
+            live = [(b, bv) for (b, bv) in live if b not in gone]
+            live.extend((b, v) for b in e.get(key, []))
+        return live
+
+    def snapshot_mor(
+        self, key_col: str, version: int | None = None
+    ) -> DataFrame:
+        """Merge-on-read snapshot: live data batches with live delete
+        batches applied SEQUENCE-AWARE — a delete committed at version
+        d tombstones ``key_col`` matches only in data batches added at
+        versions < d, so a key re-inserted AFTER its deletion survives
+        (Iceberg sequence-number semantics). The anti-join is one
+        distributed hash join on the key with the version comparison as
+        residual; the tombstone side is usually broadcast-sized."""
+        from pyspark.sql import functions as F
+
+        data = self._live_with_versions(version, "add")
+        if not data:
+            raise ValueError("empty table has no snapshot")
+        dels = self._live_with_versions(version, "add_deletes")
+
+        def read_tagged(batches, tag):
+            parts = [
+                self.spark.read.parquet(
+                    os.path.join(self.root, "data", b)
+                ).withColumn(tag, F.lit(v))
+                for (b, v) in batches
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        df = read_tagged(data, "_data_v")
+        if not dels:
+            return df.drop("_data_v")
+        dk = read_tagged(dels, "_del_v").select(
+            F.col(key_col).alias("_del_key"), "_del_v"
+        )
+        cond = (F.col(key_col) == F.col("_del_key")) & (
+            F.col("_del_v") > F.col("_data_v")
+        )
+        return df.join(F.broadcast(dk), cond, "left_anti").drop("_data_v")
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data batches unreachable from the newest
         ``retain_versions`` snapshots (Delta/Iceberg VACUUM / expire-
@@ -157,6 +243,9 @@ class TxnLogTable:
         keep: set[str] = set()
         for v in versions[-retain_versions:] if retain_versions else []:
             keep.update(self.live_batches(v))
+            keep.update(
+                b for (b, _) in self._live_with_versions(v, "add_deletes")
+            )
         datadir = os.path.join(self.root, "data")
         removed = sorted(
             b

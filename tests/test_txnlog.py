@@ -154,3 +154,43 @@ def test_streaming_sink_skips_replayed_batch(spark, tmp_path):
     t2 = stream_ingest_txnlog(spark, src, schema, root)
     assert len(t2.versions()) == 2  # nothing double-appended
     assert t2.snapshot().count() == 20
+
+
+def test_mor_delete_is_sequence_aware(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10))                       # v0: keys 0..9
+    t.commit_deletes(spark.range(5).select("id"))   # v1: delete 0..4
+    t.commit(spark.range(3))                        # v2: re-insert 0..2
+    out = sorted(r.id for r in t.snapshot_mor("id").collect())
+    # 0..4 gone from the v0 batch; 5..9 survive; 0..2 re-inserted at v2
+    assert out == [0, 1, 2, 5, 6, 7, 8, 9]
+    # time travel to v1 sees only the post-delete v0 batch
+    assert sorted(
+        r.id for r in t.snapshot_mor("id", version=1).collect()
+    ) == [5, 6, 7, 8, 9]
+    # plain snapshot ignores tombstones (the raw-files view)
+    assert t.snapshot().count() == 13
+
+
+def test_mor_compaction_folds_tombstones_and_vacuum_keeps_live_deletes(
+    spark, tmp_path
+):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(spark.range(10))
+    _, d0 = t.commit_deletes(spark.range(4).select("id"))
+    # compaction: materialize the MoR view, retire data AND delete file
+    t.commit(t.snapshot_mor("id").coalesce(1), remove=[b0, d0])
+    assert sorted(r.id for r in t.snapshot_mor("id").collect()) == list(
+        range(4, 10)
+    )
+    removed = t.vacuum(retain_versions=1)
+    assert sorted(removed) == sorted([b0, d0])
+    assert t.snapshot_mor("id").count() == 6
+
+
+def test_vacuum_retains_live_delete_files(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10))
+    _, d0 = t.commit_deletes(spark.range(2).select("id"))
+    assert t.vacuum(retain_versions=1) == []  # delete file still live
+    assert t.snapshot_mor("id").count() == 8
