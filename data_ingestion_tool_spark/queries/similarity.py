@@ -1380,3 +1380,151 @@ def similarity_hybrid_rrf_fusion(
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+def _pca_oracle(n_iter: int = 10) -> str:
+    """Unrolled power-iteration DuckDB twin: exact-int64 centered Gram
+    (n·Σxxᵀ − SSᵀ on the quantized vectors), then n_iter chained
+    matvec+normalize steps from v₀ = 1/8 (exact dyadic)."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    u{k} AS MATERIALIZED (
+      SELECT g.i AS d, SUM(g.val * v{k - 1}.x) AS u
+      FROM gram g JOIN v{k - 1} ON v{k - 1}.d = g.j GROUP BY g.i
+    ),
+    n{k} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{k}),
+    v{k} AS MATERIALIZED (
+      SELECT d, u / nrm AS x FROM u{k}, n{k}
+    )""")
+    return f"""
+    WITH vq AS MATERIALIZED (
+      SELECT vec_id, d, x FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS x
+        FROM embeddings)
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM vq),
+    sums AS MATERIALIZED (
+      SELECT d, CAST(SUM(x) AS BIGINT) AS s FROM vq GROUP BY d
+    ),
+    sxx AS MATERIALIZED (
+      SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxx
+      FROM vq a JOIN vq b ON b.vec_id = a.vec_id
+      GROUP BY a.d, b.d
+    ),
+    gram AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CAST(nn.n * sxx.sxx - si.s * sj.s AS BIGINT) AS DOUBLE)
+               AS val
+      FROM sxx
+      JOIN sums si ON si.d = sxx.i
+      JOIN sums sj ON sj.d = sxx.j
+      CROSS JOIN nn
+    ),
+    v0 AS (
+      SELECT DISTINCT i AS d, 0.125 AS x FROM gram
+    ),{",".join(steps)}
+    SELECT v.d AS dim, ROUND(v.x, 6) AS loading,
+           ROUND(n.nrm / ((SELECT CAST(n * n AS DOUBLE) FROM nn)
+                          * 1000000000000.0), 6) AS ev_scaled
+    FROM v{n_iter} v, n{n_iter} n
+    """
+
+
+@query("embedding_pca_top_component", oracle=_pca_oracle())
+def embedding_pca_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the spectral summary behind drift monitoring and
+    anisotropy checks ('is the corpus collapsing to one direction?').
+    The CENTERED Gram is exact int64: n·Σxxᵀ − SSᵀ on the
+    decimal-quantized vectors (n² × the covariance, scale 10¹²), so
+    both engines start the float iteration from the IDENTICAL matrix;
+    10 matvec+normalize steps from the exact-dyadic v₀ = 1/8 then agree
+    to ~1e-13 (sum-order ulps only — power iteration does not amplify
+    them), and loadings/eigenvalue round to 6.
+
+    Scale shape: the Gram partials are a per-partition numpy
+    X.T @ X (int64, exact) emitting 64x64 rows per partition — one
+    map-side reduction, the corpus never shuffles; the iteration runs
+    driver-side on the collected 64x64 matrix (bounded by dim², never
+    by rows — the documented collect). int64 holds n·Σxx up to ~9e18,
+    i.e. corpora to ~40k quantized vectors at this dim; past that the
+    partials switch to decimal(38) with the same plan."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    iq = emb.select(SIM.quantize_vec(F.col("embedding")).alias("qv"))
+
+    def gram_partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            G = X.T @ X  # exact: numpy integer matmul, no BLAS
+            s = X.sum(axis=0, dtype=np.int64)
+            d = G.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "sxx": G.ravel().astype("int64"),
+                    "s_i": np.where(
+                        jj.ravel() == 0, s[ii.ravel()], 0
+                    ).astype("int64"),
+                    "cnt": np.where(
+                        (ii.ravel() == 0) & (jj.ravel() == 0), len(pdf), 0
+                    ).astype("int64"),
+                }
+            )
+
+    partials = iq.mapInPandas(
+        gram_partials, "i int, j int, sxx long, s_i long, cnt long"
+    )
+    agg = (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("sxx").alias("sxx"),
+            F.sum("s_i").alias("s_i"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .collect()  # bounded: dim² = 4096 rows, documented above
+    )
+    d = max(r["i"] for r in agg) + 1
+    sxx = np.zeros((d, d), dtype=np.int64)
+    s = np.zeros(d, dtype=np.int64)
+    n = 0
+    for r in agg:
+        sxx[r["i"], r["j"]] = r["sxx"]
+        if r["j"] == 0:
+            s[r["i"]] = r["s_i"]
+        if r["i"] == 0 and r["j"] == 0:
+            n = r["cnt"]
+    gram = (n * sxx - np.outer(s, s)).astype(np.float64)
+    v = np.full(d, 0.125, dtype=np.float64)
+    nrm = 1.0
+    for _ in range(10):
+        u = gram @ v
+        nrm = float(np.sqrt(np.sum(u * u)))
+        v = u / nrm
+    ev_scaled = nrm / (float(n) * float(n) * 1.0e12)
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype=np.int64),
+            "loading": v,
+            "ev_scaled": np.full(d, ev_scaled),
+        }
+    )
+    # round Spark-side: F.round is half-up like DuckDB ROUND; numpy's
+    # banker's rounding would diverge on exact .5 boundaries
+    return spark.createDataFrame(out).select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("ev_scaled", 6).alias("ev_scaled"),
+    )
