@@ -3484,3 +3484,60 @@ def orders_new_vs_returning_monthly(
         .cast("bigint")
         .alias("new_customers"),
     )
+
+
+@query(
+    "events_path_trigrams_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             COUNT(*) AS n_paths
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, CAST(n_paths AS BIGINT) AS n_paths,
+           CAST(rn AS INT) AS path_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS rn
+          FROM paths)
+    WHERE rn <= 20
+    """,
+)
+def events_path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral path trigrams — the Sankey/user-journey census
+    one step deeper than the Markov transition matrix: consecutive
+    event-type triples per user in time order (event_id tie-break at
+    equal microseconds, matching the µs grain both engines store),
+    counted corpus-wide. Pure integer counts with a path-string
+    tie-break at the cut.
+
+    Scale shape: one window shuffle partitioned by user (state stays
+    per-user), then a map-side-combinable count on the path string
+    (bounded by |event types|³) and a 20-row TakeOrdered — no global
+    sort of the fact table."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n_paths"))
+    wr = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "path",
+            F.col("n_paths").cast("bigint").alias("n_paths"),
+            F.col("rn").cast("int").alias("path_rank"),
+        )
+    )

@@ -3802,3 +3802,90 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 9).alias("z_score"),
         )
     )
+
+
+@query(
+    "quality_ks_two_sample_drift",
+    oracle="""
+    WITH v AS (
+      SELECT length(text) AS val,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 1 ELSE 0 END AS in_a
+      FROM documents
+    ),
+    g AS (
+      SELECT val,
+             CAST(SUM(in_a) AS BIGINT) AS c_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS c_b
+      FROM v GROUP BY val
+    ),
+    nn AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b
+      FROM g
+    ),
+    cum AS (
+      SELECT CAST(SUM(c_a) OVER (ORDER BY val) AS BIGINT) AS ca,
+             CAST(SUM(c_b) OVER (ORDER BY val) AS BIGINT) AS cb
+      FROM g
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_numerator,
+           CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat
+    FROM cum, nn
+    GROUP BY n_a, n_b
+    """,
+)
+def quality_ks_two_sample_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two source
+    cohorts (src0-9 vs src10-19) on document length: D = max |F_A −
+    F_B| over the empirical CDFs. Computed ENTIRELY in integers —
+    D's numerator max|ca·n_b − cb·n_a| is exact int64 and the single
+    final division is the same two doubles on both engines — so the
+    classic drift gate ('did this source's length distribution move?')
+    is bit-exact, no binning, no approximation.
+
+    Scale shape: value-grain CDF — one map-side-combinable groupBy to
+    (value, cohort counts), then ONE ordered window over the value
+    domain (bounded by distinct lengths, not row count) and a scalar
+    max. The fact table is never sorted."""
+    d = read_table(spark, sf_dir, "documents")
+    in_a = (
+        F.substring("source", 4, 10).cast("int") < 10
+    ).cast("int")
+    g = (
+        d.select(F.length("text").alias("val"), in_a.alias("in_a"))
+        .groupBy("val")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("c_a"),
+            F.sum(1 - F.col("in_a")).cast("bigint").alias("c_b"),
+        )
+    )
+    nn = g.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    wcum = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        F.sum("c_a").over(wcum).cast("bigint").alias("ca"),
+        F.sum("c_b").over(wcum).cast("bigint").alias("cb"),
+    )
+    num = F.max(
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    ).cast("bigint")
+    return (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n_a", "n_b")
+        .agg(
+            num.alias("d_numerator"),
+            (
+                num.cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("d_stat"),
+        )
+    )

@@ -64,6 +64,12 @@ _MAG_EXTRA = {
     "text_js_divergence_sources",
     "text_bigram_conditional_entropy",
     "mix_moore_lewis_source_score",
+    "mix_dsir_hashed_importance",
+    "text_bm25_query_scores",
+    "text_zipf_alpha_fit",
+    "text_tfidf_keywords_topk",
+    "orders_mann_kendall_trend",
+    "embedding_pca_top_component",
     "embedding_silhouette_per_label",
     "similarity_centroid_assign_counts",
     "orders_concentration_hhi_by_nation",
