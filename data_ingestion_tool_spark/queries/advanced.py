@@ -1530,3 +1530,52 @@ def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.col("top_sens_cnt") <= F.col("k"))
         ).alias("is_l_diverse"),
     )
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle="""
+    WITH tc AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           true_n + (CAST('0x' || substring(md5('dp-seed-1' || event_type),
+                                            1, 15) AS BIGINT) % 21) - 10
+             AS noisy_n,
+           CAST(10 AS BIGINT) AS noise_bound
+    FROM tc
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy histogram release — the differential-privacy mechanism
+    shape (true count + bounded integer noise per cell), made
+    reproducible for the differential oracle by drawing the noise from
+    a seeded md5 of the cell key: ``md5int60 % 21 − 10`` is a uniform
+    integer on [−10, 10], identical cross-engine (the md5-rational
+    trick, CLAUDE.md). A production release swaps the seeded draw for
+    a calibrated discrete-Laplace sample at the SAME call site — the
+    aggregation plan (one map-side-combinable count, noise applied to
+    the merged total, never per partition) is exactly what DP requires,
+    since noising partials would add noise Ω(partitions).
+
+    Scale shape: groupBy(event_type) over a bounded domain; noise is a
+    scalar expression on the tiny aggregated frame."""
+    e = read_events(spark, sf_dir)
+    tc = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    noise = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-seed-1"), F.col("event_type"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 21
+        - 10
+    )
+    return tc.select(
+        "event_type",
+        (F.col("true_n") + noise).alias("noisy_n"),
+        F.lit(10).cast("bigint").alias("noise_bound"),
+    )

@@ -1176,3 +1176,54 @@ def mix_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("term"), 6).alias("dsir_logweight"),
     )
+
+
+@query(
+    "mix_source_quota_capping",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_docs,
+           CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def mix_source_quota_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping — the anti-domination rule of a corpus
+    mixture: no source may contribute more than Q documents, and when a
+    source exceeds its quota the LONGEST documents win (n_chars-desc
+    with a doc_id tie-break, a deterministic quality proxy). Reports
+    kept/dropped/char-mass per source so the curation run can audit
+    what the cap cost. Pure integer ranks and sums — bit-exact.
+
+    Scale shape: one hash-partitioned window per source (the natural
+    partition key of a curation run) followed by a map-side-combinable
+    re-aggregation on the same key — AQE coalesces the two shuffles to
+    one exchange since the partitioning is identical. A skewed
+    mega-source degrades gracefully: the window is a per-key sort, not
+    a global one."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= 15, 1).otherwise(0)
+    return r.groupBy("source").agg(
+        F.sum(kept).cast("bigint").alias("kept_docs"),
+        F.sum(1 - kept).cast("bigint").alias("dropped_docs"),
+        F.sum(F.when(F.col("rn") <= 15, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1392,3 +1392,75 @@ def ingest_txn_log_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "ingest_txn_log_changefeed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    removed AS (SELECT * FROM base WHERE o_orderkey % 4 = 0),
+    added AS (
+      SELECT o_orderkey, o_orderstatus, cents * 2 AS cents
+      FROM base WHERE o_orderkey % 4 = 0 AND o_orderstatus <> 'O'
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey % 4 = 2
+    ),
+    changes AS (
+      SELECT 'insert' AS change_type, a.* FROM added a
+      WHERE a.o_orderkey NOT IN (SELECT o_orderkey FROM removed)
+      UNION ALL
+      SELECT 'delete', r.* FROM removed r
+      WHERE r.o_orderkey NOT IN (SELECT o_orderkey FROM added)
+      UNION ALL
+      SELECT 'update_preimage', r.* FROM removed r
+      WHERE r.o_orderkey IN (SELECT o_orderkey FROM added)
+      UNION ALL
+      SELECT 'update_postimage', a.* FROM added a
+      WHERE a.o_orderkey IN (SELECT o_orderkey FROM removed)
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM changes GROUP BY change_type
+    """,
+)
+def ingest_txn_log_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read of the transaction-log format
+    (sources/txnlog.py:changefeed): three commits — append evens
+    (%4==0), append %4==1, then one commit that REPLACES the first
+    batch with recomputed rows (non-'O' orders at doubled cents) while
+    appending fresh %4==2 rows — and the feed between v1 and v2
+    classifies every changed row as insert / delete /
+    update_pre+postimage. The v1 batch (%4==1) is live at both
+    versions and is NEVER scanned: the feed's cost is the churn, not
+    the table — the property that makes downstream incremental
+    consumers (rollup merges, CDC mirrors, index refreshers) viable at
+    100 TB.
+
+    Scale shape: manifest math resolves the delta file set driver-side
+    (kilobytes of JSON); the classification is four hash semi/anti
+    joins over just the delta batches, all on the upsert key."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    t = TxnLogTable(spark, _scratch("txnlog_cdf"))
+    _, b0 = t.commit(base.where(F.col("o_orderkey") % 4 == 0))
+    t.commit(base.where(F.col("o_orderkey") % 4 == 1))
+    replacement = base.where(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderstatus") != "O")
+    ).withColumn("cents", F.col("cents") * 2)
+    fresh = base.where(F.col("o_orderkey") % 4 == 2)
+    t.commit(replacement.unionByName(fresh), remove=[b0])
+    feed = t.changefeed(1, 2, ["o_orderkey"])
+    return feed.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )

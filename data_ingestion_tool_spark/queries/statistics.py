@@ -3889,3 +3889,91 @@ def quality_ks_two_sample_drift(
             ).alias("d_stat"),
         )
     )
+
+
+@query(
+    "stats_runs_test_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    diffs AS (
+      SELECT d, cents - LAG(cents) OVER (ORDER BY d) AS diff
+      FROM daily
+    ),
+    signs AS (
+      SELECT d, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
+      FROM diffs WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    flips AS (
+      SELECT up,
+             CASE WHEN up <> LAG(up) OVER (ORDER BY d) THEN 1 ELSE 0 END
+               AS flip
+      FROM signs
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+             CAST(1 + SUM(flip) AS BIGINT) AS runs
+      FROM flips
+    )
+    SELECT n AS n_moves, n1 AS n_up, n2 AS n_down, runs,
+           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+             AS z_runs
+    FROM s
+    """,
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    up/down sequence: too FEW runs means trending (momentum), too many
+    means oscillation — a drift detector with a closed-form null. Daily
+    sums are exact cents (bigint), signs and the run count R are pure
+    integer window arithmetic, and only the final z-statistic touches
+    doubles — an identical closed-form expression on both engines,
+    rounded to 6 (composed-float rule).
+
+    Scale shape: one partial-aggregated groupBy(day) shrinks the table
+    to ~hundreds of rows; every window after that runs on the tiny
+    daily series in a single task. The heavy input never shuffles
+    twice."""
+    e = read_events(spark, sf_dir)
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(_cents("value")).cast("bigint").alias("cents"))
+    )
+    w = Window.orderBy("d")
+    signs = (
+        daily.withColumn("diff", F.col("cents") - F.lag("cents").over(w))
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .withColumn("up", F.when(F.col("diff") > 0, 1).otherwise(0))
+    )
+    flips = signs.withColumn(
+        "flip",
+        F.when(F.col("up") != F.lag("up").over(w), 1).otherwise(0),
+    )
+    s = flips.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n2"),
+        (F.lit(1) + F.sum("flip")).cast("bigint").alias("runs"),
+    )
+    return s.select(
+        F.col("n").alias("n_moves"),
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("runs"),
+        F.round(
+            F.expr(
+                "(runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))"
+                " / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))"
+                "        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+            ),
+            6,
+        ).alias("z_runs"),
+    )

@@ -1869,3 +1869,55 @@ def text_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("log_c"),
     )
+
+
+@query(
+    "text_bpe_top_merges",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair
+      FROM words
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-induction step: the 20 most frequent adjacent
+    character pairs inside words — exactly the statistic a tokenizer
+    trainer computes each merge round (Sennrich et al. 2016, §3). The
+    counts are exact integers with a lexicographic pair tie-break at
+    the cut, so the top-20 is fully deterministic.
+
+    Scale shape: the char-pair explode is a flatMap inside codegen
+    (transform over sequence(1, len-1) of a MATERIALIZED word column —
+    not a recomputed array expression, so it's O(len) per word); the
+    count shuffles once with map-side partial aggregation and the
+    top-20 is a TakeOrdered, never a full sort. Further merge rounds
+    at cluster scale re-run the same shape over a re-paired corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

@@ -226,6 +226,76 @@ class TxnLogTable:
         )
         return df.join(F.broadcast(dk), cond, "left_anti").drop("_data_v")
 
+    def changefeed(
+        self, v_from: int, v_to: int, key_cols: list[str]
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions (Delta
+        CDF / Iceberg incremental-read semantics, derived purely from
+        the log — no extra change files written).
+
+        Reads ONLY the batches whose liveness changed between the two
+        snapshots: rows in added-but-not-removed batches whose key is
+        absent from the removed side are ``insert``s, removed-side-only
+        keys are ``delete``s, and keys present on both sides emit an
+        ``update_preimage`` / ``update_postimage`` pair. Batches live
+        at BOTH versions are never scanned — the feed's cost is the
+        churn between versions, not the table size, which is the whole
+        point of incremental consumption at 100 TB.
+
+        Keys are assumed unique per side (the upsert key of the
+        table); the four classification joins are hash semi/anti joins
+        on the delta-sized frames only.
+        """
+        from pyspark.sql import functions as F
+
+        after = set(self.live_batches(v_to))
+        before = set(self.live_batches(v_from))
+
+        def read(batches: list[str]) -> DataFrame | None:
+            if not batches:
+                return None
+            parts = [
+                self.spark.read.parquet(os.path.join(self.root, "data", b))
+                for b in batches
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        add_df = read(sorted(after - before))
+        rem_df = read(sorted(before - after))
+
+        def tag(df: DataFrame, t: str) -> DataFrame:
+            return df.withColumn("change_type", F.lit(t))
+
+        if add_df is None and rem_df is None:
+            raise ValueError("no batch churn between versions")
+        if rem_df is None:
+            return tag(add_df, "insert")
+        if add_df is None:
+            return tag(rem_df, "delete")
+        add_keys = add_df.select(*key_cols)
+        rem_keys = rem_df.select(*key_cols)
+        return (
+            tag(add_df.join(rem_keys, key_cols, "left_anti"), "insert")
+            .unionByName(
+                tag(rem_df.join(add_keys, key_cols, "left_anti"), "delete")
+            )
+            .unionByName(
+                tag(
+                    rem_df.join(add_keys, key_cols, "left_semi"),
+                    "update_preimage",
+                )
+            )
+            .unionByName(
+                tag(
+                    add_df.join(rem_keys, key_cols, "left_semi"),
+                    "update_postimage",
+                )
+            )
+        )
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data batches unreachable from the newest
         ``retain_versions`` snapshots (Delta/Iceberg VACUUM / expire-

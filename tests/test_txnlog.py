@@ -194,3 +194,54 @@ def test_vacuum_retains_live_delete_files(spark, tmp_path):
     _, d0 = t.commit_deletes(spark.range(2).select("id"))
     assert t.vacuum(retain_versions=1) == []  # delete file still live
     assert t.snapshot_mor("id").count() == 8
+
+
+def test_changefeed_classifies_insert_delete_update(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    base = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    _, b0 = t.commit(base.where("k < 4"))  # v0: keys 0-3
+    # v1: replace b0 with keys 2-3 doubled, plus fresh keys 4-5
+    repl = base.where("k >= 2").withColumn("val", F.col("val") * 2)
+    t.commit(repl, remove=[b0])
+    feed = t.changefeed(0, 1, ["k"])
+    got = {
+        (r["change_type"], r["k"]): r["val"] for r in feed.collect()
+    }
+    assert got == {
+        ("delete", 0): 0,
+        ("delete", 1): 10,
+        ("update_preimage", 2): 20,
+        ("update_preimage", 3): 30,
+        ("update_postimage", 2): 40,
+        ("update_postimage", 3): 60,
+        ("insert", 4): 80,
+        ("insert", 5): 100,
+    }
+
+
+def test_changefeed_insert_only_and_no_churn(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    t.commit(spark.range(10, 12).select(F.col("id").alias("k")))
+    feed = t.changefeed(0, 1, ["k"])
+    assert {r["change_type"] for r in feed.collect()} == {"insert"}
+    assert feed.count() == 2
+    # same version on both sides: no batch churn
+    with pytest.raises(ValueError):
+        t.changefeed(1, 1, ["k"])
+
+
+def test_changefeed_skips_unchanged_batches(spark, tmp_path):
+    """Batches live at both versions must not appear in the feed —
+    the cost-is-the-churn property."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(100).select(F.col("id").alias("k")))  # stays live
+    _, b1 = t.commit(spark.range(100, 104).select(F.col("id").alias("k")))
+    t.commit(
+        spark.range(200, 202).select(F.col("id").alias("k")), remove=[b1]
+    )
+    feed = t.changefeed(1, 2, ["k"])
+    keys = {r["k"] for r in feed.collect()}
+    assert keys == {100, 101, 102, 103, 200, 201}  # none of 0-99
