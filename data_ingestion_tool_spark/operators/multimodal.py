@@ -652,3 +652,34 @@ def audio_window_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def bmp_decode_pixels(payload: bytes):
+    """24-bpp BI_RGB BMP → uint8 array (h, 3·w) in TOP-DOWN visual
+    order — the pixel-array sibling of :func:`bmp_decode` for feature
+    extraction (tiling, pooling, resizing) rather than scalar stats.
+
+    The orientation handling is the part a naive decoder gets wrong:
+    positive biHeight means the file stores rows BOTTOM-UP, so the
+    array is flipped; negative biHeight is already top-down. Row
+    padding to 4-byte strides is cut exactly as in bmp_decode."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise ValueError("bmp_decode_pixels supports 24-bpp BI_RGB only")
+    h = abs(height)
+    if width <= 0 or h == 0:
+        raise ValueError("degenerate dimensions")
+    row_stride = (width * 3 + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)[:, : width * 3]
+    return px[::-1] if height > 0 else px

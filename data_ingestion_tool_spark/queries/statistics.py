@@ -3977,3 +3977,245 @@ def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_runs"),
     )
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle="""
+    WITH g0 AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    meds AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g0
+    ),
+    med AS (
+      SELECT event_type, cents AS med_cents
+      FROM meds WHERE rn = (n + 1) // 2
+    ),
+    z AS (
+      SELECT g0.event_type,
+             abs(g0.cents - m.med_cents) AS zc
+      FROM g0 JOIN med m ON g0.event_type = m.event_type
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zc) AS BIGINT) AS s1,
+             CAST(SUM(zc * zc) AS BIGINT) AS s2
+      FROM z GROUP BY event_type
+    ),
+    comp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM((CAST(s2 AS DOUBLE) / 10000.0)
+                 - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+                   / CAST(n AS DOUBLE)) AS ssw,
+             CAST(SUM(s1) AS BIGINT) AS s1_tot
+      FROM g
+    ),
+    grand AS (
+      SELECT g.event_type, g.n, g.s1, c.k, c.n_total, c.ssw,
+             CAST(c.s1_tot AS DOUBLE) / 100.0 / CAST(c.n_total AS DOUBLE)
+               AS grand_mean
+      FROM g, comp c
+    ),
+    ssb_t AS (
+      SELECT max(k) AS k, max(n_total) AS n_total, max(ssw) AS ssw,
+             SUM(CAST(n AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean)
+                 * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) - grand_mean))
+               AS ssb
+      FROM grand
+    )
+    SELECT k AS k_groups, n_total,
+           ROUND(ssb / CAST(n_total AS DOUBLE), 6) AS ssb_per_row,
+           ROUND(ssw / CAST(n_total AS DOUBLE), 6) AS ssw_per_row,
+           ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                 / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS bf_stat
+    FROM ssb_t
+    """,
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for EQUAL VARIANCE
+    across event types — the homoscedasticity gate one runs before
+    trusting the one-way ANOVA's F (stats_anova_oneway is its sibling:
+    same closed forms, applied here to z = |x − group median|). The
+    group median is a value-at-index order statistic (exact int cents,
+    value-determined so duplicate values make the tie-break
+    irrelevant), z is an exact integer, and the sufficient statistics
+    (n, Σz, Σz²) are exact int64 per group — only the final k-row
+    reduction touches doubles, with scale-stable per-row outputs
+    ROUND(6) (same magnitude discipline that got ANOVA through the
+    sf0.1 gate; Σz² stays under 2^63 to ~1e9 rows per group at these
+    value magnitudes).
+
+    Scale shape: one window per event_type for the median (per-key
+    sort, the natural partitioning), one broadcast-sized median join
+    back, then a map-side-combinable groupBy to k rows."""
+    e = read_events(spark, sf_dir)
+    g0 = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("cents")
+    w_n = Window.partitionBy("event_type")
+    med = (
+        g0.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    z = g0.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("zc"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zc").cast("bigint").alias("s1"),
+        F.sum(F.col("zc") * F.col("zc")).cast("bigint").alias("s2"),
+    )
+    comp = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.col("s2").cast("double") / 10000.0
+            - (F.col("s1").cast("double") / 100.0)
+            * (F.col("s1").cast("double") / 100.0)
+            / F.col("n").cast("double")
+        ).alias("ssw"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+    )
+    grand = g.crossJoin(F.broadcast(comp)).withColumn(
+        "grand_mean",
+        F.col("s1_tot").cast("double") / 100.0 / F.col("n_total").cast("double"),
+    )
+    mean_dev = (
+        F.col("s1").cast("double") / 100.0 / F.col("n").cast("double")
+        - F.col("grand_mean")
+    )
+    ssb_t = grand.agg(
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+        F.max("ssw").alias("ssw"),
+        F.sum(F.col("n").cast("double") * mean_dev * mean_dev).alias("ssb"),
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n_total").cast("double")
+    return ssb_t.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(F.col("ssb") / n_d, 6).alias("ssb_per_row"),
+        F.round(F.col("ssw") / n_d, 6).alias("ssw_per_row"),
+        F.round(
+            (F.col("ssb") / (k_d - F.lit(1.0)))
+            / (F.col("ssw") / (n_d - k_d)),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+@query(
+    "graph_kcore_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM und
+    ),
+    kept AS (SELECT u, v FROM und, tot WHERE cnt * np >= t),
+    e0 AS (SELECT u, v FROM kept UNION ALL SELECT v AS u, u AS v FROM kept),
+    d1 AS (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY u),
+    a1 AS (SELECT u FROM d1 WHERE deg >= 10),
+    e1 AS (SELECT e.u, e.v FROM e0 e
+           JOIN a1 x ON e.u = x.u JOIN a1 y ON e.v = y.u),
+    d2 AS (SELECT u, COUNT(*) AS deg FROM e1 GROUP BY u),
+    a2 AS (SELECT u FROM d2 WHERE deg >= 10),
+    e2 AS (SELECT e.u, e.v FROM e1 e
+           JOIN a2 x ON e.u = x.u JOIN a2 y ON e.v = y.u),
+    d3 AS (SELECT u, COUNT(*) AS deg FROM e2 GROUP BY u),
+    a3 AS (SELECT u FROM d3 WHERE deg >= 10),
+    e3 AS (SELECT e.u, e.v FROM e2 e
+           JOIN a3 x ON e.u = x.u JOIN a3 y ON e.v = y.u)
+    SELECT u AS brand, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY u
+    """,
+)
+def graph_kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=10, 3 fixed rounds) of the above-average
+    brand co-purchase graph: repeatedly drop vertices of degree < k
+    and their edges, keeping the densely-interlinked brand core — the
+    community-detection primitive for 'which brands sell together
+    structurally, not incidentally'. The edge fence is the
+    scale-invariant integer cross-multiplication cnt·n_pairs ≥ total
+    (above-mean edges — a fixed absolute count would not survive a
+    10x corpus), degrees are exact integers, and the fixed round count
+    makes the unrolled-CTE oracle an exact replay (the
+    pagerank/MMR unrolling pattern).
+
+    Scale shape: the fact-table work is the one lineitem⋈part scan +
+    (order, brand) DISTINCT — everything after runs on the
+    brand-domain-bounded edge list (≤ |brands|² rows, broadcast
+    territory). For billion-edge graphs the identical loop runs as
+    shuffle joins with localCheckpoint per round (operators/graph.py
+    pattern); convergence detection would swap the fixed rounds for a
+    driver-side empty-diff test on a count() per round."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = und.agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    kept = pin(
+        und.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("np") >= F.col("t"))
+        .select("u", "v")
+    )
+    edges = kept.unionByName(
+        kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # pin() each round: the peel re-reads `edges` from both the degree
+    # branch and the two semi joins — without materialization the plan
+    # re-derives the whole fact-table lineage 2^rounds times.
+    for _ in range(3):
+        edges = pin(edges)
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= 10).select("u")
+        edges = (
+            edges.join(F.broadcast(alive), "u", "left_semi")
+            .join(
+                F.broadcast(alive.select(F.col("u").alias("v"))),
+                "v",
+                "left_semi",
+            )
+        )
+    return edges.groupBy(F.col("u").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
