@@ -3632,3 +3632,81 @@ def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                AS DOUBLE)), 6) END"
         ).alias("interp_cents"),
     )
+
+
+@query(
+    "events_m4_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 21600000000 AS b,
+             ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    sel AS (
+      SELECT b, cents,
+             ROW_NUMBER() OVER (PARTITION BY b
+                                ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY b
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM pts
+    )
+    SELECT b * 21600000000 AS bucket_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(MAX(CASE WHEN rna = 1 THEN cents END) AS BIGINT)
+             AS first_cents,
+           CAST(MAX(CASE WHEN rnd = 1 THEN cents END) AS BIGINT)
+             AS last_cents
+    FROM sel GROUP BY b
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    6-hour bucket the min, max, FIRST and LAST values — the four
+    points that make a line-chart rendering of the bucket pixel-exact,
+    and the standard reduction a TS engine runs before shipping a
+    series to a dashboard. First/last carry the (ts, event_id)
+    tie-break; values are exact cents; the bucket index floors exact
+    int64 microseconds (CAST before //, the CLAUDE.md integer-divide
+    rule).
+
+    Scale shape: one shuffle on the bucket key serves both window
+    directions and the final aggregate (same partitioning); buckets
+    are the natural time-partitioning of the lake, so at 100 TB this
+    runs partition-local after pruning."""
+    e = read_events(spark, sf_dir)
+    pts = e.select(
+        F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 21600000000").alias("b"),
+        "ts",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    wa = Window.partitionBy("b").orderBy("ts", "event_id")
+    wd = Window.partitionBy("b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    sel = pts.select(
+        "b",
+        "cents",
+        F.row_number().over(wa).alias("rna"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+    agg = sel.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.max(F.when(F.col("rna") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("first_cents"),
+        F.max(F.when(F.col("rnd") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("last_cents"),
+    )
+    return agg.select(
+        (F.col("b") * 21600000000).alias("bucket_start_us"),
+        "n", "min_cents", "max_cents", "first_cents", "last_cents",
+    )

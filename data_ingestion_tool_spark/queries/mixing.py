@@ -1337,3 +1337,40 @@ def pipeline_incremental_curation(
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle="""
+    WITH perm AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rn
+    FROM perm WHERE (rn - 1) % 25 = 0
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-25 sampling on a deterministic pseudo-random
+    permutation: rank every doc by md5(doc_id) (the cross-engine
+    shuffle both engines compute identically) and keep every 25th —
+    equal-probability, evenly spread, and reproducible, the sampling
+    frame an eval-set builder wants. Exact integer ranks; the hash
+    tie-breaks on doc_id.
+
+    Scale shape: the global rank uses the two-pass range-shuffle
+    row_number (operators/ranking.py) — one parallel sort + a
+    partition-offset projection, never a single-partition window."""
+    from ..operators.ranking import with_global_row_number
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    ranked = with_global_row_number(d, ["h", "doc_id"], rn="rn")
+    return (
+        ranked.filter((F.col("rn") - 1) % 25 == 0)
+        .select("doc_id", "source", "n_chars", "rn")
+    )

@@ -1464,3 +1464,71 @@ def ingest_txn_log_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
     )
+
+
+@query(
+    "ingest_txn_log_zone_map_skip",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)
+           AS BIGINT) AS n_files_total,
+      CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)) AS BIGINT)
+        AS n_files_scanned,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)) AS BIGINT)
+        AS rows_read,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderdate BETWEEN DATE '1995-04-01'
+                                  AND DATE '1996-03-31') AS BIGINT)
+        AS rows_matched
+    """,
+)
+def ingest_txn_log_zone_map_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map data skipping on the transaction-log format: orders
+    are committed one immutable batch per o_orderdate YEAR, each
+    commit carrying its [zmin, zmax] date range in the log meta
+    (Delta/Iceberg per-file stats), and a range query for
+    1995-04-01..1996-03-31 consults ONLY the manifest to decide that
+    5 of 7 files cannot contain matches. Reports files total/scanned
+    and rows read/matched — the skip-ratio audit of any lakehouse
+    query profile. All counts exact.
+
+    Scale shape: the prune is driver-side JSON math
+    (TxnLogTable.zone_map_prune) — zero data files opened to decide;
+    the read is a distributed scan of only the overlapping batches,
+    with the residual predicate pushed into the parquet scan. This
+    composes with partition pruning: zone maps catch what directory
+    layout doesn't."""
+    import os as _os
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).withColumn("y", F.year("o_orderdate"))
+    years = sorted(
+        r["y"] for r in o.select("y").distinct().collect()
+    )  # bounded: TPC-H spans 7 years
+    t = TxnLogTable(spark, _scratch("txnlog_zm"))
+    for y in years:
+        t.commit(
+            o.filter(F.col("y") == y).drop("y"),
+            meta={"zmin": f"{y}-01-01", "zmax": f"{y}-12-31"},
+        )
+    lo, hi = "1995-04-01", "1996-03-31"
+    scanned, total = t.zone_map_prune(lo, hi)
+    df = spark.read.parquet(
+        *(_os.path.join(t.root, "data", b) for b in scanned)
+    )
+    rows_read = df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_read"))
+    rows_matched = df.filter(
+        F.col("o_orderdate").between(lo, hi)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    head = spark.range(1).select(
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(len(scanned)).cast("bigint").alias("n_files_scanned"),
+    )
+    return head.crossJoin(rows_read).crossJoin(rows_matched)

@@ -296,6 +296,35 @@ class TxnLogTable:
             )
         )
 
+    def zone_map_prune(
+        self, lo: str, hi: str, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """File skipping from commit-meta zone maps (Delta/Iceberg
+        data-skipping stats): returns the live batches whose
+        ``meta["zmin"]``/``meta["zmax"]`` interval overlaps [lo, hi]
+        (string comparison — ISO dates order lexicographically), plus
+        the TOTAL live batch count, so the caller can report skipped
+        files. Batches committed without a zone map are conservatively
+        kept (unknown range could overlap anything).
+
+        The decision is manifest math over the driver-side JSON log —
+        no file is opened to decide; at 100 TB this is what turns a
+        full-table scan into a read of the few overlapping files."""
+        live = set(self.live_batches(version))
+        keep: list[str] = []
+        total = 0
+        for v in self.versions():
+            e = self._entry(v)
+            for b in e.get("add", []):
+                if b not in live:
+                    continue
+                total += 1
+                m = e.get("meta", {})
+                zmin, zmax = m.get("zmin"), m.get("zmax")
+                if zmin is None or zmax is None or (zmin <= hi and zmax >= lo):
+                    keep.append(b)
+        return sorted(keep), total
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data batches unreachable from the newest
         ``retain_versions`` snapshots (Delta/Iceberg VACUUM / expire-

@@ -245,3 +245,31 @@ def test_changefeed_skips_unchanged_batches(spark, tmp_path):
     feed = t.changefeed(1, 2, ["k"])
     keys = {r["k"] for r in feed.collect()}
     assert keys == {100, 101, 102, 103, 200, 201}  # none of 0-99
+
+
+def test_zone_map_prune_overlap_and_conservative_keep(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3), meta={"zmin": "1992-01-01", "zmax": "1992-12-31"})
+    t.commit(spark.range(3), meta={"zmin": "1995-01-01", "zmax": "1995-12-31"})
+    t.commit(spark.range(3))  # no zone map: must be kept conservatively
+    keep, total = t.zone_map_prune("1995-06-01", "1996-06-30")
+    assert total == 3
+    assert len(keep) == 2  # 1995 batch + the unmapped batch
+    # boundary inclusivity: zmax == lo still overlaps
+    keep2, _ = t.zone_map_prune("1992-12-31", "1993-01-05")
+    assert len(keep2) == 2  # 1992 (touching) + unmapped
+
+
+def test_zone_map_prune_ignores_retired_batches(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(
+        spark.range(3), meta={"zmin": "1995-01-01", "zmax": "1995-12-31"}
+    )
+    t.commit(
+        spark.range(5),
+        remove=[b0],
+        meta={"zmin": "1997-01-01", "zmax": "1997-12-31"},
+    )
+    keep, total = t.zone_map_prune("1995-01-01", "1995-12-31")
+    assert total == 1  # only the replacement batch is live
+    assert keep == []  # and it does not overlap 1995
