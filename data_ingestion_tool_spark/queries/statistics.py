@@ -3202,7 +3202,11 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("cum_prev") < r3) & (r3 <= F.col("cum")), F.col("cents"))
         ).alias("q3_cents"),
     )
-    j = c.join(F.broadcast(q), "col_name")
+    # Fence counts come from the SAME value-grain histogram (vc), not a
+    # second scan of the stacked fact table: sum cnt over the histogram
+    # rows outside the fences — identical totals, one less full scan +
+    # wide shuffle.
+    j = vc.join(F.broadcast(q), "col_name")
     return j.groupBy("col_name").agg(
         F.max("n").alias("n"),
         F.max("q1_cents").alias("q1_cents"),
@@ -3211,7 +3215,7 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"),
-                1,
+                F.col("cnt"),
             ).otherwise(0)
         )
         .cast("bigint")
@@ -3219,7 +3223,7 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"),
-                1,
+                F.col("cnt"),
             ).otherwise(0)
         )
         .cast("bigint")
