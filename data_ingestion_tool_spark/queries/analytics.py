@@ -3710,3 +3710,140 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") * 21600000000).alias("bucket_start_us"),
         "n", "min_cents", "max_cents", "first_cents", "last_cents",
     )
+
+
+@query(
+    "events_lttb_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS xs,
+             CAST(epoch_us(ts) AS BIGINT) // 1800000000 AS b,
+             event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    rk AS (
+      SELECT us, xs, b, event_id, y,
+             ROW_NUMBER() OVER (PARTITION BY b ORDER BY us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY b) AS n
+      FROM pts
+    ),
+    med AS (
+      SELECT b, us, xs AS xm, y AS ym, n FROM rk WHERE rn = (n + 1) // 2
+    ),
+    anch AS (
+      SELECT m.b, lp.xm AS xl, lp.ym AS yl, rp.xm AS xr, rp.ym AS yr
+      FROM med m
+      LEFT JOIN med lp ON lp.b = m.b - 1
+      LEFT JOIN med rp ON rp.b = m.b + 1
+    ),
+    scored AS (
+      SELECT r.b, r.us, r.event_id, r.y, r.n,
+             abs((a.xl - a.xr) * (r.y - a.yl)
+                 - (a.xl - r.xs) * (a.yr - a.yl)) AS area
+      FROM rk r JOIN anch a ON r.b = a.b
+      WHERE a.xl IS NOT NULL AND a.xr IS NOT NULL
+    ),
+    best AS (
+      SELECT b, us, y, n, area,
+             ROW_NUMBER() OVER (PARTITION BY b
+                                ORDER BY area DESC, us, event_id) AS rb
+      FROM scored
+    )
+    SELECT b * 1800000000 AS bucket_start_us, us AS sel_us,
+           y AS sel_cents, CAST(n AS BIGINT) AS n_pts,
+           CAST(area AS BIGINT) AS area, FALSE AS is_edge
+    FROM best WHERE rb = 1
+    UNION ALL
+    SELECT m.b * 1800000000, m.us, m.ym, CAST(m.n AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM med m JOIN anch a ON m.b = a.b
+    WHERE a.xl IS NULL OR a.xr IS NULL
+    """,
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB downsampling (Steinarsson 2013, de-sequenced):
+    classic LTTB anchors each bucket's triangle on the PREVIOUSLY
+    SELECTED point — an inherently serial left fold. This variant
+    anchors on the neighbor buckets' MEDIAN points instead, which (a)
+    makes every bucket's argmax independent — embarrassingly parallel,
+    one window pass — and (b) keeps the whole computation in exact
+    int64: median anchors are value-at-index points (seconds × cents),
+    so the triangle area |(xl−xr)(y−yl) − (xl−x)(yr−yl)| is an exact
+    integer (|Δx| ≤ 3 buckets in seconds, |Δy| ≤ value range in cents
+    — products nowhere near 2^63 at ANY row count, unlike mean
+    anchors whose cross-multiplied rationals grow with bucket
+    population). Edge buckets (missing a neighbor) emit their median,
+    flagged. Ties break on (area desc, ts, event_id).
+
+    Scale shape: one shuffle on the bucket id serves the ranking
+    window, the median extraction, and the scoring join; the anchor
+    frame is bucket-count-sized (time-range bounded)."""
+    e = read_events(spark, sf_dir)
+    pts = e.select(
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 1000000").alias("xs"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 1800000000").alias("b"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    wb = Window.partitionBy("b").orderBy("us", "event_id")
+    wn = Window.partitionBy("b")
+    rk = pts.select(
+        "us", "xs", "b", "event_id", "y",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = rk.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "b", "us", F.col("xs").alias("xm"), F.col("y").alias("ym"), "n"
+    )
+    lp = med.select((F.col("b") + 1).alias("b"), F.col("xm").alias("xl"),
+                    F.col("ym").alias("yl"))
+    rp = med.select((F.col("b") - 1).alias("b"), F.col("xm").alias("xr"),
+                    F.col("ym").alias("yr"))
+    anch = med.select("b").join(lp, "b", "left").join(rp, "b", "left")
+    interior = anch.filter(
+        F.col("xl").isNotNull() & F.col("xr").isNotNull()
+    )
+    scored = rk.join(interior, "b").withColumn(
+        "area",
+        F.abs(
+            (F.col("xl") - F.col("xr")) * (F.col("y") - F.col("yl"))
+            - (F.col("xl") - F.col("xs")) * (F.col("yr") - F.col("yl"))
+        ),
+    )
+    wsel = Window.partitionBy("b").orderBy(
+        F.col("area").desc(), "us", "event_id"
+    )
+    sel = (
+        scored.withColumn("rb", F.row_number().over(wsel))
+        .filter(F.col("rb") == 1)
+        .select(
+            (F.col("b") * 1800000000).alias("bucket_start_us"),
+            F.col("us").alias("sel_us"),
+            F.col("y").alias("sel_cents"),
+            F.col("n").cast("bigint").alias("n_pts"),
+            F.col("area").cast("bigint").alias("area"),
+            F.lit(False).alias("is_edge"),
+        )
+    )
+    edge = (
+        med.join(
+            anch.filter(F.col("xl").isNull() | F.col("xr").isNull()).select(
+                "b"
+            ),
+            "b",
+        )
+        .select(
+            (F.col("b") * 1800000000).alias("bucket_start_us"),
+            F.col("us").alias("sel_us"),
+            F.col("ym").alias("sel_cents"),
+            F.col("n").cast("bigint").alias("n_pts"),
+            F.lit(0).cast("bigint").alias("area"),
+            F.lit(True).alias("is_edge"),
+        )
+    )
+    return sel.unionByName(edge)

@@ -896,3 +896,135 @@ def temporal_business_day_lag_histogram(
     return bdays.groupBy(
         F.col("bdays").cast("int").alias("business_days")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+
+
+@query(
+    "join_interval_overlap_bucketed",
+    oracle="""
+    WITH acts AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(CAST(epoch_us(ts) AS BIGINT)) AS a_start,
+             MAX(CAST(epoch_us(ts) AS BIGINT)) AS a_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    errs AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(cnt) AS BIGINT) AS ne
+      FROM errs
+    ),
+    wins AS (
+      SELECT h * 3600000000 AS w_start, (h + 1) * 3600000000 AS w_end
+      FROM errs, tot WHERE cnt * nh * 10 >= 15 * ne
+    )
+    SELECT a.user_id, a.d, w.w_start AS window_start_us,
+           least(a.a_end, w.w_end) - greatest(a.a_start, w.w_start)
+             AS overlap_us
+    FROM acts a JOIN wins w
+      ON a.a_start < w.w_end AND w.w_start < a.a_end
+    WHERE least(a.a_end, w.w_end) - greatest(a.a_start, w.w_start) > 0
+    """,
+)
+def join_interval_overlap_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join the SCALABLE way: each per-(user, day)
+    activity interval is exploded into the hour buckets it covers,
+    error-burst windows (hours with ≥ 1.5x-mean error counts — an
+    integer cross-multiplied, scale-invariant fence) live in exactly
+    one bucket, and the join is an EQUI join on the bucket id with the
+    exact strict-overlap residual after it. The DuckDB oracle runs the
+    naive non-equi interval join — the differential proves the
+    bucketing loses no pair and invents none (each positive-overlap
+    pair shares exactly one bucket, since a window spans one bucket).
+
+    Overlap lengths are exact int64 microseconds.
+
+    Scale shape: the naive form is a BNLJ that dies at 100 TB; the
+    bucketed form hash-partitions on the hour id — the standard
+    time-bucket interval join (cf. range-join optimizations in
+    warehouse engines). Bucket fan-out is bounded by interval span
+    (≤ 24 hour-buckets per daily interval)."""
+    H = 3600000000
+    e = read_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    acts = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.min(us).alias("a_start"),
+        F.max(us).alias("a_end"),
+    )
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr(f"CAST(unix_micros(ts) AS BIGINT) DIV {H}").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = errs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("cnt").cast("bigint").alias("ne"),
+    )
+    wins = (
+        errs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("nh") * 10 >= 15 * F.col("ne"))
+        .select("h")
+    )
+    cand = acts.withColumn(
+        "h",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start DIV {H}"), F.expr(f"a_end DIV {H}")
+            )
+        ),
+    ).join(wins, "h")
+    w_start = F.col("h") * H
+    w_end = (F.col("h") + 1) * H
+    overlap = F.least(F.col("a_end"), w_end) - F.greatest(
+        F.col("a_start"), w_start
+    )
+    return (
+        cand.withColumn("overlap_us", overlap)
+        .filter(F.col("overlap_us") > 0)
+        .select(
+            "user_id",
+            "d",
+            w_start.alias("window_start_us"),
+            "overlap_us",
+        )
+    )
+
+
+@query(
+    "temporal_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def temporal_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (counts + exact cent
+    mass per cell) — the seasonality fingerprint behind staffing /
+    batch-window decisions. The dow encoding is the classic
+    cross-engine trap: DuckDB's dayofweek is 0=Sunday, Spark's is
+    1=Sunday, so the oracle adds 1 (CLAUDE.md rule).
+
+    Scale shape: one map-side-combinable groupBy to ≤ 7×24 cells —
+    runs at scan speed at any scale."""
+    e = read_events(spark, sf_dir)
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("sum_cents"),
+    )
