@@ -1579,3 +1579,205 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_n") + noise).alias("noisy_n"),
         F.lit(10).cast("bigint").alias("noise_bound"),
     )
+
+
+@query(
+    "privacy_t_closeness_audit",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS seg,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              + 100000) // 110000 AS bin
+      FROM customer
+    ),
+    cls AS (
+      SELECT seg, bin, CAST(COUNT(*) AS BIGINT) AS a
+      FROM b GROUP BY seg, bin
+    ),
+    segs AS (SELECT DISTINCT seg FROM b),
+    bins AS (SELECT DISTINCT bin FROM b),
+    grid AS (
+      SELECT s.seg, bi.bin, COALESCE(c.a, 0) AS a
+      FROM segs s CROSS JOIN bins bi
+      LEFT JOIN cls c ON c.seg = s.seg AND c.bin = bi.bin
+    ),
+    gdist AS (
+      SELECT bin, CAST(SUM(a) AS BIGINT) AS g FROM grid GROUP BY bin
+    ),
+    cums AS (
+      SELECT gr.seg, gr.bin,
+             CAST(SUM(gr.a) OVER (PARTITION BY gr.seg ORDER BY gr.bin)
+                  AS BIGINT) AS cum_a,
+             CAST(SUM(gl.g) OVER (PARTITION BY gr.seg ORDER BY gr.bin)
+                  AS BIGINT) AS cum_g
+      FROM grid gr JOIN gdist gl ON gr.bin = gl.bin
+    ),
+    tot AS (
+      SELECT seg, MAX(cum_a) AS n_c, MAX(cum_g) AS n_tot,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM cums GROUP BY seg
+    ),
+    emd AS (
+      SELECT c.seg,
+             CAST(SUM(abs(c.cum_a * t.n_tot - c.cum_g * t.n_c))
+                  AS BIGINT) AS emd_num
+      FROM cums c JOIN tot t ON c.seg = t.seg
+      WHERE c.bin < (SELECT MAX(bin) FROM bins)
+      GROUP BY c.seg
+    )
+    SELECT t.seg, t.n_c, e.emd_num,
+           ROUND(CAST(e.emd_num AS DOUBLE)
+                 / (CAST(t.n_c AS DOUBLE) * CAST(t.n_tot AS DOUBLE)
+                    * (CAST(t.n_bins AS DOUBLE) - 1.0)), 9) AS emd,
+           5 * e.emd_num <= t.n_c * t.n_tot * (t.n_bins - 1)
+             AS is_t_close
+    FROM tot t JOIN emd e ON t.seg = e.seg
+    """,
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the third rung of the privacy ladder after
+    k-anonymity and l-diversity): for each market-segment equivalence
+    class, the Earth Mover's Distance between the class's account-
+    balance distribution and the global one, over ORDERED fixed-width
+    balance bins — a class whose sensitive-attribute distribution
+    deviates too far leaks information even when k and l pass. The EMD
+    over an ordered domain is the mean |ΔCDF|, kept EXACT by cross-
+    multiplying the two cumulative counts (|cumA·N − cumG·n_c|, int64)
+    and comparing the t = 0.2 fence as 5·emd_num ≤ n_c·N·(B−1) — the
+    integer-threshold rule; only the reported emd double is rounded.
+
+    Scale shape: one groupBy to |segments|×|bins| cells; every window
+    after runs on that bounded grid. Composes with
+    privacy_k_anonymity_audit and privacy_l_diversity_audit."""
+    c = read_table(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 100000) DIV 110000"
+        ).alias("bin"),
+    )
+    cls = b.groupBy("seg", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    segs = b.select("seg").distinct()
+    bins = b.select("bin").distinct()
+    grid = (
+        segs.crossJoin(bins)
+        .join(cls, ["seg", "bin"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+    )
+    glob = grid.groupBy("bin").agg(F.sum("a").cast("bigint").alias("g"))
+    wc = Window.partitionBy("seg").orderBy("bin")
+    cums = (
+        grid.join(glob, "bin")
+        .select(
+            "seg",
+            "bin",
+            F.sum("a").over(wc).cast("bigint").alias("cum_a"),
+            F.sum("g").over(wc).cast("bigint").alias("cum_g"),
+        )
+    )
+    tot = cums.groupBy("seg").agg(
+        F.max("cum_a").alias("n_c"),
+        F.max("cum_g").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    max_bin = bins.agg(F.max("bin").alias("mb"))
+    emd = (
+        cums.crossJoin(F.broadcast(max_bin))
+        .filter(F.col("bin") < F.col("mb"))
+        .join(tot, "seg")
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_tot")
+                    - F.col("cum_g") * F.col("n_c")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_num")
+        )
+    )
+    return tot.join(emd, "seg").select(
+        "seg",
+        "n_c",
+        "emd_num",
+        F.round(
+            F.col("emd_num").cast("double")
+            / (
+                F.col("n_c").cast("double")
+                * F.col("n_tot").cast("double")
+                * (F.col("n_bins").cast("double") - F.lit(1.0))
+            ),
+            9,
+        ).alias("emd"),
+        (
+            5 * F.col("emd_num")
+            <= F.col("n_c") * F.col("n_tot") * (F.col("n_bins") - 1)
+        ).alias("is_t_close"),
+    )
+
+
+@query(
+    "window_fill_ignore_nulls",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS pc
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(pc IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_cents,
+           FIRST_VALUE(pc IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_cents
+    FROM base
+    """,
+)
+def window_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: every event carries the most
+    recent purchase amount at-or-before it (LOCF) and the next one
+    at-or-after (NOCB) within its user's timeline — the
+    forward/backward-fill pair behind feature snapshots ('spend state
+    when this event happened'). Both engines support IGNORE NULLS
+    natively (Spark last/first with ignorenulls=True), values are
+    exact cents with a (ts, event_id) tie-broken total order.
+
+    Scale shape: one shuffle on user_id serves both frame directions;
+    the fill is a linear per-partition pass, no join against the
+    purchase subset."""
+    e = read_events(spark, sf_dir)
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        ).alias("pc"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("pc", ignorenulls=True).over(wb).alias("last_purchase_cents"),
+        F.first("pc", ignorenulls=True).over(wf).alias("next_purchase_cents"),
+    )

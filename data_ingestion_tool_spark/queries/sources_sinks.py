@@ -1532,3 +1532,66 @@ def ingest_txn_log_zone_map_skip(
         F.lit(len(scanned)).cast("bigint").alias("n_files_scanned"),
     )
     return head.crossJoin(rows_read).crossJoin(rows_matched)
+
+
+@query(
+    "ingest_txn_log_ref_pinning",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    main AS (
+      SELECT o_orderkey, cents * 2 AS cents
+      FROM base WHERE o_orderstatus <> 'O'
+    )
+    SELECT 'train-v1' AS ref_name,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(cents) FROM base) AS BIGINT) AS sum_cents
+    UNION ALL
+    SELECT 'main',
+           CAST((SELECT COUNT(*) FROM main) AS BIGINT),
+           CAST((SELECT SUM(cents) FROM main) AS BIGINT)
+    """,
+)
+def ingest_txn_log_ref_pinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags/branches) on the transaction-log
+    format: the curation run tags its output ('train-v1' — the exact
+    corpus snapshot a model trained on) and the table keeps evolving
+    under it (a replace commit rewrites the data); reading BY NAME
+    afterwards returns the pinned bytes while 'main' returns the new
+    state. This is the provenance primitive every reproducible
+    training pipeline needs — 'rerun eval on what v1 actually saw'
+    resolves a name, not a version number someone wrote down.
+
+    Scale shape: a ref is a one-pointer JSON read; both reads are
+    normal distributed scans of their snapshot's live files."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    t = TxnLogTable(spark, _scratch("txnlog_refs"))
+    _, b0 = t.commit(base)
+    t.set_ref("train-v1", 0)
+    t.commit(
+        base.filter(F.col("o_orderstatus") != "O")
+        .withColumn("cents", F.col("cents") * 2)
+        .drop("o_orderstatus"),
+        remove=[b0],
+    )
+
+    def summarize(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("ref_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return summarize(t.snapshot_ref("train-v1"), "train-v1").unionByName(
+        summarize(t.snapshot(), "main")
+    )

@@ -296,6 +296,32 @@ class TxnLogTable:
             )
         )
 
+    def set_ref(self, name: str, version: int) -> None:
+        """Create/advance a named ref (Iceberg tag/branch head): a tiny
+        JSON pointer to a committed version, stored beside the log.
+        Refs pin releases ('the corpus snapshot model v3 trained on')
+        while main advances; vacuum retention and ref lifetimes are
+        managed together in production."""
+        if version not in self.versions():
+            raise ValueError(f"unknown version {version}")
+        refdir = os.path.join(self._logdir, "refs")
+        os.makedirs(refdir, exist_ok=True)
+        tmp = os.path.join(refdir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, os.path.join(refdir, f"{name}.json"))
+
+    def resolve_ref(self, name: str) -> int:
+        refpath = os.path.join(self._logdir, "refs", f"{name}.json")
+        if not os.path.exists(refpath):
+            raise ValueError(f"unknown ref {name!r}")
+        with open(refpath) as fh:
+            return int(json.load(fh)["version"])
+
+    def snapshot_ref(self, name: str, **kw) -> DataFrame:
+        """Time travel by NAME: the snapshot the ref points at."""
+        return self.snapshot(self.resolve_ref(name), **kw)
+
     def zone_map_prune(
         self, lo: str, hi: str, version: int | None = None
     ) -> tuple[list[str], int]:

@@ -273,3 +273,21 @@ def test_zone_map_prune_ignores_retired_batches(spark, tmp_path):
     keep, total = t.zone_map_prune("1995-01-01", "1995-12-31")
     assert total == 1  # only the replacement batch is live
     assert keep == []  # and it does not overlap 1995
+
+
+def test_refs_pin_snapshots_while_main_advances(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10))
+    t.set_ref("release-1", 0)
+    _, b0 = t.commit(spark.range(100, 120))
+    t.commit(spark.range(200, 205), remove=[b0])
+    assert t.resolve_ref("release-1") == 0
+    assert t.snapshot_ref("release-1").count() == 10  # pinned
+    assert t.snapshot().count() == 15  # main moved on
+    # refs advance (branch-head semantics)
+    t.set_ref("release-1", 2)
+    assert t.snapshot_ref("release-1").count() == 15
+    with pytest.raises(ValueError):
+        t.set_ref("bogus", 99)
+    with pytest.raises(ValueError):
+        t.resolve_ref("never-created")
