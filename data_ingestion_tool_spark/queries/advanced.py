@@ -1660,8 +1660,10 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = b.groupBy("seg", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
     )
-    segs = b.select("seg").distinct()
-    bins = b.select("bin").distinct()
+    # segs/bins derive from the aggregated cell frame, not the base
+    # scan — one pass over customer total, not three.
+    segs = cls.select("seg").distinct()
+    bins = cls.select("bin").distinct()
     grid = (
         segs.crossJoin(bins)
         .join(cls, ["seg", "bin"], "left")
