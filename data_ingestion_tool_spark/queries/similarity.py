@@ -1631,3 +1631,139 @@ def embedding_quantize_int8_error(
             9,
         ).alias("rmse"),
     )
+
+
+@query(
+    "embedding_jl_projection_distortion",
+    oracle="""
+    WITH planes AS (
+      SELECT pp.p, dd.d,
+             (CAST('0x' || substring(md5('jl-' || pp.p || '-' || dd.d),
+                                     1, 15) AS BIGINT) % 2) * 2 - 1 AS r
+      FROM (SELECT unnest(generate_series(0, 15)) AS p) pp,
+           (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ),
+    vq AS (
+      SELECT vec_id, d, x FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS x
+        FROM embeddings)
+    ),
+    proj AS (
+      SELECT vec_id, p, CAST(SUM(x * r) AS BIGINT) AS y
+      FROM vq JOIN planes USING (d)
+      GROUP BY vec_id, p
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM (SELECT DISTINCT vec_id FROM vq) a
+      JOIN (SELECT DISTINCT vec_id FROM vq) b
+        ON b.vec_id = a.vec_id + 17
+      WHERE a.vec_id % 10 = 0
+    ),
+    d2o AS (
+      SELECT p.va, p.vb, CAST(SUM((xa.x - xb.x) * (xa.x - xb.x)) AS BIGINT)
+               AS d2_orig
+      FROM pairs p
+      JOIN vq xa ON xa.vec_id = p.va
+      JOIN vq xb ON xb.vec_id = p.vb AND xb.d = xa.d
+      GROUP BY p.va, p.vb
+    ),
+    d2p AS (
+      SELECT p.va, p.vb, CAST(SUM((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT)
+               AS d2_proj
+      FROM pairs p
+      JOIN proj ya ON ya.vec_id = p.va
+      JOIN proj yb ON yb.vec_id = p.vb AND yb.p = ya.p
+      GROUP BY p.va, p.vb
+    )
+    SELECT o.va AS vec_id_a, o.vb AS vec_id_b, o.d2_orig, j.d2_proj,
+           ROUND(CAST(j.d2_proj AS DOUBLE) / 16.0
+                 / CAST(o.d2_orig AS DOUBLE), 6) AS distortion_ratio
+    FROM d2o o JOIN d2p j ON o.va = j.va AND o.vb = j.vb
+    WHERE o.d2_orig > 0
+    """,
+)
+def embedding_jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 → 16 dims,
+    Rademacher ±1 matrix from seeded md5 — Achlioptas 2003) with an
+    EXACT pairwise-distance distortion audit: for a deterministic pair
+    sample (every 10th vector against its +17 neighbor), the original
+    and projected squared distances are exact int64 (quantized
+    micro-unit components, ±1 projection entries), and the distortion
+    ratio ||R(a−b)||²/(k·||a−b||²) — expected 1 under JL — is one
+    identical double expression, ROUND 6. The md5-derived matrix means
+    the DuckDB oracle REBUILDS the projection bit-for-bit (the int-SRP
+    move, operators/similarity.py:331).
+
+    Scale shape: projection is a per-row HOF fold (codegen, no
+    shuffle) — the 4x dimension cut every downstream ANN/cluster pass
+    pays for once; the audit joins are pair-sample-sized. The ±1
+    matrix is 16×64 literals — broadcast-free."""
+    import hashlib
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes = [
+        [
+            (int(hashlib.md5(f"jl-{p}-{d}".encode()).hexdigest()[:15], 16)
+             % 2) * 2 - 1
+            for d in range(64)
+        ]
+        for p in range(16)
+    ]
+    from ..operators.similarity import quantize_vec
+
+    vq = emb.select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("xq")
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("xq"),
+                F.array(*[F.lit(v) for v in row]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"y{p}")
+        for p, row in enumerate(planes)
+    ]
+    pv = vq.select("vec_id", "xq", F.array(*proj_cols).alias("yq"))
+    a = pv.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("xq").alias("xa"),
+        F.col("yq").alias("ya"),
+    ).filter(F.col("vec_id_a") % 10 == 0)
+    b = pv.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("xq").alias("xb"),
+        F.col("yq").alias("yb"),
+    )
+    j = a.join(b, F.col("vec_id_b") == F.col("vec_id_a") + 17)
+
+    def sqdist(u, v):
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+
+    out = j.select(
+        "vec_id_a",
+        "vec_id_b",
+        sqdist("xa", "xb").alias("d2_orig"),
+        sqdist("ya", "yb").alias("d2_proj"),
+    ).filter(F.col("d2_orig") > 0)
+    return out.withColumn(
+        "distortion_ratio",
+        F.round(
+            F.col("d2_proj").cast("double")
+            / 16.0
+            / F.col("d2_orig").cast("double"),
+            6,
+        ),
+    )

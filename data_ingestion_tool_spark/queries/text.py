@@ -1921,3 +1921,65 @@ def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_normalize_clean",
+    oracle="""
+    WITH c1 AS (
+      SELECT doc_id, length(text) AS raw_len,
+             regexp_replace(text, '[^ -~]', '', 'g') AS ascii_only
+      FROM documents
+    ),
+    c2 AS (
+      SELECT doc_id, raw_len, length(ascii_only) AS ascii_len,
+             trim(regexp_replace(ascii_only, '[ \t\n\r]+', ' ', 'g'))
+               AS clean
+      FROM c1
+    )
+    SELECT doc_id,
+           CAST(raw_len AS BIGINT) AS raw_len,
+           CAST(raw_len - ascii_len AS BIGINT) AS n_nonascii_removed,
+           CAST(ascii_len - length(clean) AS BIGINT) AS n_ws_collapsed,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM c2
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every curation
+    pipeline: strip non-printable/non-ASCII bytes, collapse whitespace
+    runs to single spaces, trim edges; report per-doc how much each
+    stage removed plus an md5 of the CLEANED text, so the oracle
+    proves the two engines' cleaners emit byte-identical output (not
+    just equal lengths). Regex classes are chosen from the
+    RE2 ∩ Java-regex common dialect ('[^ -~]', '[ \\t\\n\\r]+'); SQL
+    trim strips spaces only, identically on both (CLAUDE.md rule).
+
+    Scale shape: pure per-row codegen string work on the scan — no
+    shuffle, runs at I/O speed; the md5 doubles as the exact-dedup key
+    for the cleaned corpus downstream."""
+    d = read_table(spark, sf_dir, "documents")
+    c1 = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("raw_len"),
+        F.regexp_replace("text", "[^ -~]", "").alias("ascii_only"),
+    )
+    c2 = c1.select(
+        "doc_id",
+        "raw_len",
+        F.length("ascii_only").cast("bigint").alias("ascii_len"),
+        F.trim(
+            F.regexp_replace("ascii_only", "[ \t\n\r]+", " ")
+        ).alias("clean"),
+    )
+    return c2.select(
+        "doc_id",
+        "raw_len",
+        (F.col("raw_len") - F.col("ascii_len")).alias("n_nonascii_removed"),
+        (F.col("ascii_len") - F.length("clean").cast("bigint")).alias(
+            "n_ws_collapsed"
+        ),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+    )
