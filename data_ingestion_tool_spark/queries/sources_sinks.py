@@ -1595,3 +1595,71 @@ def ingest_txn_log_ref_pinning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(t.snapshot_ref("train-v1"), "train-v1").unionByName(
         summarize(t.snapshot(), "main")
     )
+
+
+@query(
+    "csv_quoted_multiline_roundtrip",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             '"' || text || '",' || chr(10) || text AS tricky
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(tricky)) AS BIGINT) AS sum_len,
+           CAST(SUM(CAST('0x' || substring(md5(tricky), 1, 15) AS BIGINT)
+                    % 1000003) AS BIGINT) AS checksum
+    FROM t
+    """,
+)
+def csv_quoted_multiline_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV round-trip under the format's nastiest inputs: every value
+    embeds double quotes, commas, AND a raw newline (built from
+    document text), is written as multi-file quoted CSV with RFC 4180
+    double-quote escaping, and read back with multiLine parsing. The
+    oracle never touches the files — it computes the count / length /
+    md5-checksum aggregate from the source table directly, so the
+    differential passes ONLY if the writer+reader pair preserved every
+    byte of every value (mangled quoting or newline splitting shifts
+    the md5 sum). The checksum folds md5int60 % 1000003 so the sum
+    stays in int64 at any row count.
+
+    Scale shape: the round-trip is embarrassingly parallel per file
+    (4-way here); the audit aggregate is one map-side-combinable
+    reduction. This is the bridge-quality check the reference's CSV
+    surface (backend/main.py:217-239) never had."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "'\"' || text || '\",' || char(10) || text"
+        ).alias("tricky"),
+    )
+    out = _scratch("csv_tricky")
+    (
+        t.repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length("tricky")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.conv(F.substring(F.md5("tricky"), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % 1000003
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )

@@ -4223,3 +4223,121 @@ def graph_kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("brand")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def _ols2_exprs() -> dict:
+    """Shared SQL fragments for the 2-feature OLS normal equations —
+    interpolated VERBATIM into both the Spark selectExpr and the
+    DuckDB oracle so the composed float arithmetic is expression-
+    identical (the only determinism guarantee that survives Cramer's
+    cancellation-heavy determinants)."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    def det3(a, b, c):
+        a0, a1, a2 = (d(x) for x in a)
+        b0, b1, b2 = (d(x) for x in b)
+        c0, c1, c2 = (d(x) for x in c)
+        return (
+            f"({a0}*({b1}*{c2} - {b2}*{c1})"
+            f" - {b0}*({a1}*{c2} - {a2}*{c1})"
+            f" + {c0}*({a1}*{b2} - {a2}*{b1}))"
+        )
+
+    c0 = ("n", "sx1", "sx2")
+    c1 = ("sx1", "sx11", "sx12")
+    c2 = ("sx2", "sx12", "sx22")
+    rhs = ("sy", "sx1y", "sx2y")
+    dd = det3(c0, c1, c2)
+    b0 = f"({det3(rhs, c1, c2)} / {dd})"
+    b1 = f"({det3(c0, rhs, c2)} / {dd})"
+    b2 = f"({det3(c0, c1, rhs)} / {dd})"
+    sse = (
+        f"({d('syy')} - ({b0}*{d('sy')} + {b1}*{d('sx1y')}"
+        f" + {b2}*{d('sx2y')}))"
+    )
+    sst = f"({d('syy')} - {d('sy')}*{d('sy')}/{d('n')})"
+    return {
+        "b0": b0, "b1": b1, "b2": b2,
+        "r2": f"(1.0 - {sse}/{sst})",
+    }
+
+
+_OLS2 = _ols2_exprs()
+
+
+@query(
+    "stats_ols_two_factor",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS y,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+             CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM t
+    )
+    SELECT n, ROUND({_OLS2['b0']}, 9) AS b0,
+           ROUND({_OLS2['b1']}, 9) AS b1,
+           ROUND({_OLS2['b2']}, 9) AS b2,
+           ROUND({_OLS2['r2']}, 9) AS r_squared
+    FROM m
+    """,
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS by closed-form normal equations (Cramer's rule):
+    extended price (whole dollars) regressed on quantity and discount
+    cents. Every sufficient statistic is an exact int64 (y truncated
+    to dollars keeps Σy² under 2^63 to ~billions of rows; CLAUDE.md
+    forbids rounding at .5-capable boundaries, so truncating DIV, not
+    ROUND); the determinants/coefficients/R² are built from ONE shared
+    expression-fragment table (_ols2_exprs) interpolated verbatim into
+    both engines, because Cramer's determinants subtract near-equal
+    products and only bit-identical expression shape guarantees
+    bit-identical IEEE results. Final values ROUND 9.
+
+    Scale shape: a single map-side-combinable aggregation to one row
+    of 10 sufficient statistics; the solve is constant work on the
+    driver-sized result — the textbook 'ML on SQL engines' shape
+    (cf. MADlib's closed-form regressions)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    t = li.selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100 AS y",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100 AS x1",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2",
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx12"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.selectExpr(
+        "n",
+        f"ROUND({_OLS2['b0']}, 9) AS b0",
+        f"ROUND({_OLS2['b1']}, 9) AS b1",
+        f"ROUND({_OLS2['b2']}, 9) AS b2",
+        f"ROUND({_OLS2['r2']}, 9) AS r_squared",
+    )
