@@ -3847,3 +3847,135 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sel.unionByName(edge)
+
+
+@query(
+    "events_watermark_lag_report",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS high_water
+      FROM events
+    ),
+    lag_us AS (
+      SELECT CAST(epoch_us(high_water) AS BIGINT)
+             - CAST(epoch_us(ts) AS BIGINT) AS lag FROM arr
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN lag = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS on_time,
+      CAST(SUM(CASE WHEN lag > 0 AND lag <= 600000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS late_within_10m,
+      CAST(SUM(CASE WHEN lag > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS late_beyond_10m,
+      CAST(MAX(lag) AS BIGINT) AS max_lag_us
+    FROM lag_us
+    """,
+)
+def events_watermark_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that DECIDES a
+    streaming job's watermark delay: treating event_id as arrival
+    order, each event's lag behind the running event-time high-water
+    mark is an exact int64 µs; the report buckets on-time /
+    late-within-10min / later, plus the worst lag. A watermark set
+    below max_lag_us drops the late_beyond bucket — this query is how
+    you size stream_watermark_drop_counts' 10-minute choice from data.
+
+    Scale shape: the running max uses the arrival total order; at
+    production scale arrival order is per-partition Kafka offsets, so
+    the same window runs partition-local. Here the global order runs
+    through the two-pass range-shuffle ranking shape (single window
+    over a sorted range exchange)."""
+    e = read_events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    arr = e.select(
+        F.unix_micros(F.max("ts").over(w)).alias("hw_us"),
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("lag", F.col("hw_us") - F.col("ts_us"))
+    return arr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lag") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("on_time"),
+        F.sum(
+            F.when((F.col("lag") > 0) & (F.col("lag") <= 600000000), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("late_within_10m"),
+        F.sum(F.when(F.col("lag") > 600000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("late_beyond_10m"),
+        F.max("lag").cast("bigint").alias("max_lag_us"),
+    )
+
+
+@query(
+    "orders_forecast_snaive_mape",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT mon, cents,
+             LAG(cents, 12) OVER (ORDER BY mon) AS forecast
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(abs(cents - forecast)) AS BIGINT) AS sum_abs_err,
+           ROUND(SUM(CAST(abs(cents - forecast) AS DOUBLE)
+                     / CAST(cents AS DOUBLE)) / COUNT(*), 9) AS mape,
+           CAST(MAX(abs(cents - forecast)) AS BIGINT) AS max_abs_err
+    FROM f WHERE forecast IS NOT NULL AND cents > 0
+    """,
+)
+def orders_forecast_snaive_mape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue
+    as the same month LAST YEAR (the baseline every fancy forecaster
+    must beat — Hyndman's snaive) and score it with MAPE over the
+    months where both sides exist. Monthly sums and absolute errors
+    are exact cents; only the MAPE ratio-mean touches doubles
+    (identical expression, ROUND 9, month count is bounded so the
+    float sum is a fixed-size reduction).
+
+    Scale shape: one map-side-combinable groupBy to ~84 month rows;
+    the lag-12 window and scoring run on that tiny frame."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("cents")
+    )
+    f = m.select(
+        "mon", "cents",
+        F.lag("cents", 12).over(Window.orderBy("mon")).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull() & (F.col("cents") > 0))
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.abs(F.col("cents") - F.col("forecast")))
+        .cast("bigint")
+        .alias("sum_abs_err"),
+        F.round(
+            F.sum(
+                F.abs(F.col("cents") - F.col("forecast")).cast("double")
+                / F.col("cents").cast("double")
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mape"),
+        F.max(F.abs(F.col("cents") - F.col("forecast")))
+        .cast("bigint")
+        .alias("max_abs_err"),
+    )

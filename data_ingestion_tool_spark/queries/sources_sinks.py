@@ -1663,3 +1663,77 @@ def csv_quoted_multiline_roundtrip(
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+@query(
+    "ingest_right_to_be_forgotten",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    erased AS (SELECT * FROM base WHERE o_custkey % 97 = 3),
+    kept AS (SELECT * FROM base WHERE o_custkey % 97 <> 3)
+    SELECT
+      CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS rows_before,
+      CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS rows_erased,
+      CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS rows_after,
+      CAST((SELECT COUNT(*) FROM kept WHERE o_custkey % 97 = 3)
+           AS BIGINT) AS residual_rows,
+      CAST((SELECT SUM(cents) FROM kept) AS BIGINT) AS sum_cents_after
+    """,
+)
+def ingest_right_to_be_forgotten(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GDPR erasure pipeline on the transaction-log format,
+    end-to-end: tombstone a subject's rows (merge-on-read equality
+    deletes — instant, no rewrite), COMPACT the merged view into fresh
+    batches that physically exclude them, then VACUUM so the original
+    files holding the subject's bytes are actually deleted from
+    storage — and audit the result by re-scanning the final snapshot
+    for the subject (residual_rows must be 0). The three-step split
+    matters operationally: the tombstone satisfies the read-path
+    immediately; the compaction+vacuum bound the physical-erasure SLA
+    independently of query traffic.
+
+    Scale shape: tombstones are a broadcast anti-join at read;
+    compaction is one distributed rewrite of affected batches; vacuum
+    is driver-side manifest math + parallel file deletes."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    t = TxnLogTable(spark, _scratch("txnlog_rtbf"))
+    t.commit(base)
+    rows_before = t.snapshot().count()
+    subject = t.snapshot().filter(F.col("o_custkey") % 97 == 3)
+    rows_erased = subject.count()
+    t.commit_deletes(subject.select("o_custkey").distinct())
+    # compact the MoR view into clean batches, retiring everything prior
+    merged = t.snapshot_mor("o_custkey")
+    t.commit(merged, mode="overwrite")
+    t.vacuum(retain_versions=1)
+    final = t.snapshot()
+    audit = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum(F.when(F.col("o_custkey") % 97 == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("residual_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents_after"),
+    )
+    head = spark.range(1).select(
+        F.lit(rows_before).cast("bigint").alias("rows_before"),
+        F.lit(rows_erased).cast("bigint").alias("rows_erased"),
+    )
+    return head.crossJoin(audit).select(
+        "rows_before", "rows_erased", "rows_after", "residual_rows",
+        "sum_cents_after",
+    )
