@@ -544,3 +544,89 @@ def test_md5_prefix60_python_vs_duckdb_property(s):
         "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
     ).fetchone()[0]
     assert got == want
+
+
+_dates = st.integers(min_value=0, max_value=30)  # day offsets
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    zmaps=st.lists(
+        st.one_of(st.none(), st.tuples(_dates, _dates)), min_size=1, max_size=4
+    ),
+    lo=_dates,
+    hi=_dates,
+)
+def test_zone_map_prune_matches_naive_overlap(spark, tmp_path_factory, zmaps, lo, hi):
+    """zone_map_prune keeps exactly the live batches whose [zmin,zmax]
+    overlaps [lo,hi] (inclusive, string order), plus every unmapped
+    batch (conservative)."""
+    from data_ingestion_tool_spark.sources.txnlog import TxnLogTable
+
+    root = tmp_path_factory.mktemp("zm")
+    t = TxnLogTable(spark, str(root / "t"))
+    metas = []
+    for zm in zmaps:
+        if zm is None:
+            t.commit(spark.range(1))
+            metas.append(None)
+        else:
+            a, b = min(zm), max(zm)
+            t.commit(
+                spark.range(1),
+                meta={"zmin": f"day-{a:02d}", "zmax": f"day-{b:02d}"},
+            )
+            metas.append((a, b))
+    qlo, qhi = min(lo, hi), max(lo, hi)
+    keep, total = t.zone_map_prune(f"day-{qlo:02d}", f"day-{qhi:02d}")
+    assert total == len(metas)
+    want = sum(
+        1
+        for m in metas
+        if m is None or (m[0] <= qhi and m[1] >= qlo)
+    )
+    assert len(keep) == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    v0_keys=st.sets(st.integers(0, 9), min_size=1, max_size=6),
+    v1_keys=st.sets(st.integers(0, 9), min_size=1, max_size=6),
+    bump=st.sets(st.integers(0, 9), max_size=4),
+)
+def test_changefeed_matches_naive_snapshot_diff(
+    spark, tmp_path_factory, v0_keys, v1_keys, bump
+):
+    """changefeed(insert/delete/update classification) == the naive
+    keyed diff of the two snapshots, for arbitrary replace commits.
+    ``bump`` keys that survive get a changed payload (update); others
+    keep v0's value (still an update pair here, since the whole batch
+    is rewritten — batch-granularity semantics)."""
+    from data_ingestion_tool_spark.sources.txnlog import TxnLogTable
+
+    root = tmp_path_factory.mktemp("cf")
+    t = TxnLogTable(spark, str(root / "t"))
+    df0 = spark.createDataFrame(
+        [(k, k * 10) for k in sorted(v0_keys)], "k long, val long"
+    )
+    _, b0 = t.commit(df0)
+    df1 = spark.createDataFrame(
+        [(k, k * 10 + (1 if k in bump else 0)) for k in sorted(v1_keys)],
+        "k long, val long",
+    )
+    t.commit(df1, remove=[b0])
+    feed = t.changefeed(0, 1, ["k"])
+    got = sorted(
+        (r["change_type"], r["k"], r["val"]) for r in feed.collect()
+    )
+    want = []
+    for k in sorted(v0_keys - v1_keys):
+        want.append(("delete", k, k * 10))
+    for k in sorted(v1_keys - v0_keys):
+        want.append(("insert", k, k * 10 + (1 if k in bump else 0)))
+    for k in sorted(v0_keys & v1_keys):
+        want.append(("update_preimage", k, k * 10))
+        want.append(
+            ("update_postimage", k, k * 10 + (1 if k in bump else 0))
+        )
+    assert got == sorted(want)
