@@ -17,6 +17,7 @@ from ..operators.ranking import (
     percent_rank_from_rn,
     with_global_row_number,
 )
+from ..plans.pin import pin
 from ..sources.parquet_io import read_events, read_table
 from .registry import davg, dsum, fsum, query, sql_davg, sql_dsum, sql_fsum
 
@@ -1782,4 +1783,150 @@ def window_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last("pc", ignorenulls=True).over(wb).alias("last_purchase_cents"),
         F.first("pc", ignorenulls=True).over(wf).alias("next_purchase_cents"),
+    )
+
+
+@query(
+    "spatial_dbscan_core_points",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 1000 AS y,
+             CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 7, 6))
+                  AS BIGINT) % 2000 AS x
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT user_id, y, x, y // 100 AS cy, x // 100 AS cx FROM pts
+    ),
+    fan AS (
+      SELECT c.user_id, c.y, c.x, c.cy + dy.d AS ny, c.cx + dx.d AS nx
+      FROM cells c,
+           (SELECT unnest(ARRAY[-1, 0, 1]) AS d) dy,
+           (SELECT unnest(ARRAY[-1, 0, 1]) AS d) dx
+    ),
+    nbr AS (
+      SELECT f.user_id, o.user_id AS nbr_id
+      FROM fan f JOIN cells o
+        ON o.cy = f.ny AND o.cx = f.nx AND o.user_id <> f.user_id
+      WHERE (f.y - o.y) * (f.y - o.y) + (f.x - o.x) * (f.x - o.x) < 2500
+    ),
+    cnt AS (
+      SELECT p.user_id,
+             CAST(1 + COALESCE(n.c, 0) AS BIGINT) AS n_within_eps
+      FROM pts p LEFT JOIN (
+        SELECT user_id, COUNT(*) AS c FROM nbr GROUP BY user_id
+      ) n ON p.user_id = n.user_id
+    ),
+    core AS (SELECT user_id FROM cnt WHERE n_within_eps >= 4),
+    border AS (
+      SELECT DISTINCT b.user_id
+      FROM nbr b JOIN core c ON b.nbr_id = c.user_id
+      WHERE b.user_id NOT IN (SELECT user_id FROM core)
+    )
+    SELECT c.user_id, c.n_within_eps,
+           CASE WHEN c.user_id IN (SELECT user_id FROM core) THEN 'core'
+                WHEN c.user_id IN (SELECT user_id FROM border) THEN 'border'
+                ELSE 'noise' END AS role
+    FROM cnt c
+    """,
+)
+def spatial_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's point classification (eps = 0.5°, minPts = 4) on the
+    grid-bucket join: core points have ≥ minPts neighbors within eps
+    (self included), border points are non-core within eps of a core,
+    the rest is noise. Coordinates are md5-fabricated integer
+    centi-degrees (same scheme as spatial_grid_neighbor_counts), so
+    the eps test is a PURE INTEGER comparison (dy²+dx² < 50²) — no
+    float anywhere. Full DBSCAN clustering = these cores fed to the
+    hash-min connected-components operator (operators/graph.py); the
+    classification step here is the part with a closed-form oracle.
+
+    Scale shape: one 3×3 cell fan-out + equi join on cell id bounds
+    candidate pairs by 9× cell occupancy; the core/border joins run on
+    the neighbor pair list, never all points × all points."""
+    ev = read_events(spark, sf_dir)
+    pts = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 6), 16, 10)"
+            " AS BIGINT) % 1000"
+        ).alias("y"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 7, 6), 16, 10)"
+            " AS BIGINT) % 2000"
+        ).alias("x"),
+    )
+    cells = pts.select(
+        "user_id", "y", "x",
+        F.expr("y DIV 100").alias("cy"),
+        F.expr("x DIV 100").alias("cx"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    fan = (
+        cells.crossJoin(d.select(F.col("d").alias("dy")))
+        .crossJoin(d.select(F.col("d").alias("dx")))
+        .select(
+            "user_id", "y", "x",
+            (F.col("cy") + F.col("dy")).alias("ny"),
+            (F.col("cx") + F.col("dx")).alias("nx"),
+        )
+    )
+    o = cells.select(
+        F.col("user_id").alias("nbr_id"),
+        F.col("y").alias("oy"),
+        F.col("x").alias("ox"),
+        F.col("cy").alias("ny"),
+        F.col("cx").alias("nx"),
+    )
+    nbr = pin(
+        fan.join(o, ["ny", "nx"])
+        .filter(
+            (F.col("user_id") != F.col("nbr_id"))
+            & (
+                (F.col("y") - F.col("oy")) * (F.col("y") - F.col("oy"))
+                + (F.col("x") - F.col("ox")) * (F.col("x") - F.col("ox"))
+                < 2500
+            )
+        )
+        .select("user_id", "nbr_id")
+    )
+    cnt = (
+        pts.join(
+            nbr.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_within_eps"),
+        )
+    )
+    core = cnt.filter(F.col("n_within_eps") >= 4).select("user_id")
+    border = (
+        nbr.join(
+            core.select(F.col("user_id").alias("nbr_id")), "nbr_id", "left_semi"
+        )
+        .select("user_id")
+        .distinct()
+        .join(core, "user_id", "left_anti")
+    )
+    return (
+        cnt.join(
+            core.withColumn("is_core", F.lit(True)), "user_id", "left"
+        )
+        .join(
+            border.withColumn("is_border", F.lit(True)), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "n_within_eps",
+            F.when(F.col("is_core"), "core")
+            .when(F.col("is_border"), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
     )
