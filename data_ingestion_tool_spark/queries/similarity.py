@@ -1767,3 +1767,57 @@ def embedding_jl_projection_distortion(
             6,
         ),
     )
+
+
+@query(
+    "array_hof_surface",
+    oracle="""
+    WITH vq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(9,6)) * 1000000
+                         AS BIGINT)) AS xq
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_sort(xq, 'DESC')[1:3], ',') AS top3,
+           list_bool_or(list_transform(xq, v -> v > 500000)) AS any_big,
+           list_bool_and(list_transform(xq, v -> v > -2000000)) AS all_sane,
+           CAST(len(list_distinct(xq)) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(list_sum(list_filter(xq, v -> v > 0)), 0)
+                AS BIGINT) AS sum_pos
+    FROM vq
+    """,
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface in one pass: sort-desc
+    top-3, EXISTS / FORALL predicates, distinct-count, and a filtered
+    fold — the lambda-expression vocabulary (SPARK-23908) against
+    DuckDB's list_* twins. Components are decimal(9,6)-quantized
+    int64s first so every comparison and the array-to-string render
+    are integer-exact; the top-3 slice is deterministic because sort
+    order on distinct-able ints has no float ties.
+
+    Scale shape: all codegen HOFs over the array column — zero
+    shuffle, scan speed."""
+    from ..operators.similarity import quantize_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("xq")
+    )
+    return vq.select(
+        "vec_id",
+        F.expr(
+            "array_join(slice(sort_array(xq, false), 1, 3), ',')"
+        ).alias("top3"),
+        F.expr("exists(xq, v -> v > 500000)").alias("any_big"),
+        F.expr("forall(xq, v -> v > -2000000)").alias("all_sane"),
+        F.expr("CAST(size(array_distinct(xq)) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            "aggregate(filter(xq, v -> v > 0), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v)"
+        ).alias("sum_pos"),
+    )

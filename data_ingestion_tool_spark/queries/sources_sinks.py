@@ -1737,3 +1737,93 @@ def ingest_right_to_be_forgotten(
         "rows_before", "rows_erased", "rows_after", "residual_rows",
         "sum_cents_after",
     )
+
+
+@query(
+    "quality_referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS child_rows,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT) AS orphan_rows,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT IN
+                   (SELECT l_orderkey FROM lineitem)) AS BIGINT)
+             AS childless_parents
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM part
+                 WHERE p_partkey NOT IN
+                   (SELECT l_partkey FROM lineitem)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey NOT IN
+                   (SELECT o_custkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey NOT IN
+                   (SELECT c_nationkey FROM customer)) AS BIGINT)
+    """,
+)
+def quality_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the data-quality
+    sweep a warehouse runs after every load: for each FK edge, orphan
+    child rows (FK value with no parent) and childless parents
+    (parent never referenced). Keys are non-null here so NOT IN is
+    safe (CLAUDE.md's null-semantics caveat); all counts exact.
+
+    Scale shape: each edge is a pair of anti-joins; the parent key
+    sides reduce to distinct-key columns before joining, and dimension
+    parents (nation) broadcast. One edge per table pair — fully
+    parallel across edges."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    p = read_table(spark, sf_dir, "part")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        ck = child.select(F.col(ckey).alias("k"))
+        pk = parent.select(F.col(pkey).alias("k")).distinct()
+        child_rows = ck.agg(
+            F.count(F.lit(1)).cast("bigint").alias("child_rows")
+        )
+        orphans = ck.join(pk, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("orphan_rows")
+        )
+        childless = pk.join(ck.distinct(), "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("childless_parents")
+        )
+        return (
+            spark.range(1)
+            .select(F.lit(name).alias("fk_edge"))
+            .crossJoin(child_rows)
+            .crossJoin(orphans)
+            .crossJoin(childless)
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            edge("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
