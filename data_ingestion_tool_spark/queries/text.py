@@ -1983,3 +1983,59 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("bigint").alias("clean_len"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    """Actual × predicted confusion cells for the stopword langid —
+    same closed-form classifier as _langid_oracle, joined back to the
+    ground-truth ``lang`` column."""
+    from ..operators.text import LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT toks.doc_id, toks.lang AS actual_lang, l.lang AS cand,
+             len(list_filter(toks.t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best AS (
+      SELECT doc_id, MAX(actual_lang) AS actual,
+             MAX({{'h': h, 'l': cand}}) AS b
+      FROM hits GROUP BY doc_id
+    )
+    SELECT actual,
+           CASE WHEN b.h > 0 THEN b.l ELSE 'und' END AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1, 2
+    """
+
+
+@query("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the evaluation the classifier
+    itself needs: actual ``lang`` × predicted cells, exact counts.
+    Off-diagonal mass tells a curation run which language pairs the
+    stopword heuristic confuses (and therefore where to distrust the
+    language routing); the diagonal over row sums is per-language
+    recall. Same deterministic argmax as text_langid, so the matrix
+    inherits its full differential oracle.
+
+    Scale shape: classify per doc (codegen HOFs over the token array),
+    then one map-side-combinable groupBy to ≤ |langs|² cells."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        TX.lang_id(d)
+        .groupBy(F.col("lang").alias("actual"), "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
