@@ -1827,3 +1827,136 @@ def quality_referential_integrity_audit(
             edge("customer->nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+@query(
+    "ingest_txn_log_ivm_aggregate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 4 <> 3),
+    v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 8 = 0 THEN cents * 3 ELSE cents END
+               AS cents
+      FROM base
+      WHERE o_orderkey % 4 <> 3 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, cents FROM base
+      WHERE o_orderkey % 4 = 3
+    ),
+    full_agg AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(cents) AS BIGINT) AS sum_full
+      FROM v1 GROUP BY o_orderstatus
+    ),
+    a0 AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(cents) AS BIGINT) AS s0
+      FROM v0 GROUP BY o_orderstatus
+    ),
+    delta AS (
+      SELECT o_orderstatus,
+             CAST(SUM(sign) AS BIGINT) AS dn,
+             CAST(SUM(sign * cents) AS BIGINT) AS ds
+      FROM (
+        SELECT o_orderstatus, cents, -1 AS sign FROM v0
+        WHERE o_orderkey % 5 = 0 OR o_orderkey % 8 = 0
+        UNION ALL
+        SELECT o_orderstatus, cents * 3, 1 FROM v0
+        WHERE o_orderkey % 8 = 0 AND o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderstatus, cents, 1 FROM base WHERE o_orderkey % 4 = 3
+      ) d GROUP BY o_orderstatus
+    ),
+    incr AS (
+      SELECT COALESCE(a0.o_orderstatus, delta.o_orderstatus)
+               AS o_orderstatus,
+             CAST(COALESCE(n0, 0) + COALESCE(dn, 0) AS BIGINT) AS n_incr,
+             CAST(COALESCE(s0, 0) + COALESCE(ds, 0) AS BIGINT) AS sum_incr
+      FROM a0 FULL OUTER JOIN delta
+        ON a0.o_orderstatus = delta.o_orderstatus
+    )
+    SELECT f.o_orderstatus, i.n_incr, i.sum_incr, f.n_full, f.sum_full,
+           i.n_incr = f.n_full AND i.sum_incr = f.sum_full AS ivm_matches
+    FROM full_agg f JOIN incr i ON f.o_orderstatus = i.o_orderstatus
+    """,
+)
+def ingest_txn_log_ivm_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance driven by the CHANGE FEED: a
+    revenue-by-status aggregate is maintained by applying ONLY the
+    feed's signed deltas (delete → −row, update → −pre +post,
+    insert → +row) to the previous aggregate state, and the query
+    emits BOTH the incrementally-maintained and the fully-recomputed
+    aggregate with an equality flag — the correctness proof rides in
+    the result hash. The v0→v1 transition exercises all three change
+    types (drops %5 keys, triples %8 keys' cents, inserts the %4==3
+    keys held out of v0).
+
+    Scale shape: the maintenance cost is churn-sized (changefeed reads
+    only replaced batches; the delta aggregate is map-side-combinable
+    over feed rows), while the recompute it replaces scans the world —
+    at 100 TB this is the difference between maintaining a dashboard
+    per commit and per day. COUNT/SUM are self-maintainable; MIN/MAX
+    would need the standard re-scan-on-retraction escape."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    v0 = base.filter(F.col("o_orderkey") % 4 != 3)
+    v1_survivors = v0.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 8 == 0, F.col("cents") * 3).otherwise(
+            F.col("cents")
+        ),
+    )
+    v1_inserts = base.filter(F.col("o_orderkey") % 4 == 3)
+    t = TxnLogTable(spark, _scratch("txnlog_ivm"))
+    _, b0 = t.commit(v0)
+    t.commit(v1_survivors.unionByName(v1_inserts), remove=[b0])
+
+    a0 = v0.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("cents").cast("bigint").alias("s0"),
+    )
+    feed = t.changefeed(0, 1, ["o_orderkey"])
+    sign = F.when(
+        F.col("change_type").isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    delta = feed.groupBy("o_orderstatus").agg(
+        F.sum(sign).cast("bigint").alias("dn"),
+        F.sum(sign * F.col("cents")).cast("bigint").alias("ds"),
+    )
+    incr = (
+        a0.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_incr"),
+            (F.coalesce(F.col("s0"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_incr"),
+        )
+    )
+    full = t.snapshot().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("cents").cast("bigint").alias("sum_full"),
+    )
+    return full.join(incr, "o_orderstatus").select(
+        "o_orderstatus", "n_incr", "sum_incr", "n_full", "sum_full",
+        (
+            (F.col("n_incr") == F.col("n_full"))
+            & (F.col("sum_incr") == F.col("sum_full"))
+        ).alias("ivm_matches"),
+    )
