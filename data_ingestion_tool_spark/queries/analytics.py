@@ -3979,3 +3979,136 @@ def orders_forecast_snaive_mape(
         .cast("bigint")
         .alias("max_abs_err"),
     )
+
+
+@query(
+    "events_velocity_flags",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS sec
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS n_10min
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(MAX(n_10min) AS BIGINT) AS peak_10min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(n_10min) >= 12 AS is_velocity_flagged
+    FROM w GROUP BY user_id
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity check — the fraud/abuse primitive: each user's PEAK
+    event count inside any trailing 10-minute window (a RANGE frame
+    over epoch seconds, so simultaneous events count together
+    regardless of row order), flagged at ≥ 12. The frame bound and
+    the flag threshold are integers; the window ordering is on the
+    integer second, so ties need no break (RANGE frames are
+    value-determined, not row-determined).
+
+    Scale shape: one shuffle on user_id, a per-user ordered pass for
+    the range frame, then a map-side-combinable rollup — the same
+    shape a streaming twin runs with applyInPandasWithState."""
+    e = read_events(spark, sf_dir)
+    pts = e.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 1000000").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    flagged = pts.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_10min")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.max("n_10min").cast("bigint").alias("peak_10min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("n_10min") >= 12).alias("is_velocity_flagged"),
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN CAST('0x' || substring(
+                          md5('exp-7:' || CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t
+      FROM arms
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           ROUND((CAST(n_c AS DOUBLE) - CAST(n_t AS DOUBLE))
+                 * (CAST(n_c AS DOUBLE) - CAST(n_t AS DOUBLE))
+                 / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)), 9)
+             AS chi2_srm,
+           (n_c - n_t) * (n_c - n_t) * 10000
+             <= 384 * (n_c + n_t) AS srm_ok
+    FROM c
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of every A/B
+    readout: users hash into 50/50 arms (seeded md5, the deterministic
+    twin of a production bucketing service) and a 1-df chi-square
+    tests whether the observed split is consistent with the design
+    ratio. χ² = (n_c − n_t)²/(n_c + n_t) for equal expected halves;
+    the pass fence compares it to the α=0.05 critical value 3.84 in
+    INTEGER cross-multiplication ((n_c−n_t)²·10⁴ ≤ 384·(n_c+n_t)), so
+    the boundary cannot wobble; the reported statistic is one
+    identical expression, ROUND 9.
+
+    Scale shape: distinct users then two counters — one
+    map-side-combinable pass."""
+    e = read_events(spark, sf_dir)
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp-7:"), F.col("user_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = e.select("user_id").distinct().select(arm.alias("arm"))
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    return c.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(
+            (F.col("n_c").cast("double") - F.col("n_t").cast("double"))
+            * (F.col("n_c").cast("double") - F.col("n_t").cast("double"))
+            / (F.col("n_c").cast("double") + F.col("n_t").cast("double")),
+            9,
+        ).alias("chi2_srm"),
+        (
+            (F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t")) * 10000
+            <= 384 * (F.col("n_c") + F.col("n_t"))
+        ).alias("srm_ok"),
+    )

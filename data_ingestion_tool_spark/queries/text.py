@@ -2039,3 +2039,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("actual"), "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@query(
+    "filter_blocklist_terms",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, source,
+             len(list_filter(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''),
+               x -> list_contains(['merge', 'panic', 'leak', 'deadlock'],
+                                  x))) AS n_hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS flagged_docs,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 5 >= COUNT(*)
+             AS source_over_20pct
+    FROM hits GROUP BY source
+    """,
+)
+def filter_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist content filter — the safety-screening shape of a
+    curation run: exact token-boundary matches against a term list
+    (here a stand-in vocabulary; production swaps the literal array
+    for a broadcast blocklist at the same call site), rolled up to
+    per-source flagged counts and a 20%-of-source escalation fence in
+    integer cross-multiplication. Token-boundary matching (not
+    substring LIKE) is the part that matters — 'leaky' must not hit
+    'leak'.
+
+    Scale shape: per-row codegen HOFs over the token array, no
+    shuffle until the per-source rollup; a blocklist too large for a
+    literal array becomes a broadcast hash join on exploded tokens."""
+    d = read_table(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in ["merge", "panic", "leak", "deadlock"]])
+    hits = d.select(
+        "source",
+        F.size(
+            F.filter(TX.tokens("text"), lambda x: F.array_contains(bl, x))
+        ).alias("n_hits"),
+    )
+    flagged = F.when(F.col("n_hits") > 0, 1).otherwise(0)
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flagged).cast("bigint").alias("flagged_docs"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        (F.sum(flagged) * 5 >= F.count(F.lit(1))).alias("source_over_20pct"),
+    )
