@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.parquet_io import read_table
+from ..sources.parquet_io import read_events, read_table
 from .registry import query
 
 _TABLES = ("customer", "orders", "lineitem", "nation", "region")
@@ -256,7 +256,7 @@ def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter truncation — the calendar kernel of every time-series
     rollup. Pure date math, no floats anywhere.
     """
-    from ..sources.parquet_io import read_table
+    from ..sources.parquet_io import read_events, read_table
 
     o = read_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
@@ -295,7 +295,7 @@ def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffles once on custkey and joins back — same key, partitioning
     reused.
     """
-    from ..sources.parquet_io import read_table
+    from ..sources.parquet_io import read_events, read_table
 
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cor")
     return spark.sql(
@@ -328,7 +328,7 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     lpad/rpad, substring position, reverse — all ASCII inputs here, so
     the engines' code-point semantics coincide exactly.
     """
-    from ..sources.parquet_io import read_table
+    from ..sources.parquet_io import read_events, read_table
 
     c = read_table(spark, sf_dir, "customer")
     return c.where(F.col("c_custkey") < 1000).select(
@@ -690,4 +690,90 @@ def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "set_except_all_bag",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-difference semantics: each nation key keeps
+    max(count_customer − count_supplier, 0) copies, completing the
+    multiplicity-aware set-op trio with set_intersect_all_bag (plain
+    EXCEPT's distinct form is set_except). Both engines implement the
+    SQL-standard rule; the hash check is over the full multiset.
+
+    Scale shape: one hash shuffle on the key, per-key counters — no
+    sort, same cost class as a groupBy."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@query(
+    "window_nth_value_from_end",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, d, cents,
+           CAST(nth_value(cents, 3) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS third_day_cents,
+           CAST(nth_value(cents, 2) OVER (
+             PARTITION BY user_id ORDER BY d DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS second_latest_cents
+    FROM daily
+    """,
+)
+def window_nth_value_from_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value in both frame directions: each user-day row carries
+    the user's 3rd-ever daily total (forward frame) and the 2nd-most-
+    recent as of that day (descending frame) — the navigation function
+    missing from the lag/lead/first/last coverage. Daily cents are
+    exact; the day key is unique per user so ordering needs no
+    tie-break; rows before the nth exist get NULL on both engines.
+
+    Scale shape: the daily rollup shuffles once on (user, day); both
+    window directions reuse the user_id partitioning."""
+    e = read_events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("cents")
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "user_id", "d", "cents",
+        F.nth_value("cents", 3).over(wf).cast("bigint").alias(
+            "third_day_cents"
+        ),
+        F.nth_value("cents", 2).over(wb).cast("bigint").alias(
+            "second_latest_cents"
+        ),
     )
