@@ -4112,3 +4112,84 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 384 * (F.col("n_c") + F.col("n_t"))
         ).alias("srm_ok"),
     )
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events
+    ),
+    pairs AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t IS NOT NULL GROUP BY s, t
+    ),
+    rows_tot AS (
+      SELECT s, CAST(SUM(n) AS BIGINT) AS ns FROM pairs GROUP BY s
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM pairs),
+    cond AS (
+      SELECT p.s,
+             SUM(-(CAST(p.n AS DOUBLE) / CAST(r.ns AS DOUBLE))
+                 * ln(CAST(p.n AS DOUBLE) / CAST(r.ns AS DOUBLE))) AS h_s,
+             MAX(r.ns) AS ns
+      FROM pairs p JOIN rows_tot r ON p.s = r.s
+      GROUP BY p.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+           ROUND(SUM((CAST(ns AS DOUBLE) / CAST(t.ntot AS DOUBLE)) * h_s)
+                 / ln(2.0), 6) AS entropy_rate_bits,
+           ROUND(MAX(h_s) / ln(2.0), 6) AS max_row_entropy_bits
+    FROM cond, tot t
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain:
+    H = Σ_s π(s)·H(next | s) over the transition counts (stationary
+    weights approximated by observed row mass) — one number for 'how
+    predictable is the next step', the sequence-level complement of
+    events_markov_transitions. Counts are exact; every p·ln p term is
+    an identical expression of identical integer ratios (ln, not log —
+    DuckDB's log() is base-10, the round-3 lesson), the state domain
+    is bounded so the float sum is a fixed-size reduction, and bits
+    convert via /ln(2). ROUND 6.
+
+    Scale shape: one user-partitioned lead() pass, then everything
+    runs on the |types|² transition matrix."""
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    pairs = seq.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rows_tot = pairs.groupBy("s").agg(F.sum("n").cast("bigint").alias("ns"))
+    tot = pairs.agg(F.sum("n").cast("bigint").alias("ntot"))
+    p_st = F.col("n").cast("double") / F.col("ns").cast("double")
+    cond = (
+        pairs.join(rows_tot, "s")
+        .groupBy("s")
+        .agg(
+            F.sum(-p_st * F.log(p_st)).alias("h_s"),
+            F.max("ns").alias("ns"),
+        )
+    )
+    return cond.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        F.round(
+            F.sum(
+                (F.col("ns").cast("double") / F.col("ntot").cast("double"))
+                * F.col("h_s")
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_rate_bits"),
+        F.round(F.max("h_s") / F.log(F.lit(2.0)), 6).alias(
+            "max_row_entropy_bits"
+        ),
+    )

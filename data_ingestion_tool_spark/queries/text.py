@@ -2091,3 +2091,49 @@ def filter_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("bigint").alias("total_hits"),
         (F.sum(flagged) * 5 >= F.count(F.lit(1))).alias("source_over_20pct"),
     )
+
+
+@query(
+    "text_ttr_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, t[1:50] AS w FROM toks WHERE len(t) >= 50
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) * 2 >= 50
+             AS is_diverse
+    FROM win
+    """,
+)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio over a FIXED 50-token window — the lexical-
+    diversity quality signal computed the scale-stable way: raw TTR
+    shrinks with document length (Heaps' law), so comparing docs
+    requires a fixed window, which also makes the numbers exact
+    integers (distinct types among the first 50 tokens) and the
+    diversity fence an integer cross-multiplication (types·2 ≥ 50 ⇔
+    TTR ≥ 0.5). Low-TTR docs are template/keyword-stuffing suspects —
+    composes with text_repetition_ratio.
+
+    Scale shape: pure per-row array work in codegen; no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("t")).where(
+        F.size("t") >= 50
+    )
+    win = toks.select("doc_id", F.slice("t", 1, 50).alias("w"))
+    return win.select(
+        "doc_id",
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_types"),
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("w")).cast("bigint") * 2 >= 50).alias(
+            "is_diverse"
+        ),
+    )
