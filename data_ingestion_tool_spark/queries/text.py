@@ -2137,3 +2137,146 @@ def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_diverse"
         ),
     )
+
+
+def _langid_trigram_agreement_oracle() -> str:
+    """Agreement matrix between the stopword classifier and a char-
+    trigram profile classifier, both replayed in closed form."""
+    from ..operators.text import LANG_STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH lowered AS (
+      SELECT doc_id, lang, lower(text) AS lt FROM documents
+    ),
+    tris AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, length(lt) - 2),
+                                   i -> substr(lt, i, 3))) AS tg
+      FROM lowered WHERE length(lt) >= 3
+    ),
+    prof_cnt AS (
+      SELECT lang, tg, COUNT(*) AS c FROM tris GROUP BY lang, tg
+    ),
+    prof AS (
+      SELECT lang, tg FROM (
+        SELECT lang, tg,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tg) AS rn
+        FROM prof_cnt) WHERE rn <= 20
+    ),
+    doc_tris AS (SELECT DISTINCT doc_id, tg FROM tris),
+    scores AS (
+      SELECT d.doc_id, p.lang AS cand, COUNT(*) AS h
+      FROM doc_tris d JOIN prof p ON d.tg = p.tg
+      GROUP BY d.doc_id, p.lang
+    ),
+    best_tri AS (
+      SELECT l.doc_id,
+             MAX({{'h': s.h, 'l': s.cand}}) AS b
+      FROM lowered l LEFT JOIN scores s ON l.doc_id = s.doc_id
+      GROUP BY l.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sw_hits AS (
+      SELECT toks.doc_id, l.lang AS cand,
+             len(list_filter(toks.t, x -> list_contains(l.words, x))) AS h
+      FROM toks, (VALUES {vals}) AS l(lang, words)
+    ),
+    best_sw AS (
+      SELECT doc_id, MAX({{'h': h, 'l': cand}}) AS b
+      FROM sw_hits GROUP BY doc_id
+    )
+    SELECT CASE WHEN s.b.h > 0 THEN s.b.l ELSE 'und' END AS pred_stopword,
+           CASE WHEN t.b.h IS NOT NULL AND t.b.h > 0 THEN t.b.l
+                ELSE 'und' END AS pred_trigram,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best_sw s JOIN best_tri t ON s.doc_id = t.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "text_langid_trigram_agreement",
+    oracle=_langid_trigram_agreement_oracle(),
+)
+def text_langid_trigram_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier-ensemble agreement: a SECOND language identifier
+    (char-trigram profiles — top-20 trigrams per language learned from
+    the labeled corpus itself, scored by distinct-trigram overlap,
+    argmax with the (hits, lang) struct order) cross-tabulated against
+    the stopword classifier. Off-diagonal cells are the docs where two
+    independent cheap models disagree — exactly the docs a curation
+    run routes to the expensive model. Every count, profile rank, and
+    tie-break is integer-exact, so the full two-model pipeline
+    hash-matches its SQL replay.
+
+    Scale shape: trigram profile building is the wordcount shape
+    (explode + map-side-combinable count + per-lang top-20 window on
+    the aggregated vocab); scoring joins DISTINCT doc trigrams to the
+    |langs|·20-row broadcast profile."""
+    from ..operators.text import lang_id
+
+    d = read_table(spark, sf_dir, "documents")
+    lowered = d.select(
+        "doc_id", "lang", F.lower("text").alias("lt")
+    ).filter(F.length("lt") >= 3)
+    tris = lowered.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(lt) - 2),"
+                   " i -> substring(lt, i, 3))")
+        ).alias("tg"),
+    )
+    prof_cnt = tris.groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wprof = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tg")
+    )
+    prof = (
+        prof_cnt.withColumn("rn", F.row_number().over(wprof))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand"), "tg")
+    )
+    doc_tris = tris.select("doc_id", "tg").distinct()
+    scores = doc_tris.join(F.broadcast(prof), "tg").groupBy(
+        "doc_id", "cand"
+    ).agg(F.count(F.lit(1)).alias("h"))
+    best_tri = (
+        d.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("h").alias("h"), F.col("cand").alias("l"))
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("b.h").isNotNull() & (F.col("b.h") > 0), F.col("b.l")
+            )
+            .otherwise("und")
+            .alias("pred_trigram"),
+        )
+    )
+    sw = lang_id(d).select("doc_id", F.col("pred_lang").alias("pred_stopword"))
+    return (
+        sw.join(best_tri, "doc_id")
+        .groupBy("pred_stopword", "pred_trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
