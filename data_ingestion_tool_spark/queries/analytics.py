@@ -4193,3 +4193,75 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_row_entropy_bits"
         ),
     )
+
+
+@query(
+    "events_seasonality_strength_lag24",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT h, n, LAG(n, 24) OVER (ORDER BY h) AS n24
+      FROM hourly
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n24) AS BIGINT) AS sy,
+             CAST(SUM(n * n24) AS BIGINT) AS sxy,
+             CAST(SUM(n * n) AS BIGINT) AS sxx,
+             CAST(SUM(n24 * n24) AS BIGINT) AS syy
+      FROM lagged WHERE n24 IS NOT NULL
+    )
+    SELECT k AS n_hours,
+           ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS autocorr_lag24
+    FROM s
+    """,
+)
+def events_seasonality_strength_lag24(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-seasonality strength: Pearson correlation between the
+    hourly event-count series and itself 24 hours earlier — near 1
+    means a strong daily cycle (batch windows, staffing), near 0 means
+    load is cycle-free. Counts and all five sufficient statistics are
+    exact int64 over the bounded hourly series; the correlation is one
+    identical closed-form expression, ROUND 6 (the lag-1 value-series
+    sibling is events_autocorr_lag1).
+
+    Scale shape: one map-side-combinable groupBy to ~thousands of
+    hour rows; the lag window and reduction run on that tiny frame."""
+    e = read_events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.expr("CAST(unix_micros(ts) AS BIGINT) DIV 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lagged = hourly.select(
+        "h", "n", F.lag("n", 24).over(Window.orderBy("h")).alias("n24")
+    ).filter(F.col("n24").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum("n24").cast("bigint").alias("sy"),
+        F.sum(F.col("n") * F.col("n24")).cast("bigint").alias("sxy"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"),
+        F.sum(F.col("n24") * F.col("n24")).cast("bigint").alias("syy"),
+    )
+    k, sx, sy = (F.col(c).cast("double") for c in ("k", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return s.select(
+        F.col("k").alias("n_hours"),
+        F.round(
+            (k * sxy - sx * sy)
+            / (F.sqrt(k * sxx - sx * sx) * F.sqrt(k * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag24"),
+    )

@@ -4341,3 +4341,87 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_OLS2['b2']}, 9) AS b2",
         f"ROUND({_OLS2['r2']}, 9) AS r_squared",
     )
+
+
+@query(
+    "quality_column_entropy_profile",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+    ),
+    vc AS (
+      SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS n
+      FROM stacked GROUP BY col_name, val
+    ),
+    tot AS (
+      SELECT col_name, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM vc GROUP BY col_name
+    )
+    SELECT v.col_name, t.n_distinct,
+           ROUND(SUM(-(CAST(v.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                     * ln(CAST(v.n AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+                 / ln(2.0), 6) AS entropy_bits,
+           ROUND(SUM(-(CAST(v.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                     * ln(CAST(v.n AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+                 / ln(CAST(GREATEST(t.n_distinct, 2) AS DOUBLE)), 6)
+             AS normalized_entropy
+    FROM vc v JOIN tot t ON v.col_name = t.col_name
+    GROUP BY v.col_name, t.n_distinct
+    """,
+)
+def quality_column_entropy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-level Shannon entropy profile — the information-content
+    sweep of a profiling pass: near-zero entropy flags near-constant
+    columns (drop candidates), entropy near log₂(distinct) means
+    uniform spread; normalized entropy (÷ ln distinct) compares
+    columns of different cardinality on one scale. Value counts are
+    exact; each p·ln p term is an identical expression over identical
+    integer ratios (ln, never log — CLAUDE.md), domains are bounded so
+    the float reductions are fixed-size. ROUND 6.
+
+    Scale shape: unpivot-stack then ONE map-side-combinable
+    (column, value) count — same single-pass shape as
+    quality_multi_column_iqr; entropy math runs on the value-domain
+    frame."""
+    o = read_table(spark, sf_dir, "orders")
+    stacked = o.selectExpr(
+        "stack(3,"
+        " 'o_orderstatus', o_orderstatus,"
+        " 'o_orderpriority', o_orderpriority,"
+        " 'order_year', CAST(year(o_orderdate) AS STRING)"
+        ") AS (col_name, val)"
+    )
+    vc = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = vc.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    return (
+        vc.join(F.broadcast(tot), "col_name")
+        .groupBy("col_name", "n_distinct")
+        .agg(
+            F.round(
+                F.sum(-p * F.log(p)) / F.log(F.lit(2.0)), 6
+            ).alias("entropy_bits"),
+            F.round(
+                F.sum(-p * F.log(p))
+                / F.log(
+                    F.greatest(F.col("n_distinct"), F.lit(2)).cast("double")
+                ),
+                6,
+            ).alias("normalized_entropy"),
+        )
+        .select(
+            "col_name", "n_distinct", "entropy_bits", "normalized_entropy"
+        )
+    )
