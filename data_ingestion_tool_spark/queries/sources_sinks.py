@@ -1960,3 +1960,59 @@ def ingest_txn_log_ivm_aggregate(
             & (F.col("sum_incr") == F.col("sum_full"))
         ).alias("ivm_matches"),
     )
+
+
+@query(
+    "datasource_python_sink_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)
+                    AS BIGINT) % 1000003) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def datasource_python_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom Python DataSource WRITE path (sources/pyds.py
+    ChecksumSinkWriter): documents flow through the V2 write protocol
+    — executor tasks stage uniquely-named files and return commit
+    messages, the driver's commit() manifests exactly the committed
+    set — and the query reads back ONLY manifested files and
+    aggregates a row checksum the oracle computes from the source
+    table. A sink that lost a split, wrote one twice, or leaked an
+    uncommitted file shifts the count or the md5 fold and fails the
+    hash. Completes the connector story: datasource_python_connector
+    is the read path, this is the write path.
+
+    Scale shape: writes are per-task and embarrassingly parallel; the
+    commit is one driver-side manifest rename (object-store
+    conditional-put in production)."""
+    from ..sources.pyds import read_manifested, register_checksum_sink
+
+    register_checksum_sink(spark)
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.md5("text").alias("v"),
+    )
+    root = _scratch("pysink")
+    d.repartition(6).write.format("checksum_sink").option(
+        "path", root
+    ).mode("append").save()
+    back = read_manifested(spark, root)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("k"), F.col("v"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000003
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )

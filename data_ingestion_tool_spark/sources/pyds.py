@@ -65,3 +65,93 @@ class SyntheticRowsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration into the session."""
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: a Python DataSource SINK with a commit protocol
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ChecksumSinkWriter(DataSourceWriter):
+    """Executor-side write + driver-side atomic commit — the V2 write
+    protocol in miniature: each task stages its split to a uniquely
+    named file and returns a commit message; ONLY the driver's
+    ``commit()`` makes them visible, by writing a manifest that lists
+    exactly the committed files. A failed/speculative task's stray
+    file is never manifested, so readers (which must go through the
+    manifest) cannot observe partial writes — the same
+    visible-iff-committed rule as the txnlog table format."""
+
+    def __init__(self, options) -> None:
+        self.root = str(options.get("path"))
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, f"staged-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]},{row[1]}\n")
+                n += 1
+        return _StagedFile(path, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.root, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.root, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class ChecksumSinkDataSource(DataSource):
+    """``df.write.format("checksum_sink").option("path", dir).save()``
+    for two-column (key, value) string rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "checksum_sink"
+
+    def writer(self, schema, overwrite):
+        return ChecksumSinkWriter(self.options)
+
+
+def register_checksum_sink(spark) -> None:
+    spark.dataSource.register(ChecksumSinkDataSource)
+
+
+def read_manifested(spark, root: str):
+    """Read back ONLY the manifested files (the sink's visibility
+    rule); stray staged files are invisible by construction."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(root, f) for f in manifest["files"]]
+    return spark.read.schema("k string, v string").csv(paths)

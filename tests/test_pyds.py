@@ -37,3 +37,29 @@ def test_uneven_split_covers_all_rows(spark):
     df = _load(spark, rows=10, partitions=3)
     assert df.count() == 10
     assert df.select("event_id").distinct().count() == 10
+
+
+def test_checksum_sink_ignores_unmanifested_strays(spark, tmp_path):
+    """The sink's visibility rule: readers see exactly the manifested
+    files — a stray staged file (failed/speculative task) is invisible."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_tool_spark.sources.pyds import (
+        read_manifested,
+        register_checksum_sink,
+    )
+
+    register_checksum_sink(spark)
+    root = str(tmp_path / "sink")
+    df = spark.range(10).select(
+        F.col("id").cast("string").alias("k"), F.lit("x").alias("v")
+    )
+    df.write.format("checksum_sink").option("path", root).mode(
+        "append"
+    ).save()
+    # simulate a zombie task's uncommitted output
+    with open(f"{root}/staged-zombie.csv", "w") as fh:
+        fh.write("999,zzz\n")
+    back = read_manifested(spark, root)
+    assert back.count() == 10
+    assert back.filter("k = '999'").count() == 0
