@@ -4265,3 +4265,121 @@ def events_seasonality_strength_lag24(
             6,
         ).alias("autocorr_lag24"),
     )
+
+
+@query(
+    "events_ab_conversion_uplift",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substring(
+                          md5('exp-7:' || CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 15
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n2,
+        CAST(SUM(CASE WHEN arm = 'control'
+                       AND user_id IN (SELECT user_id FROM conv)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        CAST(SUM(CASE WHEN arm = 'treatment'
+                       AND user_id IN (SELECT user_id FROM conv)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM arms
+    )
+    SELECT n1 AS n_control, n2 AS n_treatment,
+           x1 AS conv_control, x2 AS conv_treatment,
+           ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                 - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9)
+             AS uplift_abs,
+           ROUND((CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                  - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                 / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 / CAST(n1 AS DOUBLE)
+                           + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z_pooled
+    FROM c
+    """,
+)
+def events_ab_conversion_uplift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A/B conversion readout for the md5-bucketed experiment
+    (events_ab_srm_check is its sample-ratio gate): per-arm converter
+    counts (users with ≥15 purchases — the median is 13, so the
+    fence is non-degenerate at both SFs), absolute uplift, and the pooled
+    two-proportion z-statistic — all counts exact integers, the uplift
+    and z identical closed-form expressions (ROUND 9/6). This is the
+    decision number an experimentation platform serves.
+
+    Scale shape: distinct users + a semi-joinable converter set, then
+    four counters in one map-side-combinable pass."""
+    e = read_events(spark, sf_dir)
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp-7:"), F.col("user_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 15)
+        .select("user_id")
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        e.select("user_id")
+        .distinct()
+        .join(conv, "user_id", "left")
+        .select(
+            arm.alias("arm"),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("cv"),
+        )
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("arm") == "control", F.col("cv")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("cv")).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    x1, x2 = F.col("x1").cast("double"), F.col("x2").cast("double")
+    p_pool = (x1 + x2) / (n1 + n2)
+    return c.select(
+        F.col("n1").alias("n_control"),
+        F.col("n2").alias("n_treatment"),
+        F.col("x1").alias("conv_control"),
+        F.col("x2").alias("conv_treatment"),
+        F.round(x2 / n2 - x1 / n1, 9).alias("uplift_abs"),
+        F.round(
+            (x2 / n2 - x1 / n1)
+            / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n1 + 1.0 / n2)),
+            6,
+        ).alias("z_pooled"),
+    )

@@ -2016,3 +2016,68 @@ def datasource_python_sink_roundtrip(
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+@query(
+    "quality_freshness_report",
+    oracle="""
+    WITH marks AS (
+      SELECT 'orders' AS table_name,
+             CAST(MAX(o_orderdate) AS DATE) AS max_date,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(MAX(l_shipdate) AS DATE), CAST(COUNT(*) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(MAX(CAST(ts AS DATE)) AS DATE),
+             CAST(COUNT(*) AS BIGINT)
+      FROM events
+    ),
+    hw AS (SELECT MAX(max_date) AS corpus_max FROM marks)
+    SELECT m.table_name, m.max_date, m.n_rows,
+           CAST(datediff('day', m.max_date, h.corpus_max) AS BIGINT)
+             AS staleness_days,
+           datediff('day', m.max_date, h.corpus_max) <= 30 AS is_fresh
+    FROM marks m, hw h
+    """,
+)
+def quality_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLO report — the first page of any data-quality
+    dashboard: each table's event-time high-water mark, its staleness
+    in days behind the freshest table in the lake, and an integer
+    30-day SLO flag. Date arithmetic is exact on both engines
+    (datediff on DATE values).
+
+    Scale shape: MAX/COUNT are map-side-combinable scans (at
+    production scale the high-water mark comes free from partition or
+    zone-map metadata — ingest_txn_log_zone_map_skip's stats serve it
+    without touching data)."""
+    from ..sources.parquet_io import read_events
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = read_events(spark, sf_dir)
+
+    def mark(df, name, col):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.max(col).cast("date").alias("max_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    marks = (
+        mark(o, "orders", F.col("o_orderdate"))
+        .unionByName(mark(li, "lineitem", F.col("l_shipdate")))
+        .unionByName(mark(e, "events", F.col("ts").cast("date")))
+    )
+    hw = marks.agg(F.max("max_date").alias("corpus_max"))
+    return marks.crossJoin(F.broadcast(hw)).select(
+        "table_name",
+        "max_date",
+        "n_rows",
+        F.datediff("corpus_max", "max_date").cast("bigint").alias(
+            "staleness_days"
+        ),
+        (F.datediff("corpus_max", "max_date") <= 30).alias("is_fresh"),
+    )
