@@ -4383,3 +4383,45 @@ def events_ab_conversion_uplift(
             6,
         ).alias("z_pooled"),
     )
+
+
+@query(
+    "events_json_props_rollup",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT k // 10 AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM j WHERE k IS NOT NULL
+    GROUP BY k // 10
+    """,
+)
+def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup: extract an integer field from the JSON
+    ``props`` payload and aggregate on a derived bucket of it — the
+    everyday 'group by a JSON attribute' query. Extraction is
+    schema-on-read (from_json / json_extract), the bucket is integer
+    division on non-negative ints (DIV == // there), counts and cents
+    are exact.
+
+    Scale shape: JSON parsing is per-row codegen (Jackson inside the
+    JVM, no UDF); one map-side-combinable groupBy after. Columnar
+    shredding of hot JSON fields at write time (a la variant/Parquet
+    shredding) is the production upgrade, same query shape."""
+    e = read_events(spark, sf_dir)
+    j = e.select(
+        F.from_json("props", "k bigint").getField("k").alias("k"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).filter(F.col("k").isNotNull())
+    return j.groupBy(F.expr("k DIV 10").alias("k_decade")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
