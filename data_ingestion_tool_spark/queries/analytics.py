@@ -4425,3 +4425,61 @@ def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(ts) AS fts
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(f.fts AS DATE) AS first_click_day,
+           CAST(COUNT(*) AS BIGINT) AS purchases_credited,
+           CAST(SUM(p.cents) AS BIGINT) AS credited_cents
+    FROM purchases p JOIN first_click f
+      ON p.user_id = f.user_id AND f.fts <= p.ts
+    GROUP BY CAST(f.fts AS DATE)
+    """,
+)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution — completing the model trio (last-touch
+    = join_asof_last_click, position-independent =
+    events_attribution_linear): every purchase credits the user's
+    FIRST EVER click at or before it, and credit rolls up by that
+    click's acquisition day — the 'which acquisition cohort drives
+    revenue' readout. MIN(ts) is value-determined (no tie-break
+    needed); cents exact.
+
+    Scale shape: the first-click frame is one map-side-combinable MIN
+    per user, then a hash join on user_id with the date residual — no
+    window over the purchase stream at all."""
+    e = read_events(spark, sf_dir)
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("fts") <= F.col("ts"))
+        .groupBy(F.col("fts").cast("date").alias("first_click_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("purchases_credited"),
+            F.sum("cents").cast("bigint").alias("credited_cents"),
+        )
+    )

@@ -813,3 +813,59 @@ def stream_txnlog_exactly_once_sink(
         )
         .withColumn("n_versions", F.lit(len(t.versions())).cast("int"))
     )
+
+
+@query(
+    "stream_velocity_monitor",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS sec
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS n_10min
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(MAX(n_10min) AS BIGINT) AS peak_10min,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+)
+def stream_velocity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming velocity monitor (streaming/stateful.py
+    velocity_per_key): the fraud/rate-limit operator as a custom
+    stateful stream — per-user trailing-10-minute peak event counts
+    carried in the state store across micro-batches, with the event-
+    second buffer pruned to the live window. The availableNow run must
+    reproduce the BATCH RANGE-frame peak exactly (the
+    events_velocity_flags math), which is the oracle; the final state
+    per user is the max across its update emissions.
+
+    Scale shape: state is partitioned by user across executors and
+    bounded by each key's in-window event count; emission is one row
+    per active key per micro-batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import velocity_per_key
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return velocity_per_key(normalize_ts(stream, "ts"))
+
+    out = run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform,
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("peak_10min").cast("bigint").alias("peak_10min"),
+        F.max("n_events").cast("bigint").alias("n_events"),
+    )

@@ -119,3 +119,79 @@ def cusum_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+VELOCITY_STATE = "ts_buf array<bigint>, peak bigint, n bigint"
+VELOCITY_OUTPUT = "user_id bigint, peak_10min bigint, n_events bigint"
+
+
+def velocity_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 600,
+) -> DataFrame:
+    """Streaming velocity monitor: per key, the PEAK number of events
+    inside any trailing ``window_s``-second window, carried across
+    micro-batches in explicit state — the rate-limit / fraud-velocity
+    operator as a stream. State = the event-second buffer still inside
+    the trailing window of the newest seen event (bounded by the key's
+    in-window event count, the same bound the batch RANGE frame pays)
+    plus the running peak. Rows sort by epoch second within each batch;
+    cross-batch correctness assumes in-order arrival per key (the CUSUM
+    contract — a watermark reorder stage relaxes it).
+
+    Batch twin: events_velocity_flags' RANGE-frame peak — inclusive
+    [t − window_s, t] exactly like the frame, which is what makes the
+    availableNow run oracle-checkable."""
+    import numpy as np
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf, peak, n = state.get
+            buf = list(buf)
+        else:
+            buf, peak, n = [], 0, 0
+        secs: list[int] = []
+        for pdf in pdfs:
+            secs.extend(int(v) for v in pdf["sec"])
+        secs.sort()
+        if secs:
+            all_ts = np.array(buf + secs, dtype=np.int64)
+            new = np.array(secs, dtype=np.int64)
+            # count in (t - window_s, t] inclusive both ends:
+            # index of first element >= t - window_s .. index past t
+            lo = np.searchsorted(all_ts, new - window_s, side="left")
+            hi = np.searchsorted(all_ts, new, side="right")
+            peak = max(peak, int((hi - lo).max()))
+            n += len(secs)
+            cutoff = int(all_ts.max()) - window_s
+            buf = [int(t) for t in all_ts[all_ts >= cutoff]]
+        state.update((buf, peak, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "peak_10min": [peak],
+                "n_events": [n],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            key_col,
+            F.expr(f"CAST(unix_micros({ts_col}) AS BIGINT) DIV 1000000")
+            .alias("sec"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=VELOCITY_OUTPUT,
+            stateStructType=VELOCITY_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -24,8 +24,8 @@ def test_oracles_subset_of_queries():
 # nothing asserted the inventory size, so bench + driver ran green on
 # the shrunken registry. Bump the floors when keys are ADDED; any net
 # shrink must fail loudly here.
-REGISTRY_FLOOR_QUERIES = 410
-REGISTRY_FLOOR_ORACLES = 407
+REGISTRY_FLOOR_QUERIES = 412
+REGISTRY_FLOOR_ORACLES = 409
 
 
 def test_registry_never_shrinks():
