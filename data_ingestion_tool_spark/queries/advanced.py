@@ -257,20 +257,35 @@ def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders through one executor. ``with_global_row_number`` (one range
     shuffle, parallel partition sorts, broadcast offsets) reproduces
     row_number exactly, and NTILE/PERCENT_RANK are closed-form integer
-    math on (rn, n). The dense_rank stays a (properly partitioned)
-    window."""
+    math on (rn, n). The dense_rank depends ONLY on the distinct
+    (status, priority) domain (3×5 values), so it collapses to a
+    map-side-combined distinct, a window over that ≤15-row frame, and
+    a broadcast join back — no second full-data shuffle (round-9
+    verdict item 4; was 1.6× baseline with the per-row window)."""
     o = read_table(spark, sf_dir, "orders")
+    cols = o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
     ranked = with_global_row_number(
-        o.select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"),
+        cols,
         ["o_totalprice", "o_orderkey"],
         rn="__grn",
         n_col="__gn",
     )
     w_part = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    return ranked.select(
+    rank_map = (
+        cols.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .withColumn(
+            "prio_rank", F.dense_rank().over(w_part).cast("bigint")
+        )
+    )
+    return ranked.join(
+        F.broadcast(rank_map), ["o_orderstatus", "o_orderpriority"]
+    ).select(
         "o_orderkey",
         ntile_from_rn("__grn", "__gn", 4).alias("quartile"),
-        F.dense_rank().over(w_part).cast("bigint").alias("prio_rank"),
+        F.col("prio_rank"),
         percent_rank_from_rn("__grn", "__gn").alias("pct"),
     )
 

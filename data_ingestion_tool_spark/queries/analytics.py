@@ -3890,12 +3890,13 @@ def events_watermark_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the two-pass range-shuffle ranking shape (single window
     over a sorted range exchange)."""
     e = read_events(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    arr = e.select(
-        F.unix_micros(F.max("ts").over(w)).alias("hw_us"),
-        F.unix_micros("ts").alias("ts_us"),
+    from ..operators.ranking import with_global_prefix_max
+
+    arr = with_global_prefix_max(
+        e.select("event_id", F.unix_micros("ts").alias("ts_us")),
+        ["event_id"],
+        "ts_us",
+        out="hw_us",
     ).withColumn("lag", F.col("hw_us") - F.col("ts_us"))
     return arr.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -4058,7 +4059,7 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (CAST(n_c AS DOUBLE) - CAST(n_t AS DOUBLE))
                  / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)), 9)
              AS chi2_srm,
-           (n_c - n_t) * (n_c - n_t) * 10000
+           (n_c - n_t) * (n_c - n_t) * 100
              <= 384 * (n_c + n_t) AS srm_ok
     FROM c
     """,
@@ -4070,7 +4071,8 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests whether the observed split is consistent with the design
     ratio. χ² = (n_c − n_t)²/(n_c + n_t) for equal expected halves;
     the pass fence compares it to the α=0.05 critical value 3.84 in
-    INTEGER cross-multiplication ((n_c−n_t)²·10⁴ ≤ 384·(n_c+n_t)), so
+    INTEGER cross-multiplication ((n_c−n_t)²·100 ≤ 384·(n_c+n_t),
+    since 3.84 = 384/100), so
     the boundary cannot wobble; the reported statistic is one
     identical expression, ROUND 9.
 
@@ -4108,7 +4110,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("chi2_srm"),
         (
-            (F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t")) * 10000
+            (F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t")) * 100
             <= 384 * (F.col("n_c") + F.col("n_t"))
         ).alias("srm_ok"),
     )

@@ -87,8 +87,12 @@ class TxnLogTable:
         """Write ``df`` as a new immutable batch and commit a log entry.
 
         ``mode='append'`` adds the batch; ``mode='overwrite'`` also
-        removes every batch live at commit time; ``remove`` names
-        specific batches to retire (replace/compact). ``meta`` attaches
+        removes every batch live at commit time — data AND MoR
+        tombstone (``add_deletes``) batches, since an overwrite
+        supersedes the rows the tombstones pointed at; retiring them
+        here is what lets a later ``vacuum`` physically reclaim the
+        tombstoned key values (the GDPR-erasure requirement).
+        ``remove`` names specific batches to retire (replace/compact). ``meta`` attaches
         writer metadata to the log entry (e.g. a streaming micro-batch
         id — the idempotence token an exactly-once sink scans with
         ``has_meta``). Returns ``(version, batch_name)``. The parquet
@@ -101,7 +105,15 @@ class TxnLogTable:
         df.write.mode("error").parquet(os.path.join(self.root, "data", batch))
         for _ in range(max_retries):
             drop = sorted(
-                self.live_batches() if mode == "overwrite" else (remove or [])
+                self.live_batches()
+                + [
+                    b
+                    for (b, _) in self._live_with_versions(
+                        None, "add_deletes"
+                    )
+                ]
+                if mode == "overwrite"
+                else (remove or [])
             )
             entry = {"version": v, "add": [batch], "remove": drop}
             if meta:
@@ -245,26 +257,108 @@ class TxnLogTable:
         Keys are assumed unique per side (the upsert key of the
         table); the four classification joins are hash semi/anti joins
         on the delta-sized frames only.
+
+        MoR tombstones (``add_deletes`` commits) are part of the diff:
+        newly-visible rows are the added batches minus v_to tombstones
+        (sequence-aware, as in :meth:`snapshot_mor`); newly-hidden rows
+        are the removed batches (minus v_from tombstones) plus rows in
+        batches live at BOTH endpoints that a tombstone committed
+        inside the window now hides — and symmetrically, rows a
+        tombstone's retirement resurrects. The both-live-batch scans
+        run only when delete-batch liveness actually churned, filtered
+        by a broadcast semi-join on the tombstone keys, so the feed's
+        cost stays proportional to churn. Tombstone handling needs a
+        single-column upsert key (the delete batches' key column).
         """
         from pyspark.sql import functions as F
 
-        after = set(self.live_batches(v_to))
-        before = set(self.live_batches(v_from))
+        data_after = dict(self._live_with_versions(v_to, "add"))
+        data_before = dict(self._live_with_versions(v_from, "add"))
+        dels_after = self._live_with_versions(v_to, "add_deletes")
+        dels_before = self._live_with_versions(v_from, "add_deletes")
+        new_dels = [d for d in dels_after if d not in dels_before]
+        gone_dels = [d for d in dels_before if d not in dels_after]
 
-        def read(batches: list[str]) -> DataFrame | None:
+        def read_tagged(batches: list[tuple[str, int]]) -> DataFrame | None:
             if not batches:
                 return None
             parts = [
-                self.spark.read.parquet(os.path.join(self.root, "data", b))
-                for b in batches
+                self.spark.read.parquet(
+                    os.path.join(self.root, "data", b)
+                ).withColumn("_v", F.lit(v))
+                for (b, v) in batches
             ]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
 
-        add_df = read(sorted(after - before))
-        rem_df = read(sorted(before - after))
+        if (dels_after or dels_before) and len(key_cols) != 1:
+            raise ValueError(
+                "changefeed over MoR tombstones needs a single key column"
+            )
+        kc = key_cols[0]
+
+        def tomb_cond() -> "F.Column":
+            return (F.col(kc) == F.col("_del_key")) & (
+                F.col("_del_v") > F.col("_v")
+            )
+
+        def del_keys(dels: list[tuple[str, int]]) -> DataFrame:
+            return read_tagged(dels).select(
+                F.col(kc).alias("_del_key"), F.col("_v").alias("_del_v")
+            )
+
+        def apply_tombs(
+            df: DataFrame | None, dels: list[tuple[str, int]], how: str
+        ) -> DataFrame | None:
+            """Sequence-aware tombstone join: 'left_anti' keeps visible
+            rows, 'left_semi' keeps the hidden ones."""
+            if df is None or not dels:
+                return df if how == "left_anti" else None
+            return df.join(F.broadcast(del_keys(dels)), tomb_cond(), how)
+
+        added = [(b, v) for b, v in data_after.items() if b not in data_before]
+        removed = [
+            (b, v) for b, v in data_before.items() if b not in data_after
+        ]
+        both = [(b, v) for b, v in data_before.items() if b in data_after]
+
+        if not (added or removed or new_dels or gone_dels):
+            raise ValueError("no batch churn between versions")
+
+        # Newly-visible rows: new batches minus v_to tombstones, plus
+        # rows a retired tombstone resurrects in both-live batches.
+        vis_add = apply_tombs(read_tagged(added), dels_after, "left_anti")
+        resurrect = None
+        if gone_dels and both:
+            hidden_before = apply_tombs(
+                read_tagged(both), dels_before, "left_semi"
+            )
+            resurrect = apply_tombs(hidden_before, dels_after, "left_anti")
+        # Newly-hidden rows: dropped batches minus v_from tombstones,
+        # plus both-live rows a new tombstone hides.
+        vis_rem = apply_tombs(read_tagged(removed), dels_before, "left_anti")
+        tombstoned = None
+        if new_dels and both:
+            visible_before = apply_tombs(
+                read_tagged(both), dels_before, "left_anti"
+            )
+            tombstoned = apply_tombs(visible_before, new_dels, "left_semi")
+
+        def merge(a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a.unionByName(b)
+
+        add_df = merge(vis_add, resurrect)
+        rem_df = merge(vis_rem, tombstoned)
+        if add_df is not None:
+            add_df = add_df.drop("_v")
+        if rem_df is not None:
+            rem_df = rem_df.drop("_v")
 
         def tag(df: DataFrame, t: str) -> DataFrame:
             return df.withColumn("change_type", F.lit(t))

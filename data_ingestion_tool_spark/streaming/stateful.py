@@ -161,7 +161,7 @@ def velocity_per_key(
         if secs:
             all_ts = np.array(buf + secs, dtype=np.int64)
             new = np.array(secs, dtype=np.int64)
-            # count in (t - window_s, t] inclusive both ends:
+            # count in [t - window_s, t] inclusive both ends:
             # index of first element >= t - window_s .. index past t
             lo = np.searchsorted(all_ts, new - window_s, side="left")
             hi = np.searchsorted(all_ts, new, side="right")

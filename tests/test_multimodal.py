@@ -85,6 +85,28 @@ def test_codec_seam_best_available():
     assert abs(meta["mean_pixel"] - (255 / 3) / 255.0) < 1e-9
 
 
+def test_codec_gate_pinned_on_forced_no_pil(monkeypatch):
+    """Pin the no-real-codec gate INDEPENDENT of the test env: with
+    HAS_REAL_CODEC forced off, default_decoder() must select the
+    deterministic fake, codec_decode must still decode in-repo BMP
+    payloads, and anything else must raise the loud, documented
+    NotImplementedError naming the escape hatches — so the gate can
+    never silently widen into a quiet fallback."""
+    from data_ingestion_tool_spark.operators import multimodal as M
+
+    monkeypatch.setattr(M, "HAS_REAL_CODEC", False)
+    assert M.default_decoder() is M.fake_decode
+    # in-repo BMP path keeps working (real pixel math, no PIL)
+    bmp = M.bmp_encode_gray24(bytes(range(64)), width=8)
+    meta = M.codec_decode(bmp)
+    assert (meta["height"], meta["width"]) == (8, 8)
+    # everything else: loud gate with the escape hatches in the message
+    with pytest.raises(NotImplementedError) as ei:
+        M.codec_decode(b"\xff\xd8\xffJPEG-ish")
+    msg = str(ei.value)
+    assert "no codec" in msg and "fake_decode" in msg and "bmp_decode" in msg
+
+
 def test_default_decoder_selection():
     """default_decoder() picks the real codec iff present; the fake
     path stays byte-stable (pinned digest-derived values)."""

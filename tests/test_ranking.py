@@ -189,6 +189,54 @@ def test_grouped_global_row_number(spark, orders):
     )
 
 
+def test_grouped_row_number_g_bound_fallback(spark, orders):
+    """Past the configured G bound the operator must degrade to the
+    plain partitioned window (correct values, Window node in the plan)
+    instead of collecting an unbounded (pid, group) frame."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_row_number,
+    )
+
+    # o_custkey has far more than 3 distinct values: the fence trips.
+    got = with_grouped_global_row_number(
+        orders,
+        ["o_custkey"],
+        ["o_totalprice", "o_orderkey"],
+        rn="rn",
+        n_col="n",
+        max_groups=3,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # fallback plan, not the literal-map path
+    ref = orders.select(
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    a = {r["o_orderkey"]: (r["rn"], r["n"]) for r in ref.collect()}
+    b = {
+        r["o_orderkey"]: (r["rn"], r["n"])
+        for r in got.select("o_orderkey", "rn", "n").collect()
+    }
+    assert a == b
+    # under the bound the literal-map path is used: no Window node
+    fast = with_grouped_global_row_number(
+        orders, ["o_orderstatus"], ["o_totalprice", "o_orderkey"], rn="rn"
+    )
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in fast_plan
+
+
 def test_grouped_lead_matches_window(spark, orders):
     from data_ingestion_tool_spark.operators.ranking import with_grouped_lead
 

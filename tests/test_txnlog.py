@@ -247,6 +247,92 @@ def test_changefeed_skips_unchanged_batches(spark, tmp_path):
     assert keys == {100, 101, 102, 103, 200, 201}  # none of 0-99
 
 
+def test_changefeed_spans_tombstone_only_commit(spark, tmp_path):
+    """A feed window whose only churn is an ``add_deletes`` commit
+    emits ``delete`` rows for the newly-tombstoned keys (with their
+    full preimage values) instead of raising 'no batch churn'."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    base = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    t.commit(base)  # v0
+    t.commit_deletes(spark.range(2).select(F.col("id").alias("k")))  # v1
+    feed = t.changefeed(0, 1, ["k"])
+    got = {(r["change_type"], r["k"]): r["val"] for r in feed.collect()}
+    assert got == {("delete", 0): 0, ("delete", 1): 10}
+
+
+def test_changefeed_tombstone_plus_reinsert_is_update(spark, tmp_path):
+    """Tombstone + re-insert of the same key inside one feed window
+    nets to an update pair; keys only tombstoned net to deletes."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    base = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    t.commit(base)  # v0: keys 0-3
+    t.commit_deletes(spark.range(2).select(F.col("id").alias("k")))  # v1
+    # v2: re-insert key 0 with a new value
+    t.commit(
+        spark.range(1).select(F.col("id").alias("k"), F.lit(99).alias("val"))
+    )
+    feed = t.changefeed(0, 2, ["k"])
+    got = {(r["change_type"], r["k"]): r["val"] for r in feed.collect()}
+    assert got == {
+        ("update_preimage", 0): 0,
+        ("update_postimage", 0): 99,
+        ("delete", 1): 10,
+    }
+
+
+def test_changefeed_retired_tombstone_resurrects_keys(spark, tmp_path):
+    """Retiring a live delete batch (without touching its data batch)
+    makes the hidden rows visible again — the feed reports inserts."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    base = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    t.commit(base)  # v0
+    _, d0 = t.commit_deletes(
+        spark.range(2).select(F.col("id").alias("k"))
+    )  # v1
+    # v2: retire the tombstone file alongside an unrelated append
+    t.commit(
+        spark.range(10, 11).select(
+            F.col("id").alias("k"), F.lit(-1).alias("val")
+        ),
+        remove=[d0],
+    )
+    feed = t.changefeed(1, 2, ["k"])
+    got = {(r["change_type"], r["k"]): r["val"] for r in feed.collect()}
+    assert got == {
+        ("insert", 0): 0,
+        ("insert", 1): 10,
+        ("insert", 10): -1,
+    }
+
+
+def test_overwrite_retires_tombstones_so_vacuum_reclaims_them(
+    spark, tmp_path
+):
+    """The GDPR-erasure property end-to-end: overwrite-compaction
+    retires the MoR delete batch, so vacuum physically deletes both
+    the original data files AND the tombstone file holding the erased
+    subject's key values."""
+    import os
+
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    _, b0 = t.commit(spark.range(10))
+    _, d0 = t.commit_deletes(spark.range(3).select("id"))
+    t.commit(t.snapshot_mor("id"), mode="overwrite")
+    removed = t.vacuum(retain_versions=1)
+    assert set(removed) == {b0, d0}
+    datadir = tmp_path / "t" / "data"
+    assert b0 not in os.listdir(datadir) and d0 not in os.listdir(datadir)
+    assert sorted(r.id for r in t.snapshot_mor("id").collect()) == list(
+        range(3, 10)
+    )
+
+
 def test_zone_map_prune_overlap_and_conservative_keep(spark, tmp_path):
     t = TxnLogTable(spark, str(tmp_path / "t"))
     t.commit(spark.range(3), meta={"zmin": "1992-01-01", "zmax": "1992-12-31"})
