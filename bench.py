@@ -161,6 +161,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Per-family subtotals (round-9 verdict item 6): family = the
+    # queries/<family>.py module a key is registered in, so a growing
+    # registry can't mask a per-family regression inside the suite sum.
+    families: dict[str, dict] = {}
+    for k, v in ok.items():
+        fam = getattr(qs[k], "__module__", "unknown").rsplit(".", 1)[-1]
+        agg = families.setdefault(fam, {"sec": 0.0, "n": 0})
+        agg["sec"] = round(agg["sec"] + v, 3)
+        agg["n"] += 1
+
     full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(ok.values()), 3),
@@ -170,6 +180,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": REPS,
         "sentinel_sec": sentinel,
+        "families": families,
         "normalized_ratio_vs_prev": normalized,
         "regressions_over_2x": regressions,
     }

@@ -84,6 +84,7 @@ def stream_ingest_txnlog(
     table_root: str,
     transform=None,
     max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
 ):
     """Stream a (finite) parquet source into a transaction-log table,
     EXACTLY-ONCE: each micro-batch commits as one table version tagged
@@ -91,6 +92,11 @@ def stream_ingest_txnlog(
     scanning the log (``has_meta``) and skipped — the put-if-absent
     idempotence pattern Delta's ``txnAppId/txnVersion`` implements.
     Returns the TxnLogTable.
+
+    ``checkpoint`` pins the checkpoint location so a killed run can be
+    RESUMED (the restart token); default is a fresh temp dir per call
+    (one-shot ingest). tests/test_streaming_restart.py proves both the
+    offset-log resume and the has_meta replay guard across restarts.
 
     At scale the log scan is kilobytes of driver-side JSON per commit;
     each batch write is a normal distributed parquet write."""
@@ -109,7 +115,7 @@ def stream_ingest_txnlog(
             return  # replayed micro-batch: already committed
         t.commit(batch_df, meta={"src_batch": batch_id})
 
-    ckpt = os.path.join(
+    ckpt = checkpoint or os.path.join(
         tempfile.gettempdir(), "spark-graft-ckpt", f"txn-{uuid.uuid4().hex}"
     )
     q = (

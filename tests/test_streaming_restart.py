@@ -82,3 +82,133 @@ def test_stateful_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert got == full_expected
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_txnlog_sink_exactly_once_across_restart(spark, tmp_path):
+    """Kill-and-resume for the txnlog exactly-once sink (round-9
+    verdict item 8): a first run ingests two files and dies; a second
+    run on the SAME checkpoint ingests only the two new files (offset
+    log resume); and a third run with the checkpoint DESTROYED — the
+    worst-case at-least-once full replay — commits nothing new because
+    the has_meta batch-id guard recognizes every replayed micro-batch
+    in the table log. Versions and row counts stay exact throughout."""
+    from data_ingestion_tool_spark.streaming.ingest import (
+        stream_ingest_txnlog,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    table_root = str(tmp_path / "table")
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    base.where("k < 25").coalesce(1).write.mode("append").parquet(src)
+    base.where("k >= 25 AND k < 50").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t1 = stream_ingest_txnlog(
+        spark, src, schema, table_root, checkpoint=ckpt
+    )
+    assert len(t1.versions()) == 2
+    assert t1.snapshot().count() == 50
+
+    # "crash" happened; two more files land; resume on the SAME ckpt
+    base.where("k >= 50 AND k < 75").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    base.where("k >= 75").coalesce(1).write.mode("append").parquet(src)
+    t2 = stream_ingest_txnlog(
+        spark, src, schema, table_root, checkpoint=ckpt
+    )
+    assert len(t2.versions()) == 4  # offset log resumed: 2 NEW commits
+    assert t2.snapshot().count() == 100
+    # exactly-once content, not just counts
+    got = sorted((r.k, r.v) for r in t2.snapshot().collect())
+    assert got == [(i, 2 * i) for i in range(100)]
+
+    # worst case: checkpoint lost entirely -> full source replay; the
+    # in-log batch-id guard must refuse every double-append
+    shutil.rmtree(ckpt)
+    t3 = stream_ingest_txnlog(
+        spark, src, schema, table_root, checkpoint=ckpt
+    )
+    assert len(t3.versions()) == 4
+    assert t3.snapshot().count() == 100
+
+
+def test_velocity_monitor_state_survives_restart(spark, tmp_path):
+    """Kill-and-resume for the stateful velocity monitor: the trailing-
+    window second-buffer and counters must come back from the state
+    store, so a window SPANNING the restart boundary is still counted.
+    User 1's events at seconds 0/300/600 split across the two runs:
+    peak 3 is only reachable if the restarted stream restored the
+    [0, 300] buffer before seeing 600."""
+    import datetime
+
+    from data_ingestion_tool_spark.streaming.stateful import (
+        velocity_per_key,
+    )
+
+    def ev_df(secs_by_user):
+        rows = [
+            (u, datetime.datetime(2024, 1, 1, 0, 0, 0)
+             + datetime.timedelta(seconds=s))
+            for u, secs in secs_by_user.items()
+            for s in secs
+        ]
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: user 1 at 0 and 300; user 2 burst of 4 in one minute
+    ev_df({1: [0, 300], 2: [10, 20, 30, 40]}).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(sink):
+        # memory sink can't recover a checkpoint; foreachBatch->parquet
+        # is the recoverable production shape
+        def write_batch(batch_df, batch_id):
+            batch_df.withColumn(
+                "_b", F.lit(batch_id)
+            ).write.mode("append").parquet(sink)
+
+        q = (
+            velocity_per_key(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    out1 = run(str(tmp_path / "out1"))
+    peaks1 = {
+        r.user_id: r.peak_10min
+        for r in out1.groupBy("user_id")
+        .agg(F.max("peak_10min").alias("peak_10min"))
+        .collect()
+    }
+    assert peaks1 == {1: 2, 2: 4}
+
+    # crash; second file arrives: user 1 at 600 (inclusive window
+    # [0, 600] holds all three events), user 2 quiet
+    ev_df({1: [600]}).coalesce(1).write.mode("append").parquet(src)
+    out2 = run(str(tmp_path / "out2"))
+    got = {
+        r.user_id: (r.peak_10min, r.n_events) for r in out2.collect()
+    }
+    # update mode after restart emits only user 1 (the only key in the
+    # new micro-batch); its peak proves the restored [0,300] buffer
+    assert got == {1: (3, 3)}
