@@ -270,15 +270,20 @@ def ngram_jaccard_pairs(
     at these thresholds); the exact set-Jaccard then runs only on
     candidate pairs — this is the scale-correct form of "pairwise
     Jaccard" (never all-pairs). The exact verify joins on hashed
-    shingle sets (array<long>), not raw text.
+    shingle sets (array<long>), not raw text. The shingle features are
+    computed ONCE and pinned — the signature branch and the exact-
+    verify branch both read the same materialized frame instead of
+    re-tokenizing the corpus per branch (round-9).
     """
-    cands = minhash_near_dup_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold=0.0, seed=seed,
-    ).select("id_a", "id_b")
-    sh = hashed_shingles(df, text_col, id_col, shingle_n).select(
-        "id", F.array_distinct("feats").alias("sh")
+    from ..plans.pin import pin
+
+    feats = hashed_shingles(df, text_col, id_col, shingle_n).transform(
+        pin, eager=False
     )
+    cands = minhash_near_dup_pairs_from_feats(
+        feats, num_hashes, bands, jaccard_threshold=0.0, seed=seed
+    ).select("id_a", "id_b")
+    sh = feats.select("id", F.array_distinct("feats").alias("sh"))
     j = cands.join(
         sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
     ).join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

