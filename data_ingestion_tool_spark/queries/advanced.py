@@ -273,8 +273,9 @@ def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_col="__gn",
     )
     w_part = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    # distinct over the PINNED ranked frame, not a second parquet scan
     rank_map = (
-        cols.select("o_orderstatus", "o_orderpriority")
+        ranked.select("o_orderstatus", "o_orderpriority")
         .distinct()
         .withColumn(
             "prio_rank", F.dense_rank().over(w_part).cast("bigint")

@@ -3887,8 +3887,13 @@ def events_watermark_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the running max uses the arrival total order; at
     production scale arrival order is per-partition Kafka offsets, so
     the same window runs partition-local. Here the global order runs
-    through the two-pass range-shuffle ranking shape (single window
-    over a sorted range exchange)."""
+    through with_global_prefix_max — one range shuffle, a P-row maxima
+    collect, and a per-partition (parallel) window. At sf0.1 this
+    costs ~2x the single-task Window.orderBy it replaced (the pinned
+    exchange + offsets job are fixed overheads); the trade inverts at
+    scale, where the single task holding every row is the wall — the
+    same deliberate trade as window_ntile_ranks (round-8 verdict:
+    "the right trade at 100x; don't revert")."""
     e = read_events(spark, sf_dir)
     from ..operators.ranking import with_global_prefix_max
 

@@ -3174,7 +3174,13 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
         ") AS (col_name, cents)"
     )
-    vc = c.groupBy("col_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    from ..plans.pin import pin
+
+    # pin: the histogram feeds BOTH the quantile branch and the fence
+    # branch; unpinned, the stack + groupBy scan runs twice (round-9)
+    vc = c.groupBy("col_name", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).transform(pin, eager=False)
     wcum = (
         Window.partitionBy("col_name")
         .orderBy("cents")

@@ -151,6 +151,50 @@ def test_multi_column_prefix_sums(spark, orders):
     assert with_global_prefix_sums(empty, ["x"], ["y", "z"]).count() == 0
 
 
+def test_global_prefix_max_matches_naive_window(spark, orders):
+    """with_global_prefix_max == MAX OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) with no single-task window in the plan, including when
+    the running max is set early and never beaten (prefix plateaus)."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_global_prefix_max,
+    )
+
+    base = orders.select(
+        "o_orderkey", F.col("o_custkey").cast("bigint").alias("v")
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        r["o_orderkey"]: r["m"]
+        for r in base.select(
+            "o_orderkey", F.max("v").over(w).cast("bigint").alias("m")
+        ).collect()
+    }
+    got_df = with_global_prefix_max(
+        base, ["o_orderkey"], "v", out="m", num_partitions=7
+    )
+    got = {r["o_orderkey"]: r["m"] for r in got_df.collect()}
+    assert got == ref
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # negative values exercise the int64-min sentinel path
+    neg = base.withColumn("v", -F.col("v"))
+    ref_n = {
+        r["o_orderkey"]: r["m"]
+        for r in neg.select(
+            "o_orderkey", F.max("v").over(w).cast("bigint").alias("m")
+        ).collect()
+    }
+    got_n = {
+        r["o_orderkey"]: r["m"]
+        for r in with_global_prefix_max(
+            neg, ["o_orderkey"], "v", out="m", num_partitions=7
+        ).collect()
+    }
+    assert got_n == ref_n
+
+
 def test_grouped_global_row_number(spark, orders):
     from data_ingestion_tool_spark.operators.ranking import (
         with_grouped_global_row_number,
