@@ -254,40 +254,69 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quartile + percent_rank WITHOUT the single-task sort: a
     naive ``Window.orderBy`` with no partitioning funnels every row of
-    orders through one executor. ``with_global_row_number`` (one range
-    shuffle, parallel partition sorts, broadcast offsets) reproduces
-    row_number exactly, and NTILE/PERCENT_RANK are closed-form integer
-    math on (rn, n). The dense_rank depends ONLY on the distinct
-    (status, priority) domain (3×5 values), so it collapses to a
-    map-side-combined distinct, a window over that ≤15-row frame, and
-    a broadcast join back — no second full-data shuffle (round-9
-    verdict item 4; was 1.6× baseline with the per-row window)."""
+    orders through one executor. Two jobs total (round-9 verdict
+    item 4): ONE (pid, status, priority) count aggregate over the
+    pinned range exchange (≤ P·15 rows — status×priority is a 3×5
+    enum domain) funds BOTH the partition row offsets for the global
+    row_number AND the dense_rank-by-priority map, computed driver-side
+    and embedded as plan literals; the output stage is then a pure
+    whole-stage-codegen projection — no window over data, no broadcast
+    join, no second scan. NTILE/PERCENT_RANK are closed-form integer
+    math on (rn, n)."""
+    from ..operators.ranking import _MID_MASK, _at_pid, _ranged
+
     o = read_table(spark, sf_dir, "orders")
     cols = o.select(
         "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
     )
-    ranked = with_global_row_number(
-        cols,
-        ["o_totalprice", "o_orderkey"],
-        rn="__grn",
-        n_col="__gn",
-    )
-    w_part = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    # distinct over the PINNED ranked frame, not a second parquet scan
-    rank_map = (
-        ranked.select("o_orderstatus", "o_orderpriority")
-        .distinct()
-        .withColumn(
-            "prio_rank", F.dense_rank().over(w_part).cast("bigint")
+    parted, p = _ranged(cols, ["o_totalprice", "o_orderkey"], None)
+    crows = (
+        parted.groupBy(
+            F.spark_partition_id().alias("pid"),
+            "o_orderstatus",
+            "o_orderpriority",
         )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
-    return ranked.join(
-        F.broadcast(rank_map), ["o_orderstatus", "o_orderpriority"]
-    ).select(
+    cnt_by_pid = [0] * p
+    prios: dict[str, set] = {}
+    for r in crows:
+        cnt_by_pid[r["pid"]] += r["cnt"]
+        prios.setdefault(r["o_orderstatus"], set()).add(
+            r["o_orderpriority"]
+        )
+    offs, acc = [], 0
+    for x in cnt_by_pid:
+        offs.append(acc)
+        acc += x
+    n_total = acc
+    rank_pairs: list = []
+    for status, ps in prios.items():
+        for i, prio in enumerate(sorted(ps)):
+            rank_pairs += [F.lit(f"{status}\x1f{prio}"), F.lit(i + 1)]
+    rank_map = F.create_map(*rank_pairs)
+    local = (
+        parted.sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    grn = (
+        _at_pid(offs)
+        + F.col("__mid").bitwiseAND(F.lit(_MID_MASK))
+        + F.lit(1)
+    ).cast("bigint")
+    gn = F.lit(n_total).cast("bigint")
+    return local.select(
         "o_orderkey",
-        ntile_from_rn("__grn", "__gn", 4).alias("quartile"),
-        F.col("prio_rank"),
-        percent_rank_from_rn("__grn", "__gn").alias("pct"),
+        ntile_from_rn(grn, gn, 4).alias("quartile"),
+        F.element_at(
+            rank_map,
+            F.concat_ws("\x1f", "o_orderstatus", "o_orderpriority"),
+        )
+        .cast("bigint")
+        .alias("prio_rank"),
+        percent_rank_from_rn(grn, gn).alias("pct"),
     )
 
 
