@@ -377,3 +377,115 @@ def test_refs_pin_snapshots_while_main_advances(spark, tmp_path):
         t.set_ref("bogus", 99)
     with pytest.raises(ValueError):
         t.resolve_ref("never-created")
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_changefeed_equals_visible_diff_random_ops(spark, tmp_path, seed):
+    """Algebraic invariant of the MoR-aware changefeed: for ANY pair of
+    committed versions, inserts == visible(v2) − visible(v1), deletes ==
+    visible(v1) − visible(v2), and every emitted pre/postimage carries
+    the exact value visible at its endpoint — under random sequences of
+    appends, re-inserts, equality-delete commits, batch replaces, and
+    overwrite compactions (which retire tombstones)."""
+    from data_ingestion_tool_spark.sources.txnlog import TxnLogTable
+
+    rng = random.Random(seed)
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    next_key = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def visible(version):
+        try:
+            return {
+                r.k: r.v
+                for r in t.snapshot_mor("k", version=version).collect()
+            }
+        except ValueError:  # empty table
+            return {}
+
+    live_keys: set[int] = set()
+    dead_keys: set[int] = set()
+    batches: list[str] = []
+
+    # seed batch
+    rows = [(i, i * 10) for i in range(8)]
+    next_key = 8
+    live_keys |= {k for k, _ in rows}
+    _, b = t.commit(mk(rows))
+    batches.append(b)
+
+    for _ in range(7):
+        op = rng.choice(["append", "reinsert", "delete", "replace", "compact"])
+        if op == "append":
+            rows = [
+                (next_key + i, (next_key + i) * 10 + rng.randrange(5))
+                for i in range(rng.randrange(1, 5))
+            ]
+            next_key += len(rows)
+            live_keys |= {k for k, _ in rows}
+            _, b = t.commit(mk(rows))
+            batches.append(b)
+        elif op == "reinsert" and dead_keys:
+            ks = rng.sample(sorted(dead_keys), min(2, len(dead_keys)))
+            dead_keys -= set(ks)
+            live_keys |= set(ks)
+            _, b = t.commit(mk([(k, k * 100 + 7) for k in ks]))
+            batches.append(b)
+        elif op == "delete" and live_keys:
+            ks = rng.sample(sorted(live_keys), min(3, len(live_keys)))
+            live_keys -= set(ks)
+            dead_keys |= set(ks)
+            t.commit_deletes(mk([(k, 0) for k in ks]).select("k"))
+        elif op == "replace" and batches:
+            old = rng.choice(batches)
+            batches.remove(old)
+            rows = [
+                (next_key, next_key * 10), (next_key + 1, next_key * 10 + 1)
+            ]
+            next_key += 2
+            live_keys |= {k for k, _ in rows}
+            _, b = t.commit(mk(rows), remove=[old])
+            batches.append(b)
+        elif op == "compact":
+            merged = t.snapshot_mor("k")
+            _, b = t.commit(merged, mode="overwrite")
+            batches = [b]
+            dead_keys |= set()  # tombstones retired; visibility unchanged
+        # (ops that can't run this step — e.g. reinsert with no dead
+        # keys — just skip; version history still grows elsewhere)
+
+    versions = t.versions()
+    # check several random version pairs plus the full span
+    pairs = {(versions[0], versions[-1])}
+    for _ in range(4):
+        a, b2 = sorted(rng.sample(versions, 2))
+        pairs.add((a, b2))
+    for v1, v2 in pairs:
+        before, after = visible(v1), visible(v2)
+        try:
+            feed = t.changefeed(v1, v2, ["k"]).collect()
+        except ValueError:
+            # legal only when literally nothing churned
+            assert before == after
+            continue
+        ins = {r.k: r.v for r in feed if r.change_type == "insert"}
+        dels = {r.k: r.v for r in feed if r.change_type == "delete"}
+        pre = {r.k: r.v for r in feed if r.change_type == "update_preimage"}
+        post = {r.k: r.v for r in feed if r.change_type == "update_postimage"}
+        assert set(ins) == set(after) - set(before), (v1, v2, "inserts")
+        assert set(dels) == set(before) - set(after), (v1, v2, "deletes")
+        assert set(pre) == set(post), (v1, v2, "update pairing")
+        for k, v in ins.items():
+            assert after[k] == v, (v1, v2, "insert value", k)
+        for k, v in dels.items():
+            assert before[k] == v, (v1, v2, "delete value", k)
+        for k in pre:
+            assert k in before and k in after, (v1, v2, "update key", k)
+            assert pre[k] == before[k] and post[k] == after[k], (
+                v1, v2, "update values", k,
+            )
