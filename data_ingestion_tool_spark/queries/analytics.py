@@ -256,6 +256,115 @@ def agg_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "agg_hll_audience_overlap",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, ca.n AS exact_a, cb.n AS exact_b,
+           i.exact_inter,
+           CAST(ca.n + cb.n - i.exact_inter AS BIGINT) AS exact_union,
+           TRUE AS est_within_bound
+    FROM inter i
+    JOIN c ca ON ca.event_type = i.type_a
+    JOIN c cb ON cb.event_type = i.type_b
+    """,
+)
+def agg_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches — the
+    set-operation extension of agg_sketch_mergeable_distinct: per
+    event-type pair, |A ∩ B| is estimated by inclusion–exclusion over
+    three HLL estimates (est_a + est_b − est(A ∪ B), the union sketch
+    being a register-wise merge, never a rescan). At 100 TB this is
+    how pairwise audience overlaps across N segments are answered from
+    N fixed-width sketches instead of N² distinct-count shuffles.
+
+    Oracle pattern (bound-as-value): the engine-specific estimates
+    never reach the output — it carries the exact per-type counts, the
+    exact intersection (via the distinct-pair self-join the sketch
+    replaces) and the accuracy bound AS A VALUE: |est_inter −
+    exact_inter| · 20 ≤ exact_union, integer math. lgConfigK=16
+    (rsd ≈ 0.4%) makes the 5%-of-union fence a ≥7σ margin — stable
+    cross-run because HLL registers are order-insensitive maxima,
+    hence deterministic for a given input set.
+
+    Scale shape: ONE distinct pass over (type, user) pairs (pinned —
+    it funds the sketch build and the exact twin), a |types|²-row
+    sketch cross-pair, and the exact self-join shuffles distinct pairs
+    only. The exact twin disappears in production, leaving sketch-only
+    cost."""
+    from ..plans.pin import pin
+
+    e = read_events(spark, sf_dir)
+    u = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    sk = u.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(16)).alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("exact_b"),
+    )
+    px = a.join(b, F.col("type_a") < F.col("type_b"))
+    inter = (
+        u.alias("x")
+        .join(
+            u.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    est_inter = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    return (
+        px.join(inter, ["type_a", "type_b"])
+        .withColumn(
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("bigint"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            "exact_union",
+            (
+                F.abs(est_inter - F.col("exact_inter")) * 20
+                <= F.col("exact_union")
+            ).alias("est_within_bound"),
+        )
+    )
+
+
+@query(
     "join_asof_next_click",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,

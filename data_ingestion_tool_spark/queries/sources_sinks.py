@@ -86,6 +86,43 @@ def csv_roundtrip_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_gzip_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+           o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+    FROM orders
+    """,
+)
+def csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingest/export: the same lossless CSV roundtrip
+    through gzip — at 100 TB compressed text is the NORM for flat-file
+    interchange, and gzip's non-splittability is the scale trap this
+    query documents: each .csv.gz is exactly one read task, so write
+    parallelism (one file per task) must be sized to the downstream
+    read (write_csv docstring; bzip2/zstd are the splittable outs).
+    The read back is all-string compat semantics, hash-checked against
+    the source table."""
+    out = _scratch("csvgz")
+    try:
+        o = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+        write_csv(o, out, compression="gzip")
+        gz = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+        if not gz:  # guard: silent no-compression would still hash-match
+            raise RuntimeError(f"expected .csv.gz part files in {out}")
+        return read_csv_compat(spark, out).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_date"
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+
+
+@query(
     "csv_infer_types",
     oracle="SELECT c_custkey, c_acctbal, c_mktsegment FROM customer",
 )

@@ -93,11 +93,23 @@ def read_csv_inferred(
     )
 
 
-def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    compression: str | None = None,
+) -> None:
     """Distributed CSV sink (the 100 TB path — one file per task).
     Writes RFC-4180 quote doubling so round-trips through
-    :func:`read_csv_compat` (and pandas/DuckDB readers) are lossless."""
-    (
+    :func:`read_csv_compat` (and pandas/DuckDB readers) are lossless.
+
+    ``compression``: any Spark codec name ('gzip', 'bzip2', 'zstd',
+    'lz4', 'snappy'). Scale note: gzip output is NOT splittable — each
+    .csv.gz becomes exactly one read task, so size the write's
+    partitions (one file per task) to the downstream read parallelism;
+    bzip2/zstd(+seekable) are the splittable alternatives when single
+    files must be large."""
+    w = (
         df.write.mode("overwrite")
         .option("header", True)
         .option("sep", delimiter)
@@ -106,8 +118,10 @@ def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
         # pandas' to_csv (the reference exporter) does not; be lossless
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
-        .csv(path)
     )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
 
 
 EXPORT_MAX_ROWS = 100_000
