@@ -869,3 +869,67 @@ def stream_velocity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_10min").cast("bigint").alias("peak_10min"),
         F.max("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "stream_hll_window_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def stream_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily distinct-user counting — the sketch IS the
+    production path here, not an optimization: Spark forbids exact
+    distinct aggregates on streams (unbounded per-key state), so the
+    mergeable HLL++ (``approx_count_distinct``, order-insensitive
+    registers carried in the state store across micro-batches) is how
+    a stream answers cardinality at all. The finite availableNow run
+    makes it oracle-checkable against the BATCH exact twin via the
+    bound-as-value pattern: output carries the exact count (computed
+    batch-side from the same source) and an integer fence
+    |est − exact|·20 ≤ exact (rsd 0.005 ⇒ the 5% fence is ≥10σ;
+    deterministic cross-run because HLL registers are maxima).
+
+    Scale shape: streaming state is one fixed-width sketch per open
+    day window per partition; the batch twin's count_distinct
+    disappears in production, leaving sketch-only cost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return (
+            normalize_ts(stream, "ts")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.005).alias("est")
+            )
+            .select(F.col("w.start").cast("date").alias("day"), "est")
+        )
+
+    est = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        schema,
+        transform,
+        output_mode="complete",
+    )
+    exact = (
+        read_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
