@@ -1374,3 +1374,64 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("rn") - 1) % 25 == 0)
         .select("doc_id", "source", "n_chars", "rn")
     )
+
+
+@query(
+    "mix_shard_balanced_export",
+    oracle=f"""
+    WITH s AS (
+      SELECT (CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                    1, 15) AS BIGINT) % 64) AS shard,
+             {_SQL_NTOK} AS ntok
+      FROM documents
+    ),
+    per AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1
+    )
+    SELECT shard, n_docs, n_tokens,
+           64 * n_tokens <= 2 * (SELECT SUM(n_tokens) FROM per)
+             AS within_2x_mean
+    FROM per
+    """,
+)
+def mix_shard_balanced_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sharding: hash-assign every document to one of
+    64 output shards (seeded md5 of the doc id — deterministic,
+    replayable, and independent of row order, so a re-run or a resumed
+    export lands every doc in the SAME shard) and report the per-shard
+    doc/token census plus a balance fence: no shard may carry more
+    than 2x the mean token load (64·n_tokens ≤ 2·total, integer
+    cross-multiplication). This is the write-side contract of a
+    training-data export — shard-parallel readers get near-equal token
+    work, and the fence catches both a broken hash and pathological
+    doc-length skew before shards hit disk.
+
+    Scale shape: one scan, map-side-combinable aggregate to 64 rows;
+    the shard column doubles as the partitionBy key of the actual
+    export write (one file set per shard, no shuffle beyond the
+    64-way)."""
+    d = read_table(spark, sf_dir, "documents")
+    s = d.select(
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('shard:',"
+                " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % 64
+        ).alias("shard"),
+        TX.token_count("text").alias("ntok"),
+    )
+    per = s.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (64 * F.col("n_tokens") <= 2 * F.col("t")).alias("within_2x_mean"),
+    )
