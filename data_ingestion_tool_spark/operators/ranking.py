@@ -334,6 +334,10 @@ def with_global_prefix_max(
     max. ``runmax = greatest(local running max, prefix max of earlier
     partitions)``. Empty partitions contribute the int64 min sentinel,
     which ``greatest`` ignores.
+
+    Contract: ``val_col`` must be NON-NULL (rows ordered before the
+    first non-null value would surface the sentinel instead of NULL —
+    filter or coalesce nulls first).
     """
     order_cols = list(order_cols)
     parted, p = _ranged(df, order_cols, num_partitions)

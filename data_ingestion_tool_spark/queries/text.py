@@ -1758,11 +1758,14 @@ def quality_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     decided by two window MINs (strictly-richer frame + equal-richness
     partition), NOT an O(n²) pairwise join; all values exact integers.
 
-    Scale shape: one global sort by the richness key (the same shuffle
-    serves both windows); the classic distributed skyline refinement —
-    local skyline per partition, then merge — drops out of this exact
-    plan under AQE because dominated rows never leave their partition's
-    window frame."""
+    Scale shape (round-9): the dominance frontier depends only on the
+    RICHNESS-GRAIN minima, so the windows run over the (n_unique →
+    min chars) histogram — one map-side-combinable groupBy to
+    value-grain rows (bounded by the richness domain, NOT by doc
+    count), one ordered window over that tiny frame, and a broadcast
+    join back onto the doc rows. The former row-grain
+    ``Window.orderBy`` put every document through one task — the
+    single-task wall at 100 TB."""
     d = read_table(spark, sf_dir, "documents")
     f = d.select(
         "doc_id",
@@ -1771,17 +1774,14 @@ def quality_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unique_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
-    w_eq = Window.partitionBy("n_unique_tokens")
-    w_hi = Window.orderBy(F.col("n_unique_tokens").desc()).rangeBetween(
+    g = f.groupBy("n_unique_tokens").agg(
+        F.min("n_chars").alias("min_eq")
+    )
+    w_hi = Window.orderBy(F.col("n_unique_tokens").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w2 = f.select(
-        "doc_id",
-        "n_unique_tokens",
-        "n_chars",
-        F.min("n_chars").over(w_eq).alias("min_eq"),
-        F.min("n_chars").over(w_hi).alias("min_higher"),
-    )
+    g2 = g.withColumn("min_higher", F.min("min_eq").over(w_hi))
+    w2 = f.join(F.broadcast(g2), "n_unique_tokens")
     return w2.filter(
         (F.col("n_chars") == F.col("min_eq"))
         & (
