@@ -2280,3 +2280,48 @@ def text_langid_trigram_agreement(
         .groupBy("pred_stopword", "pred_trigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@query("text_compression_ratio_quality")  # rows-only: zlib has no SQL twin
+def text_compression_ratio_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compressibility-based quality census (operators/text.py
+    compression_ratio): per source, how many documents fall below the
+    0.35 'template spam' fence, inside the keep band, or above the
+    1.05 'high-entropy junk' fence, plus the mean ratio. Rows-only BY
+    DESIGN — zlib/DEFLATE is not expressible in SQL, so the driver
+    records the weaker rows+schema check; value-level accuracy is
+    pinned by tests/test_text_quality.py::test_compression_ratio_*
+    (known-compressible vs incompressible fixtures, determinism, and
+    the exact zlib twin computed in plain Python).
+
+    Scale shape: one scan, per-doc CPU, map-side-combinable census."""
+    from ..operators.text import compression_ratio
+
+    d = read_table(spark, sf_dir, "documents")
+    r = compression_ratio(d.select("source", "text"))
+    lo, hi = 0.35, 1.05
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("zlib_ratio") < lo, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_template_spam"),
+            F.sum(
+                F.when(
+                    (F.col("zlib_ratio") >= lo)
+                    & (F.col("zlib_ratio") <= hi),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum(F.when(F.col("zlib_ratio") > hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_entropy"),
+            F.round(F.avg("zlib_ratio"), 6).alias("mean_ratio"),
+        )
+        .orderBy("source")
+    )
