@@ -890,8 +890,12 @@ def stream_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it oracle-checkable against the BATCH exact twin via the
     bound-as-value pattern: output carries the exact count (computed
     batch-side from the same source) and an integer fence
-    |est − exact|·20 ≤ exact (rsd 0.005 ⇒ the 5% fence is ≥10σ;
-    deterministic cross-run because HLL registers are maxima).
+    |est − exact|·20 ≤ exact (deterministic cross-run because HLL
+    registers are maxima). rsd 0.02 keeps daily cardinalities inside
+    HLL++'s near-exact sparse mode while allocating 2^11-ish registers
+    — rsd 0.005 forced ~2M registers per open window per state
+    partition and cost 14s vs 1.5s at sf0.1 for zero accuracy gain at
+    this per-window cardinality.
 
     Scale shape: streaming state is one fixed-width sketch per open
     day window per partition; the batch twin's count_distinct
@@ -908,7 +912,7 @@ def stream_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_ts(stream, "ts")
             .groupBy(F.window("ts", "1 day").alias("w"))
             .agg(
-                F.approx_count_distinct("user_id", rsd=0.005).alias("est")
+                F.approx_count_distinct("user_id", rsd=0.02).alias("est")
             )
             .select(F.col("w.start").cast("date").alias("day"), "est")
         )
