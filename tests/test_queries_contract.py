@@ -68,3 +68,36 @@ def test_streaming_matches_batch(spark, sf_dir):
         for r in tumbling_window_counts(read_events(spark, sf_dir)).collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_window_priority_orders_failed_then_unseen(monkeypatch):
+    """The driver-window rotation (the 50-key correctness gate's entire
+    input): once the static priority list has verdicts, FAILED keys
+    lead (fixes re-verify next round), then never-seen keys with
+    prior-round keys before this round's additions; seen-and-passing
+    keys leave the window."""
+    import __spark_entry__ as E
+
+    keys = ["a", "b", "c", "d", "e"]
+    monkeypatch.setattr(E, "_WINDOW_PRIORITY", ["a", "b"])
+    # before full coverage of the static list: static order holds
+    monkeypatch.setattr(E, "_driver_verdicts", lambda: (set(), set()))
+    assert E._window_priority(keys) == ["a", "b"]
+    # after: 'b' failed, 'c' (prior round) and 'e' (new) never seen
+    monkeypatch.setattr(
+        E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"})
+    )
+    monkeypatch.setattr(E, "_prior_round_keys", lambda: {"a", "b", "c", "d"})
+    assert E._window_priority(keys) == ["b", "c", "e"]
+
+
+def test_ordered_puts_window_head_first():
+    """queries()/oracle_sql() must begin with the computed window so
+    the driver's first-50 slice IS the rotation."""
+    import __spark_entry__ as E
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    w = E._window_priority(QUERIES)
+    ordered = list(E.queries())
+    assert ordered[: len(w)] == [k for k in w if k in QUERIES]
+    assert set(ordered) == set(QUERIES)
