@@ -411,3 +411,40 @@ def test_autocorr_single_pass_boundary_plan(q, spark, sf_dir):
     # the fact table, no join anywhere
     assert "rangepartitioning" in prepin.lower()
     assert "Join" not in prepin
+
+
+def test_ntile_ranks_two_job_plan_is_joinless_windowless(q):
+    """Round-9 replan pin: window_ntile_ranks computes the global
+    row_number offsets AND the (status, priority) dense-rank map from
+    ONE collect over the pinned exchange; the output stage must carry
+    no join, no Window node at all, and no Python row path — pure
+    literal-map/array projection."""
+    from data_ingestion_tool_spark.plans import (
+        join_strategies,
+        simple_plan,
+        single_task_global_windows,
+    )
+
+    df = q("window_ntile_ranks")
+    assert join_strategies(df) == []
+    plan = simple_plan(df)
+    assert "Window" not in plan
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert single_task_global_windows(df) == 0
+
+
+def test_pareto_skyline_windows_run_on_histogram_grain(q):
+    """Round-9 replan pin: quality_pareto_skyline_2d's dominance
+    windows run over the (richness -> min chars) histogram, never over
+    doc rows — the plan's only Window sits above an aggregate, and the
+    doc-side rows reach it through a broadcast join."""
+    from data_ingestion_tool_spark.plans import (
+        join_strategies,
+        single_task_global_windows,
+    )
+
+    df = q("quality_pareto_skyline_2d")
+    assert single_task_global_windows(df) == 0
+    assert "broadcast" in [s.lower() for s in join_strategies(df)] or any(
+        "Broadcast" in s for s in join_strategies(df)
+    )
