@@ -315,6 +315,138 @@ def with_global_prefix_sum(
     return out.drop("__pid", "__lrn", "__lcum")
 
 
+def with_grouped_global_prefix_sum(
+    df: DataFrame,
+    group_cols: Iterable[Column | str],
+    order_cols: Iterable[Column | str],
+    sum_col: str,
+    *,
+    cum: str = "cum",
+    n_col: str | None = None,
+    num_partitions: int | None = None,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-GROUP inclusive prefix sum of an INTEGER column over a total
+    order — the distributed ``SUM(x) OVER (PARTITION BY g ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` for the LOW-CARDINALITY-group / huge-
+    rows regime where the plain partitioned window funnels each group's
+    ENTIRE row set through one task (e.g. cumulative histograms: one
+    group per profiled column, millions of value-grain rows per group).
+
+    Plan shape (the :func:`with_grouped_global_row_number` design):
+    one range shuffle on (group, order) pinned, ONE capped
+    ``(pid, group) → (sum, cnt)`` aggregate whose ≤ P+G rows become a
+    driver-side exclusive-offset literal map keyed ``pid\\x1fgroup``,
+    and a per-(pid, group) window (fully parallel) for the local
+    running sum. Optional ``n_col`` adds the per-group total from the
+    same collect. Same G bound, key-type contract (str/int/date), and
+    graceful fallback to the plain partitioned window past
+    ``max_groups`` as the grouped row-number operator. ``sum_col``
+    must be non-null int64-safe.
+    """
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    all_cols = group_cols + order_cols
+    sess = df.sparkSession
+    p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
+    _validate_group_cols(df, gnames)
+    parted = df.repartitionByRange(p, *_cols(all_cols)).transform(pin)
+    cap = p + max_groups + 1
+    crows = (
+        parted.select(
+            F.spark_partition_id().alias("pid"), *gnames, sum_col
+        )
+        .groupBy("pid", *gnames)
+        .agg(
+            F.sum(F.col(sum_col).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .limit(cap)
+        .collect()
+    )
+    gkeys = {tuple(_norm_key(r[g]) for g in gnames) for r in crows}
+    if len(crows) >= cap or len(gkeys) > max_groups:
+        w = (
+            Window.partitionBy(*gnames)
+            .orderBy(*_cols(order_cols))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn(
+            cum, F.sum(F.col(sum_col).cast("bigint")).over(w).cast("bigint")
+        )
+        if n_col is not None:
+            out = out.withColumn(
+                n_col,
+                F.sum(F.col(sum_col).cast("bigint"))
+                .over(Window.partitionBy(*gnames))
+                .cast("bigint"),
+            )
+        return out
+    if not crows:
+        out = df.withColumn(cum, F.lit(None).cast("bigint"))
+        if n_col is not None:
+            out = out.withColumn(n_col, F.lit(None).cast("bigint"))
+        return out
+    _validate_group_key_values(gkeys, gnames)
+    # exclusive per-(pid, group) offsets: for each group, running sum
+    # of its partials across ascending pid
+    partials: dict[tuple, dict[int, int]] = {}
+    totals: dict[tuple, int] = {}
+    for r in crows:
+        key = tuple(_norm_key(r[g]) for g in gnames)
+        partials.setdefault(key, {})[r["pid"]] = int(r["s"] or 0)
+        totals[key] = totals.get(key, 0) + int(r["s"] or 0)
+
+    def k_str(key: tuple, pid: int) -> str:
+        g = key[0] if len(key) == 1 else "\x1f".join(str(x) for x in key)
+        return f"{pid}\x1f{g}"
+
+    off_pairs: list[Column] = []
+    tot_pairs: list[Column] = []
+    for key, by_pid in partials.items():
+        acc = 0
+        for pid in sorted(by_pid):
+            off_pairs += [
+                F.lit(k_str(key, pid)),
+                F.lit(acc).cast("bigint"),
+            ]
+            acc += by_pid[pid]
+    for key, t in totals.items():
+        g = key[0] if len(key) == 1 else "\x1f".join(str(x) for x in key)
+        tot_pairs += [F.lit(g), F.lit(int(t)).cast("bigint")]
+    off_map = F.create_map(*off_pairs)
+    tot_map = F.create_map(*tot_pairs)
+    gkey = (
+        F.col(gnames[0]).cast("string")
+        if len(gnames) == 1
+        else F.concat_ws("\x1f", *[F.col(g).cast("string") for g in gnames])
+    )
+    local = parted.withColumn("__pid", F.spark_partition_id())
+    wloc = (
+        Window.partitionBy("__pid", *gnames)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = local.withColumn(
+        cum,
+        (
+            F.sum(F.col(sum_col).cast("bigint")).over(wloc)
+            + F.element_at(
+                off_map,
+                F.concat_ws(
+                    "\x1f", F.col("__pid").cast("string"), gkey
+                ),
+            )
+        ).cast("bigint"),
+    )
+    if n_col is not None:
+        out = out.withColumn(
+            n_col, F.element_at(tot_map, gkey).cast("bigint")
+        )
+    return out.drop("__pid")
+
+
 def with_global_prefix_max(
     df: DataFrame,
     order_cols: Iterable[Column | str],

@@ -3157,13 +3157,13 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: quantiles come from the VALUE-GRAIN cumulative
     histogram — one map-side-combinable groupBy to (column, distinct
-    value) counts, then per-column cumulative windows over the value
-    domain (≤ price-domain cardinality rows per column, bounded by the
-    column's value range — NOT by row count; the fact table itself is
-    never window-sorted), then one broadcast of the 4-row fence table
-    back onto the stacked scan. Columns profile in parallel. For
-    unbounded-domain columns use the row-grain ranking operator
-    (operators/ranking.py) instead.
+    value) counts, then the per-column cumulative sums run through
+    ``with_grouped_global_prefix_sum`` (round-9): one range shuffle of
+    the histogram on (column, value), a ≤P·4-row offsets collect, and
+    a per-(partition, column) parallel window — so even a column whose
+    value domain rivals its row count (near-unique prices) never
+    funnels through one task. The 4-row fence table broadcasts back
+    onto the same pinned histogram. Columns profile in parallel.
     """
     li = read_table(spark, sf_dir, "lineitem")
     c = li.selectExpr(
@@ -3174,24 +3174,13 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
         ") AS (col_name, cents)"
     )
-    from ..plans.pin import pin
+    from ..operators.ranking import with_grouped_global_prefix_sum
 
-    # pin: the histogram feeds BOTH the quantile branch and the fence
-    # branch; unpinned, the stack + groupBy scan runs twice (round-9)
-    vc = c.groupBy("col_name", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).transform(pin, eager=False)
-    wcum = (
-        Window.partitionBy("col_name")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = vc.select(
-        "col_name",
-        "cents",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("col_name")).alias("n"),
+    vc = c.groupBy("col_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # the operator pins its range exchange internally; BOTH downstream
+    # branches (quantiles and fences) read that one materialization
+    cum = with_grouped_global_prefix_sum(
+        vc, ["col_name"], ["cents"], "cnt", cum="cum", n_col="n"
     ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
     r1 = F.expr("(n - 1) DIV 4 + 1")
     r2 = F.expr("(n - 1) DIV 2 + 1")
@@ -3208,11 +3197,11 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("cum_prev") < r3) & (r3 <= F.col("cum")), F.col("cents"))
         ).alias("q3_cents"),
     )
-    # Fence counts come from the SAME value-grain histogram (vc), not a
-    # second scan of the stacked fact table: sum cnt over the histogram
-    # rows outside the fences — identical totals, one less full scan +
-    # wide shuffle.
-    j = vc.join(F.broadcast(q), "col_name")
+    # Fence counts come from the SAME value-grain histogram (via the
+    # operator's pinned exchange), not a second scan of the stacked
+    # fact table: sum cnt over the histogram rows outside the fences.
+    hist = cum.select("col_name", "cents", "cnt")
+    j = hist.join(F.broadcast(q), "col_name")
     return j.groupBy("col_name").agg(
         F.max("n").alias("n"),
         F.max("q1_cents").alias("q1_cents"),

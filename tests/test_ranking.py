@@ -461,3 +461,67 @@ def test_adjacent_pair_moments_matches_naive_lead(spark, orders):
         grouped_adjacent_pair_moments(
             big, "g", ["o"], "v", num_partitions=1
         ).collect()
+
+
+def test_grouped_prefix_sum_matches_naive_window(spark, orders):
+    """with_grouped_global_prefix_sum == SUM OVER (PARTITION BY g ORDER
+    BY ... ROWS UNBOUNDED PRECEDING) + per-group totals, with groups
+    spanning partition boundaries; past max_groups it falls back to the
+    plain partitioned window with identical values."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_prefix_sum,
+    )
+
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 7 + 1).alias("v"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        r["o_orderkey"]: (r["c"], r["n"])
+        for r in base.select(
+            "o_orderkey",
+            F.sum("v").over(w).cast("bigint").alias("c"),
+            F.sum("v")
+            .over(Window.partitionBy("o_orderstatus"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()
+    }
+    got_df = with_grouped_global_prefix_sum(
+        base,
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        "v",
+        cum="c",
+        n_col="n",
+        num_partitions=7,
+    )
+    got = {r["o_orderkey"]: (r["c"], r["n"]) for r in got_df.collect()}
+    assert got == ref
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # fallback past the G bound: same values, Window-over-group plan
+    fb = with_grouped_global_prefix_sum(
+        base,
+        ["o_orderkey"],  # high cardinality -> fence trips
+        ["o_totalprice"],
+        "v",
+        cum="c",
+        max_groups=3,
+    )
+    assert "Window" in fb._jdf.queryExecution().executedPlan().toString()
+    # empty input keeps schema
+    empty = spark.createDataFrame([], "g string, x long, v long")
+    assert (
+        with_grouped_global_prefix_sum(
+            empty, ["g"], ["x"], "v", cum="c"
+        ).count()
+        == 0
+    )
