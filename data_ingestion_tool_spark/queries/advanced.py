@@ -1032,15 +1032,39 @@ def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (LAST_VALUE's default frame ends at CURRENT ROW — the classic
     trap — so both sides pin UNBOUNDED..UNBOUNDED). cume_dist is
     count-ratio arithmetic: identical integer divisions both engines.
-    Unique-key tie-break per the determinism rule."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
+    Unique-key tie-break per the determinism rule.
+
+    Scale shape (round-9): the UNIQUE tie-break makes every sort key
+    distinct, so CUME_DIST degenerates to rn/n — computed through the
+    grouped two-pass ranking (3 enum groups × the whole orders fact
+    would otherwise each sort in ONE task), with the same integer →
+    double division both engines evaluate identically. FIRST/LAST over
+    the full frame are per-group argmin/argmax: a 3-row min_by/max_by
+    aggregate broadcast back."""
+    from ..operators.ranking import with_grouped_global_row_number
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ranked = with_grouped_global_row_number(
+        o,
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        rn="__rn",
+        n_col="__n",
+    )
+    order_key = F.struct("o_totalprice", "o_orderkey")
+    ends = o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", order_key).alias("cheapest_key"),
+        F.max_by("o_orderkey", order_key).alias("priciest_key"),
+    )
+    return ranked.join(F.broadcast(ends), "o_orderstatus").select(
         "o_orderkey",
-        F.cume_dist().over(w).alias("cd"),
-        F.first("o_orderkey").over(wf).alias("cheapest_key"),
-        F.last("o_orderkey").over(wf).alias("priciest_key"),
+        (
+            F.col("__rn").cast("double") / F.col("__n").cast("double")
+        ).alias("cd"),
+        "cheapest_key",
+        "priciest_key",
     )
 
 

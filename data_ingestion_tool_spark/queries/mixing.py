@@ -105,19 +105,23 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source proportions in tokens (the unit that matters) rather than
     doc counts. Integer cumsum ⇒ the budget fence cannot wobble.
 
-    Scale shape: same single source-partitioned window as the
-    stratified sampler; the cumulative sum is a running frame, no
-    second pass.
+    Scale shape (round-9): the running token sum rides
+    ``with_grouped_global_prefix_sum`` — one pinned range exchange on
+    (source, shuffle-order) plus a per-(partition, source) parallel
+    window — because ``Window.partitionBy(source)`` routes each
+    source's ENTIRE corpus through one task, and unlike the rank<=k
+    samplers there is no WindowGroupLimit rescue for a token fence
+    (the budget bounds tokens, not rows, so no map-side row cutoff
+    exists).
     """
+    from ..operators.ranking import with_grouped_global_prefix_sum
+
     d = read_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", TX.token_count("text").alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(*_shuffle_order())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        with_grouped_global_prefix_sum(
+            t, ["source"], _shuffle_order(), "n_tokens", cum="cum_tokens"
+        )
         .where(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
@@ -1207,17 +1211,23 @@ def mix_source_quota_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/dropped/char-mass per source so the curation run can audit
     what the cap cost. Pure integer ranks and sums — bit-exact.
 
-    Scale shape: one hash-partitioned window per source (the natural
-    partition key of a curation run) followed by a map-side-combinable
-    re-aggregation on the same key — AQE coalesces the two shuffles to
-    one exchange since the partitioning is identical. A skewed
-    mega-source degrades gracefully: the window is a per-key sort, not
-    a global one."""
-    d = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
+    Scale shape (round-9): the audit needs EVERY row's rank (dropped
+    rows count too), so the rank<=k WindowGroupLimit pushdown cannot
+    apply; the rank rides ``with_grouped_global_row_number`` instead —
+    one pinned range exchange on (source, chars desc, doc_id) and a
+    literal-map projection, so a mega-source's millions of rows rank
+    across ALL partitions instead of one task per source."""
+    from ..operators.ranking import with_grouped_global_row_number
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
     )
-    r = d.withColumn("rn", F.row_number().over(w))
+    r = with_grouped_global_row_number(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        rn="rn",
+    )
     kept = F.when(F.col("rn") <= 15, 1).otherwise(0)
     return r.groupBy("source").agg(
         F.sum(kept).cast("bigint").alias("kept_docs"),
