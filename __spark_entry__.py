@@ -84,10 +84,15 @@ _WINDOW_PRIORITY = [
 ]
 
 
-def _driver_verdicts() -> tuple[set[str], set[str]]:
-    """(seen, failed): keys with any verdict in CORRECTNESS_r*.json, and
-    keys whose MOST RECENT verdict was a failure (hash/rows/schema false
-    or an error other than the intentional no_oracle)."""
+def _driver_verdicts() -> tuple[set[str], set[str], set[str]]:
+    """(seen, failed, stale): keys with any verdict in
+    CORRECTNESS_r*.json; keys whose MOST RECENT verdict was a failure
+    (hash/rows/schema false or an error other than the intentional
+    no_oracle); and keys whose most recent verdict was the weak
+    rows-only ``no_oracle`` record but which NOW have a hash oracle in
+    ``ORACLES`` — those re-window like failures so a promotion from
+    rows-only to hash-oracled gets a fresh driver verdict (the
+    dedup_near_minhash r02→r06 gap the round-9 judge flagged)."""
     import glob
     import json
 
@@ -114,7 +119,12 @@ def _driver_verdicts() -> tuple[set[str], set[str]]:
         )
 
     failed = {k for k, v in latest.items() if is_fail(v)}
-    return seen, failed
+    stale = {
+        k
+        for k, v in latest.items()
+        if k not in failed and v.get("err") == "no_oracle" and k in ORACLES
+    }
+    return seen, failed, stale
 
 
 def _prior_round_keys() -> set[str]:
@@ -144,15 +154,17 @@ def _window_priority(all_keys) -> list[str]:
     """Current window: the static priority list until the driver has
     recorded verdicts for all of it, then automatic rotation — keys
     whose latest driver verdict FAILED come first (so fixes get
-    re-verified next round), then keys with NO driver verdict yet
-    (long-standing keys from the prior round's bench before this
-    round's new additions, registry order within each class), so each
-    round's 50-entry correctness window covers fresh ground."""
-    seen, failed = _driver_verdicts()
+    re-verified next round), then keys whose last verdict is a stale
+    rows-only record despite a since-added hash oracle, then keys with
+    NO driver verdict yet (long-standing keys from the prior round's
+    bench before this round's new additions, registry order within
+    each class), so each round's 50-entry correctness window covers
+    fresh ground."""
+    seen, failed, stale = _driver_verdicts()
     if not seen.issuperset(_WINDOW_PRIORITY):
         return _WINDOW_PRIORITY
     prior = _prior_round_keys()
-    refresh = [k for k in all_keys if k in failed]
+    refresh = [k for k in all_keys if k in failed or k in stale]
     fresh = [k for k in all_keys if k not in seen and k not in failed]
     fresh.sort(key=lambda k: k not in prior)  # stable: prior-round first
     return refresh + fresh

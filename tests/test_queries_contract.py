@@ -81,14 +81,20 @@ def test_window_priority_orders_failed_then_unseen(monkeypatch):
     keys = ["a", "b", "c", "d", "e"]
     monkeypatch.setattr(E, "_WINDOW_PRIORITY", ["a", "b"])
     # before full coverage of the static list: static order holds
-    monkeypatch.setattr(E, "_driver_verdicts", lambda: (set(), set()))
+    monkeypatch.setattr(E, "_driver_verdicts", lambda: (set(), set(), set()))
     assert E._window_priority(keys) == ["a", "b"]
     # after: 'b' failed, 'c' (prior round) and 'e' (new) never seen
     monkeypatch.setattr(
-        E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"})
+        E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"}, set())
     )
     monkeypatch.setattr(E, "_prior_round_keys", lambda: {"a", "b", "c", "d"})
     assert E._window_priority(keys) == ["b", "c", "e"]
+    # stale rows-only verdicts re-window like failures once an oracle
+    # exists ('d' was last seen as no_oracle, now hash-oracled)
+    monkeypatch.setattr(
+        E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"}, {"d"})
+    )
+    assert E._window_priority(keys) == ["b", "d", "c", "e"]
 
 
 def test_ordered_puts_window_head_first():
