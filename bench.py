@@ -168,8 +168,10 @@ def main() -> None:
     for k, v in ok.items():
         fam = getattr(qs[k], "__module__", "unknown").rsplit(".", 1)[-1]
         agg = families.setdefault(fam, {"sec": 0.0, "n": 0})
-        agg["sec"] = round(agg["sec"] + v, 3)
+        agg["sec"] += v
         agg["n"] += 1
+    for agg in families.values():  # round once at emit, not per step
+        agg["sec"] = round(agg["sec"], 3)
 
     full = {
         "metric": "headline_suite_seconds",

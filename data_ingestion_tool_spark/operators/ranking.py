@@ -59,7 +59,9 @@ def _cols(order_cols: Iterable[Column | str]) -> list[Column]:
 _GROUP_NAME_RE = None  # compiled lazily; module avoids importing re at top
 
 
-def _validate_group_cols(df: DataFrame, gnames: list[str]) -> None:
+def _validate_group_cols(
+    df: DataFrame, gnames: list[str], *, allow_timestamp: bool = True
+) -> None:
     """Turn the grouped-ranking docstring contract into a runtime check
     (round-5 ADVICE): group keys must be PLAIN ASCENDING column
     references (not expressions — a ``desc()`` or computed key would
@@ -79,9 +81,14 @@ def _validate_group_cols(df: DataFrame, gnames: list[str]) -> None:
         "smallint",
         "tinyint",
         "date",
-        "timestamp",
-        "timestamp_ntz",
     )
+    if allow_timestamp:
+        # callers whose group-key comparison is native-typed (dict hits
+        # in an Arrow pass, or a single-column typed literal map) may
+        # take timestamps; the multi-column STRING-rendered map path
+        # must not (Python '.123000' vs Spark CAST '.123' — round-9
+        # ADVICE), so those callers pass allow_timestamp=False
+        ok_types += ("timestamp", "timestamp_ntz")
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for g in gnames:
         if not _GROUP_NAME_RE.match(g):
@@ -335,12 +342,21 @@ def with_grouped_global_prefix_sum(
 
     Plan shape (the :func:`with_grouped_global_row_number` design):
     one range shuffle on (group, order) pinned, ONE capped
-    ``(pid, group) → (sum, cnt)`` aggregate whose ≤ P+G rows become a
-    driver-side exclusive-offset literal map keyed ``pid\\x1fgroup``,
-    and a per-(pid, group) window (fully parallel) for the local
-    running sum. Optional ``n_col`` adds the per-group total from the
-    same collect. Same G bound, key-type contract (str/int/date), and
-    graceful fallback to the plain partitioned window past
+    ``(pid, group) → (sum, cnt)`` aggregate whose ≤ P+G rows become
+    driver-side NATIVE-TYPED offset/total dicts, a parallel
+    per-partition sort, and a single Arrow ``mapInPandas`` pass that
+    adds ``offset[(pid, group)] + local grouped cumsum`` — no second
+    exchange (the former ``Window.partitionBy(__pid, grp)`` merge
+    planned an extra full-data hash shuffle, round-9 ADVICE) and no
+    string rendering of group keys anywhere (the former literal maps
+    keyed ``str(pid) + str(key)`` vs Spark ``CAST(key AS STRING)``
+    disagreed on fractional-second timestamps and, for the totals map,
+    on key TYPE under ANSI — round-9 ADVICE medium/low). Lookups are
+    Python-dict hits on values normalized by :func:`_norm_key`; a
+    non-round-tripping key raises KeyError loudly instead of emitting
+    NULLs. Optional ``n_col`` adds the per-group total from the same
+    collect. Same G bound, key-type contract (str/int/date/timestamp),
+    and graceful fallback to the plain partitioned window past
     ``max_groups`` as the grouped row-number operator. ``sum_col``
     must be non-null int64-safe.
     """
@@ -390,61 +406,70 @@ def with_grouped_global_prefix_sum(
         return out
     _validate_group_key_values(gkeys, gnames)
     # exclusive per-(pid, group) offsets: for each group, running sum
-    # of its partials across ascending pid
+    # of its partials across ascending pid — native-typed dict keys
+    # (str/int/date/datetime straight off the JVM collect), matched in
+    # the Arrow pass below via the same _norm_key normalization
     partials: dict[tuple, dict[int, int]] = {}
     totals: dict[tuple, int] = {}
     for r in crows:
         key = tuple(_norm_key(r[g]) for g in gnames)
         partials.setdefault(key, {})[r["pid"]] = int(r["s"] or 0)
         totals[key] = totals.get(key, 0) + int(r["s"] or 0)
-
-    def k_str(key: tuple, pid: int) -> str:
-        g = key[0] if len(key) == 1 else "\x1f".join(str(x) for x in key)
-        return f"{pid}\x1f{g}"
-
-    off_pairs: list[Column] = []
-    tot_pairs: list[Column] = []
+    offsets: dict[tuple, int] = {}
     for key, by_pid in partials.items():
         acc = 0
         for pid in sorted(by_pid):
-            off_pairs += [
-                F.lit(k_str(key, pid)),
-                F.lit(acc).cast("bigint"),
-            ]
+            offsets[(pid, *key)] = acc
             acc += by_pid[pid]
-    for key, t in totals.items():
-        g = key[0] if len(key) == 1 else "\x1f".join(str(x) for x in key)
-        tot_pairs += [F.lit(g), F.lit(int(t)).cast("bigint")]
-    off_map = F.create_map(*off_pairs)
-    tot_map = F.create_map(*tot_pairs)
-    gkey = (
-        F.col(gnames[0]).cast("string")
-        if len(gnames) == 1
-        else F.concat_ws("\x1f", *[F.col(g).cast("string") for g in gnames])
+
+    local = parted.sortWithinPartitions(*_cols(all_cols)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    local = parted.withColumn("__pid", F.spark_partition_id())
-    wloc = (
-        Window.partitionBy("__pid", *gnames)
-        .orderBy(*_cols(order_cols))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    schema = StructType(
+        local.schema.fields
+        + [StructField(cum, LongType())]
+        + ([StructField(n_col, LongType())] if n_col is not None else [])
     )
-    out = local.withColumn(
-        cum,
-        (
-            F.sum(F.col(sum_col).cast("bigint")).over(wloc)
-            + F.element_at(
-                off_map,
-                F.concat_ws(
-                    "\x1f", F.col("__pid").cast("string"), gkey
-                ),
-            )
-        ).cast("bigint"),
-    )
-    if n_col is not None:
-        out = out.withColumn(
-            n_col, F.element_at(tot_map, gkey).cast("bigint")
-        )
-    return out.drop("__pid")
+    n_gnames = len(gnames)
+
+    def add_grouped_cum(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        carry: dict[tuple, int] = {}
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            vals = pdf[sum_col].to_numpy(dtype="int64")
+            out_c = np.empty(k, dtype="int64")
+            out_n = np.empty(k, dtype="int64") if n_col is not None else None
+            for raw, idx in pdf.groupby(gnames, sort=False).indices.items():
+                if n_gnames == 1:
+                    raw0 = raw[0] if isinstance(raw, tuple) else raw
+                    key = (_norm_key(raw0),)
+                else:
+                    key = tuple(_norm_key(x) for x in raw)
+                try:
+                    base = offsets[(pid, *key)] + carry.get(key, 0)
+                    tot = totals[key]
+                except KeyError:
+                    raise KeyError(
+                        f"grouped prefix-sum offset missing for partition "
+                        f"{pid} group {key!r}: group-key values did not "
+                        f"round-trip between JVM collect and Arrow"
+                    ) from None
+                cs = vals[idx].cumsum()
+                out_c[idx] = cs + base
+                carry[key] = carry.get(key, 0) + int(cs[-1])
+                if out_n is not None:
+                    out_n[idx] = tot
+            extra = {cum: out_c}
+            if out_n is not None:
+                extra[n_col] = out_n
+            yield pdf.assign(**extra)
+
+    return local.mapInPandas(add_grouped_cum, schema).drop("__pid")
 
 
 def with_global_prefix_max(
@@ -461,9 +486,11 @@ def with_global_prefix_max(
 
     Plan shape: one range shuffle (pinned, reused by both branches), a
     ≤P-row per-partition-max collect whose EXCLUSIVE prefix maxima
-    become a literal-array lookup, and a per-partition window (keyed on
-    ``spark_partition_id()``, fully parallel) for the local running
-    max. ``runmax = greatest(local running max, prefix max of earlier
+    become a literal-array lookup, a parallel per-partition sort, and
+    a single Arrow ``mapInPandas`` running-max pass — no second
+    exchange (the former ``Window.partitionBy(__pid)`` merge planned
+    an extra full-data hash shuffle on ``__pid``, round-9 ADVICE).
+    ``runmax = greatest(local running max, prefix max of earlier
     partitions)``. Empty partitions contribute the int64 min sentinel,
     which ``greatest`` ignores.
 
@@ -488,20 +515,34 @@ def with_global_prefix_max(
     for i in range(p):
         pref[i] = acc
         acc = max(acc, mx[i])
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*_cols(order_cols))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = parted.sortWithinPartitions(*_cols(order_cols)).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    schema = StructType(
+        local.schema.fields + [StructField("__lmax", LongType())]
+    )
+
+    def add_local_max(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        cur = sentinel
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rm = np.maximum.accumulate(
+                pdf[val_col].to_numpy(dtype="int64")
+            )
+            np.maximum(rm, cur, out=rm)
+            cur = int(rm[-1])
+            yield pdf.assign(__lmax=rm)
+
     return (
-        parted.withColumn("__pid", F.spark_partition_id())
+        local.mapInPandas(add_local_max, schema)
         .withColumn(
             out,
-            F.greatest(
-                F.max(F.col(val_col).cast("bigint")).over(w), _at_pid(pref)
-            ).cast("bigint"),
+            F.greatest(F.col("__lmax"), _at_pid(pref)).cast("bigint"),
         )
-        .drop("__pid")
+        .drop("__pid", "__lmax")
     )
 
 
@@ -693,7 +734,10 @@ def with_grouped_global_row_number(
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
     gnames = [c if isinstance(c, str) else c._jc.toString() for c in group_cols]
-    _validate_group_cols(df, gnames)
+    # multi-column keys ride a string-rendered literal map; timestamps
+    # render differently in Python str() vs Spark CAST — single-column
+    # keys use a TYPED literal map and may be timestamps
+    _validate_group_cols(df, gnames, allow_timestamp=len(gnames) == 1)
     parted = df.repartitionByRange(p, *_cols(all_cols)).transform(pin)
 
     cap = p + max_groups + 1

@@ -525,3 +525,173 @@ def test_grouped_prefix_sum_matches_naive_window(spark, orders):
         ).count()
         == 0
     )
+
+
+def test_grouped_prefix_sum_timestamp_key_fractional_seconds(spark):
+    """Round-9 ADVICE (medium): a timestamp group key with fractional
+    seconds rendered differently in Python str() ('.123000') vs Spark
+    CAST AS STRING ('.123'), so the old string-keyed offset map lookup
+    returned NULL silently. The Arrow-pass design keys offsets by
+    native values — cum/n must be exact and non-null."""
+    import datetime as dt
+
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_prefix_sum,
+    )
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 0, 123000),
+        dt.datetime(2024, 1, 1, 0, 0, 0, 456789),
+        dt.datetime(2024, 1, 2, 12, 30, 45, 1000),
+    ]
+    rows = [(ts[i % 3], i, i % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "g timestamp, o long, v long")
+    w = Window.partitionBy("g").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        (r["g"], r["o"]): (r["c"], r["n"])
+        for r in df.select(
+            "g",
+            "o",
+            F.sum("v").over(w).cast("bigint").alias("c"),
+            F.sum("v")
+            .over(Window.partitionBy("g"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()
+    }
+    got = {
+        (r["g"], r["o"]): (r["c"], r["n"])
+        for r in with_grouped_global_prefix_sum(
+            df, ["g"], ["o"], "v", cum="c", n_col="n", num_partitions=5
+        ).collect()
+    }
+    assert got == ref
+    assert all(c is not None and n is not None for c, n in got.values())
+
+
+def test_grouped_prefix_sum_no_second_exchange(spark, orders):
+    """Round-9 ADVICE (low): the old merge pass windowed over
+    (__pid, grp), planning a SECOND full-data hash exchange on top of
+    the pinned range shuffle. The Arrow merge pass must leave exactly
+    zero hashpartitioning exchanges in the final plan (the range
+    exchange is materialized inside the pin)."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_global_prefix_max,
+        with_grouped_global_prefix_sum,
+    )
+
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 7 + 1).alias("v"),
+    )
+    got = with_grouped_global_prefix_sum(
+        base,
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        "v",
+        cum="c",
+        n_col="n",
+        num_partitions=7,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    gmax = with_global_prefix_max(
+        base.withColumn("v2", F.col("v").cast("bigint")),
+        ["o_orderkey"],
+        "v2",
+        out="m",
+        num_partitions=7,
+    )
+    plan2 = gmax._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan2
+    assert "Window" not in plan2
+
+
+def test_grouped_row_number_rejects_multicol_timestamp_key(spark):
+    """Multi-column grouped row_number keys ride a STRING-rendered
+    literal map; timestamps render differently in Python vs Spark, so
+    the operator must refuse them (single-column timestamp keys use a
+    typed map and stay allowed)."""
+    import datetime as dt
+
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0, 123000), "a", 1, 2)],
+        "t timestamp, g string, o long, v long",
+    )
+    with pytest.raises(ValueError, match="timestamp"):
+        with_grouped_global_row_number(df, ["t", "g"], ["o"])
+    # single-column timestamp key: typed-map path, allowed and exact
+    out = with_grouped_global_row_number(df, ["t"], ["o"], rn="rn")
+    assert [r["rn"] for r in out.collect()] == [1]
+
+
+def test_grouped_prefix_sum_fence_boundary_with_skew(spark):
+    """VERDICT r09 item 2: adversarial G at the max_groups fence with
+    heavy skew. G == max_groups-1 and G == max_groups must take the
+    fast path; G == max_groups+1 must fall back to the plain window —
+    and ALL paths must agree bit-for-bit with the naive window, with a
+    50%-of-rows skew group spanning many partitions."""
+    from data_ingestion_tool_spark.operators.ranking import (
+        with_grouped_global_prefix_sum,
+    )
+
+    fence = 40
+    n_small = fence + 1  # small groups beyond the skew one
+    rows = []
+    o = 0
+    # skewed group 'g00000' holds as many rows as all others combined
+    for i in range(n_small):
+        g = f"g{i:05d}"
+        for _ in range(3):
+            rows.append((g, o, o % 5 + 1))
+            o += 1
+    for _ in range(3 * n_small):
+        rows.append(("g00000", o, o % 5 + 1))
+        o += 1
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    w = Window.partitionBy("g").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        (r["g"], r["o"]): (r["c"], r["n"])
+        for r in df.select(
+            "g",
+            "o",
+            F.sum("v").over(w).cast("bigint").alias("c"),
+            F.sum("v")
+            .over(Window.partitionBy("g"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()
+    }
+    for g_total, max_groups, fast in [
+        (n_small, n_small + 1, True),  # G = fence-1 (fence = G+1)
+        (n_small, n_small, True),  # G exactly at the fence
+        (n_small, n_small - 1, False),  # G = fence+1 -> fallback
+    ]:
+        out = with_grouped_global_prefix_sum(
+            df,
+            ["g"],
+            ["o"],
+            "v",
+            cum="c",
+            n_col="n",
+            num_partitions=7,
+            max_groups=max_groups,
+        )
+        got = {(r["g"], r["o"]): (r["c"], r["n"]) for r in out.collect()}
+        assert got == ref, (max_groups, fast)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if fast:
+            assert "Window" not in plan, max_groups
+        else:
+            assert "Window" in plan, max_groups
