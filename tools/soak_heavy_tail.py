@@ -1,0 +1,206 @@
+"""10x-scale growth soak for the bench heavy tail (round-10 VERDICT
+item 3).
+
+Dual-scale correctness runs at sf0.01/sf0.1 (10x); this tool puts one
+measured point BEYOND that under the 10 slowest BENCH.json queries: it
+materializes perturbed-clone copies of the tables those queries read
+(the soak_dedup.py scaling discipline — never identical clones where
+the operator's candidate structure would gain n^2 cross-copy pairs)
+and times each query end-to-end (build + count) at 1x and Nx.
+
+Per-table scaling rules (why each perturbation is the faithful model):
+
+- documents: word-suffix perturbation + doc_id shift (soak_dedup.py's
+  scaled_documents rationale verbatim — shingles never collide across
+  copies, so near-dup structure stays per-copy and candidate growth
+  measures the ALGORITHM, not planted n^2 duplicates).
+- embeddings: tiny deterministic per-copy vector offset + vec_id
+  shift (same rationale in cosine space).
+- lineitem: key shift (orderkey/partkey/suppkey + c*10^7) keeps joins
+  per-copy; l_extendedprice gets +c cents so value-grain histogram
+  cardinality grows ~linearly like real data (identical clones would
+  keep the histogram CONSTANT and under-stress quantile/IQR plans).
+- part: p_partkey shifted in lockstep with lineitem.l_partkey so the
+  brand lookup joins stay 1:1 per copy; the brand enum itself is
+  scale-invariant by design (graph nodes stay 25, input rows grow).
+- events: event_id/user_id shifts keep stream-join pairs per-copy
+  (user collisions across copies would plant n^2 join output); ts
+  unchanged, so watermark state carries Nx rows per window — the
+  honest stress for stream-stream join state.
+
+Usage: python tools/soak_heavy_tail.py [mult]     (default 10)
+Writes tools/soak_heavy_tail.json; BASELINE.md records the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = Path(__file__).resolve().parent / "soak_heavy_tail.json"
+WORK = Path(os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/spark-graft-soak"))
+
+HEAVY_KEYS = [
+    "similarity_topk_ivf_fullprobe",
+    "pipeline_training_data_prep",
+    "text_langid_trigram_agreement",
+    "dedup_resolve_clusters",
+    "dedup_semantic_resolve",
+    "stats_bootstrap_mean_ci",
+    "quality_multi_column_iqr",
+    "stream_stream_join",
+    "dedup_containment_ngram",
+    "graph_kcore_brands",
+]
+
+KEY_SHIFT = 10_000_000
+
+
+def _union(parts):
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def build_scaled_dir(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.parquet_io import (
+        read_events,
+        read_table,
+    )
+
+    out = WORK / f"m{mult}"
+    if (out / "_DONE").exists():
+        return str(out)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+
+    docs = read_table(spark, SF_DIR, "documents")
+    _union(
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + c * KEY_SHIFT)
+            .withColumn(
+                "text",
+                F.col("text")
+                if c == 0
+                else F.regexp_replace("text", r"(\w+)", f"$1q{c}"),
+            )
+            for c in range(mult)
+        ]
+    ).write.parquet(str(out / "documents.parquet"))
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    _union(
+        [
+            emb.withColumn("vec_id", F.col("vec_id") + c * KEY_SHIFT)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    _add_const(float(c) * 1e-3),
+                ),
+            )
+            for c in range(mult)
+        ]
+    ).write.parquet(str(out / "embeddings.parquet"))
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    _union(
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + c * KEY_SHIFT)
+            .withColumn("l_partkey", F.col("l_partkey") + c * KEY_SHIFT)
+            .withColumn("l_suppkey", F.col("l_suppkey") + c * KEY_SHIFT)
+            .withColumn(
+                "l_extendedprice", F.col("l_extendedprice") + c * 0.01
+            )
+            for c in range(mult)
+        ]
+    ).write.parquet(str(out / "lineitem.parquet"))
+
+    part = read_table(spark, SF_DIR, "part")
+    _union(
+        [
+            part.withColumn("p_partkey", F.col("p_partkey") + c * KEY_SHIFT)
+            for c in range(mult)
+        ]
+    ).write.parquet(str(out / "part.parquet"))
+
+    ev = read_events(spark, SF_DIR)
+    _union(
+        [
+            ev.withColumn("event_id", F.col("event_id") + c * KEY_SHIFT)
+            .withColumn("user_id", F.col("user_id") + c * KEY_SHIFT)
+            for c in range(mult)
+        ]
+    ).write.parquet(str(out / "events.parquet"))
+
+    (out / "_DONE").touch()
+    return str(out)
+
+
+def _add_const(off: float):
+    """Factory binding the loop var (never default-arg lambdas with
+    HOFs — PySpark dispatches on lambda arity, CLAUDE.md rule)."""
+    from pyspark.sql import functions as F
+
+    def f(x):
+        return (x + F.lit(off)).cast("float")
+
+    return f
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from data_ingestion_tool_spark.queries import QUERIES
+    from data_ingestion_tool_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-heavy-tail")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {1: build_scaled_dir(spark, 1), mult: build_scaled_dir(spark, mult)}
+
+    rows = []
+    for key in HEAVY_KEYS:
+        q = QUERIES[key]
+        per = {}
+        for m, d in dirs.items():
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = q(spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            per[m] = (round(best, 2), n)
+        ratio = round(per[mult][0] / max(per[1][0], 1e-9), 2)
+        rows.append(
+            {
+                "query": key,
+                "sec_1x": per[1][0],
+                f"sec_{mult}x": per[mult][0],
+                "rows_1x": per[1][1],
+                f"rows_{mult}x": per[mult][1],
+                "growth": ratio,
+                "subquadratic": ratio < mult * mult,
+                "sublinear_margin": round(ratio / mult, 2),
+            }
+        )
+        print(f"{key}: {per[1][0]}s @1x -> {per[mult][0]}s @{mult}x "
+              f"(x{ratio})", file=sys.stderr)
+
+    OUT.write_text(
+        json.dumps({"sf_dir": SF_DIR, "mult": mult, "rows": rows}, indent=1)
+        + "\n"
+    )
+    print(json.dumps({"mult": mult, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
