@@ -44,6 +44,7 @@ from pyspark.sql import SparkSession
 
 from ..catalog import MAX_LIST_TABLES, schema_to_columns
 from ..sources.csv_io import export_csv_rows, read_csv_compat
+from .connector import route
 from .models import ColumnSelection, ConnectionInfo, build_export_dataframe
 
 
@@ -63,9 +64,15 @@ def _now() -> str:
 def connect(spark: SparkSession, conn: ConnectionInfo) -> dict[str, Any]:
     """List tables + connection echo (main.py:96-111). The SHOW TABLES
     probe is capped at 1000 names like the reference's
-    ``max_result_rows`` setting (main.py:102)."""
+    ``max_result_rows`` setting (main.py:102). When external routing is
+    enabled (connector.route), the listing comes from the real server
+    ``conn`` names; otherwise from the session catalog."""
     try:
-        names = [t.name for t in spark.catalog.listTables()][:MAX_LIST_TABLES]
+        be = route(conn)
+        if be is not None:
+            names = be.list_tables()
+        else:
+            names = [t.name for t in spark.catalog.listTables()][:MAX_LIST_TABLES]
     except Exception as e:  # noqa: BLE001 — mirror blanket 400 (main.py:112-118)
         raise ApiError(400, f"Connection failed: {e}") from e
     return {
@@ -78,14 +85,28 @@ def connect(spark: SparkSession, conn: ConnectionInfo) -> dict[str, Any]:
 
 def get_columns(spark: SparkSession, conn: ConnectionInfo, table: str) -> dict[str, Any]:
     """EXISTS guard + DESCRIBE (main.py:128-153): 404 when absent, else
-    per-column name/type/default/comment."""
+    per-column name/type/default/comment — from the routed server when
+    external routing is enabled, else from the session catalog."""
+    be = None
     try:
-        exists = spark.catalog.tableExists(table)
+        be = route(conn)
+        exists = (
+            be.table_exists(table)
+            if be is not None
+            else spark.catalog.tableExists(table)
+        )
     except Exception as e:  # noqa: BLE001
         raise ApiError(400, f"Failed to get columns: {e}") from e
     if not exists:
         raise ApiError(404, f"Table {table} does not exist")
-    cols = schema_to_columns(spark.table(table).schema)
+    try:
+        cols = (
+            be.columns(table)
+            if be is not None
+            else schema_to_columns(spark.table(table).schema)
+        )
+    except Exception as e:  # noqa: BLE001
+        raise ApiError(400, f"Failed to get columns: {e}") from e
     return {"status": "success", "columns": cols, "count": len(cols)}
 
 
