@@ -212,3 +212,95 @@ def test_velocity_monitor_state_survives_restart(spark, tmp_path):
     # update mode after restart emits only user 1 (the only key in the
     # new micro-batch); its peak proves the restored [0,300] buffer
     assert got == {1: (3, 3)}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("state_partitions", [64])
+def test_state_width_independent_of_shuffle_width_across_restart(
+    spark, sf_dir, tmp_path, state_partitions
+):
+    """CLAUDE.md scale rule made executable (round-10 verdict item 8):
+    streaming state width is PER-STREAM (run_stream_to_table's
+    state_partitions knob), not the session's relational shuffle width.
+    A stateful aggregation started at 64 state partitions while the
+    session runs 32 relational shuffle partitions must (a) create
+    exactly 64 state stores (checkpoint state/0/<pid> layout), (b) keep
+    the session conf untouched, and (c) recover all 64 across a
+    kill-and-restart with exact results — the width is baked into the
+    checkpoint at first start."""
+    ev = read_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    half = ev.where(F.col("event_id") % 2 == 0)
+    rest = ev.where(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    half.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run():
+        # the run_stream_to_table discipline: swap the conf only for
+        # the stream's lifetime (state width is a per-stream choice)
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(sink)
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+        try:
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    q1 = run()
+    # (b) session shuffle width untouched after the stream finishes
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_conf
+    # (a) exactly state_partitions state stores on disk
+    state_dirs = [
+        d
+        for d in os.listdir(os.path.join(ckpt, "state", "0"))
+        if d.isdigit()
+    ]
+    assert len(state_dirs) == state_partitions
+    # progress reports the same width for the stateful operator
+    ops = (q1.lastProgress or {}).get("stateOperators") or []
+    if ops and "numShufflePartitions" in ops[0]:
+        assert ops[0]["numShufflePartitions"] == state_partitions
+
+    # crash + land the rest + restart on the SAME checkpoint
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+    full_expected = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = {
+        r.event_type: r.cnt for r in spark.read.parquet(sink).collect()
+    }
+    # (c) all 64 recovered stores merged the halves exactly
+    assert got == full_expected
+    state_dirs2 = [
+        d
+        for d in os.listdir(os.path.join(ckpt, "state", "0"))
+        if d.isdigit()
+    ]
+    assert len(state_dirs2) == state_partitions
