@@ -372,25 +372,29 @@ def _recall_fence(
     (recall_ok = 1, n_result_rows = n_queries·k). Any machinery
     regression — under-filled shortlist, dropped query, recall
     collapse — flips a value and breaks the driver hash."""
-    pairs = bf.select("query_id", "neighbor_id")
-    hits = (
-        ann.select("query_id", "neighbor_id")
-        .join(pairs, ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).alias("hits"))
+    # ONE pass over the ANN output (a left join against the tiny
+    # brute-force pair set) computes both the row-count contract and
+    # the hit count — two separate aggregates would re-execute the
+    # whole index pipeline (codebook training included) per branch
+    pairs = bf.select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
     )
-    nres = ann.agg(F.count(F.lit(1)).alias("n_result_rows"))
-    nq = queries_df.agg(F.count(F.lit(1)).alias("nq"))
-    return (
-        nq.crossJoin(nres)
-        .crossJoin(hits)
-        .select(
-            F.col("nq").cast("bigint").alias("n_queries"),
-            F.lit(k).cast("int").alias("k"),
-            F.col("n_result_rows").cast("bigint").alias("n_result_rows"),
-            (F.col("hits") * 100 >= F.col("nq") * k * pct)
-            .cast("int")
-            .alias("recall_ok"),
+    stats = (
+        ann.select("query_id", "neighbor_id")
+        .join(F.broadcast(pairs), ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_result_rows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"),
         )
+    )
+    nq = queries_df.agg(F.count(F.lit(1)).alias("nq"))
+    return nq.crossJoin(stats).select(
+        F.col("nq").cast("bigint").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_result_rows").cast("bigint").alias("n_result_rows"),
+        (F.col("hits") * 100 >= F.col("nq") * k * pct)
+        .cast("int")
+        .alias("recall_ok"),
     )
 
 
