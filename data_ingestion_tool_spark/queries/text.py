@@ -2094,6 +2094,85 @@ def filter_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_quality_threshold_sweep",
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','that'], x)))
+                  AS BIGINT) AS sw_hits
+      FROM documents),
+    b AS (SELECT least(9, (10 * sw_hits) // greatest(n_tokens, 1)) AS jmax,
+                 n_tokens
+          FROM t),
+    h AS (SELECT jmax, CAST(COUNT(*) AS BIGINT) AS docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS toks
+          FROM b GROUP BY jmax),
+    g AS (SELECT unnest(generate_series(0, 9)) AS j)
+    SELECT CAST(g.j AS INT) AS threshold_decile,
+           CAST(COALESCE(SUM(h.docs), 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(h.toks), 0) AS BIGINT) AS n_tokens_kept
+    FROM g LEFT JOIN h ON h.jmax >= g.j
+    GROUP BY g.j
+    """,
+)
+def filter_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table for a curation filter: for every stopword-
+    ratio threshold t = j/10 (j = 0..9), how many documents and tokens
+    survive ``stopword_ratio >= t``. The sweep picks the keep-rate /
+    budget trade-off BEFORE a full filtering run — the curve a curation
+    team reads off to set the production threshold.
+
+    Determinism: thresholds never touch floats — each doc's maximal
+    surviving decile is the integer ``least(9, (10·sw_hits) DIV
+    n_tokens)`` (the cross-multiplication rule; a ``ratio >= j/10``
+    float compare would wobble at exact boundaries), and per-threshold
+    totals are cumulative sums over that 10-bucket histogram.
+
+    Scale shape: ONE scan with codegen'd token counting → a ≤10-row
+    histogram; the sweep itself is a broadcast theta-join of two tiny
+    frames (10 x ≤10 rows). Adding thresholds costs nothing."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TX.ENGLISH_STOPWORDS])
+    feats = d.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("sw_hits"),
+    )
+    b = feats.select(
+        F.expr(
+            "least(CAST(9 AS BIGINT),"
+            " (10 * sw_hits) DIV greatest(n_tokens, CAST(1 AS BIGINT)))"
+        ).alias("jmax"),
+        "n_tokens",
+    )
+    h = b.groupBy("jmax").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    )
+    g = spark.range(0, 10).select(F.col("id").alias("j"))
+    return (
+        g.join(F.broadcast(h), F.col("jmax") >= F.col("j"), "left")
+        .groupBy("j")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.coalesce(F.sum("toks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            F.col("j").cast("int").alias("threshold_decile"),
+            "n_docs_kept",
+            "n_tokens_kept",
+        )
+    )
+
+
+@query(
     "text_ttr_lexical_diversity",
     oracle="""
     WITH toks AS (
