@@ -1802,6 +1802,136 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "privacy_generalization_ladder",
+    oracle="""
+    WITH l0 AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             c.c_mktsegment AS seg,
+             (CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              + 100000) // 100000 AS band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3, 4
+    ),
+    l1 AS (SELECT region, nation, seg, CAST(SUM(k) AS BIGINT) AS k
+           FROM l0 GROUP BY 1, 2, 3),
+    l2 AS (SELECT region, seg, CAST(SUM(k) AS BIGINT) AS k
+           FROM l1 GROUP BY 1, 2),
+    l3 AS (SELECT seg, CAST(SUM(k) AS BIGINT) AS k FROM l2 GROUP BY 1),
+    s0 AS (SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+                  CAST(MIN(k) AS BIGINT) AS min_k,
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN 1 END), 0)
+                       AS BIGINT) AS small_classes,
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+                       AS BIGINT) AS exposed_rows
+           FROM l0),
+    s1 AS (SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(MIN(k) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN 1 END), 0)
+                       AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+                       AS BIGINT)
+           FROM l1),
+    s2 AS (SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(MIN(k) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN 1 END), 0)
+                       AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+                       AS BIGINT)
+           FROM l2),
+    s3 AS (SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(MIN(k) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN 1 END), 0)
+                       AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+                       AS BIGINT)
+           FROM l3),
+    u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+    SELECT CAST(level AS INT) AS level, n_classes, min_k, small_classes,
+           exposed_rows, CAST(min_k >= 5 AS INT) AS k5_ok
+    FROM u
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anonymization decision table k-anonymity audits feed: sweep
+    the quasi-identifier GENERALIZATION ladder — L0 (nation, segment,
+    $1000 balance band) → L1 (nation, segment) → L2 (region, segment)
+    → L3 (segment) — and report, per level, the class count, the
+    smallest class, how many classes re-identify (k < 5) and how many
+    rows sit in them. A release picks the coarsest level whose utility
+    survives and whose k5_ok holds — the structural-privacy sibling of
+    filter_quality_threshold_sweep's operating-point curve.
+
+    Determinism: balance banding is offset-cents integer floor-div
+    (all-positive operands, so Spark DIV truncation == DuckDB //
+    floor), every stat is an integer count.
+
+    Scale shape: ONE scan of customer (broadcast nation join) down to
+    the bounded L0 class histogram (regions × nations × segments ×
+    ~11 bands); L1/L2/L3 re-aggregate that tiny frame instead of
+    rescanning — the quality_multi_column_iqr histogram-grain rule."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    l0 = (
+        c.join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey"),
+                    F.col("n_regionkey").alias("region"),
+                )
+            ),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(
+            "region",
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " + 100000) DIV 100000"
+            ).alias("band"),
+        )
+        .groupBy("region", "nation", "seg", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    l1 = l0.groupBy("region", "nation", "seg").agg(
+        F.sum("k").cast("bigint").alias("k")
+    )
+    l2 = l1.groupBy("region", "seg").agg(
+        F.sum("k").cast("bigint").alias("k")
+    )
+    l3 = l2.groupBy("seg").agg(F.sum("k").cast("bigint").alias("k"))
+
+    def stats(classes: DataFrame, level: int) -> DataFrame:
+        small = F.when(F.col("k") < 5, 1)
+        exposed = F.when(F.col("k") < 5, F.col("k"))
+        return classes.agg(
+            F.lit(level).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.coalesce(F.sum(small), F.lit(0))
+            .cast("bigint")
+            .alias("small_classes"),
+            F.coalesce(F.sum(exposed), F.lit(0))
+            .cast("bigint")
+            .alias("exposed_rows"),
+        )
+
+    u = (
+        stats(l0, 0)
+        .unionByName(stats(l1, 1))
+        .unionByName(stats(l2, 2))
+        .unionByName(stats(l3, 3))
+    )
+    return u.select(
+        "level",
+        "n_classes",
+        "min_k",
+        "small_classes",
+        "exposed_rows",
+        (F.col("min_k") >= 5).cast("int").alias("k5_ok"),
+    )
+
+
+@query(
     "window_fill_ignore_nulls",
     oracle="""
     WITH base AS (
