@@ -1891,6 +1891,9 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("region", "nation", "seg", "band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        # pin: four stats branches re-aggregate THIS frame — unpinned,
+        # each union branch would re-derive l0 (4 customer scans)
+        .transform(pin)
     )
     l1 = l0.groupBy("region", "nation", "seg").agg(
         F.sum("k").cast("bigint").alias("k")
