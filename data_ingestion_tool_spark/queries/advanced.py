@@ -1738,9 +1738,12 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cls = b.groupBy("seg", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
-    )
+    ).transform(pin)
     # segs/bins derive from the aggregated cell frame, not the base
-    # scan — one pass over customer total, not three.
+    # scan — and cls is PINNED: segs/bins/grid/max_bin all branch off
+    # it, and unpinned each branch re-ran the customer groupBy (5
+    # customer scans in the static plan — round-10 repeated-scan
+    # audit; 1 after the pin).
     segs = cls.select("seg").distinct()
     bins = cls.select("bin").distinct()
     grid = (

@@ -3905,9 +3905,17 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us", "xs", "b", "event_id", "y",
         F.row_number().over(wb).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    med = rk.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
-        "b", "us", F.col("xs").alias("xm"), F.col("y").alias("ym"), "n"
+    ).transform(pin)
+    # pin rk AND the bucket-count-sized med: med/lp/rp/anch/scored/edge
+    # branch off them 7 ways — unpinned, every branch re-derived the
+    # whole events scan + window chain (round-10 repeated-scan audit:
+    # 7 event scans in the static plan; 1 after the pins)
+    med = (
+        rk.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "b", "us", F.col("xs").alias("xm"), F.col("y").alias("ym"), "n"
+        )
+        .transform(pin)
     )
     lp = med.select((F.col("b") + 1).alias("b"), F.col("xm").alias("xl"),
                     F.col("ym").alias("yl"))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import columns_df
+from ..plans.pin import pin
 from ..sources import (
     ingest_append,
     read_csv_compat,
@@ -990,7 +991,23 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .where(F.col("c_custkey") % 97 != 0)
     )
-    fact = o.unionAll(o.where(F.col("o_orderkey") % 101 == 0))
+    # double-delivery via explode, not union-of-two-scans, and pinned:
+    # three audit branches off one fact frame read orders ONCE (the
+    # union form cost 6 scans in the static plan — round-10 audit)
+    fact = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.explode(
+                F.when(
+                    F.col("o_orderkey") % 101 == 0,
+                    F.array(F.lit(1), F.lit(2)),
+                ).otherwise(F.array(F.lit(1)))
+            ).alias("_copy"),
+        )
+        .drop("_copy")
+        .transform(pin)
+    )
     orphans = fact.join(
         dim, fact.o_custkey == dim.c_custkey, "left_anti"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
