@@ -18,10 +18,13 @@ main.py:102,133-147,311) against the server the ``ConnectionInfo``
 names. Otherwise it returns ``None`` and the façade falls back to the
 session catalog unchanged.
 
-Scale note: routing only covers METADATA calls (list/describe/probe) —
-bulk data movement stays on the Spark side, where a real deployment
-would use a distributed JDBC/arrow read rather than funneling rows
-through one driver-side client.
+Routing covers all four endpoints: metadata (list/describe/probe),
+export (server-side query → rows, main.py:184), and import (all-String
+CREATE TABLE IF NOT EXISTS + 10,000-row batched inserts,
+main.py:263-286). Data volumes here are API-sized by construction —
+the payload of one HTTP request — exactly like the reference; the
+engine's distributed scan/write paths remain the Spark-side default
+for anything bigger.
 """
 
 from __future__ import annotations
@@ -111,3 +114,41 @@ class ClickHouseBackend:
 
     def ping(self) -> bool:
         return self._client.query("SELECT 1").result_rows[0][0] == 1
+
+    def query_rows(self, sql: str) -> list[tuple]:
+        """Export path (main.py:184): run the façade-built SELECT on
+        the server and return its row tuples."""
+        return self._client.query(sql).result_rows
+
+    def create_table_all_string(
+        self, table: str, columns: list[str]
+    ) -> str:
+        """Reference auto-DDL (main.py:258-271) as OBSERVED: the CSV
+        arrives dtype=str/na_filter=False, so every column is pandas
+        object and the int/float/bool/datetime branches of its
+        type_mapping are dead — every ingested column is String
+        (SURVEY §1.2). Emit exactly that table."""
+        cols = ", ".join(f"`{c}` String" for c in columns)
+        sql = (
+            f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) "
+            f"ENGINE = MergeTree() ORDER BY tuple()"
+        )
+        self._client.command(sql)
+        return sql
+
+    def insert_rows(
+        self,
+        table: str,
+        columns: list[str],
+        rows: list[list],
+        batch_size: int = 10_000,
+    ) -> int:
+        """The reference's batched append insert (main.py:273-286,
+        batch_size=10000): one client.insert per slice, returns rows
+        inserted."""
+        inserted = 0
+        for i in range(0, len(rows), batch_size):
+            batch = rows[i : i + batch_size]
+            self._client.insert(table, batch, column_names=list(columns))
+            inserted += len(batch)
+        return inserted

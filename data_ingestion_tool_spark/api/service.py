@@ -129,6 +129,31 @@ def export_flatfile(
             f"SELECT {', '.join(selection.columns)} FROM {tables_str} "
             f"WHERE {selection.join_condition}"
         )
+    be = route(conn)
+    if be is not None:
+        # routed export (main.py:184-201): the SQL string runs on the
+        # real server; rows → CSV exactly like the reference (pandas
+        # to_csv to a string — its utf-8-sig arg is dead there, see
+        # csv_io.export_csv_rows)
+        try:
+            rows = be.query_rows(query)
+            if not rows:
+                return {"status": "success", "data": "", "count": 0,
+                        "message": "No data found"}
+            import pandas as pd
+
+            csv_data = pd.DataFrame(
+                rows, columns=selection.columns
+            ).to_csv(index=False)
+            return {
+                "status": "success",
+                "data": csv_data,
+                "count": len(rows),
+                "query": query,
+                "exported_at": _now(),
+            }
+        except Exception as e:  # noqa: BLE001 — reference maps all to 500
+            raise ApiError(500, f"Export failed: {e}") from e
     try:
         df = build_export_dataframe(spark, selection)
         if df.isEmpty():
@@ -182,6 +207,23 @@ def import_flatfile(
         df = read_csv_compat(spark, tmp.name, delimiter=delimiter, multiline=True)
         if df.isEmpty() or not df.columns:
             raise ApiError(400, "File is empty or invalid format")
+        be = route(conn)
+        if be is not None:
+            # routed import (main.py:258-286): all-String IF NOT
+            # EXISTS auto-DDL + 10k-row batched inserts against the
+            # real server. The collect is bounded by construction —
+            # these rows arrived in THIS request's multipart body.
+            be.create_table_all_string(table, df.columns)
+            count = be.insert_rows(
+                table, df.columns, [list(r) for r in df.collect()]
+            )
+            return {
+                "status": "success",
+                "count": count,
+                "columns": df.columns,
+                "table": table,
+                "imported_at": _now(),
+            }
         # append-wins / IF NOT EXISTS policy: first writer defines the
         # schema; later ingests append (main.py:263-268 + insert loop).
         df.write.mode("append").format("parquet").saveAsTable(table)

@@ -121,3 +121,81 @@ def test_route_pools_clients_by_conn_key_without_password(monkeypatch):
     assert made[0]["password"] == "p1"  # first writer wins the pool slot
     assert a.list_tables() == ["t"]
     assert a.ping()
+
+
+class FakeClientRW(FakeClient):
+    """Adds the write surface (command/insert) for routed export/import."""
+
+    def __init__(self, tables=None, described=None, query_rows=None):
+        super().__init__(tables, described)
+        self.query_result = query_rows
+        self.commands = []
+        self.inserts = []
+
+    def query(self, sql, settings=None):
+        if self.query_result is not None and sql.startswith("SELECT "):
+            self.queries.append((sql, settings))
+            return FakeResult(self.query_result)
+        return super().query(sql, settings)
+
+    def command(self, sql):
+        self.commands.append(sql)
+
+    def insert(self, table, rows, column_names=None):
+        self.inserts.append((table, rows, column_names))
+
+
+def test_routed_export_runs_query_on_server(monkeypatch, spark):
+    """Routed export: the façade-built SQL string runs on the server
+    (main.py:184); rows come back as the reference's CSV shape; the
+    zero-row short-circuit holds."""
+    from data_ingestion_tool_spark.api.models import ColumnSelection
+
+    client = FakeClientRW(query_rows=[(1, "a"), (2, "b")])
+    conn = ConnectionInfo(host="ch.example.com")
+    monkeypatch.setattr(
+        service, "route", lambda c: connector.ClickHouseBackend(c, client=client)
+    )
+    sel = ColumnSelection(table="t1", columns=["id", "name"])
+    out = service.export_flatfile(spark, conn, sel)
+    assert out["count"] == 2
+    assert out["query"] == "SELECT id, name FROM t1"
+    assert out["data"].splitlines() == ["id,name", "1,a", "2,b"]
+    assert client.queries[-1][0] == "SELECT id, name FROM t1"
+    # zero rows -> reference's "No data found" body, no CSV built
+    client2 = FakeClientRW(query_rows=[])
+    monkeypatch.setattr(
+        service, "route", lambda c: connector.ClickHouseBackend(c, client=client2)
+    )
+    out2 = service.export_flatfile(spark, conn, sel)
+    assert out2 == {"status": "success", "data": "", "count": 0,
+                    "message": "No data found"}
+
+
+def test_routed_import_all_string_ddl_and_batching(monkeypatch, spark):
+    """Routed import: all-String IF NOT EXISTS DDL (the reference's
+    OBSERVED dead-type-mapping behavior) + batched inserts; insert
+    batching splits at batch_size with the last partial batch."""
+    client = FakeClientRW()
+    conn = ConnectionInfo()
+    monkeypatch.setattr(
+        service, "route", lambda c: connector.ClickHouseBackend(c, client=client)
+    )
+    csv = "a,b\n" + "\n".join(f"{i},x{i}" for i in range(5)) + "\n"
+    out = service.import_flatfile(
+        spark, conn, "up.csv", csv.encode(), table="tt"
+    )
+    assert out["count"] == 5 and out["columns"] == ["a", "b"]
+    assert client.commands == [
+        "CREATE TABLE IF NOT EXISTS `tt` (`a` String, `b` String) "
+        "ENGINE = MergeTree() ORDER BY tuple()"
+    ]
+    assert len(client.inserts) == 1  # 5 rows < 10k -> one batch
+    table, rows, cols = client.inserts[0]
+    assert table == "tt" and cols == ["a", "b"] and len(rows) == 5
+    assert rows[0] == ["0", "x0"]  # all-string compat parse
+    # batch split semantics, directly on the backend (main.py:274)
+    be = connector.ClickHouseBackend(conn, client=FakeClientRW())
+    n = be.insert_rows("t", ["c"], [[i] for i in range(5)], batch_size=2)
+    assert n == 5
+    assert [len(r) for _, r, _ in be._client.inserts] == [2, 2, 1]
