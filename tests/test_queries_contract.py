@@ -24,8 +24,8 @@ def test_oracles_subset_of_queries():
 # nothing asserted the inventory size, so bench + driver ran green on
 # the shrunken registry. Bump the floors when keys are ADDED; any net
 # shrink must fail loudly here.
-REGISTRY_FLOOR_QUERIES = 412
-REGISTRY_FLOOR_ORACLES = 409
+REGISTRY_FLOOR_QUERIES = 419
+REGISTRY_FLOOR_ORACLES = 418
 
 
 def test_registry_never_shrinks():
@@ -107,3 +107,30 @@ def test_ordered_puts_window_head_first():
     ordered = list(E.queries())
     assert ordered[: len(w)] == [k for k in w if k in QUERIES]
     assert set(ordered) == set(QUERIES)
+
+
+def test_recall_fence_flags_broken_ann(spark):
+    """The ANN recall fence must actually trip: an index that drops a
+    query's rows breaks n_result_rows, and one returning junk
+    neighbors flips recall_ok to 0 — either mismatch breaks the
+    driver hash against the claim-replaying oracle."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.queries.similarity import _recall_fence
+
+    qdf = spark.range(2).select(F.col("id").alias("qid"))
+    bf = spark.createDataFrame(
+        [(q, n, 0.9) for q in (0, 1) for n in (10, 11, 12)],
+        "query_id long, neighbor_id long, score double",
+    )
+    good = bf  # ANN == brute force: 6 rows, recall 100%
+    row = _recall_fence(qdf, good, bf, 3, 70).collect()[0]
+    assert (row.n_queries, row.k, row.n_result_rows, row.recall_ok) == (
+        2, 3, 6, 1,
+    )
+    # drops one query's rows -> row-count contract broken
+    dropped = bf.where(F.col("query_id") == 0)
+    assert _recall_fence(qdf, dropped, bf, 3, 70).collect()[0].n_result_rows == 3
+    # right row count, wrong neighbors -> recall_ok flips to 0
+    junk = bf.withColumn("neighbor_id", F.col("neighbor_id") + 100)
+    assert _recall_fence(qdf, junk, bf, 3, 70).collect()[0].recall_ok == 0
