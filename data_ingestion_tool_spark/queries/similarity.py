@@ -1880,3 +1880,100 @@ def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, v) -> acc + v)"
         ).alias("sum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF operating-point sweep: recall fence at each n_probe (round 10b)
+# ---------------------------------------------------------------------------
+
+# Floors measured with >=3-hit margin at BOTH scales (hits/50:
+# sf0.01 14/18/28/40, sf0.1 17/23/30/41 for n_probe 1/2/4/8).
+_NPROBE_FLOORS = {1: 20, 2: 30, 4: 50, 8: 70}
+
+
+@query(
+    "similarity_recall_vs_nprobe_curve",
+    oracle=f"""
+    WITH q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+               LIMIT {N_QUERY_VECS}),
+    pts AS (SELECT UNNEST([1, 2, 4, 8]) AS n_probe)
+    SELECT pts.n_probe,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM q) * {TOP_K} AS BIGINT)
+             AS n_result_rows,
+           CAST(1 AS INT) AS recall_ok,
+           CAST(1 AS INT) AS monotone_ok
+    FROM pts ORDER BY pts.n_probe
+    """,
+)
+def similarity_recall_vs_nprobe_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN tuning curve: ONE IVF codebook (index-once / probe-many),
+    probed at n_probe ∈ {1,2,4,8}, each operating point emitted through
+    the bound-as-value recall fence (row-count contract + integer
+    recall floor vs Spark-computed brute force), PLUS the superset
+    guarantee as a value: with exact re-ranking, a larger probe set's
+    hits are provably non-decreasing, so monotone_ok must be 1 at every
+    point.  This is the n_probe-vs-recall table an index operator
+    actually tunes from.
+
+    Determinism: fence rule — hits·100 >= n·k·pct in integer math;
+    monotonicity via integer lag comparison over the 4-row sweep.
+
+    Scale shape: ONE corpus cell assignment and ONE candidate scoring
+    pass at max(n_probe) carrying the probe rank (operators/
+    similarity.py ivf_topk_sweep); each operating point is a filter +
+    top-k window over the pinned pruned candidates, so 4 points cost ~1
+    index run (20.8s -> 5.9s at sf0.01).  Brute-force top-k is computed
+    once and pin()ed, reused by all 4 fences.
+    """
+    from ..plans.pin import pin
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(N_QUERY_VECS)
+    sweep = SIM.ivf_topk_sweep(
+        emb, queries, k=TOP_K, n_centroids=16,
+        probes=tuple(_NPROBE_FLOORS),
+    )
+    bf = pin(SIM.cosine_topk(emb, queries, k=TOP_K), eager=False)
+    pairs = bf.select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("nq"))
+    floors = F.create_map(
+        *[F.lit(x) for kv in _NPROBE_FLOORS.items() for x in kv]
+    )
+    stats = (
+        sweep.select("n_probe", "query_id", "neighbor_id")
+        .join(F.broadcast(pairs), ["query_id", "neighbor_id"], "left")
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_result_rows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"),
+        )
+        .withColumn("pct", floors[F.col("n_probe")])
+    )
+    return (
+        stats.crossJoin(F.broadcast(nq))
+        .select(
+            "n_probe",
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.col("n_result_rows").cast("bigint").alias("n_result_rows"),
+            (F.col("hits") * 100 >= F.col("nq") * TOP_K * F.col("pct"))
+            .cast("int")
+            .alias("recall_ok"),
+            (
+                F.col("hits")
+                >= F.coalesce(
+                    F.lag("hits").over(Window.orderBy("n_probe")),
+                    F.lit(0),
+                )
+            )
+            .cast("int")
+            .alias("monotone_ok"),
+        )
+        .orderBy("n_probe")
+    )

@@ -176,3 +176,33 @@ def test_hash_sampled_seeding_unbiased_on_clustered_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall on clustered corpus: {recall:.2f}"
+
+
+def test_ivf_sweep_matches_per_point_runs(spark, emb):
+    """ivf_topk_sweep's every operating point must equal an individual
+    ivf_topk run with the same codebook — the batching-prune grouped by
+    (query, probe_idx) may not drop any prefix-set top-k row."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_sweep,
+    )
+
+    queries = emb.orderBy("vec_id").limit(6)
+    cents = ivf_centroids(emb, 8)
+    sweep = ivf_topk_sweep(
+        emb, queries, k=5, n_centroids=8, probes=(1, 2, 4), cents=cents
+    ).collect()
+    by_p = {}
+    for r in sweep:
+        by_p.setdefault(r.n_probe, set()).add(
+            (r.query_id, r.neighbor_id, r.rank)
+        )
+    for p in (1, 2, 4):
+        solo = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=p, cents=cents
+            ).collect()
+        }
+        assert by_p.get(p, set()) == solo, f"n_probe={p} diverged"
