@@ -4894,3 +4894,415 @@ def graph_bfs_levels_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", F.coalesce(F.col("lvl"), F.lit(-1)).alias("lvl"))
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test from exact integer raw moments (round 10c)
+# ---------------------------------------------------------------------------
+
+
+def _jb_exprs() -> dict:
+    """Shared SQL fragments for the Jarque-Bera statistic from raw
+    integer moment sums (s1..s4, n) — interpolated VERBATIM into both
+    the Spark selectExpr and the DuckDB oracle (the _ols2_exprs
+    technique): every float is a +,-,*,/,sqrt composition of identical
+    integers, so IEEE correct rounding makes the doubles bit-identical
+    cross-engine."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    n, s1, s2, s3, s4 = (d(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = f"({s1}/{n})"
+    m2 = f"({s2}/{n} - {mu}*{mu})"
+    m3 = f"({s3}/{n} - 3.0*{mu}*{s2}/{n} + 2.0*{mu}*{mu}*{mu})"
+    m4 = (
+        f"({s4}/{n} - 4.0*{mu}*{s3}/{n} + 6.0*{mu}*{mu}*{s2}/{n}"
+        f" - 3.0*{mu}*{mu}*{mu}*{mu})"
+    )
+    skew = f"({m3} / ({m2}*sqrt({m2})))"
+    kurt = f"({m4} / ({m2}*{m2}))"
+    jb = (
+        f"({n}/6.0 * ({skew}*{skew}"
+        f" + ({kurt} - 3.0)*({kurt} - 3.0)/4.0))"
+    )
+    return {"mu": mu, "m2": m2, "skew": skew, "kurt": kurt, "jb": jb}
+
+
+_JB = _jb_exprs()
+
+
+@query(
+    "stats_jarque_bera_quantity",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q*q) AS BIGINT) AS s2,
+             CAST(SUM(q*q*q) AS BIGINT) AS s3,
+             CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+      FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+    )
+    SELECT n,
+           ROUND({_JB['mu']}, 6) AS mean_qty,
+           ROUND({_JB['m2']}, 6) AS var_pop,
+           ROUND({_JB['skew']}, 6) AS skewness,
+           ROUND({_JB['kurt']}, 6) AS kurtosis,
+           ROUND({_JB['jb']}, 6) AS jb_stat,
+           CAST({_JB['jb']} > 5.991464547107979 AS INT) AS reject_norm_5pct
+    FROM m
+    """,
+)
+def stats_jarque_bera_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on l_quantity via exact integer raw
+    moments: skewness/kurtosis from closed-form central moments of
+    bigint sums s1..s4 (quantity is integer-valued 1..50, so q^4 <=
+    6.25e6 and the s4 sum stays under 2^53-equivalent headroom up to
+    ~1.4e12 rows — document-level bound; past that, split the sum by
+    partition ranges or widen to DECIMAL(38,0) with small final
+    scales).  Uniform-ish quantities have kurtosis ~1.8 so JB rejects
+    normality — the chi2(2) 5%% critical value is inlined as an exact
+    double literal.
+
+    Determinism: all floats are +,-,*,/,sqrt over identical integers
+    with the expression shape shared verbatim between engines
+    (_jb_exprs, the _ols2_exprs technique); no exp/ln.  The reject flag
+    compares against a literal — JB here is ~1e5, nowhere near the
+    boundary.
+
+    Scale shape: ONE map-side-combinable aggregate over one pruned
+    column; the moment frame is a single row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q")
+    ).selectExpr(
+        "q", "q*q AS q2", "q*q*q AS q3", "q*q*q*q AS q4"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum("q2").cast("bigint").alias("s2"),
+        F.sum("q3").cast("bigint").alias("s3"),
+        F.sum("q4").cast("bigint").alias("s4"),
+    )
+    return m.selectExpr(
+        "n",
+        f"ROUND({_JB['mu']}, 6) AS mean_qty",
+        f"ROUND({_JB['m2']}, 6) AS var_pop",
+        f"ROUND({_JB['skew']}, 6) AS skewness",
+        f"ROUND({_JB['kurt']}, 6) AS kurtosis",
+        f"ROUND({_JB['jb']}, 6) AS jb_stat",
+        f"CAST({_JB['jb']} > 5.991464547107979 AS INT) AS reject_norm_5pct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR-adjusted p-values for per-brand return rates
+# ---------------------------------------------------------------------------
+
+
+def _bh_exprs() -> dict:
+    """Shared SQL fragments for the per-brand two-proportion z test:
+    z from integer counts (k, n, kg, ng), two-sided p via the logistic
+    approximation of the normal CDF (1-Phi(x) ~ 1/(1+exp(1.702x)) —
+    max abs error ~0.0095, fine for a ranking statistic and, crucially,
+    expressible identically on both engines).  exp() is the one
+    non-correctly-rounded op, so p is rounded to 9 decimals before any
+    downstream use."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    p0 = f"({d('kg')}/{d('ng')})"
+    z = (
+        f"(({d('k')}/{d('n')} - {p0})"
+        f" / sqrt({p0}*(1.0 - {p0})/{d('n')}))"
+    )
+    p = f"(2.0 / (1.0 + exp(1.702*abs({z}))))"
+    return {"z": z, "p": p}
+
+
+_BH = _bh_exprs()
+
+
+@query(
+    "stats_benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(k) AS BIGINT) AS kg
+          FROM cnt),
+    pv AS (
+      SELECT brand, n, k,
+             ROUND({_BH['z']}, 6) AS z,
+             ROUND({_BH['p']}, 9) AS p_value
+      FROM cnt, g
+    ),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, brand) AS BIGINT)
+                  AS p_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pv
+    )
+    SELECT brand, n, k, z, p_value, p_rank,
+           ROUND(LEAST(1.0, MIN(CAST(m AS DOUBLE) * p_value / p_rank)
+                 OVER (ORDER BY p_rank ROWS BETWEEN CURRENT ROW AND
+                       UNBOUNDED FOLLOWING)), 6) AS p_adj_bh
+    FROM rk ORDER BY brand
+    """,
+)
+def stats_benjamini_hochberg_fdr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR-ADJUSTED p-values for 25 simultaneous
+    per-brand return-rate tests (two-proportion z against the pooled
+    rate).  Emitting the adjusted p (padj_(i) = min_{j>=i} m*p_(j)/j,
+    the smallest q at which BH rejects) instead of a reject flag at an
+    arbitrary q keeps the output informative even when the synthetic
+    uniform return flags yield no true signal.
+
+    Determinism: counts are exact integers; z and the logistic-CDF p
+    share their expression shape verbatim with the oracle (_bh_exprs)
+    and p is rounded to 9 BEFORE ranking / the suffix-min, so the
+    adjusted values divide identical doubles.  Rank ties break on
+    brand.
+
+    Scale shape: the lineitem-part join is the only fact-scale work
+    (broadcast part at these SFs; at 100 TB part is still the small
+    side of a shuffle join); everything after the 25-row groupBy runs
+    on the brand-domain frame — the single-task windows are over 25
+    rows, the enum-domain window exemption."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cnt = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    g = cnt.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("k").cast("bigint").alias("kg"),
+    )
+    pv = cnt.crossJoin(F.broadcast(g)).selectExpr(
+        "brand",
+        "n",
+        "k",
+        f"ROUND({_BH['z']}, 6) AS z",
+        f"ROUND({_BH['p']}, 9) AS p_value",
+    )
+    w_rank = Window.orderBy("p_value", "brand")
+    w_all = Window.partitionBy(F.lit(1))
+    rk = pv.withColumn(
+        "p_rank", F.row_number().over(w_rank).cast("bigint")
+    ).withColumn("m", F.count(F.lit(1)).over(w_all).cast("bigint"))
+    w_suffix = Window.orderBy("p_rank").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    return (
+        rk.withColumn(
+            "p_adj_bh",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.min(
+                        F.col("m").cast("double")
+                        * F.col("p_value")
+                        / F.col("p_rank")
+                    ).over(w_suffix),
+                ),
+                6,
+            ),
+        )
+        .select("brand", "n", "k", "z", "p_value", "p_rank", "p_adj_bh")
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: urgent vs non-urgent repeat-purchase survival curves
+# ---------------------------------------------------------------------------
+
+
+def _logrank_exprs() -> dict:
+    """Shared SQL fragments for the per-week log-rank terms from
+    integer risk-set counts (n1, n, d1, d): expected group-1 events and
+    the hypergeometric variance.  Divisions of identical integers are
+    correctly rounded, so the doubles are bit-identical cross-engine;
+    each term is rounded to 9 decimals and accumulated as an EXACT
+    DECIMAL sum (order-independent) before the final chi2."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    e1 = f"({d('d')} * {d('n1')} / {d('n')})"
+    v = (
+        f"(CASE WHEN n > 1 THEN {d('d')} * ({d('n1')}/{d('n')})"
+        f" * (({d('n')} - {d('n1')})/{d('n')})"
+        f" * (({d('n')} - {d('d')})/({d('n')} - 1.0)) ELSE 0.0 END)"
+    )
+    return {
+        "ome_dec": f"CAST(ROUND({d('d1')} - {e1}, 9) AS DECIMAL(28,9))",
+        "v_dec": f"CAST(ROUND({v}, 9) AS DECIMAL(28,9))",
+        "e1_dec": f"CAST(ROUND({e1}, 9) AS DECIMAL(28,9))",
+    }
+
+
+_LOGRANK = _logrank_exprs()
+
+
+@query(
+    "stats_logrank_priority_survival",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    seq AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+             o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    dur AS (
+      SELECT grp,
+             CAST(CASE WHEN nxt IS NOT NULL
+                  THEN date_diff('day', o_orderdate, nxt)
+                  ELSE date_diff('day', o_orderdate, (SELECT mxd FROM mx))
+             END // 7 AS INT) AS week,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM seq
+    ),
+    byw AS (
+      SELECT week,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS at1,
+             CAST(COUNT(*) AS BIGINT) AS at_all,
+             CAST(SUM(CASE WHEN grp = 1 THEN is_event ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(is_event) AS BIGINT) AS d
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT week, d1, d,
+             CAST(SUM(at1) OVER () - SUM(at1) OVER
+                  (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) + at1 AS BIGINT) AS n1,
+             CAST(SUM(at_all) OVER () - SUM(at_all) OVER
+                  (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) + at_all AS BIGINT) AS n
+      FROM byw
+    ),
+    terms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(d1) AS BIGINT) AS o1,
+             SUM({_LOGRANK['e1_dec']}) AS e1_sum,
+             SUM({_LOGRANK['ome_dec']}) AS ome_sum,
+             SUM({_LOGRANK['v_dec']}) AS v_sum
+      FROM risk WHERE d > 0
+    )
+    SELECT n_weeks, o1,
+           ROUND(CAST(e1_sum AS DOUBLE), 6) AS e1,
+           ROUND(CAST(ome_sum AS DOUBLE), 6) AS o_minus_e,
+           ROUND(CAST(v_sum AS DOUBLE), 6) AS var_sum,
+           ROUND(CAST(ome_sum AS DOUBLE) * CAST(ome_sum AS DOUBLE)
+                 / CAST(v_sum AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def stats_logrank_priority_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test comparing the repeat-purchase survival curves of
+    URGENT vs non-urgent orders (same censored-duration construction
+    as stats_kaplan_meier_survival; group = the priority of the order
+    that OPENS the gap).  chi2 = (sum(d1-E1))^2 / sum(V) over event
+    weeks, the standard Mantel-Cox form a churn A/B readout uses.
+
+    Determinism: risk sets are exact integer suffix sums on the ~350-
+    row week domain; per-week E1/V terms are correctly-rounded float
+    compositions of identical integers (shared verbatim via
+    _logrank_exprs), rounded to 9 decimals and summed as EXACT
+    DECIMAL(28,9) so the reduction is order-independent; the final
+    chi2 divides two identical doubles.  ~350 terms of magnitude <=
+    ~100 stay far inside the decimal headroom.
+
+    Scale shape: one o_custkey-partitioned lead window over orders
+    (the same shuffle the KM query pays), ONE map-side-combined
+    groupBy to the week domain, then tiny-domain windows and a 1-row
+    reduce.  Nothing fact-scale happens after the first aggregate."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dur = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("grp"),
+            F.expr(
+                "CAST(CASE WHEN nxt IS NOT NULL"
+                " THEN datediff(nxt, o_orderdate)"
+                " ELSE datediff(mxd, o_orderdate) END DIV 7 AS INT)"
+            ).alias("week"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias(
+                "is_event"
+            ),
+        )
+    )
+    byw = dur.groupBy("week").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("at1"),
+        F.count(F.lit(1)).cast("bigint").alias("at_all"),
+        F.sum(F.when(F.col("grp") == 1, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("is_event").cast("bigint").alias("d"),
+    )
+    cum = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    risk = byw.select(
+        "week",
+        "d1",
+        "d",
+        (
+            F.sum("at1").over(tot) - F.sum("at1").over(cum) + F.col("at1")
+        )
+        .cast("bigint")
+        .alias("n1"),
+        (
+            F.sum("at_all").over(tot)
+            - F.sum("at_all").over(cum)
+            + F.col("at_all")
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    terms = risk.filter(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.expr(f"SUM({_LOGRANK['e1_dec']})").alias("e1_sum"),
+        F.expr(f"SUM({_LOGRANK['ome_dec']})").alias("ome_sum"),
+        F.expr(f"SUM({_LOGRANK['v_dec']})").alias("v_sum"),
+    )
+    return terms.selectExpr(
+        "n_weeks",
+        "o1",
+        "ROUND(CAST(e1_sum AS DOUBLE), 6) AS e1",
+        "ROUND(CAST(ome_sum AS DOUBLE), 6) AS o_minus_e",
+        "ROUND(CAST(v_sum AS DOUBLE), 6) AS var_sum",
+        "ROUND(CAST(ome_sum AS DOUBLE) * CAST(ome_sum AS DOUBLE)"
+        " / CAST(v_sum AS DOUBLE), 6) AS chi2",
+    )
