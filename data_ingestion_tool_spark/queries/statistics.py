@@ -5306,3 +5306,154 @@ def stats_logrank_priority_survival(
         "ROUND(CAST(ome_sum AS DOUBLE) * CAST(ome_sum AS DOUBLE)"
         " / CAST(v_sum AS DOUBLE), 6) AS chi2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box autocorrelation test over hourly event counts, lags 1..24
+# ---------------------------------------------------------------------------
+
+# chi2 95% critical values for df 1..24 (shared literal on both
+# engines, so the reject comparison is engine-consistent by identity).
+_CHI2_95 = [
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587,
+    14.067140, 15.507313, 16.918978, 18.307038, 19.675138, 21.026070,
+    22.362032, 23.684791, 24.995790, 26.296228, 27.587112, 28.869299,
+    30.143527, 31.410433, 32.670573, 33.924438, 35.172462, 36.415029,
+]
+
+
+def _ljungbox_exprs() -> dict:
+    """Shared SQL fragments for lag-k autocorrelation from exact
+    integer sums: with S1=sum(x), S2=sum(x^2) over the full series and
+    per-lag Sxy=sum(x_t*x_{t-k}), T2=sum_{t>k}(x_t), T1=sum_{t<=n-k}
+    (x_t), the centered cross-product has the closed form
+    num = Sxy - xbar*(T1+T2) + (n-k)*xbar^2 — every float a correctly-
+    rounded composition of identical integers (no per-term float
+    reductions to drift)."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    xb = f"({d('s1')}/{d('n')})"
+    num = (
+        f"({d('sxy')} - {xb}*({d('t1')} + {d('t2')})"
+        f" + ({d('n')} - {d('k')})*{xb}*{xb})"
+    )
+    den = f"({d('s2')} - {d('s1')}*{d('s1')}/{d('n')})"
+    r = f"({num} / {den})"
+    return {
+        "r": r,
+        # per-lag Q term, rounded then decimal-exact cumulated so the
+        # over-lags reduction is order-independent
+        "term_dec": (
+            f"CAST(ROUND({r}*{r} / ({d('n')} - {d('k')}), 15)"
+            f" AS DECIMAL(28,18))"
+        ),
+    }
+
+
+_LJB = _ljungbox_exprs()
+
+
+@query(
+    "stats_ljung_box_hourly",
+    oracle=f"""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t, x FROM hr
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x*x) AS BIGINT) AS s2
+      FROM s
+    ),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS k),
+    byk AS (
+      SELECT lags.k,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS t2,
+             CAST(SUM(b.x) AS BIGINT) AS t1
+      FROM lags, s a JOIN s b ON a.t = b.t + lags.k
+      GROUP BY lags.k
+    ),
+    acf AS (
+      SELECT k, n, ROUND({_LJB['r']}, 6) AS acf_k,
+             SUM({_LJB['term_dec']}) OVER
+               (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS qsum
+      FROM byk, g
+    )
+    SELECT k AS lag, acf_k,
+           ROUND(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 2.0)
+                 * CAST(qsum AS DOUBLE), 6) AS q_stat,
+           CAST(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 2.0)
+                * CAST(qsum AS DOUBLE)
+                > ([{', '.join(str(c) for c in _CHI2_95)}])[k] AS INT)
+             AS reject_white_noise
+    FROM acf ORDER BY lag
+    """,
+)
+def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly event-count series,
+    lags 1..24: per-lag autocorrelation r_k and the cumulative
+    Q_k = n(n+2) * sum_{j<=k} r_j^2/(n-j), flagged against the chi2(k)
+    95%% critical value.  The synthetic traffic has real diurnal
+    seasonality, so Q blows past the critical value — the stationarity
+    / whiteness check a forecasting pipeline runs before model fit.
+
+    Determinism: the series is integer counts; r_k uses the closed
+    centered form over exact integer sums (no per-term float sums to
+    drift — _ljungbox_exprs, shared verbatim); the only cross-lag float
+    reduction is the 24-term Q cumulation, rounded per-term to 15
+    decimals and summed as EXACT DECIMAL(28,18).  The reject flag
+    compares against a shared literal table.  Sxy stays in int64 up to
+    ~3e8 events/hour over 720 hours — beyond that, pre-scale counts.
+
+    Scale shape: ONE map-side-combinable groupBy hour over the fact
+    scan; everything after runs on the ~720-row series frame (the
+    tiny-domain window exemption) with a 24-row broadcast lag spine."""
+    ev = read_events(spark, sf_dir)
+    hr = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    s = hr.select(
+        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("t"),
+        "x",
+    ).transform(pin, eager=False)
+    g = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("bigint").alias("k"))
+    a, b = s.alias("a"), s.alias("b")
+    byk = (
+        F.broadcast(lags)
+        .join(a, how="cross")
+        .join(b, F.col("a.t") == F.col("b.t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.x")).cast("bigint").alias("t2"),
+            F.sum(F.col("b.x")).cast("bigint").alias("t1"),
+        )
+    )
+    cum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    acf = byk.crossJoin(F.broadcast(g)).selectExpr(
+        "k", "n", f"ROUND({_LJB['r']}, 6) AS acf_k",
+        f"{_LJB['term_dec']} AS term_dec",
+    ).withColumn("qsum", F.sum("term_dec").over(cum))
+    crit = "ARRAY({})".format(", ".join(str(c) for c in _CHI2_95))
+    return acf.selectExpr(
+        "k AS lag",
+        "acf_k",
+        "ROUND(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 2.0)"
+        " * CAST(qsum AS DOUBLE), 6) AS q_stat",
+        f"CAST(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 2.0)"
+        f" * CAST(qsum AS DOUBLE) > element_at({crit}, CAST(k AS INT))"
+        f" AS INT) AS reject_white_noise",
+    ).orderBy("lag")

@@ -2042,6 +2042,90 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_cohens_kappa_langid",
+    oracle=f"""
+    WITH cells AS ({_langid_confusion_oracle()}),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cells),
+    rws AS (SELECT actual AS cat, CAST(SUM(n_docs) AS BIGINT) AS rn
+            FROM cells GROUP BY 1),
+    cls AS (SELECT pred_lang AS cat, CAST(SUM(n_docs) AS BIGINT) AS cn
+            FROM cells GROUP BY 1),
+    agr AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS a
+            FROM cells WHERE actual = pred_lang),
+    rc AS (SELECT CAST(COALESCE(SUM(rn * cn), 0) AS BIGINT) AS rc
+           FROM rws JOIN cls USING (cat))
+    SELECT n, a AS n_agree,
+           ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                 6) AS pe,
+           ROUND((CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(rc AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(rc AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+    FROM tot, agr, rc
+    """,
+)
+def stats_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the stopword langid against the ground-truth
+    ``lang`` column — chance-corrected agreement, the metric that tells
+    a curation run whether the language router beats marginal-frequency
+    guessing (raw accuracy alone can't: a skewed corpus inflates it).
+
+    Determinism: the confusion cells, marginals, agreement count and
+    the row*col inner product are all exact integers (rn*cn <= n^2, far
+    inside int64); po/pe/kappa are correctly-rounded +,-,*,/
+    compositions of identical integers, ROUND 6.  The chance-agreement
+    join only keeps categories present in BOTH marginals — absent
+    categories contribute exactly 0, the standard kappa convention.
+
+    Scale shape: the langid classification is per-doc codegen HOF work;
+    ONE map-side-combinable groupBy to <= |langs|^2 cells, and all
+    kappa math runs on that tiny domain frame."""
+    d = read_table(spark, sf_dir, "documents")
+    cells = (
+        TX.lang_id(d)
+        .groupBy(F.col("lang").alias("actual"), "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .transform(pin, eager=False)
+    )
+    tot = cells.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    rws = cells.groupBy(F.col("actual").alias("cat")).agg(
+        F.sum("n_docs").cast("bigint").alias("rn")
+    )
+    cls = cells.groupBy(F.col("pred_lang").alias("cat")).agg(
+        F.sum("n_docs").cast("bigint").alias("cn")
+    )
+    agr = cells.filter(F.col("actual") == F.col("pred_lang")).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("a")
+    )
+    rc = (
+        rws.join(cls, "cat")
+        .agg(
+            F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+            .cast("bigint")
+            .alias("rc")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(agr))
+        .crossJoin(F.broadcast(rc))
+        .selectExpr(
+            "n",
+            "a AS n_agree",
+            "ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po",
+            "ROUND(CAST(rc AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe",
+            "ROUND((CAST(a AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - CAST(rc AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+            " / (1.0 - CAST(rc AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa",
+        )
+    )
+
+
+@query(
     "filter_blocklist_terms",
     oracle="""
     WITH hits AS (
