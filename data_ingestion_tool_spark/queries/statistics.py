@@ -5457,3 +5457,304 @@ def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * CAST(qsum AS DOUBLE) > element_at({crit}, CAST(k AS INT))"
         f" AS INT) AS reject_white_noise",
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link-prediction scores over the thresholded brand graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_adamic_adar_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    n AS (SELECT COUNT(*) AS n FROM und),
+    th AS (
+      SELECT cnt AS theta FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, u, v) AS rk
+        FROM und
+      ) WHERE rk = (SELECT CAST(CEIL(0.1 * n) AS BIGINT) FROM n)
+    ),
+    e0 AS (SELECT u, v FROM und WHERE cnt >= (SELECT theta FROM th)),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    pairs AS (
+      SELECT x.v AS u, y.v AS v, x.u AS w
+      FROM e x JOIN e y ON x.u = y.u AND x.v < y.v
+    )
+    SELECT p.u, p.v,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(CAST(deg.d AS DOUBLE)), 15)
+                              AS DECIMAL(28,18))) AS DOUBLE), 6) AS aa_score,
+           CAST(MAX(CASE WHEN e0.u IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS is_existing_edge
+    FROM pairs p
+    JOIN deg ON deg.w = p.w
+    LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
+    GROUP BY p.u, p.v
+    ORDER BY p.u, p.v
+    """,
+)
+def graph_adamic_adar_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores for every brand pair with at
+    least one common neighbor in the SPARSIFIED co-purchase graph (same
+    top-10%%-weight edge construction as graph_bfs_levels_brands):
+    AA(u,v) = sum over common neighbors w of 1/ln(deg(w)), the classic
+    "rare shared neighbors matter more" recommender score, with an
+    is_existing_edge flag so non-edge high scorers read directly as
+    link predictions.
+
+    Determinism: the edge threshold is value-at-rank (value-determined
+    under cnt ties); degrees are exact integers (a common neighbor has
+    deg >= 2, so ln > 0); each 1/ln term is an identical expression
+    rounded to 15 decimals and summed as EXACT DECIMAL(28,18), making
+    the per-pair reduction order-independent; final score ROUND 6.
+
+    Scale shape: the fact-scale work is the one lineitem-part join +
+    DISTINCT; everything downstream (edges, degrees, the wedge join
+    e(w,u)xe(w,v)) is brand-domain-bounded (<= |brands|^2 rows) and
+    stays fully distributed — no driver collect, unlike the BFS query
+    whose traversal is inherently sequential.  On a bigger label
+    domain the wedge join fans out as sum_w deg(w)^2 — the standard
+    AA cost, bounded by sparsification first."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .transform(pin, eager=False)
+    )
+    n = und.agg(F.count(F.lit(1)).alias("n"))
+    rk = und.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "u", "v")
+        ),
+    )
+    th = (
+        rk.crossJoin(F.broadcast(n))
+        .filter(F.col("rk") == F.expr("CAST(CEIL(0.1 * n) AS BIGINT)"))
+        .select(F.col("cnt").alias("theta"))
+    )
+    e0 = (
+        und.crossJoin(F.broadcast(th))
+        .filter(F.col("cnt") >= F.col("theta"))
+        .select("u", "v")
+        .transform(pin, eager=False)
+    )
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(pin, eager=False)
+    deg = e.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    x, y = e.alias("x"), e.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+    ).select(
+        F.col("x.v").alias("u"), F.col("y.v").alias("v"), F.col("x.u").alias("w")
+    )
+    term = (
+        "CAST(ROUND(1.0 / LN(CAST(d AS DOUBLE)), 15) AS DECIMAL(28,18))"
+    )
+    ex = e0.select(
+        F.col("u").alias("eu"), F.col("v").alias("ev"), F.lit(1).alias("hit")
+    )
+    return (
+        pairs.join(F.broadcast(deg), "w")
+        .join(
+            F.broadcast(ex),
+            (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
+            "left",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(
+                F.expr(f"SUM({term})").cast("double"), 6
+            ).alias("aa_score"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("int")
+            .alias("is_existing_edge"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness centrality over the thresholded brand graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_harmonic_closeness_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    n AS (SELECT COUNT(*) AS n FROM und),
+    th AS (
+      SELECT cnt AS theta FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, u, v) AS rk
+        FROM und
+      ) WHERE rk = (SELECT CAST(CEIL(0.1 * n) AS BIGINT) FROM n)
+    ),
+    e0 AS (SELECT u, v FROM und WHERE cnt >= (SELECT theta FROM th)),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    srcs AS (SELECT DISTINCT u AS s FROM e),
+    reach AS (
+      WITH RECURSIVE bfs(src, node, lvl) AS (
+        SELECT s, s, 0 FROM srcs
+        UNION
+        SELECT bfs.src, e.v, bfs.lvl + 1
+        FROM bfs JOIN e ON e.u = bfs.node
+        WHERE bfs.lvl < 24
+      )
+      SELECT src, node, CAST(MIN(lvl) AS BIGINT) AS d
+      FROM bfs GROUP BY 1, 2
+    ),
+    harm AS (
+      SELECT src,
+             CAST(COUNT(*) AS BIGINT) AS n_reached,
+             ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(d AS DOUBLE), 15)
+                               AS DECIMAL(28,18))) AS DOUBLE), 6) AS harmonic
+      FROM reach WHERE d > 0 GROUP BY src
+    )
+    SELECT ab.brand,
+           COALESCE(harm.n_reached, 0) AS n_reached,
+           COALESCE(harm.harmonic, 0.0) AS harmonic
+    FROM (SELECT DISTINCT brand FROM ob) ab
+    LEFT JOIN harm ON harm.src = ab.brand
+    ORDER BY ab.brand
+    """,
+)
+def graph_harmonic_closeness_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic closeness centrality for every brand in the SPARSIFIED
+    co-purchase graph (same top-10%%-weight construction as
+    graph_bfs_levels_brands): C_H(u) = sum over reachable v != u of
+    1/d(u,v) — the centrality that stays well-defined on disconnected
+    graphs, where classic closeness breaks.
+
+    Determinism: distances are exact integer BFS levels; each 1/d term
+    is rounded to 15 decimals and summed as EXACT DECIMAL(28,18) (the
+    per-source reduction is order-independent), ROUND 6; isolated
+    brands emit exactly (0, 0.0).
+
+    Scale shape: the fact-scale work (lineitem-part join + DISTINCT +
+    edge agg) is fully distributed; the aggregated edge list is brand-
+    domain bounded (<= |brands|^2 = 625 rows — the documented tiny-
+    collect class), so the all-pairs BFS runs driver-side over the
+    collected block and the (src, node, d) pair frame (<= 625 rows)
+    goes back through createDataFrame; the harmonic sum itself is
+    computed IN SPARK with the identical ROUND/DECIMAL expressions as
+    the oracle (never Python round — banker's vs half-up,
+    CLAUDE.md)."""
+    import math as _math
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # Bounded collect: <= |brand-domain|^2 rows (625 at any SF).
+    edges = und.collect()
+    nrows = len(edges)
+    by_weight = sorted(edges, key=lambda r: (-r["cnt"], r["u"], r["v"]))
+    theta = by_weight[_math.ceil(0.1 * nrows) - 1]["cnt"]
+    adj: dict[str, set[str]] = {}
+    for r in edges:
+        if r["cnt"] >= theta:
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+    pair_rows: list[tuple[str, str, int]] = []
+    for s in sorted(adj):
+        lvl = {s: 0}
+        frontier = [s]
+        depth = 0
+        while frontier and depth < 24:
+            depth += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in lvl:
+                        lvl[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+        pair_rows += [
+            (s, node, d) for node, d in lvl.items() if d > 0
+        ]
+    pairs = spark.createDataFrame(
+        pair_rows or [("", "", 0)], "src string, node string, d bigint"
+    )
+    if not pair_rows:
+        pairs = pairs.filter(F.lit(False))
+    harm = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.round(
+            F.expr(
+                "SUM(CAST(ROUND(1.0 / CAST(d AS DOUBLE), 15)"
+                " AS DECIMAL(28,18)))"
+            ).cast("double"),
+            6,
+        ).alias("harmonic"),
+    )
+    all_brands = ob.select("brand").distinct()
+    return (
+        all_brands.join(
+            F.broadcast(harm), all_brands.brand == harm.src, "left"
+        )
+        .select(
+            "brand",
+            F.coalesce(F.col("n_reached"), F.lit(0))
+            .cast("bigint")
+            .alias("n_reached"),
+            F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+        )
+        .orderBy("brand")
+    )
