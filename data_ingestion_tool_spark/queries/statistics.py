@@ -5758,3 +5758,252 @@ def graph_harmonic_closeness_brands(
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit across candidate column pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_functional_dependency_audit",
+    oracle="""
+    WITH fd AS (
+      SELECT 'orders: o_orderkey->o_custkey' AS fd_name,
+             CAST(o_orderkey AS VARCHAR) AS lhs,
+             CAST(o_custkey AS VARCHAR) AS rhs FROM orders
+      UNION ALL
+      SELECT 'part: p_partkey->p_brand',
+             CAST(p_partkey AS VARCHAR), p_brand FROM part
+      UNION ALL
+      SELECT 'orders: o_custkey->o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'customer: c_nationkey->c_mktsegment',
+             CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'lineitem: l_partkey->l_suppkey',
+             CAST(l_partkey AS VARCHAR),
+             CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ),
+    grain AS (
+      SELECT fd_name, lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fd GROUP BY 1, 2, 3
+    ),
+    per_lhs AS (
+      SELECT fd_name, lhs,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv_rhs
+      FROM grain GROUP BY 1, 2
+    )
+    SELECT fd_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN ndv_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violations,
+           CAST(MAX(ndv_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           CAST(SUM(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) = 0 AS INT)
+             AS fd_holds
+    FROM per_lhs GROUP BY fd_name ORDER BY fd_name
+    """,
+)
+def quality_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit over five candidate X->Y pairs (two
+    genuine key FDs, three plausible-but-violated ones): per FD, the
+    lhs group count, how many lhs values map to >1 rhs, how many rows
+    sit inside violating groups, and the worst fan-out — the profiling
+    pass a schema-inference or constraint-mining tool runs before
+    declaring dependencies.
+
+    Determinism: pure integer counting on string-normalized pairs.
+
+    Scale shape: each FD contributes one (lhs, rhs) DEDUP aggregate
+    (map-side combinable) followed by a per-lhs rollup — the
+    count_distinct Expand is avoided by aggregating the deduped grain
+    (CLAUDE.md rule); the five FDs union at the 5-row summary grain
+    only.  Each branch scans exactly two columns of its table."""
+    specs = [
+        ("orders: o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        ("part: p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+        (
+            "orders: o_custkey->o_orderpriority",
+            "orders",
+            "o_custkey",
+            "o_orderpriority",
+        ),
+        (
+            "customer: c_nationkey->c_mktsegment",
+            "customer",
+            "c_nationkey",
+            "c_mktsegment",
+        ),
+        ("lineitem: l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ]
+    outs = []
+    for fd_name, tbl, lhs, rhs in specs:
+        t = read_table(spark, sf_dir, tbl)
+        grain = (
+            t.select(
+                F.lit(fd_name).alias("fd_name"),
+                F.col(lhs).cast("string").alias("lhs"),
+                F.col(rhs).cast("string").alias("rhs"),
+            )
+            .groupBy("fd_name", "lhs", "rhs")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        per_lhs = grain.groupBy("fd_name", "lhs").agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv_rhs"),
+        )
+        outs.append(
+            per_lhs.groupBy("fd_name").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("ndv_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.sum(
+                    F.when(F.col("ndv_rhs") > 1, F.col("n_rows")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_rows_in_violations"),
+                F.max("ndv_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+                (
+                    F.sum(F.when(F.col("ndv_rhs") > 1, 1).otherwise(0)) == 0
+                )
+                .cast("int")
+                .alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd_name")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-median / rolling-MAD anomaly flags on daily event volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_median_mad_anomaly",
+    oracle="""
+    WITH byd AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT day, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM byd
+    ),
+    pairs AS (
+      SELECT a.day AS aday, a.x AS ax, b.day AS bday, b.x AS bx
+      FROM s a JOIN s b ON b.t BETWEEN a.t - 6 AND a.t
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY aday
+                     ORDER BY bx, bday) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY aday) AS BIGINT) AS wsize
+      FROM pairs
+    ),
+    med AS (
+      SELECT aday, wsize, bx AS med FROM ranked
+      WHERE rn = (wsize + 1) // 2
+    ),
+    dev AS (
+      SELECT p.aday, p.ax, m.wsize, m.med, p.bday,
+             ABS(p.bx - m.med) AS ad
+      FROM pairs p JOIN med m ON m.aday = p.aday
+    ),
+    dranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY aday
+                     ORDER BY ad, bday) AS BIGINT) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT aday, ax, wsize, med, ad AS mad FROM dranked
+      WHERE rn = (wsize + 1) // 2
+    )
+    SELECT aday AS day, ax AS n_events, wsize, med AS med7, mad AS mad7,
+           ABS(ax - med) AS abs_dev,
+           CAST(wsize = 7 AND 2 * ABS(ax - med) > 5 * mad AS INT)
+             AS is_anomaly
+    FROM mad ORDER BY day
+    """,
+)
+def events_rolling_median_mad_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN + rolling MAD anomaly flags on
+    daily event volume — the robust twin of events_daily_anomaly_zscore
+    (a single bad day cannot drag the center or the spread the way it
+    drags a mean/stddev).  A day is anomalous when |x - med| > 2.5*MAD
+    and its window is complete.
+
+    Determinism: the series is integer counts; rolling median and MAD
+    are VALUE-AT-INDEX order statistics ((w+1) DIV 2, lower median)
+    with (value, day) tie-breaks; the anomaly threshold is an integer
+    cross-multiplication (2*dev > 5*mad), never a float ratio.
+
+    Scale shape: ONE map-side-combinable groupBy day over the fact
+    scan; the windowed self-join and both rank passes run on the day-
+    domain frame (30 rows -> <=210 pairs, the tiny-domain exemption).
+    At production day-counts the same plan holds: the pair frame is
+    7x the day domain, never fact-scale."""
+    ev = read_events(spark, sf_dir)
+    byd = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    s = byd.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+    ).transform(pin, eager=False)
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.t") >= F.col("a.t") - 6) & (F.col("b.t") <= F.col("a.t")),
+    ).select(
+        F.col("a.day").alias("aday"),
+        F.col("a.x").alias("ax"),
+        F.col("b.day").alias("bday"),
+        F.col("b.x").alias("bx"),
+    ).transform(pin, eager=False)
+    wm = Window.partitionBy("aday").orderBy("bx", "bday")
+    wc = Window.partitionBy("aday")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(wm).cast("bigint")
+    ).withColumn("wsize", F.count(F.lit(1)).over(wc).cast("bigint"))
+    med = ranked.filter(
+        F.col("rn") == F.expr("(wsize + 1) DIV 2")
+    ).select("aday", "wsize", F.col("bx").alias("med"))
+    dev = pairs.join(F.broadcast(med), "aday").select(
+        "aday",
+        "ax",
+        "wsize",
+        "med",
+        "bday",
+        F.abs(F.col("bx") - F.col("med")).alias("ad"),
+    )
+    wd = Window.partitionBy("aday").orderBy("ad", "bday")
+    mad = dev.withColumn(
+        "rn", F.row_number().over(wd).cast("bigint")
+    ).filter(F.col("rn") == F.expr("(wsize + 1) DIV 2"))
+    return mad.select(
+        F.col("aday").alias("day"),
+        F.col("ax").alias("n_events"),
+        "wsize",
+        F.col("med").alias("med7"),
+        F.col("ad").alias("mad7"),
+        F.abs(F.col("ax") - F.col("med")).alias("abs_dev"),
+        (
+            (F.col("wsize") == 7)
+            & (2 * F.abs(F.col("ax") - F.col("med")) > 5 * F.col("ad"))
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("day")
