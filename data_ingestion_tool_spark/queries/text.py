@@ -2488,3 +2488,156 @@ def text_compression_ratio_quality(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bigram_lm_heldout_nll",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source, t[i] AS x, t[i+1] AS y
+      FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    trn AS (SELECT x, y FROM big WHERE doc_id % 5 <> 0),
+    cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM trn
+            GROUP BY 1, 2),
+    cx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) + 1 AS v FROM trn),
+    ho AS (
+      SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS n
+      FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT ho.source, ho.n,
+             CAST(ho.n AS DECIMAL(10,0))
+               * CAST(-ln(CAST(COALESCE(cxy.cxy, 0) + 1 AS DOUBLE)
+                          / CAST(COALESCE(cx.cx, 0) + v.v AS DOUBLE))
+                      AS DECIMAL(18,9)) AS term
+      FROM ho
+      LEFT JOIN cx ON cx.x = ho.x
+      LEFT JOIN cxy ON cxy.x = ho.x AND cxy.y = ho.y, v
+    ),
+    hod AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM big WHERE doc_id % 5 = 0 GROUP BY 1
+    )
+    SELECT s.source, hod.n_docs,
+           CAST(SUM(s.n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s.term) AS DOUBLE) / CAST(SUM(s.n) AS BIGINT)
+             AS avg_nll_nats,
+           ROUND(EXP(CAST(SUM(s.term) AS DOUBLE)
+                     / CAST(SUM(s.n) AS BIGINT)), 6) AS perplexity
+    FROM scored s JOIN hod ON hod.source = s.source
+    GROUP BY s.source, hod.n_docs
+    ORDER BY s.source
+    """,
+)
+def text_bigram_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram language-model scoring: train an add-1-smoothed
+    bigram LM on the 80%% doc_id-split (doc_id %% 5 != 0), score the
+    held-out 20%% per source as average negative log-likelihood per
+    bigram and perplexity — the canonical intrinsic LM / domain-mismatch
+    readout a data-mixing pipeline uses next to Moore-Lewis scoring.
+    p(y|x) = (c_xy + 1) / (c_x + V); unseen history x falls back to
+    exactly 1/V (c_x = 0).
+
+    Determinism: counts and the split are exact integers; each ln term
+    is a log of a quotient of identical integers QUANTIZED to
+    DECIMAL(18,9) and weighted by the bigram-type count cast to
+    DECIMAL(10,0) (the text_bigram_conditional_entropy discipline —
+    keeps the product at scale 9 instead of Spark's silent precision-
+    loss reduction), so the per-source accumulation is order-
+    independent; avg_nll is the raw division of exact values (ROUND
+    boundaries at 1e-9 granularity — never rounded), and perplexity
+    rounds the transcendental exp to 6.
+
+    Scale shape: bigrams pair ARRAY-side (zip_with over two slices, no
+    per-doc window); model counts and held-out counts are map-side-
+    combinable aggregates at the bigram-TYPE grain (vocab^2-bounded);
+    the scoring join runs type-grain against type-grain, never over
+    the raw corpus.  Per-source decimal sums stay ~1e6 (int form 1e15
+    < 2^53) through sf1; past that, drop the quantization scale to 6."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    big = (
+        d.select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("b.x").alias("x"),
+            F.col("b.y").alias("y"),
+        )
+        .transform(pin, eager=False)
+    )
+    trn = big.filter(F.col("doc_id") % 5 != 0)
+    cxy = trn.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    cx = cxy.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    v = trn.select("x").distinct().agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("v")
+    )
+    ho = (
+        big.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    scored = (
+        ho.join(cx, "x", "left")
+        .join(cxy, ["x", "y"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            "n",
+            (
+                F.col("n").cast("decimal(10,0)")
+                * (
+                    -F.log(
+                        (F.coalesce(F.col("cxy"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (
+                            F.coalesce(F.col("cx"), F.lit(0)) + F.col("v")
+                        ).cast("double")
+                    )
+                ).cast("decimal(18,9)")
+            ).alias("term"),
+        )
+    )
+    hod = (
+        big.filter(F.col("doc_id") % 5 == 0)
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            (F.sum("term").cast("double") / F.sum("n").cast("bigint")).alias(
+                "avg_nll_nats"
+            ),
+        )
+        .join(F.broadcast(hod), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "avg_nll_nats",
+            F.round(F.exp("avg_nll_nats"), 6).alias("perplexity"),
+        )
+        .orderBy("source")
+    )

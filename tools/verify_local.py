@@ -66,6 +66,7 @@ _MAG_EXTRA = {
     "mix_moore_lewis_source_score",
     "mix_dsir_hashed_importance",
     "text_bm25_query_scores",
+    "text_bigram_lm_heldout_nll",
     "text_zipf_alpha_fit",
     "text_tfidf_keywords_topk",
     "orders_mann_kendall_trend",
