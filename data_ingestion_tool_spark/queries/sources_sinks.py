@@ -2150,3 +2150,70 @@ def quality_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.datediff("corpus_max", "max_date") <= 30).alias("is_fresh"),
     )
+
+
+@query(
+    "ingest_txn_log_partition_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE (year(o_orderdate) = 1996 AND month(o_orderdate) >= 6)
+       OR (year(o_orderdate) = 1997 AND month(o_orderdate) <= 3)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ingest_txn_log_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION EVOLUTION on the transaction-log table format
+    (sources/txnlog.py): commit 1 lands half of orders partitioned by
+    YEAR only; commit 2 lands the other half under an evolved
+    (YEAR, MONTH) spec — no rewrite of the old batch, the spec rides
+    the log entry exactly like Iceberg's per-manifest spec-id.  The
+    read (``snapshot_evolved``) groups live batches by spec, scans each
+    group with its own partition discovery, unions by name, and the
+    date-range predicate pushes through the union so EACH group prunes
+    at its own granularity (year dirs in batch 1, year+month dirs in
+    batch 2; tests/test_txnlog_partition_evolution.py pins the pruned
+    file counts).
+
+    Determinism: exact integer cents and counts at (year, month) grain.
+
+    Scale shape: the log walk is driver-side kilobytes; both scans are
+    distributed parquet reads with partition pruning — the whole point
+    of evolving a too-coarse spec at 100 TB without rewriting history."""
+    from ..sources.txnlog import TxnLogTable
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(year(o_orderdate) AS INT)").alias("o_year"),
+        F.expr("CAST(month(o_orderdate) AS INT)").alias("o_month"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    t = TxnLogTable(spark, _scratch("txnevo"))
+    t.commit(
+        o.where(F.col("o_orderkey") % 2 == 0), partition_by=["o_year"]
+    )
+    t.commit(
+        o.where(F.col("o_orderkey") % 2 == 1),
+        partition_by=["o_year", "o_month"],
+    )
+    snap = t.snapshot_evolved()
+    return (
+        snap.where(
+            ((F.col("o_year") == 1996) & (F.col("o_month") >= 6))
+            | ((F.col("o_year") == 1997) & (F.col("o_month") <= 3))
+        )
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("o_year", "o_month")
+    )

@@ -83,6 +83,7 @@ class TxnLogTable:
         remove: list[str] | None = None,
         max_retries: int = 5,
         meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> tuple[int, str]:
         """Write ``df`` as a new immutable batch and commit a log entry.
 
@@ -102,7 +103,14 @@ class TxnLogTable:
         versions = self.versions()
         v = (versions[-1] + 1) if versions else 0
         batch = f"batch-{v:05d}-{os.urandom(4).hex()}"
-        df.write.mode("error").parquet(os.path.join(self.root, "data", batch))
+        writer = df.write.mode("error")
+        if partition_by:
+            # PARTITION EVOLUTION: each batch carries its own physical
+            # layout spec (Iceberg spec-id semantics — the spec lives in
+            # the log entry, not table-global state), so later commits
+            # may partition differently without rewriting old batches.
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, "data", batch))
         for _ in range(max_retries):
             drop = sorted(
                 self.live_batches()
@@ -118,6 +126,8 @@ class TxnLogTable:
             entry = {"version": v, "add": [batch], "remove": drop}
             if meta:
                 entry["meta"] = meta
+            if partition_by:
+                entry["spec"] = list(partition_by)
             try:
                 self._put_entry(v, entry)
                 return v, batch
@@ -493,3 +503,50 @@ class TxnLogTable:
         return reader.parquet(
             *(os.path.join(self.root, "data", b) for b in live)
         )
+
+    def snapshot_evolved(self, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` under PARTITION EVOLUTION: live
+        batches are grouped by the partition spec recorded in their
+        commit entry (Iceberg spec-id semantics), each spec group is
+        read as its own parquet scan (mixed directory layouts cannot
+        share one partition-discovery pass), and the groups union by
+        name with NULL backfill for columns another spec materializes
+        differently.
+
+        Filters applied by the CALLER push through the union into every
+        per-spec scan, so each group gets its own partition pruning —
+        a date predicate prunes month directories in month-partitioned
+        batches and day directories in day-partitioned ones.  The log
+        walk is driver-side kilobytes; every scan stays distributed."""
+        versions = self.versions()
+        if not versions:
+            raise ValueError("empty table has no snapshot")
+        if version is None:
+            version = versions[-1]
+        live: list[str] = []
+        spec_of: dict[str, tuple] = {}
+        for v in versions:
+            if v > version:
+                break
+            e = self._entry(v)
+            removed = set(e.get("remove", []))
+            live = [b for b in live if b not in removed]
+            for b in e.get("add", []):
+                live.append(b)
+                spec_of[b] = tuple(e.get("spec", ()))
+        if not live:
+            raise ValueError("empty table has no snapshot")
+        groups: dict[tuple, list[str]] = {}
+        for b in live:
+            groups.setdefault(spec_of[b], []).append(b)
+        out: DataFrame | None = None
+        for spec in sorted(groups):
+            part = self.spark.read.parquet(
+                *(os.path.join(self.root, "data", b) for b in groups[spec])
+            )
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+        return out
