@@ -6007,3 +6007,180 @@ def events_rolling_median_mad_anomaly(
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Exact permutation test (md5-shuffled, integer-only) for mean difference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_permutation_test_mean_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    base AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0
+                  END) AS BIGINT) AS s2
+      FROM ev
+    ),
+    perms AS (SELECT unnest(generate_series(0, 39)) AS p),
+    keyed AS (
+      SELECT p, event_id, cents,
+             md5(CAST(event_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))
+               AS mk
+      FROM ev, perms
+    ),
+    ranked AS (
+      SELECT p, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY mk, event_id)
+                  AS BIGINT) AS rn
+      FROM keyed
+    ),
+    byp AS (
+      SELECT p,
+             CAST(SUM(CASE WHEN rn <= (SELECT n1 FROM base)
+                      THEN cents ELSE 0 END) AS BIGINT) AS s1p,
+             CAST(SUM(cents) AS BIGINT) AS stot
+      FROM ranked GROUP BY p
+    ),
+    flags AS (
+      SELECT CAST(CASE WHEN ABS(s1p * b.n2 - (stot - s1p) * b.n1)
+                        >= ABS(b.s1 * b.n2 - b.s2 * b.n1)
+                  THEN 1 ELSE 0 END AS BIGINT) AS extreme
+      FROM byp, base b
+    )
+    SELECT b.n1, b.n2, b.s1 AS s1_cents, b.s2 AS s2_cents,
+           ROUND(CAST(b.s1 AS DOUBLE) / CAST(b.n1 AS DOUBLE)
+                 - CAST(b.s2 AS DOUBLE) / CAST(b.n2 AS DOUBLE), 6)
+             AS mean_diff_cents,
+           CAST(40 AS BIGINT) AS n_perms,
+           (SELECT CAST(SUM(extreme) AS BIGINT) FROM flags) AS n_extreme,
+           ROUND((SELECT CAST(SUM(extreme) AS DOUBLE) FROM flags) / 40.0, 6)
+             AS p_value
+    FROM base b
+    """,
+)
+def stats_permutation_test_mean_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-ARITHMETIC permutation test for the click-vs-purchase mean
+    value difference: 40 deterministic md5-keyed permutations of the
+    pooled rows (rank by md5(event_id:perm), first n1 ranks form the
+    pseudo-click group — true label permutation, group sizes preserved
+    exactly), two-sided p = share of permutations whose |mean diff|
+    reaches the observed one.
+
+    Determinism: NO floats anywhere in the decision path — the mean
+    comparison cross-multiplies to |s1p*n2 - s2p*n1| >= |s1*n2 - s2*n1|
+    (exact int64: cents sums ~1e8 x counts ~2e4 = 1e12; past ~1e18
+    widen to DECIMAL(38,0) comparisons), the shuffle key is md5 of a
+    decimal string (bit-identical cross-engine, the CLAUDE.md
+    sampling rule) with an event_id tie-break, and only the reported
+    mean_diff/p_value are (identical-expression, rounded) floats.
+
+    Scale shape: the 40x explode is the honest permutation cost; the
+    rank uses with_grouped_global_row_number (one range shuffle keyed
+    (perm, md5), contiguous perm runs, NO per-perm single-task sort —
+    the operator built for exactly this few-huge-groups regime), and
+    each permutation reduces map-side to one (s1p, stot) row."""
+    from ..operators.ranking import with_grouped_global_row_number
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .transform(pin, eager=False)
+    )
+    base = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    perms = spark.range(0, 40).select(F.col("id").alias("p"))
+    keyed = ev.crossJoin(F.broadcast(perms)).select(
+        "p",
+        "event_id",
+        "cents",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("p").cast("string"),
+            )
+        ).alias("mk"),
+    )
+    ranked = with_grouped_global_row_number(
+        keyed, ["p"], ["mk", "event_id"], rn="rn"
+    )
+    byp = (
+        ranked.crossJoin(F.broadcast(base.select("n1")))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("n1"), F.col("cents")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("s1p"),
+            F.sum("cents").cast("bigint").alias("stot"),
+        )
+    )
+    flags = byp.crossJoin(F.broadcast(base)).select(
+        F.when(
+            F.abs(
+                F.col("s1p") * F.col("n2")
+                - (F.col("stot") - F.col("s1p")) * F.col("n1")
+            )
+            >= F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("extreme")
+    )
+    ext = flags.agg(F.sum("extreme").cast("bigint").alias("n_extreme"))
+    return base.crossJoin(F.broadcast(ext)).selectExpr(
+        "n1",
+        "n2",
+        "s1 AS s1_cents",
+        "s2 AS s2_cents",
+        "ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_diff_cents",
+        "CAST(40 AS BIGINT) AS n_perms",
+        "n_extreme",
+        "ROUND(CAST(n_extreme AS DOUBLE) / 40.0, 6) AS p_value",
+    )
