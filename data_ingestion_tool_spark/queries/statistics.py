@@ -6184,3 +6184,101 @@ def stats_permutation_test_mean_diff(
         "n_extreme",
         "ROUND(CAST(n_extreme AS DOUBLE) / 40.0, 6) AS p_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition of the hourly series: trend / seasonal / residual
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stl_hourly_decomposition",
+    oracle="""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t,
+             CAST(hour(h) AS INT) AS hod
+      FROM hr
+    ),
+    tr AS (
+      SELECT t, hod, x,
+             CAST(SUM(x) OVER (ORDER BY t ROWS BETWEEN 23 PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS s24
+      FROM s
+    ),
+    d AS (
+      SELECT hod, 24 * x - s24 AS dt FROM tr WHERE t >= 24
+    )
+    SELECT hod,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(dt) AS BIGINT) AS seas_num_scaled,
+           CAST(SUM(dt * dt) AS BIGINT) AS seas_ss_scaled,
+           ROUND(CAST(SUM(dt) AS DOUBLE)
+                 / (24.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS seasonal_mean,
+           ROUND((CAST(SUM(dt * dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  - (CAST(SUM(dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                 / 576.0, 6) AS within_hour_var
+    FROM d GROUP BY hod ORDER BY hod
+    """,
+)
+def events_stl_hourly_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STL-lite decomposition of hourly event volume: trend = trailing
+    24h moving sum, detrended = 24*x - trend_sum (INTEGER-scaled, so
+    the decomposition stays exact), seasonal index = per-hour-of-day
+    mean of the detrended series, and the within-hour variance as the
+    residual-strength readout.  The diurnal profile a capacity planner
+    separates from trend before alerting on the remainder.
+
+    Determinism: counts, the 24h window sum, and the scaled detrended
+    values (and their squares) are exact integers; only the final
+    mean/variance are identical-expression floats of those integers,
+    ROUND 6.  dt^2 sums stay inside int64 up to ~3e6 events/hour
+    (sf100-equivalent); past that, accumulate dt as DECIMAL(38,0).
+
+    Scale shape: ONE map-side-combinable groupBy hour over the fact
+    scan; the rolling window and hour-of-day rollup run on the ~720-row
+    series frame (tiny-domain exemption)."""
+    ev = read_events(spark, sf_dir)
+    hr = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    s = hr.select(
+        "x",
+        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("t"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    w24 = Window.orderBy("t").rowsBetween(-23, 0)
+    d = (
+        s.withColumn("s24", F.sum("x").over(w24).cast("bigint"))
+        .filter(F.col("t") >= 24)
+        .select("hod", (24 * F.col("x") - F.col("s24")).alias("dt"))
+    )
+    return (
+        d.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("dt").cast("bigint").alias("seas_num_scaled"),
+            F.sum(F.col("dt") * F.col("dt"))
+            .cast("bigint")
+            .alias("seas_ss_scaled"),
+        )
+        .selectExpr(
+            "hod",
+            "n_obs",
+            "seas_num_scaled",
+            "seas_ss_scaled",
+            "ROUND(CAST(seas_num_scaled AS DOUBLE)"
+            " / (24.0 * CAST(n_obs AS DOUBLE)), 6) AS seasonal_mean",
+            "ROUND((CAST(seas_ss_scaled AS DOUBLE) / CAST(n_obs AS DOUBLE)"
+            " - (CAST(seas_num_scaled AS DOUBLE) / CAST(n_obs AS DOUBLE))"
+            " * (CAST(seas_num_scaled AS DOUBLE) / CAST(n_obs AS DOUBLE)))"
+            " / 576.0, 6) AS within_hour_var",
+        )
+        .orderBy("hod")
+    )
