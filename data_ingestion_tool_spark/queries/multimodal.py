@@ -697,3 +697,101 @@ def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tile_batches,
         "doc_id long, tile_row int, tile_col int, n_bytes long, sum_px long",
     )
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, text,
+             1 + (CAST('0x' || substr(sha256(text), 9, 2) AS INT) % 8) AS n
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx,
+             CAST('0x' || substr(sha256(text || '-' || i), 1, 8) AS BIGINT)
+               AS lum
+      FROM meta, LATERAL unnest(generate_series(0, n - 1)) AS u(i)
+    ),
+    diffs AS (
+      SELECT doc_id, frame_idx, lum,
+             lum - LAG(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS d
+      FROM frames
+    ),
+    cuts AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN d IS NOT NULL AND ABS(d) > 3221225472
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM diffs
+    ),
+    scenes AS (
+      SELECT doc_id, frame_idx,
+             CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS scene_id
+      FROM cuts
+    ),
+    slen AS (
+      SELECT doc_id, scene_id, CAST(COUNT(*) AS BIGINT) AS scene_len
+      FROM scenes GROUP BY 1, 2
+    )
+    SELECT s.doc_id,
+           CAST(SUM(s.scene_len) AS BIGINT) AS n_frames,
+           CAST(MAX(s.scene_id) AS BIGINT) AS n_cuts,
+           CAST(MAX(s.scene_len) AS BIGINT) AS longest_scene
+    FROM slen s GROUP BY s.doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SCENE-CUT detection over the sampled frame stream: decode
+    every frame (``sample_frames`` with every_n=1 — the mapInPandas
+    fan-out is the real plumbing a production ffmpeg UDF rides), derive
+    a per-frame luminance proxy from the frame digest (top 8 hex chars
+    as int64 — the stand-in for a real frame-mean), and declare a cut
+    where the consecutive-frame difference exceeds 0.75 of the value
+    range; scenes are the cut-bounded runs, per video we emit frame,
+    cut, and longest-scene counts.
+
+    Determinism: the fan-out count and every luminance value are
+    sha256-derived integers both engines compute bit-identically
+    (hex-slice -> int64, <= 15 hex digits); the cut threshold
+    (3*2^30) and scene segmentation (cumulative cut count) are pure
+    integer math.
+
+    Scale shape: the frame fan-out happens executor-side (no shuffle);
+    the lag/cumsum windows partition by doc_id — millions of tiny
+    per-video partitions, the healthy window regime; the rollup is one
+    map-side-combinable aggregate."""
+    from ..operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d, "text"), every_n=1).select(
+        "doc_id",
+        "frame_idx",
+        F.expr("CAST(conv(substr(frame_sha, 1, 8), 16, 10) AS BIGINT)").alias(
+            "lum"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffs = frames.withColumn("d", F.col("lum") - F.lag("lum").over(w))
+    cuts = diffs.withColumn(
+        "is_cut",
+        F.when(
+            F.col("d").isNotNull() & (F.abs(F.col("d")) > 3221225472), 1
+        ).otherwise(0),
+    )
+    wc = Window.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scenes = cuts.withColumn(
+        "scene_id", F.sum("is_cut").over(wc).cast("bigint")
+    )
+    slen = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scene_len")
+    )
+    return slen.groupBy("doc_id").agg(
+        F.sum("scene_len").cast("bigint").alias("n_frames"),
+        F.max("scene_id").cast("bigint").alias("n_cuts"),
+        F.max("scene_len").cast("bigint").alias("longest_scene"),
+    )
