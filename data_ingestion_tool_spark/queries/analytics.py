@@ -4607,3 +4607,107 @@ def events_attribution_first_touch(
             F.sum("cents").cast("bigint").alias("credited_cents"),
         )
     )
+
+
+@query(
+    "orders_holt_winters_monthly",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT month, yc, CAST(yc AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS t
+      FROM m
+    ),
+    n12 AS (SELECT SUM(y) / 12.0 AS level0 FROM s WHERE t <= 12),
+    hw AS (
+      SELECT CAST(12 AS BIGINT) AS t,
+             CAST(NULL AS DATE) AS month, CAST(NULL AS BIGINT) AS yc,
+             (SELECT level0 FROM n12) AS level,
+             CAST(0 AS DOUBLE) AS trend,
+             CAST(NULL AS DOUBLE) AS seasonal,
+             (SELECT list(s.y - n12.level0 ORDER BY s.t)
+              FROM s, n12 WHERE s.t <= 12) AS svec
+      UNION ALL
+      SELECT s.t, s.month, s.yc,
+             0.5 * (s.y - hw.svec[1]) + 0.5 * (hw.level + hw.trend),
+             0.5 * ((0.5 * (s.y - hw.svec[1])
+                     + 0.5 * (hw.level + hw.trend)) - hw.level)
+               + 0.5 * hw.trend,
+             0.5 * (s.y - (0.5 * (s.y - hw.svec[1])
+                           + 0.5 * (hw.level + hw.trend)))
+               + 0.5 * hw.svec[1],
+             list_concat(hw.svec[2:],
+               [0.5 * (s.y - (0.5 * (s.y - hw.svec[1])
+                              + 0.5 * (hw.level + hw.trend)))
+                + 0.5 * hw.svec[1]])
+      FROM hw JOIN s ON s.t = hw.t + 1
+    )
+    SELECT month, yc AS revenue_cents, level, trend, seasonal,
+           level + trend + svec[1] AS forecast_next
+    FROM hw WHERE month IS NOT NULL
+    """,
+)
+def orders_holt_winters_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing over monthly revenue
+    (alpha=beta=gamma=0.5, period 12): level/trend as in
+    orders_holt_linear_monthly plus a rotating 12-slot seasonal state,
+    initialized from the first year (level = first-12 mean, s_i = y_i -
+    level); forecast_next = level + trend + next season's component.
+    The seasonal sibling the capacity planner actually wants for
+    December-shaped demand.
+
+    Determinism: NO rounding — both engines run the identical
+    left-associated IEEE double recursion (dyadic 0.5 coefficients; the
+    oracle threads the seasonal VECTOR through the recursive CTE as a
+    list, rotating with list_concat(svec[2:], [s_new]) exactly as the
+    Python loop rotates its deque); the init mean sums integer-valued
+    doubles (exact in any order) then divides once.
+
+    Scale shape: the monthly rollup is the distributed part; the
+    recursion is sequential over the ~80-row month series — bounded by
+    the calendar, not the data — in one applyInPandas task."""
+    import pandas as pd
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    m = o.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(cents).cast("bigint").alias("revenue_cents")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        out = {
+            "month": [], "revenue_cents": [], "level": [], "trend": [],
+            "seasonal": [], "forecast_next": [],
+        }
+        if len(pdf) >= 13:
+            ys = [float(v) for v in pdf["revenue_cents"]]
+            level0 = sum(ys[:12]) / 12.0
+            svec = [y - level0 for y in ys[:12]]
+            level, trend = level0, 0.0
+            for i in range(12, len(ys)):
+                y = ys[i]
+                s_old = svec[0]
+                lvl_new = 0.5 * (y - s_old) + 0.5 * (level + trend)
+                tr_new = 0.5 * (lvl_new - level) + 0.5 * trend
+                s_new = 0.5 * (y - lvl_new) + 0.5 * s_old
+                svec = svec[1:] + [s_new]
+                level, trend = lvl_new, tr_new
+                out["month"].append(pdf["month"][i])
+                out["revenue_cents"].append(int(pdf["revenue_cents"][i]))
+                out["level"].append(level)
+                out["trend"].append(trend)
+                out["seasonal"].append(s_new)
+                out["forecast_next"].append(level + trend + svec[0])
+        return pd.DataFrame(out)
+
+    return m.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        hw,
+        "month date, revenue_cents long, level double, trend double, "
+        "seasonal double, forecast_next double",
+    )
