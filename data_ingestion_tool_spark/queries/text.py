@@ -2641,3 +2641,169 @@ def text_bigram_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "filter_lm_perplexity_decile",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source, t[i] AS x, t[i+1] AS y
+      FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    trn AS (SELECT x, y FROM big WHERE doc_id % 5 <> 0),
+    cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM trn
+            GROUP BY 1, 2),
+    cx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) + 1 AS v FROM trn),
+    ho AS (
+      SELECT doc_id, source, x, y, CAST(COUNT(*) AS BIGINT) AS n
+      FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3, 4
+    ),
+    perdoc AS (
+      SELECT ho.doc_id, ho.source,
+             CAST(SUM(ho.n) AS BIGINT) AS n_bigrams,
+             SUM(CAST(ho.n AS DECIMAL(10,0))
+                 * CAST(-ln(CAST(COALESCE(cxy.cxy, 0) + 1 AS DOUBLE)
+                            / CAST(COALESCE(cx.cx, 0) + v.v AS DOUBLE))
+                        AS DECIMAL(18,9))) AS nll_dec
+      FROM ho
+      LEFT JOIN cx ON cx.x = ho.x
+      LEFT JOIN cxy ON cxy.x = ho.x AND cxy.y = ho.y, v
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, source, n_bigrams,
+             CAST(nll_dec AS DOUBLE) / n_bigrams AS avg_nll
+      FROM perdoc
+    ),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM scored),
+    thr AS (
+      SELECT avg_nll AS theta FROM (
+        SELECT avg_nll, ROW_NUMBER() OVER (ORDER BY avg_nll DESC, doc_id)
+                 AS rk
+        FROM scored
+      ), nq WHERE rk = CAST(CEIL(0.1 * nd) AS BIGINT)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.avg_nll >= (SELECT theta FROM thr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM scored s GROUP BY source ORDER BY source
+    """,
+)
+def filter_lm_perplexity_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT LM perplexity filtering (the CCNet move): score
+    each held-out document's average bigram NLL under the add-1 LM
+    trained on the 80%% split, mark the worst decile (highest NLL =
+    least LM-like) via an exact value-at-rank threshold, and report
+    flag counts per source — the quality gate that removes
+    gibberish/boilerplate the heuristic rules miss.
+
+    Determinism: per-doc NLL sums use the DECIMAL(18,9)-quantized
+    term discipline of text_bigram_lm_heldout_nll (order-independent);
+    the decile threshold is VALUE-AT-RANK over (avg_nll DESC, doc_id)
+    — value-determined under ties — and the flag compares the same
+    exact-decimal-over-int quotients both engines computed
+    identically.
+
+    Scale shape: model counts at bigram-type grain; per-doc scoring
+    joins type-grain model counts onto the held-out docs' bigram
+    types (fact-scale but map-side-combinable aggregates + two hash
+    joins); the threshold is ONE tiny rank pick over the scored-docs
+    frame, then a per-source rollup."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    big = (
+        d.select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("b.x").alias("x"),
+            F.col("b.y").alias("y"),
+        )
+        .transform(pin, eager=False)
+    )
+    trn = big.filter(F.col("doc_id") % 5 != 0)
+    cxy = trn.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    cx = cxy.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    v = trn.select("x").distinct().agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("v")
+    )
+    ho = (
+        big.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "source", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    perdoc = (
+        ho.join(cx, "x", "left")
+        .join(cxy, ["x", "y"], "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("n").cast("decimal(10,0)")
+                * (
+                    -F.log(
+                        (F.coalesce(F.col("cxy"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (
+                            F.coalesce(F.col("cx"), F.lit(0)) + F.col("v")
+                        ).cast("double")
+                    )
+                ).cast("decimal(18,9)")
+            ).alias("nll_dec"),
+        )
+    )
+    scored = perdoc.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        (F.col("nll_dec").cast("double") / F.col("n_bigrams")).alias(
+            "avg_nll"
+        ),
+    ).transform(pin, eager=False)
+    from ..operators.ranking import with_global_row_number
+
+    # distributed global rank (range shuffle + offset projection, no
+    # single-task sort — the scored frame is one row per held-out doc,
+    # fact-scale at 100 TB)
+    thr = (
+        with_global_row_number(
+            scored, [F.col("avg_nll").desc(), F.col("doc_id")],
+            rn="rk", n_col="nd",
+        )
+        .filter(F.col("rk") == F.expr("CAST(CEIL(0.1 * nd) AS BIGINT)"))
+        .select(F.col("avg_nll").alias("theta"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("avg_nll") >= F.col("theta"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        )
+        .orderBy("source")
+    )

@@ -67,6 +67,7 @@ _MAG_EXTRA = {
     "mix_dsir_hashed_importance",
     "text_bm25_query_scores",
     "text_bigram_lm_heldout_nll",
+    "filter_lm_perplexity_decile",
     "text_zipf_alpha_fit",
     "text_tfidf_keywords_topk",
     "orders_mann_kendall_trend",
