@@ -6282,3 +6282,60 @@ def events_stl_hourly_decomposition(
         )
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-binned magnitude histogram via exact bit-length binning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_log2_value_magnitude",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(LENGTH(bin(cents)) AS INT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM c WHERE cents > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def histogram_log2_value_magnitude(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log2-spaced magnitude histogram of event values per type: the
+    bin is the BIT LENGTH of the exact cents integer (length(bin(x)) —
+    bit-identical in both engines, unlike floor(log2(x)) whose ln-ratio
+    wobbles at power-of-two boundaries), giving the doubling-bucket
+    view a latency/value dashboard uses for heavy-tailed metrics.
+
+    Determinism: pure integer math end-to-end (exact cents, bit
+    length, counts, min/max).
+
+    Scale shape: ONE map-side-combinable groupBy on a
+    (type, <=16-bin) key over a 2-column scan."""
+    ev = read_events(spark, sf_dir)
+    c = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).filter(F.col("cents") > 0)
+    return (
+        c.groupBy(
+            "event_type",
+            F.length(F.bin("cents")).cast("int").alias("log2_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("event_type", "log2_bin")
+    )
