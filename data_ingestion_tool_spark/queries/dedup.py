@@ -946,3 +946,204 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("inter_sz").cast("double") / F.col("union_sz").cast("double"))
         .alias("jaccard"),
     )
+
+
+@query(
+    "dedup_lsh_calibration_sweep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               array_to_string(t[i:least(i+2, len(t))], ' ') AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, greatest(len(t)-2, 1)))
+               AS u(i)
+        WHERE len(t) > 0
+      ) WHERE g <> ''
+    ),
+    hv AS (
+      SELECT doc_id, sp.i AS i,
+             MIN(CAST('0x' || substr(md5(g || ':' || sp.i), 1, 15)
+                 AS BIGINT)) AS mh
+      FROM sh, (SELECT unnest(generate_series(1, 24)) AS i) sp
+      GROUP BY doc_id, sp.i
+    ),
+    cfgs AS (SELECT * FROM (VALUES (12, 2), (8, 3), (6, 4)) c(bands, rpb)),
+    bucketed AS (
+      SELECT c.bands, c.rpb, hv.doc_id,
+             CAST((hv.i - 1) // c.rpb AS INT) AS band,
+             string_agg(CAST(hv.mh AS VARCHAR), ',' ORDER BY hv.i) AS bucket
+      FROM hv, cfgs c
+      GROUP BY c.bands, c.rpb, hv.doc_id, CAST((hv.i - 1) // c.rpb AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.bands, b1.rpb,
+             b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bucketed b1
+      JOIN bucketed b2
+        ON b1.bands = b2.bands AND b1.rpb = b2.rpb
+       AND b1.band = b2.band AND b1.bucket = b2.bucket
+       AND b1.doc_id < b2.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING 2 * COUNT(*) >=
+             (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+             + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp)
+    SELECT c.bands, c.rpb AS rows_per_band,
+           CAST(COUNT(cand.id_a) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0
+                END), 0) AS BIGINT) AS n_caught,
+           (SELECT n_true FROM nt) AS n_true
+    FROM cfgs c
+    LEFT JOIN cand ON cand.bands = c.bands AND cand.rpb = c.rpb
+    LEFT JOIN tp ON tp.id_a = cand.id_a AND tp.id_b = cand.id_b
+    GROUP BY c.bands, c.rpb
+    ORDER BY c.rpb
+    """,
+)
+def dedup_lsh_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH CALIBRATION SWEEP with a full differential oracle:
+    three banding configurations (12x2, 8x3, 6x4) over the SAME 24
+    md5-derived minhash functions, each reporting candidate volume and
+    recall against the exact Jaccard>=0.5 truth — the sweep an engineer
+    runs to pick the banding operating point (more rows/band = fewer
+    candidates, lower recall: the S-curve made measurable).
+
+    Determinism: the signature is sig_i = min over distinct 3-gram
+    shingles of md5int60(shingle:i) — Python-free, engine-identical
+    integer mins (the int-SRP/md5 technique applied to minhash), band
+    buckets are the comma-joined signature slices (exact strings), and
+    truth is the integer-cross-multiplied exact Jaccard over the
+    shingle inverted index.  Every output cell is an exact integer.
+
+    Scale shape: signatures are per-doc codegen HOFs (24 array-mins
+    over a bound shingle column — computed once, not per band);
+    candidates come from bucket self-joins on short keys (never
+    all-pairs); the truth join is the shingle inverted index (postings
+    bounded by shingle frequency).  At 100 TB the truth column is the
+    expensive honest part — run the sweep on a sampled stratum and
+    keep candidate counting full-corpus."""
+    from ..operators.dedup import _spread, shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        _spread(d)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .transform(pin, eager=False)
+    )
+
+    # build sig columns via selectExpr (exact expression parity with
+    # the oracle's md5-prefix int60)
+    sig_exprs = [
+        f"array_min(transform(sh, s -> CAST(conv(substr(md5(concat(s,"
+        f" ':', '{i}')), 1, 15), 16, 10) AS BIGINT))) AS mh{i}"
+        for i in range(1, 25)
+    ]
+    sigs = sh.selectExpr("id", *sig_exprs).transform(pin, eager=False)
+
+    cfgs = [(12, 2), (8, 3), (6, 4)]
+    bucket_rows = []
+    for bands, rpb in cfgs:
+        for band in range(bands):
+            cols = [f"mh{band * rpb + t + 1}" for t in range(rpb)]
+            bucket_rows.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(rpb).alias("rpb"),
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col(c).cast("string") for c in cols]
+                    ).alias("bucket"),
+                )
+            )
+    bucketed = sigs.select(
+        "id", F.explode(F.array(*bucket_rows)).alias("bb")
+    ).select("id", "bb.bands", "bb.rpb", "bb.band", "bb.bucket")
+    b1 = bucketed.alias("b1")
+    b2 = bucketed.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.bands") == F.col("b2.bands"))
+            & (F.col("b1.rpb") == F.col("b2.rpb"))
+            & (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.id") < F.col("b2.id")),
+        )
+        .select(
+            F.col("b1.bands").alias("bands"),
+            F.col("b1.rpb").alias("rpb"),
+            F.col("b1.id").alias("id_a"),
+            F.col("b2.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact truth: inverted-index join + integer Jaccard
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    sizes = sh.select("id", F.size("sh").cast("bigint").alias("sz"))
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.g") == F.col("eb.g"))
+            & (F.col("ea.id") < F.col("eb.id")),
+        )
+        .groupBy(
+            F.col("ea.id").alias("id_a"), F.col("eb.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ninter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    tp = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            2 * F.col("ninter")
+            >= F.col("sz_a") + F.col("sz_b") - F.col("ninter")
+        )
+        .select("id_a", "id_b")
+        .transform(pin, eager=False)
+    )
+    nt = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    cfg_df = spark.createDataFrame(cfgs, "bands int, rpb int")
+    caught = cand.join(tp, ["id_a", "id_b"], "left_semi").groupBy(
+        "bands", "rpb"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_caught"))
+    ncand = cand.groupBy("bands", "rpb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        cfg_df.join(F.broadcast(ncand), ["bands", "rpb"], "left")
+        .join(F.broadcast(caught), ["bands", "rpb"], "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bands",
+            F.col("rpb").alias("rows_per_band"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_caught"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught"),
+            "n_true",
+        )
+        .orderBy("rows_per_band")
+    )
