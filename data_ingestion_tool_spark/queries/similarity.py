@@ -1977,3 +1977,132 @@ def similarity_recall_vs_nprobe_curve(
         )
         .orderBy("n_probe")
     )
+
+
+N_TRIPLET_QUERIES = 60
+
+
+@query(
+    "similarity_triplet_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_TRIPLET_QUERIES}
+    ),
+    c AS (SELECT vec_id AS nid, label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.nid,
+             CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS same,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS score
+      FROM q JOIN c ON c.nid <> q.qid
+    ),
+    best AS (
+      SELECT qid, qlabel, same, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid, same
+                                ORDER BY score DESC, nid) AS rk
+      FROM scored
+    )
+    SELECT p.qid AS query_id, p.qlabel AS label,
+           p.nid AS pos_id, ROUND(p.score, 9) AS pos_score,
+           n.nid AS neg_id, ROUND(n.score, 9) AS neg_score,
+           ROUND(p.score - n.score, 9) AS margin,
+           CAST(ROUND(n.score - p.score, 9) >= 0 AS INT)
+             AS margin_violation
+    FROM best p JOIN best n ON n.qid = p.qid
+    WHERE p.same = 1 AND p.rk = 1 AND n.same = 0 AND n.rk = 1
+    ORDER BY p.qid
+    """,
+)
+def similarity_triplet_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIPLET HARD-NEGATIVE MINING for embedding-model training: for
+    each query vector, the most-similar SAME-label vector (positive)
+    and the most-similar OTHER-label vector (hard negative), with the
+    triplet margin and a violation flag (negative closer than positive
+    = the triplet a trainer actually wants in the batch).
+
+    Determinism: scores are the identical zip_with/aggregate
+    sequential fold both engines run (rounded 9 on output per house
+    rule); the per-side argmax is value-determined with a neighbor-id
+    tie-break (max of (score, -nid) struct == ROW_NUMBER rank-1 in the
+    oracle); the margin and violation flag compare the same rounded
+    diffs.
+
+    Scale shape: the query block broadcasts (bounded at
+    N_TRIPLET_QUERIES); the corpus never shuffles — scoring happens in
+    the scan projection and the per-(query, side) argmax is ONE
+    map-side-combinable aggregate (max_by via struct max), no window
+    over candidates, no candidate materialization at all."""
+    from ..operators.similarity import _as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_TRIPLET_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        _as_double("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        _as_double("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            F.when(F.col("nlabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("same"),
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    best = (
+        scored.groupBy("qid", "qlabel", "same")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("nid")).alias("neg_nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "qid",
+            "qlabel",
+            "same",
+            (-F.col("b.neg_nid")).alias("nid"),
+            F.col("b.score").alias("score"),
+        )
+    )
+    p = best.filter(F.col("same") == 1).select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").alias("label"),
+        F.col("nid").alias("pos_id"),
+        F.col("score").alias("pos_raw"),
+    )
+    n = best.filter(F.col("same") == 0).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neg_id"),
+        F.col("score").alias("neg_raw"),
+    )
+    return (
+        p.join(n, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "pos_id",
+            F.round("pos_raw", 9).alias("pos_score"),
+            "neg_id",
+            F.round("neg_raw", 9).alias("neg_score"),
+            F.round(F.col("pos_raw") - F.col("neg_raw"), 9).alias("margin"),
+            (F.round(F.col("neg_raw") - F.col("pos_raw"), 9) >= 0)
+            .cast("int")
+            .alias("margin_violation"),
+        )
+        .orderBy("query_id")
+    )
