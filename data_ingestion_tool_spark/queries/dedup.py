@@ -1147,3 +1147,109 @@ def dedup_lsh_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+@query(
+    "dedup_char_shingle_memorization",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 16
+    ),
+    gr AS (
+      SELECT doc_id, source,
+             substr(text, CAST(o AS INT), 16) AS g
+      FROM docs,
+           LATERAL unnest(generate_series(1, CAST(n AS INT) - 15, 8))
+             AS u(o)
+    ),
+    dg AS (SELECT DISTINCT doc_id, source, g FROM gr),
+    freq AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY g
+    ),
+    perdoc AS (
+      SELECT dg.doc_id, dg.source,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM dg JOIN freq ON freq.g = dg.g
+      GROUP BY dg.doc_id, dg.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN 5 * n_shared >= n_shingles
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_memorization_risk
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def dedup_char_shingle_memorization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHARACTER-level cross-document duplication audit (the
+    suffix-array-style memorization check of Lee et al.'s training-data
+    dedup, bucketed instead of suffix-sorted): stride-8 16-char
+    shingles per doc, a shingle is SHARED when it appears in more than
+    one document, and a doc is memorization-risk when >=20%% of its
+    shingles are shared (integer cross-multiplication 5*shared >=
+    total).  Character grain catches templated/boilerplate overlap
+    that word-n-gram Jaccard dilutes.
+
+    Determinism: substr offsets, distinct-shingle document frequencies
+    and all thresholds are exact integer/string operations (SQL substr
+    is byte-identical on this ASCII corpus; `strlen` bytes == chars
+    here).
+
+    Scale shape: the shingle explode is ~n_chars/8 rows per doc
+    executor-side; document frequency is ONE map-side-combinable
+    groupBy on the shingle string (the inverted index grain), joined
+    back at the (doc, shingle) grain — never doc-pairs; the rollup is
+    per-source.  At 100 TB the shingle key is the shuffle: hash-
+    partitioned, skew-free (16-char keys), with stride the knob that
+    trades recall for volume."""
+    d = read_table(spark, sf_dir, "documents")
+    docs = d.filter(F.length("text") >= 16).select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    offs = F.sequence(
+        F.lit(1), (F.col("n") - F.lit(15)).cast("int"), F.lit(8)
+    )
+    gr = docs.select(
+        "doc_id",
+        "source",
+        F.explode(offs).alias("o"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("substr(text, o, 16)").alias("g"),
+    )
+    dg = gr.distinct().transform(pin, eager=False)
+    freq = dg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    perdoc = (
+        dg.join(freq, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_shared").cast("bigint").alias("n_shared"),
+            F.sum(
+                F.when(
+                    5 * F.col("n_shared") >= F.col("n_shingles"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_memorization_risk"),
+        )
+        .orderBy("source")
+    )

@@ -6339,3 +6339,117 @@ def histogram_log2_value_magnitude(
         )
         .orderBy("event_type", "log2_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann location estimator of daily event volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_hodges_lehmann_daily",
+    oracle="""
+    WITH byd AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x + b.x AS s2, a.day AS da, b.day AS db
+      FROM byd a JOIN byd b ON a.day <= b.day
+    ),
+    ranked AS (
+      SELECT s2, CAST(ROW_NUMBER() OVER (ORDER BY s2, da, db) AS BIGINT)
+               AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pairs
+    ),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rk = (m + 1) // 2 THEN s2 ELSE 0 END)
+                  AS BIGINT) AS lo2,
+             CAST(SUM(CASE WHEN rk = (m + 2) // 2 THEN s2 ELSE 0 END)
+                  AS BIGINT) AS hi2
+      FROM ranked
+    ),
+    plain AS (
+      SELECT x FROM (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT)
+                 AS rk, CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM byd
+      ) WHERE rk = (n + 1) // 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM byd) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           ROUND((CAST(lo2 AS DOUBLE) + CAST(hi2 AS DOUBLE)) / 4.0, 6)
+             AS hodges_lehmann,
+           (SELECT CAST(x AS BIGINT) FROM plain) AS plain_median
+    FROM med
+    """,
+)
+def stats_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator of daily event volume — the
+    median of all pairwise Walsh averages (x_i + x_j)/2, i <= j — next
+    to the plain median: the robust location estimate with ~96%%
+    Gaussian efficiency (vs the median's 64%%) that a monitoring
+    baseline should actually center on.
+
+    Determinism: Walsh averages are kept as INTEGER pair sums (s2 =
+    x_i + x_j; halving deferred to the single final division), the
+    median of the m pair sums is value-at-rank with (sum, day, day)
+    tie-breaks, averaged low/high for even m — all exact integers
+    until one rounded division.
+
+    Scale shape: pairwise enumeration is day-DOMAIN quadratic (30
+    days -> 465 pairs; calendar-bounded, never fact-scale), after ONE
+    map-side-combinable groupBy day over the fact scan."""
+    ev = read_events(spark, sf_dir)
+    byd = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    ).transform(pin, eager=False)
+    a, b = byd.alias("a"), byd.alias("b")
+    pairs = a.join(b, F.col("a.day") <= F.col("b.day")).select(
+        (F.col("a.x") + F.col("b.x")).alias("s2"),
+        F.col("a.day").alias("da"),
+        F.col("b.day").alias("db"),
+    ).transform(pin, eager=False)
+    wr = Window.orderBy("s2", "da", "db")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = pairs.withColumn(
+        "rk", F.row_number().over(wr).cast("bigint")
+    ).withColumn("m", F.count(F.lit(1)).over(wall).cast("bigint"))
+    med = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("rk") == F.expr("(m + 1) DIV 2"), F.col("s2")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("lo2"),
+        F.sum(
+            F.when(
+                F.col("rk") == F.expr("(m + 2) DIV 2"), F.col("s2")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hi2"),
+    )
+    wp = Window.orderBy("x", "day")
+    plain = (
+        byd.withColumn("rk", F.row_number().over(wp).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("x").cast("bigint").alias("plain_median"))
+    )
+    nd = byd.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        nd.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(plain))
+        .selectExpr(
+            "n_days",
+            "n_pairs",
+            "ROUND((CAST(lo2 AS DOUBLE) + CAST(hi2 AS DOUBLE)) / 4.0, 6)"
+            " AS hodges_lehmann",
+            "plain_median",
+        )
+    )
