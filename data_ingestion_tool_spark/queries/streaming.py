@@ -937,3 +937,4 @@ def stream_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users")
         ).alias("est_within_5pct"),
     )
+

@@ -195,3 +195,73 @@ def velocity_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def distinct_types_per_key_tws(
+    stream: DataFrame, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-key DISTINCT-value tracker on the ``transformWithState``
+    API (Spark 4's typed-state successor to ``applyInPandasWithState``):
+    the seen-set lives in a MapState (one state-store entry per
+    distinct value — set-union semantics across micro-batches, never a
+    growing blob value), the event count in a ValueState.  Emits the
+    running (n_distinct_types, n_events) per key each micro-batch; in
+    ``update`` output mode the sink's last row per key is the final
+    answer, equal to the batch COUNT(DISTINCT) — the oracle.
+
+    Scale: state is hash-partitioned by key across the state-store
+    width; per-key state size is the distinct-value cardinality (here
+    bounded by the event-type domain), and MapState keys make the
+    union idempotent under replay.
+
+    DEPENDENCY GATE: the transformWithState Python worker speaks a
+    protobuf state-server protocol, so executing the returned stream
+    requires ``google.protobuf`` (not bundled in every environment —
+    pyspark declares it only as an optional 'connect' extra).
+    Constructing the plan needs nothing; tests/test_streaming_tws.py
+    runs it when protobuf is importable and skips otherwise, so the
+    operator stays exercised wherever the dependency exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState(
+                "seen", "t string", "one tinyint"
+            )
+            self._n = handle.getValueState("n", "n_events bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += int(len(pdf))
+                for t in pdf[type_col].drop_duplicates():
+                    if not self._seen.containsKey((str(t),)):
+                        self._seen.updateValue((str(t),), (1,))
+            self._n.update((n,))
+            n_distinct = sum(1 for _ in self._seen.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_distinct_types": [n_distinct],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(key_col, type_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=DistinctTracker(),
+            outputStructType=(
+                "user_id bigint, n_distinct_types bigint, n_events bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
