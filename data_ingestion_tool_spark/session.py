@@ -65,6 +65,23 @@ def get_spark(
                 "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
             ),
         )
+        # Shuffle/spill scratch on tmpfs when available: local-mode
+        # shuffle writes otherwise land on whatever disk /tmp happens
+        # to be, and measured fdatasync throughput varies ~3x across
+        # host boots — shuffle-bound queries (TPC-H joins) absorbed a
+        # 2-3x timing lottery with IDENTICAL plans (round 10; the
+        # scan-bound sentinel never moved). At sf0.1 shuffle data is
+        # tens of MB against a 126 GB tmpfs; a real cluster pins
+        # spark.local.dir to local NVMe for exactly the same reason.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+            or (
+                "/dev/shm/spark-graft-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
