@@ -2217,3 +2217,67 @@ def ingest_txn_log_partition_evolution(
         )
         .orderBy("o_year", "o_month")
     )
+
+
+@query(
+    "quality_partition_checksums",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5(
+                  CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR) || '|' ||
+                  o_orderstatus || '|' ||
+                  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS VARCHAR)), 1, 14) AS BIGINT))
+                % 4611686018427387904 AS BIGINT) AS checksum
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION order-independent content checksums: every row
+    hashes its normalized field rendering to an md5-prefix int56 and
+    each (year, month) partition sums them — the incremental-validation
+    primitive that localizes WHICH partition drifted after a backfill
+    or replication (the whole-table twin is ingest_checksum_validation).
+
+    Determinism: md5 of a decimal-string rendering is bit-identical
+    cross-engine (the CLAUDE.md checksum rule).  The int56 prefixes
+    are summed EXACTLY (DECIMAL(38,0) in Spark, HUGEINT in DuckDB —
+    a raw bigint sum would overflow past ~128 rows/partition) and
+    reduced mod 2^62; modular equality is the standard checksum
+    contract and the exact sum stays inside 38 digits to ~1e20 rows.
+
+    Scale shape: ONE map-side-combinable groupBy on the partition key
+    over a 5-column scan; no joins, no windows."""
+    o = read_table(spark, sf_dir, "orders")
+    row_str = F.expr(
+        "concat(CAST(o_orderkey AS STRING), '|',"
+        " CAST(o_custkey AS STRING), '|', o_orderstatus, '|',"
+        " CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS STRING))"
+    )
+    return (
+        o.select(
+            F.expr("CAST(year(o_orderdate) AS INT)").alias("o_year"),
+            F.expr("CAST(month(o_orderdate) AS INT)").alias("o_month"),
+            F.expr(
+                "CAST(conv(substr(md5({s}), 1, 14), 16, 10) AS BIGINT)".format(
+                    s="concat(CAST(o_orderkey AS STRING), '|',"
+                    " CAST(o_custkey AS STRING), '|', o_orderstatus, '|',"
+                    " CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT) AS STRING))"
+                )
+            ).alias("h"),
+        )
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(h AS DECIMAL(38,0)))"
+                " % 4611686018427387904 AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .orderBy("o_year", "o_month")
+    )

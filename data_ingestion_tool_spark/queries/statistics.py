@@ -6453,3 +6453,146 @@ def stats_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plain_median",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient over the thresholded brand graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    n AS (SELECT COUNT(*) AS n FROM und),
+    th AS (
+      SELECT cnt AS theta FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, u, v) AS rk
+        FROM und
+      ) WHERE rk = (SELECT CAST(CEIL(0.1 * n) AS BIGINT) FROM n)
+    ),
+    e0 AS (SELECT u, v FROM und WHERE cnt >= (SELECT theta FROM th)),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    tri AS (
+      SELECT x.u AS w, CAST(COUNT(*) AS BIGINT) AS t2
+      FROM e x
+      JOIN e y ON y.u = x.v
+      JOIN e z ON z.u = y.v AND z.v = x.u
+      GROUP BY x.u
+    )
+    SELECT deg.w AS brand, deg.d AS degree,
+           CAST(COALESCE(tri.t2, 0) / 2 AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN ROUND(CAST(COALESCE(tri.t2, 0) AS DOUBLE)
+                           / (CAST(deg.d AS DOUBLE)
+                              * (CAST(deg.d AS DOUBLE) - 1.0)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg LEFT JOIN tri ON tri.w = deg.w
+    ORDER BY brand
+    """,
+)
+def graph_clustering_coefficient_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL clustering coefficient per node of the sparsified brand
+    graph: C(w) = 2*triangles(w) / (deg(w)*(deg(w)-1)) — how close each
+    brand's neighborhood is to a clique, the community-structure
+    readout next to the global triangle count
+    (graph_triangle_count_brands).
+
+    Determinism: triangles per node counted by the directed 3-cycle
+    join over the symmetrized edge list (each triangle at w counted
+    twice: once per orientation — divided out as integer DIV 2 for the
+    count and folded into the coefficient denominator); degrees and
+    counts are exact integers; the one float is an identical-expression
+    ratio of integers, ROUND 6.
+
+    Scale shape: fact-scale work is the one lineitem-part join +
+    DISTINCT; the wedge/cycle joins run on the brand-domain-bounded
+    edge list (<= |brands|^2), fully distributed — cost sum_w deg(w)^2,
+    the standard triangle bound, after top-10%-weight sparsification."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .transform(pin, eager=False)
+    )
+    n = und.agg(F.count(F.lit(1)).alias("n"))
+    rk = und.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "u", "v")),
+    )
+    th = (
+        rk.crossJoin(F.broadcast(n))
+        .filter(F.col("rk") == F.expr("CAST(CEIL(0.1 * n) AS BIGINT)"))
+        .select(F.col("cnt").alias("theta"))
+    )
+    e0 = (
+        und.crossJoin(F.broadcast(th))
+        .filter(F.col("cnt") >= F.col("theta"))
+        .select("u", "v")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(pin, eager=False)
+    deg = e.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(y, F.col("y.u") == F.col("x.v"))
+        .join(
+            z,
+            (F.col("z.u") == F.col("y.v")) & (F.col("z.v") == F.col("x.u")),
+        )
+        .groupBy(F.col("x.u").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+    return (
+        deg.join(F.broadcast(tri), deg.w == tri.w, "left")
+        .select(
+            deg.w.alias("brand"),
+            F.col("d").alias("degree"),
+            F.expr("CAST(COALESCE(t2, 0) DIV 2 AS BIGINT)").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.coalesce(F.col("t2"), F.lit(0)).cast("double")
+                    / (
+                        F.col("d").cast("double")
+                        * (F.col("d").cast("double") - 1.0)
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coef"),
+        )
+        .orderBy("brand")
+    )
