@@ -938,3 +938,125 @@ def stream_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_within_5pct"),
     )
 
+
+
+@query(
+    "stream_cdc_scd2_apply",
+    oracle="""
+    WITH ins AS (
+      SELECT o_orderkey AS k, 'O' AS status,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CASE WHEN o_orderstatus <> 'O'
+                  THEN CAST(o_orderdate AS DATE)
+                       + CAST(o_orderkey % 60 + 1 AS INT)
+                  ELSE NULL END AS valid_to
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 60 + 1 AS INT)
+               AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    scd AS (SELECT * FROM ins UNION ALL SELECT * FROM upd)
+    SELECT status,
+           CAST(valid_to IS NULL AS INT) AS is_current,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(valid_to - valid_from), 0) AS BIGINT)
+             AS sum_closed_days
+    FROM scd GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC -> SCD TYPE-2 dimension maintenance: a 4-file
+    change feed (inserts for each order as status 'O', then a status
+    update (o_orderkey % 60 + 1) days later for every non-open order)
+    streams one file per micro-batch into
+    ``stream_cdc_scd2_txnlog`` — each batch MERGES into the interval
+    table (close the touched key's open row, append the new open row)
+    and commits one idempotent overwrite version.  The final intervals
+    must equal the direct batch SCD2 construction: the lakehouse
+    dimension-maintenance loop (Delta MERGE + CDC) end-to-end on this
+    repo's txn-log format.
+
+    Determinism: all keys, statuses and day-grain interval bounds are
+    exact integers/dates; the feed delivers each key's changes in ts
+    order (the CDC contract), so the merge is order-insensitive across
+    the partitioned batch files.
+
+    Scale shape: each micro-batch merge is one anti/inner join of
+    current state against the batch key set (broadcast-able) plus a
+    union; commits are distributed parquet writes; the summary is one
+    map-side-combined aggregate + a deduped distinct-key count."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ingest import stream_cdc_scd2_txnlog
+
+    enable_nanos_as_long(spark)
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST(o_orderkey % 60 + 1 AS INT))"
+        ).alias("d1"),
+    )
+    ins = o.select(
+        "k", F.lit("O").alias("status"), F.col("d0").alias("eff_ts")
+    )
+    upd = o.filter(F.col("o_orderstatus") != "O").select(
+        "k",
+        F.col("o_orderstatus").alias("status"),
+        F.col("d1").alias("eff_ts"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-scratch",
+        f"scd2-{uuid.uuid4().hex[:8]}",
+    )
+    src = os.path.join(scratch, "src")
+    batches = [
+        ins.filter(F.col("k") % 2 == 0),
+        ins.filter(F.col("k") % 2 == 1),
+        upd.filter(F.col("k") % 2 == 0),
+        upd.filter(F.col("k") % 2 == 1),
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        d = os.path.join(src, f"b{i}")
+        b.coalesce(1).write.parquet(d)
+        ts = now - 3600 + i * 60  # pin micro-batch order by mtime
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    schema = "k bigint, status string, eff_ts date"
+    t = stream_cdc_scd2_txnlog(
+        spark,
+        src,
+        schema,
+        os.path.join(scratch, "table"),
+    )
+    scd = t.snapshot()
+    return (
+        scd.groupBy(
+            "status", F.col("valid_to").isNull().cast("int").alias("is_current")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("k").cast("bigint").alias("n_keys"),
+            F.coalesce(
+                F.sum(F.datediff("valid_to", "valid_from")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_closed_days"),
+        )
+        .orderBy("status", "is_current")
+    )
