@@ -6596,3 +6596,139 @@ def graph_clustering_coefficient_brands(
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def _cuped_exprs() -> dict:
+    """Shared SQL fragments for CUPED: theta = cov(x,y)/var(x) over
+    per-user (pre, post) cent totals, adjusted per-arm means — every
+    float a +,-,*,/ composition of identical integer sums (n, sx, sy,
+    sxx, sxy per arm and pooled), correctly rounded hence bit-identical
+    cross-engine."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    # pooled theta (computed over all users, the standard CUPED form)
+    var = f"({d('sxx')} - {d('sx')}*{d('sx')}/{d('n')})"
+    cov = f"({d('sxy')} - {d('sx')}*{d('sy')}/{d('n')})"
+    theta = f"({cov} / {var})"
+    return {"theta": theta}
+
+
+_CUPED = _cuped_exprs()
+
+
+@query(
+    "events_ab_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM(x) AS BIGINT) AS sx_a,
+             CAST(SUM(y) AS BIGINT) AS sy_a
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, n_a AS n_users,
+           ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS mean_post_cents,
+           ROUND({_CUPED['theta']}, 9) AS theta,
+           ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - {_CUPED['theta']}
+                   * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS cuped_adjusted_mean
+    FROM arms, pooled ORDER BY arm
+    """,
+)
+def events_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (the pre-period-covariate
+    adjustment every mature experimentation platform applies):
+    per-user pre-period (days 1-15) and post-period (days 16+) spend
+    in exact cents, pooled theta = cov(pre, post)/var(pre), and each
+    arm's adjusted mean = mean(y) - theta*(mean(x) - pooled mean(x)).
+    Arms are the deterministic user_id %% 2 split of
+    events_ab_conversion_uplift.
+
+    Determinism: all moment sums are exact int64 (x,y <= ~5e6 cents
+    per user; sxy <= 2.5e13 * users — past ~3e5 users widen sxx/sxy
+    to DECIMAL(38,0)); theta and the adjusted means are identical-
+    expression float compositions of those integers (shared verbatim
+    via _cuped_exprs), ROUND 6/9.
+
+    Scale shape: ONE map-side-combinable groupBy user over the fact
+    scan, then 1-row/2-row domain frames; the moment products ride
+    the same pass."""
+    ev = read_events(spark, sf_dir)
+    pu = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(user_id % 2 AS INT)").alias("arm"),
+            F.expr(
+                "CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+                " THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("xv"),
+            F.expr(
+                "CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'"
+                " THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("yv"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("xv").cast("bigint").alias("x"),
+            F.sum("yv").cast("bigint").alias("y"),
+        )
+        .transform(pin, eager=False)
+    )
+    pooled = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .selectExpr(
+            "arm",
+            "n_a AS n_users",
+            "ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"
+            " AS mean_post_cents",
+            f"ROUND({_CUPED['theta']}, 9) AS theta",
+            f"ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            f" - {_CUPED['theta']}"
+            f" * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            f" - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+            " AS cuped_adjusted_mean",
+        )
+        .orderBy("arm")
+    )

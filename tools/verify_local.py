@@ -49,6 +49,7 @@ _MAG_EXTRA = {
     "events_anomaly_zscore",
     "events_daily_anomaly_zscore",
     "events_cusum_drift",
+    "events_ab_cuped_adjustment",
     "events_ewma_per_user",
     "events_rolling_corr_click_purchase",
     "events_user_entropy_event_mix",
