@@ -1445,3 +1445,135 @@ def mix_shard_balanced_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (64 * F.col("n_tokens") <= 2 * F.col("t")).alias("within_2x_mean"),
     )
+
+
+@query(
+    "mix_length_bucket_batching",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM t),
+    hist AS (
+      SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY n_tokens
+    ),
+    cum AS (
+      SELECT n_tokens,
+             CAST(SUM(cnt) OVER (ORDER BY n_tokens ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM hist
+    ),
+    bounds AS (
+      SELECT i,
+             (SELECT MIN(n_tokens) FROM cum, n
+              WHERE c * 8 >= i * nd) AS b
+      FROM (SELECT unnest(generate_series(1, 7)) AS i)
+    ),
+    bucketed AS (
+      SELECT t.doc_id, t.n_tokens,
+             CAST((SELECT COUNT(*) FROM bounds
+                   WHERE t.n_tokens > bounds.b) AS INT) AS bucket
+      FROM t
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste_tokens,
+             CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 4096.0) AS BIGINT)
+               AS n_batches_4k
+      FROM bucketed GROUP BY bucket
+    ),
+    total AS (
+      SELECT CAST(-1 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste_tokens,
+             CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 4096.0) AS BIGINT)
+               AS n_batches_4k
+      FROM t
+    )
+    SELECT * FROM per_bucket UNION ALL SELECT * FROM total
+    ORDER BY bucket
+    """,
+)
+def mix_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING prep (the dynamic-batching move every
+    trainer makes): docs split into 8 octile token-length buckets via
+    exact value-at-rank boundaries (8*cum >= i*n integer comparison on
+    the length histogram), and per bucket the padding waste if batches
+    pad to the bucket max — with the bucket = -1 row showing the
+    GLOBAL pad-to-max waste that bucketing eliminates (typically
+    5-10x).
+
+    Determinism: token counts, histogram cumsums, rank boundaries and
+    waste are all exact integers; the only float is the 4k-token batch
+    count ceiling of an integer quotient.
+
+    Scale shape: token counts are per-doc codegen HOFs; boundaries
+    come from the LENGTH HISTOGRAM (domain-bounded, never a global
+    sort of docs); assignment is a 7-row broadcast comparison; the
+    rollup is map-side-combinable."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    ).transform(pin, eager=False)
+    n = t.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    hist = t.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cum = hist.withColumn(
+        "c",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint"),
+    )
+    bounds = (
+        spark.range(1, 8)
+        .select(F.col("id").alias("i"))
+        .join(cum.crossJoin(F.broadcast(n)), how="cross")
+        .filter(F.col("c") * 8 >= F.col("i") * F.col("nd"))
+        .groupBy("i")
+        .agg(F.min("n_tokens").alias("b"))
+    )
+    bucketed = (
+        t.crossJoin(F.broadcast(bounds))
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("b"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+    )
+    def _roll(df, bucket_col):
+        return df.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            (
+                F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+            )
+            .cast("bigint")
+            .alias("pad_waste_tokens"),
+            F.expr(
+                "CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 4096.0)"
+                " AS BIGINT)"
+            ).alias("n_batches_4k"),
+        )
+
+    per_bucket = _roll(bucketed, F.col("bucket"))
+    total = _roll(
+        t.withColumn("bucket", F.lit(-1).cast("int")), F.col("bucket")
+    )
+    return per_bucket.unionByName(total).orderBy("bucket")
