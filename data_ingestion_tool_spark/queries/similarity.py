@@ -2106,3 +2106,85 @@ def similarity_triplet_hard_negatives(
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embedding_dim_variance_profile",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(embedding) AS fv,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    iv AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(CAST(CAST(fv AS DOUBLE) AS DECIMAL(9,6)) * 1000000
+                  AS BIGINT) AS v
+      FROM q
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0, 6) AS mean,
+           ROUND((CAST(SUM(v*v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  - (CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                 / 1000000000000.0, 9) AS var_pop,
+           ROUND(CAST(MIN(v) AS DOUBLE) / 1000000.0, 6) AS min_v,
+           ROUND(CAST(MAX(v) AS DOUBLE) / 1000000.0, 6) AS max_v
+    FROM iv GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_variance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-DIMENSION embedding health profile: mean, population
+    variance and range for each of the 64 dimensions — the feature-QA
+    pass that catches dead dimensions (no variance), drifted scaling
+    and saturated channels before they silently poison similarity
+    search.
+
+    Determinism: each component is quantized float -> double ->
+    DECIMAL(9,6) -> scaled int64 (the int-SRP quantization, exact and
+    engine-identical), so every sum/moment is exact integer math; the
+    final means/variances are identical-expression divisions, ROUND
+    6/9.  v*v sums stay inside int64 to ~9e6 vectors; past that widen
+    to DECIMAL(38,0).
+
+    Scale shape: posexplode fans out executor-side (64 rows per
+    vector) into ONE map-side-combinable groupBy on the 64-value dim
+    key — no shuffle wider than the dim domain."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        F.posexplode("embedding").alias("dim0", "fv")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.expr(
+            "CAST(CAST(CAST(fv AS DOUBLE) AS DECIMAL(9,6)) * 1000000"
+            " AS BIGINT)"
+        ).alias("v"),
+    )
+    return (
+        iv.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+            F.min("v").cast("bigint").alias("mn"),
+            F.max("v").cast("bigint").alias("mx"),
+        )
+        .selectExpr(
+            "dim",
+            "n",
+            "ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"
+            " AS mean",
+            "ROUND((CAST(svv AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " / 1000000000000.0, 9) AS var_pop",
+            "ROUND(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_v",
+            "ROUND(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_v",
+        )
+        .orderBy("dim")
+    )

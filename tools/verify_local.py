@@ -55,6 +55,7 @@ _MAG_EXTRA = {
     "events_user_entropy_event_mix",
     "embedding_silhouette_per_label",
     "embedding_centroid_drift",
+    "embedding_dim_variance_profile",
     "embedding_centroid_distance_matrix",
     "embedding_centroid_per_label",
     "part_brand_price_size_regression",
