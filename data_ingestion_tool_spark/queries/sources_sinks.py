@@ -2281,3 +2281,81 @@ def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year", "o_month")
     )
+
+
+@query(
+    "ingest_corrupt_file_skip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders WHERE o_orderkey % 4 <> 3
+    """,
+)
+def ingest_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-FILE RESILIENCE: land four parquet shards, overwrite one
+    with garbage bytes (a truncated/bit-rotted object — the thing that
+    WILL eventually exist in any 100 TB lake), and read the directory
+    with ``spark.sql.files.ignoreCorruptFiles=true``: the scan must
+    yield exactly the three healthy shards' rows instead of failing the
+    whole table.  The oracle is the healthy-shard subset by
+    construction (o_orderkey %% 4 <> 3).
+
+    Determinism: exact integer counts/cents over a deterministic
+    key split; the corrupt shard contributes nothing on both sides.
+
+    Scale shape: a plain distributed parquet scan; the skip decision
+    is per-file at footer-read time, so healthy splits proceed in
+    parallel unaffected.  The option is scoped to this read and
+    restored after — silent row loss is NOT an acceptable default
+    (quality_partition_checksums is the audit that would catch it)."""
+    import os
+    import tempfile
+    import uuid
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-scratch",
+        f"corrupt-{uuid.uuid4().hex[:8]}",
+    )
+    for i in range(4):
+        o.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
+            os.path.join(root, f"s{i}")
+        )
+    # bit-rot shard 3: overwrite its data file with garbage that still
+    # looks like a parquet object by name
+    s3 = os.path.join(root, "s3")
+    for f in os.listdir(s3):
+        if f.endswith(".parquet"):
+            with open(os.path.join(s3, f), "wb") as fh:
+                fh.write(b"PAR1 this is not a parquet file" * 64)
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        healthy = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(root)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.countDistinct("o_orderstatus")
+                .cast("bigint")
+                .alias("n_statuses"),
+            )
+        )
+        # force materialization while the option is set (the returned
+        # frame is re-evaluated lazily by the driver, so pin the rows)
+        rows = healthy.collect()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, sum_cents bigint, n_statuses bigint"
+    )
