@@ -2359,3 +2359,71 @@ def ingest_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_rows bigint, sum_cents bigint, n_statuses bigint"
     )
+
+
+@query(
+    "ingest_text_lines_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || source || '|' || text),
+                  1, 12) AS BIGINT)) % 4611686018427387904 AS BIGINT)
+             AS checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def ingest_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-TEXT source/sink roundtrip — the last built-in Spark file
+    format the engine hadn't exercised (parquet/CSV/JSON/ORC/binaryFile
+    already have roundtrips): documents serialize to pipe-delimited
+    lines via ``df.write.text`` (one string column, the log-file
+    shape), read back with ``spark.read.text`` and parsed by split;
+    per-source counts, byte totals and an order-independent md5-prefix
+    checksum prove field-level fidelity.  Fields are verified
+    delimiter-free at this corpus (ASCII word soup, no tabs/pipes) —
+    a production text sink would escape or length-prefix.
+
+    Determinism: the checksum is the quality_partition_checksums
+    scheme (md5 int48 prefixes, exact HUGEINT/DECIMAL sum, mod 2^62).
+
+    Scale shape: text read/write are splittable distributed scans;
+    parse is a codegen split projection; the rollup map-side combines."""
+    import os
+    import tempfile
+    import uuid
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-scratch",
+        f"textlines-{uuid.uuid4().hex[:8]}",
+    )
+    d.select(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), "source", "text"
+        ).alias("value")
+    ).write.text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.expr("CAST(split(value, '\\\\|', 3)[0] AS BIGINT)").alias("doc_id"),
+        F.expr("split(value, '\\\\|', 3)[1]").alias("source"),
+        F.expr("split(value, '\\\\|', 3)[2]").alias("text"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_bytes"),
+            F.expr(
+                "CAST(SUM(CAST(CAST(conv(substr(md5(concat("
+                "CAST(doc_id AS STRING), '|', source, '|', text)), 1, 12),"
+                " 16, 10) AS BIGINT) AS DECIMAL(38,0)))"
+                " % 4611686018427387904 AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .orderBy("source")
+    )
