@@ -2038,6 +2038,7 @@ def similarity_triplet_hard_negatives(
     map-side-combinable aggregate (max_by via struct max), no window
     over candidates, no candidate materialization at all."""
     from ..operators.similarity import _as_double, cosine
+    from ..plans.pin import pin
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_TRIPLET_QUERIES).select(
@@ -2078,6 +2079,9 @@ def similarity_triplet_hard_negatives(
             (-F.col("b.neg_nid")).alias("nid"),
             F.col("b.score").alias("score"),
         )
+        # both the pos and neg branches read this frame: pin it so the
+        # corpus-scoring cross join runs ONCE (PLANS.md rescan triage)
+        .transform(pin, eager=False)
     )
     p = best.filter(F.col("same") == 1).select(
         F.col("qid").alias("query_id"),
@@ -2091,7 +2095,7 @@ def similarity_triplet_hard_negatives(
         F.col("score").alias("neg_raw"),
     )
     return (
-        p.join(n, "query_id")
+        p.join(F.broadcast(n), "query_id")
         .select(
             "query_id",
             "label",
