@@ -795,3 +795,170 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("scene_id").cast("bigint").alias("n_cuts"),
         F.max("scene_len").cast("bigint").alias("longest_scene"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (8x8 DCT) over decoded BMP pixels, fully SQL-replayable
+# ---------------------------------------------------------------------------
+
+# DCT-II cosine basis quantized to 1e6 integers — the SHARED literal
+# table both engines fold exactly (the md5-hyperplane technique applied
+# to a transform basis).
+_DCT_TAB = [(0, 0, 1000000), (0, 1, 1000000), (0, 2, 1000000), (0, 3, 1000000), (0, 4, 1000000), (0, 5, 1000000), (0, 6, 1000000), (0, 7, 1000000), (1, 0, 980785), (1, 1, 831470), (1, 2, 555570), (1, 3, 195090), (1, 4, -195090), (1, 5, -555570), (1, 6, -831470), (1, 7, -980785), (2, 0, 923880), (2, 1, 382683), (2, 2, -382683), (2, 3, -923880), (2, 4, -923880), (2, 5, -382683), (2, 6, 382683), (2, 7, 923880), (3, 0, 831470), (3, 1, -195090), (3, 2, -980785), (3, 3, -555570), (3, 4, 555570), (3, 5, 980785), (3, 6, 195090), (3, 7, -831470), (4, 0, 707107), (4, 1, -707107), (4, 2, -707107), (4, 3, 707107), (4, 4, 707107), (4, 5, -707107), (4, 6, -707107), (4, 7, 707107), (5, 0, 555570), (5, 1, -980785), (5, 2, 195090), (5, 3, 831470), (5, 4, -831470), (5, 5, -195090), (5, 6, 980785), (5, 7, -555570), (6, 0, 382683), (6, 1, -923880), (6, 2, 923880), (6, 3, -382683), (6, 4, -382683), (6, 5, 923880), (6, 6, -923880), (6, 7, 382683), (7, 0, 195090), (7, 1, -555570), (7, 2, 831470), (7, 3, -980785), (7, 4, 980785), (7, 5, -831470), (7, 6, 555570), (7, 7, -195090)]
+
+
+@query(
+    "multimodal_image_phash_dct",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 30 + 5 AS w, doc_id % 20 + 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    spine8 AS (SELECT unnest(generate_series(0, 7)) AS i),
+    grid AS (
+      SELECT d.doc_id, sx.i AS x, sy.i AS y,
+             CAST((3*((sx.i*d.w)//8) + 0 + ((sy.i*d.h)//8)*7 + d.doc_id)
+                  % 256
+                + (3*((sx.i*d.w)//8) + 1 + ((sy.i*d.h)//8)*7 + d.doc_id)
+                  % 256
+                + (3*((sx.i*d.w)//8) + 2 + ((sy.i*d.h)//8)*7 + d.doc_id)
+                  % 256 AS BIGINT) AS g
+      FROM d, spine8 sx, spine8 sy
+    ),
+    ctab AS (SELECT * FROM (VALUES (0, 0, 1000000), (0, 1, 1000000), (0, 2, 1000000), (0, 3, 1000000), (0, 4, 1000000), (0, 5, 1000000), (0, 6, 1000000), (0, 7, 1000000), (1, 0, 980785), (1, 1, 831470), (1, 2, 555570), (1, 3, 195090), (1, 4, -195090), (1, 5, -555570), (1, 6, -831470), (1, 7, -980785), (2, 0, 923880), (2, 1, 382683), (2, 2, -382683), (2, 3, -923880), (2, 4, -923880), (2, 5, -382683), (2, 6, 382683), (2, 7, 923880), (3, 0, 831470), (3, 1, -195090), (3, 2, -980785), (3, 3, -555570), (3, 4, 555570), (3, 5, 980785), (3, 6, 195090), (3, 7, -831470), (4, 0, 707107), (4, 1, -707107), (4, 2, -707107), (4, 3, 707107), (4, 4, 707107), (4, 5, -707107), (4, 6, -707107), (4, 7, 707107), (5, 0, 555570), (5, 1, -980785), (5, 2, 195090), (5, 3, 831470), (5, 4, -831470), (5, 5, -195090), (5, 6, 980785), (5, 7, -555570), (6, 0, 382683), (6, 1, -923880), (6, 2, 923880), (6, 3, -382683), (6, 4, -382683), (6, 5, 923880), (6, 6, -923880), (6, 7, 382683), (7, 0, 195090), (7, 1, -555570), (7, 2, 831470), (7, 3, -980785), (7, 4, 980785), (7, 5, -831470), (7, 6, 555570), (7, 7, -195090)) c(u, x, cv)),
+    fm AS (
+      SELECT grid.doc_id, cu.u AS u, cvr.u AS v,
+             CAST(SUM(grid.g * cu.cv * cvr.cv) AS BIGINT) AS f
+      FROM grid
+      JOIN ctab cu ON cu.x = grid.x
+      JOIN ctab cvr ON cvr.x = grid.y
+      GROUP BY grid.doc_id, cu.u, cvr.u
+    ),
+    med AS (
+      SELECT doc_id, f AS med_ac FROM (
+        SELECT doc_id, f,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, u, v)
+                 AS rk
+        FROM fm WHERE NOT (u = 0 AND v = 0)
+      ) WHERE rk = 32
+    ),
+    ph AS (
+      SELECT fm.doc_id,
+             CAST(SUM(CASE WHEN NOT (u = 0 AND v = 0) AND f > med.med_ac
+                      THEN (CAST(1 AS BIGINT) << (u*8 + v - 1))
+                      ELSE 0 END) AS BIGINT) AS phash,
+             CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN f ELSE 0 END)
+                  AS BIGINT) AS dc
+      FROM fm JOIN med ON med.doc_id = fm.doc_id
+      GROUP BY fm.doc_id
+    ),
+    dup AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_same FROM ph
+            GROUP BY phash)
+    SELECT ph.doc_id, ph.dc, ph.phash, dup.n_same AS n_same_hash
+    FROM ph JOIN dup ON dup.phash = ph.phash
+    ORDER BY ph.doc_id
+    """,
+)
+def multimodal_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL HASH (pHash) of the synthetic BMP corpus with a FULL
+    differential oracle: sample each image on a fixed 8x8 grid
+    (floor(i*dim/8) integer coordinates into the closed-form pixel
+    field), run an exact integer 8x8 DCT-II (cosine basis quantized to
+    1e6 — the shared-literal technique), take the sign of each AC
+    coefficient against the exact AC median (value-at-rank 32 of 63),
+    and pack 63 bits into the hash; equal-hash groups are the
+    perceptual-dup report.  The real-codec pipeline swaps the sampler
+    for a resize kernel and keeps everything downstream bit-identical.
+
+    Determinism: every quantity — sampled intensities (sum of 3
+    channel bytes), DCT partial sums (<= 64*765*1e12 ~ 4.9e16, inside
+    int64), the median rank pick, bit packing — is exact integer math
+    shared verbatim with the oracle.
+
+    Scale shape: the doc x (u,v) x (x,y) expansion is 4096 rows per
+    image joined against a 64-row broadcast basis table, reduced
+    map-side to 64 coefficients per image; the dup report is one
+    groupBy on the hash. Per-image work is constant — the plan scales
+    linearly in image count."""
+    from ..plans.pin import pin
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_BMP_DOCS
+    ).select(
+        "doc_id",
+        (F.col("n_chars") % 30 + 5).alias("w"),
+        (F.col("doc_id") % 20 + 4).alias("h"),
+    )
+    ctab = F.broadcast(
+        spark.createDataFrame(_DCT_TAB, "u int, x int, cv bigint")
+    )
+    spine = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i")
+    gx = d.select("doc_id", "w", "h", spine).withColumnRenamed("i", "x")
+    gxy = gx.select("doc_id", "w", "h", "x", spine).withColumnRenamed(
+        "i", "y"
+    )
+    px = "(3*((x*w) DIV 8) + {c} + ((y*h) DIV 8)*7 + doc_id) % 256"
+    grid = gxy.selectExpr(
+        "doc_id",
+        "x",
+        "y",
+        f"CAST({px.format(c=0)} + {px.format(c=1)} + {px.format(c=2)}"
+        " AS BIGINT) AS g",
+    )
+    cu = ctab.alias("cu")
+    cv = ctab.alias("cvr")
+    fm = (
+        grid.join(cu, F.col("cu.x") == grid.x)
+        .join(cv, F.col("cvr.x") == grid.y)
+        .groupBy(
+            "doc_id",
+            F.col("cu.u").alias("u"),
+            F.col("cvr.u").alias("v"),
+        )
+        .agg(
+            F.sum(F.col("g") * F.col("cu.cv") * F.col("cvr.cv"))
+            .cast("bigint")
+            .alias("f")
+        )
+        .transform(pin, eager=False)
+    )
+    wmed = Window.partitionBy("doc_id").orderBy("f", "u", "v")
+    med = (
+        fm.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .withColumn("rk", F.row_number().over(wmed))
+        .filter(F.col("rk") == 32)
+        .select("doc_id", F.col("f").alias("med_ac"))
+    )
+    ph = (
+        fm.join(med, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    ~((F.col("u") == 0) & (F.col("v") == 0))
+                    & (F.col("f") > F.col("med_ac")),
+                    F.expr(
+                        "CAST(1 AS BIGINT) << (u*8 + v - 1)"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("phash"),
+            F.sum(
+                F.when(
+                    (F.col("u") == 0) & (F.col("v") == 0), F.col("f")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dc"),
+        )
+        .transform(pin, eager=False)
+    )
+    dup = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_same_hash")
+    )
+    return (
+        ph.join(F.broadcast(dup), "phash")
+        .select("doc_id", "dc", "phash", "n_same_hash")
+        .orderBy("doc_id")
+    )
