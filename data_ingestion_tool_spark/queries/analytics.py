@@ -4711,3 +4711,66 @@ def orders_holt_winters_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month date, revenue_cents long, level double, trend double, "
         "seasonal double, forecast_next double",
     )
+
+
+@query(
+    "orders_rolling_3mo_distinct_customers",
+    oracle="""
+    WITH mc AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             o_custkey
+      FROM orders
+    ),
+    spine AS (SELECT DISTINCT m FROM mc),
+    joined AS (
+      SELECT DISTINCT s.m AS anchor, mc.o_custkey
+      FROM spine s JOIN mc
+        ON mc.m <= s.m AND mc.m >= s.m - INTERVAL 2 MONTH
+    )
+    SELECT anchor AS month,
+           CAST(COUNT(*) AS BIGINT) AS distinct_customers_3mo
+    FROM joined GROUP BY anchor ORDER BY anchor
+    """,
+)
+def orders_rolling_3mo_distinct_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 3-month EXACT distinct active customers per month — the
+    retention dashboard's headline series, which no window function can
+    express (COUNT(DISTINCT) over a sliding frame isn't supported and
+    HLL only approximates it).  The classic exact plan: dedup to the
+    (month, customer) grain once, fan each pair out to the <=3 anchor
+    months it supports via a range join against the month spine, dedup
+    the (anchor, customer) grain, count.
+
+    Determinism: dates and counts are exact; the month spine is
+    data-derived.
+
+    Scale shape: the fact scan reduces FIRST to the (month, customer)
+    dedup grain (map-side combinable), so the 3x fan-out and second
+    dedup run on |months x active customers|, never raw orders; the
+    spine side broadcasts.  The same plan at 100 TB shuffles only the
+    deduped pair grain."""
+    o = read_table(spark, sf_dir, "orders")
+    mc = (
+        o.select(
+            F.trunc("o_orderdate", "month").alias("m"), "o_custkey"
+        )
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    spine = mc.select("m").distinct().withColumnRenamed("m", "anchor")
+    joined = (
+        mc.join(
+            F.broadcast(spine),
+            (F.col("m") <= F.col("anchor"))
+            & (F.col("m") >= F.add_months(F.col("anchor"), -2)),
+        )
+        .select("anchor", "o_custkey")
+        .distinct()
+    )
+    return (
+        joined.groupBy(F.col("anchor").alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_customers_3mo"))
+        .orderBy("month")
+    )
