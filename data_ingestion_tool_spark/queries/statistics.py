@@ -6732,3 +6732,96 @@ def events_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion (dispersion index) test on hourly volume
+# ---------------------------------------------------------------------------
+
+
+def _dispersion_exprs() -> dict:
+    """Shared SQL fragments: dispersion index and chi-square vs the
+    Wilson-Hilferty 95% critical value, all from integer (n, s1, s2) —
+    identical-expression floats, correctly rounded ops only."""
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    n, s1, s2 = (d(c) for c in ("n", "s1", "s2"))
+    mean = f"({s1}/{n})"
+    var = f"(({s2} - {s1}*{s1}/{n}) / ({n} - 1.0))"
+    chi2 = f"(({n} - 1.0) * {var} / {mean})"
+    df = f"({n} - 1.0)"
+    wh = (
+        f"({df} * (1.0 - 2.0/(9.0*{df})"
+        f" + 1.6448536269514722*sqrt(2.0/(9.0*{df})))"
+        f" * (1.0 - 2.0/(9.0*{df})"
+        f" + 1.6448536269514722*sqrt(2.0/(9.0*{df})))"
+        f" * (1.0 - 2.0/(9.0*{df})"
+        f" + 1.6448536269514722*sqrt(2.0/(9.0*{df}))))"
+    )
+    return {"mean": mean, "var": var, "chi2": chi2, "crit": wh}
+
+
+_DISP = _dispersion_exprs()
+
+
+@query(
+    "events_dispersion_index_hourly",
+    oracle=f"""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x*x) AS BIGINT) AS s2
+      FROM hr
+    )
+    SELECT n AS n_hours,
+           ROUND({_DISP['mean']}, 6) AS mean_per_hour,
+           ROUND({_DISP['var']}, 6) AS var_per_hour,
+           ROUND({_DISP['var']} / {_DISP['mean']}, 6) AS dispersion_index,
+           ROUND({_DISP['chi2']}, 6) AS chi2,
+           ROUND({_DISP['crit']}, 6) AS chi2_crit_95,
+           CAST({_DISP['chi2']} > {_DISP['crit']} AS INT) AS overdispersed
+    FROM g
+    """,
+)
+def events_dispersion_index_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson OVERDISPERSION test on hourly event counts: dispersion
+    index var/mean and the chi-square (n-1)*var/mean against the
+    Wilson-Hilferty 95%% critical value — the check that tells a
+    capacity model whether plain-Poisson arrival assumptions hold
+    (diurnal seasonality makes this corpus wildly overdispersed, so the
+    flag fires; complements stats_ljung_box_hourly which localizes the
+    structure by lag).
+
+    Determinism: integer count moments; every float (including the
+    Wilson-Hilferty cube and the flag comparison) is an identical
+    expression over those integers, shared verbatim (_dispersion_exprs)
+    — correctly-rounded ops only, no exp/ln.
+
+    Scale shape: ONE map-side-combinable groupBy hour, then a 1-row
+    reduce."""
+    ev = read_events(spark, sf_dir)
+    hr = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    g = hr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    return g.selectExpr(
+        "n AS n_hours",
+        f"ROUND({_DISP['mean']}, 6) AS mean_per_hour",
+        f"ROUND({_DISP['var']}, 6) AS var_per_hour",
+        f"ROUND({_DISP['var']} / {_DISP['mean']}, 6) AS dispersion_index",
+        f"ROUND({_DISP['chi2']}, 6) AS chi2",
+        f"ROUND({_DISP['crit']}, 6) AS chi2_crit_95",
+        f"CAST({_DISP['chi2']} > {_DISP['crit']} AS INT) AS overdispersed",
+    )
