@@ -421,7 +421,15 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, 41/50 at sf0.1 — see _recall_fence); raw-output exactness
     is pinned by the similarity_topk_pq_exhaustive differential twin
     and tests/test_pq.py (recall + determinism)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from ..plans.pin import pin
+
+    # index-once shape (round-11): pin the projected corpus so the
+    # trainer sample, encode pass, re-rank join, brute-force fence and
+    # query block all read ONE materialization instead of re-scanning
+    # embeddings x5 (PLANS.md rescans note, round-10 verdict item 2)
+    emb = pin(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.orderBy("vec_id").limit(N_QUERY_VECS)
     ann = SIM.pq_topk(emb, queries, k=TOP_K, m=16, n_codes=32, rerank=8)
     bf = SIM.cosine_topk(emb, queries, k=TOP_K)
@@ -487,7 +495,11 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, 29/50 at sf0.1); raw-output exactness is pinned by the
     similarity_topk_ivfpq_exhaustive twin and tests/test_pq.py::
     test_ivfpq_recall_vs_bruteforce."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from ..plans.pin import pin
+
+    emb = pin(  # index-once: one corpus materialization, N consumers
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.orderBy("vec_id").limit(N_QUERY_VECS)
     ann = SIM.ivfpq_topk(
         emb, queries, k=TOP_K, n_centroids=16, n_probe=4, m=16, n_codes=32,
@@ -525,7 +537,11 @@ def similarity_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     routing + cell-scan + re-rank pipeline (see the invariant note
     above). Scores round to 9: the zip_with fold vs DuckDB's
     list_dot_product differ only in final ulps."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from ..plans.pin import pin
+
+    emb = pin(  # index-once: one corpus materialization, N consumers
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = SIM.ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=16)
     return out.withColumn("score", F.round("score", 9))
@@ -538,7 +554,11 @@ def similarity_topk_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame
     the shortlist — but prunes nothing, so the exact re-rank equals
     brute force and the differential hash checks the full PQ pipeline
     (invariant note above)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from ..plans.pin import pin
+
+    emb = pin(  # index-once: one corpus materialization, N consumers
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = SIM.pq_topk(
         emb, queries, k=TOP_K, m=16, n_codes=32, rerank=_EXHAUSTIVE_RERANK
@@ -551,7 +571,11 @@ def similarity_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFr
     """IVF-PQ with full probing AND an exhaustive shortlist: the
     composite router + ADC + re-rank machinery with pruning disabled
     must equal brute force (invariant note above)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from ..plans.pin import pin
+
+    emb = pin(  # index-once: one corpus materialization, N consumers
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = SIM.ivfpq_topk(
         emb, queries, k=TOP_K, n_centroids=16, n_probe=16, m=16, n_codes=32,

@@ -2321,11 +2321,7 @@ def ingest_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-scratch",
-        f"corrupt-{uuid.uuid4().hex[:8]}",
-    )
+    root = _scratch("corrupt")
     for i in range(4):
         o.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
             os.path.join(root, f"s{i}")
@@ -2392,16 +2388,10 @@ def ingest_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse is a codegen split projection; the rollup map-side combines."""
     import os
     import tempfile
-    import uuid
-
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-scratch",
-        f"textlines-{uuid.uuid4().hex[:8]}",
-    )
+    out = os.path.join(_scratch("textlines"), "lines")
     d.select(
         F.concat_ws(
             "|", F.col("doc_id").cast("string"), "source", "text"

@@ -12,6 +12,7 @@ from ..sources.parquet_io import (
 )
 from ..streaming import run_stream_to_table, tumbling_window_counts
 from .registry import query
+from .sources_sinks import _scratch
 
 # Session-scoped staging cache for stream_continuous_rollup's 2-file
 # source split (sf_dir -> staged parquet path).
@@ -235,9 +236,7 @@ def stream_ingest_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enable_nanos_as_long(spark)
     schema = read_table(spark, sf_dir, "events").schema
-    dest = os.path.join(
-        tempfile.gettempdir(), "spark-graft-scratch", f"si-{uuid.uuid4().hex[:8]}"
-    )
+    dest = os.path.join(_scratch("si"), "landed")
     stream_ingest_parquet(
         spark,
         os.path.join(sf_dir, "events.parquet"),
@@ -780,11 +779,7 @@ def stream_txnlog_exactly_once_sink(
 
     enable_nanos_as_long(spark)
     ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-scratch",
-        f"sx-{uuid.uuid4().hex[:8]}",
-    )
+    scratch = _scratch("sx")
     src = os.path.join(scratch, "src")
     ev.repartition(4).write.parquet(src)
     schema = spark.read.parquet(src).schema
@@ -982,9 +977,11 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's txn-log format.
 
     Determinism: all keys, statuses and day-grain interval bounds are
-    exact integers/dates; the feed delivers each key's changes in ts
-    order (the CDC contract), so the merge is order-insensitive across
-    the partitioned batch files.
+    exact integers/dates, and the merge refolds each touched key's
+    history by eff_ts, so the result is identical under ANY micro-batch
+    arrival order (tests/test_streaming_scd2.py pins the reversed-order
+    case); the mtime spacing below only makes the batch sequence
+    reproducible for the idempotency metadata.
 
     Scale shape: each micro-batch merge is one anti/inner join of
     current state against the batch key set (broadcast-able) plus a
@@ -1017,11 +1014,7 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("d1").alias("eff_ts"),
     )
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-scratch",
-        f"scd2-{uuid.uuid4().hex[:8]}",
-    )
+    scratch = _scratch("scd2")
     src = os.path.join(scratch, "src")
     batches = [
         ins.filter(F.col("k") % 2 == 0),
@@ -1033,7 +1026,9 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, b in enumerate(batches):
         d = os.path.join(src, f"b{i}")
         b.coalesce(1).write.parquet(d)
-        ts = now - 3600 + i * 60  # pin micro-batch order by mtime
+        # reproducible batch sequence via mtime; correctness does NOT
+        # depend on it (the merge refolds per-key history by eff_ts)
+        ts = now - 3600 + i * 60
         for root, _, files in os.walk(d):
             for f in files:
                 os.utime(os.path.join(root, f), (ts, ts))

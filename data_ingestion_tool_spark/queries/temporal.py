@@ -141,9 +141,15 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     design); raw-output exactness is pinned by the
     similarity_topk_ivf_fullprobe differential twin."""
     from ..operators.similarity import cosine_topk, ivf_topk
+    from ..plans.pin import pin
     from .similarity import _recall_fence
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # index-once (round-11): seed collect, Lloyd refine, cell
+    # assignment, brute-force fence and the query block all read ONE
+    # pinned corpus projection instead of re-scanning embeddings x4
+    emb = pin(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.orderBy("vec_id").limit(10)
     ann = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     bf = cosine_topk(emb, queries, k=5)

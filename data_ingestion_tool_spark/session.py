@@ -31,6 +31,29 @@ def _default_master() -> str:
     return f"local[{cpus}]"
 
 
+# Minimum free bytes before /dev/shm is elected for shuffle scratch.
+# Docker's default /dev/shm is 64 MB — shuffle spill there dies with
+# ENOSPC mid-query, and a RAM-backed dir competes with executor memory;
+# only elect tmpfs when it demonstrably has headroom (sf0.1 shuffle data
+# is tens of MB; 4 GB leaves >100x margin and excludes every
+# small-tmpfs container default).
+_SHM_MIN_FREE_BYTES = 4 * 1024**3
+
+
+def _default_local_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if os.path.isdir(shm) and st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            return f"{shm}/spark-graft-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "data-ingestion-tool-spark",
     master: str | None = None,
@@ -73,15 +96,9 @@ def get_spark(
         # scan-bound sentinel never moved). At sf0.1 shuffle data is
         # tens of MB against a 126 GB tmpfs; a real cluster pins
         # spark.local.dir to local NVMe for exactly the same reason.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-            or (
-                "/dev/shm/spark-graft-local"
-                if os.path.isdir("/dev/shm")
-                else "/tmp"
-            ),
-        )
+        # Capacity-gated: small-tmpfs hosts (Docker's 64 MB default)
+        # fall back to /tmp instead of ENOSPC'ing mid-shuffle.
+        .config("spark.local.dir", _default_local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

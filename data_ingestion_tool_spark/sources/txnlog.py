@@ -504,7 +504,9 @@ class TxnLogTable:
             *(os.path.join(self.root, "data", b) for b in live)
         )
 
-    def snapshot_evolved(self, version: int | None = None) -> DataFrame:
+    def snapshot_evolved(
+        self, version: int | None = None, key_col: str | None = None
+    ) -> DataFrame:
         """The table AS OF ``version`` under PARTITION EVOLUTION: live
         batches are grouped by the partition spec recorded in their
         commit entry (Iceberg spec-id semantics), each spec group is
@@ -517,14 +519,25 @@ class TxnLogTable:
         per-spec scan, so each group gets its own partition pruning —
         a date predicate prunes month directories in month-partitioned
         batches and day directories in day-partitioned ones.  The log
-        walk is driver-side kilobytes; every scan stays distributed."""
+        walk is driver-side kilobytes; every scan stays distributed.
+
+        MoR tables: live ``add_deletes`` tombstones are applied
+        sequence-aware exactly as :meth:`snapshot_mor` does, which
+        requires ``key_col``. Reading a MOR-delete table without
+        ``key_col`` raises instead of silently resurrecting deleted
+        rows."""
+        from pyspark.sql import functions as F
+
         versions = self.versions()
         if not versions:
             raise ValueError("empty table has no snapshot")
         if version is None:
             version = versions[-1]
+        elif version not in versions:
+            raise ValueError(f"unknown version {version}")
         live: list[str] = []
         spec_of: dict[str, tuple] = {}
+        added_at: dict[str, int] = {}
         for v in versions:
             if v > version:
                 break
@@ -534,19 +547,50 @@ class TxnLogTable:
             for b in e.get("add", []):
                 live.append(b)
                 spec_of[b] = tuple(e.get("spec", ()))
+                added_at[b] = v
         if not live:
             raise ValueError("empty table has no snapshot")
+        dels = self._live_with_versions(version, "add_deletes")
+        if dels and key_col is None:
+            raise ValueError(
+                "table has live MoR delete batches; pass key_col= so "
+                "snapshot_evolved can apply them (or use snapshot_mor)"
+            )
         groups: dict[tuple, list[str]] = {}
         for b in live:
             groups.setdefault(spec_of[b], []).append(b)
         out: DataFrame | None = None
         for spec in sorted(groups):
-            part = self.spark.read.parquet(
-                *(os.path.join(self.root, "data", b) for b in groups[spec])
-            )
+            # one scan per batch: multi-root partition discovery over
+            # sibling batch dirs raises CONFLICTING_DIRECTORY_STRUCTURES
+            # (each batch root is its own partition tree), and the MoR
+            # residual needs each row tagged with its batch's sequence
+            # number anyway. Each scan still prunes on its own spec.
+            part: DataFrame | None = None
+            for b in groups[spec]:
+                p = self.spark.read.parquet(
+                    os.path.join(self.root, "data", b)
+                )
+                if dels:
+                    p = p.withColumn("_data_v", F.lit(added_at[b]))
+                part = p if part is None else part.unionByName(p)
             out = (
                 part
                 if out is None
                 else out.unionByName(part, allowMissingColumns=True)
             )
-        return out
+        if not dels:
+            return out
+        dk_parts = [
+            self.spark.read.parquet(os.path.join(self.root, "data", b))
+            .select(F.col(key_col).alias("_del_key"))
+            .withColumn("_del_v", F.lit(v))
+            for (b, v) in dels
+        ]
+        dk = dk_parts[0]
+        for p in dk_parts[1:]:
+            dk = dk.unionByName(p)
+        cond = (F.col(key_col) == F.col("_del_key")) & (
+            F.col("_del_v") > F.col("_data_v")
+        )
+        return out.join(F.broadcast(dk), cond, "left_anti").drop("_data_v")

@@ -146,12 +146,14 @@ def stream_cdc_scd2_txnlog(
     the micro-batch id — idempotent under foreachBatch replay via the
     same ``has_meta`` guard as :func:`stream_ingest_txnlog`.
 
-    Within a batch, multiple changes to one key fold by effective-ts
-    order (lead() closes each but the last).  The result is exactly the
-    batch SCD2 construction over the full feed — provided the feed
-    delivers each key's changes in non-decreasing ts order across
-    batches (the CDC contract; out-of-order arrivals belong to the
-    asof/watermark family, not SCD2 merge).
+    The merge is ORDER-INSENSITIVE across micro-batches: for each
+    touched key the current table rows are rewound to their underlying
+    change events (``valid_from``/status pairs), unioned with the
+    batch's incoming changes, and the key's intervals are refolded by
+    effective-ts order (lead() closes each but the last). A late batch
+    carrying an EARLIER change therefore splices into history correctly
+    instead of silently closing the wrong row — no reliance on file
+    mtime / FileStreamSource arrival order.
 
     Scale: the merge is one join of current-state against the batch's
     key set plus a union — on a partitioned production table this
@@ -176,38 +178,31 @@ def stream_cdc_scd2_txnlog(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if t.has_meta("src_batch", batch_id):
             return  # replayed micro-batch: already merged
-        w = Window.partitionBy(key_col).orderBy(ts_col)
-        incoming = (
-            batch_df.withColumn(
-                "valid_to", F.lead(ts_col).over(w)
-            )
-            .select(
-                key_col,
-                status_col,
-                F.col(ts_col).alias("valid_from"),
-                "valid_to",
-            )
+        changes = batch_df.select(
+            key_col, status_col, F.col(ts_col).alias("valid_from")
         )
-        first_change = batch_df.groupBy(key_col).agg(
-            F.min(ts_col).alias("__first_ts")
-        )
+        untouched = None
         if t.versions():
             cur = t.snapshot()
-            untouched = cur.join(first_change, key_col, "left_anti")
-            touched = cur.join(first_change, key_col).select(
-                key_col,
-                status_col,
-                "valid_from",
-                # only the OPEN row closes; closed history is immutable
-                F.when(
-                    F.col("valid_to").isNull(), F.col("__first_ts")
-                ).otherwise(F.col("valid_to")).alias("valid_to"),
+            touched_keys = changes.select(key_col).distinct()
+            untouched = cur.join(touched_keys, key_col, "left_anti")
+            # rewind touched keys' intervals to their change events and
+            # refold with the incoming changes — valid_to is fully
+            # determined by the per-key ts order, so the result is the
+            # batch SCD2 construction regardless of arrival order
+            prior = cur.join(touched_keys, key_col, "left_semi").select(
+                key_col, status_col, "valid_from"
             )
-            merged = untouched.select(out_cols).unionByName(
-                touched.select(out_cols)
-            ).unionByName(incoming.select(out_cols))
-        else:
-            merged = incoming.select(out_cols)
+            changes = prior.unionByName(changes)
+        w = Window.partitionBy(key_col).orderBy("valid_from", status_col)
+        folded = changes.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
+        ).select(out_cols)
+        merged = (
+            folded
+            if untouched is None
+            else untouched.select(out_cols).unionByName(folded)
+        )
         t.commit(merged, mode="overwrite", meta={"src_batch": batch_id})
 
     ckpt = os.path.join(

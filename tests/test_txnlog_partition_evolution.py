@@ -70,3 +70,32 @@ def test_each_spec_group_prunes_at_its_own_granularity(spark, tmp_path):
     # spec recorded in the log entries
     specs = {tuple(t._entry(v).get("spec", ())) for v in t.versions()}
     assert specs == {("o_year",), ("o_year", "o_month")}
+
+def test_evolved_snapshot_validates_version_and_mor_deletes(
+    spark, tmp_path
+):
+    import pytest
+
+    t, df = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown version"):
+        t.snapshot_evolved(version=99)
+
+    # MoR tombstone: delete k in {0, 3}; reading without key_col must
+    # refuse (silent resurrection was the round-10 advice bug), and
+    # with key_col the tombstones apply sequence-aware.
+    t.commit_deletes(
+        spark.createDataFrame([(0,), (3,)], "k bigint").select("k")
+    )
+    with pytest.raises(ValueError, match="MoR delete"):
+        t.snapshot_evolved()
+    snap = t.snapshot_evolved(key_col="k")
+    ks = {r.k for r in snap.select("k").collect()}
+    assert 0 not in ks and 3 not in ks
+    assert len(ks) == 198
+
+    # a key re-inserted AFTER its deletion survives (sequence-aware)
+    t.commit(
+        df.where(F.col("k") == 0), partition_by=["o_year", "o_month"]
+    )
+    ks2 = {r.k for r in t.snapshot_evolved(key_col="k").select("k").collect()}
+    assert 0 in ks2 and 3 not in ks2

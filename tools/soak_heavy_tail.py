@@ -36,8 +36,13 @@ Per-table scaling rules (why each perturbation is the faithful model):
   unchanged, so watermark state carries Nx rows per window — the
   honest stress for stream-stream join state.
 
-Usage: python tools/soak_heavy_tail.py [mult]     (default 10)
-Writes tools/soak_heavy_tail.json; BASELINE.md records the table.
+- orders: o_orderkey/o_custkey shift (per-copy CDC key spaces for the
+  SCD2 soak — cross-copy key collisions would merge change histories).
+
+Usage: python tools/soak_heavy_tail.py [mult] [key1,key2,...]
+  (default mult 10, default keys HEAVY_KEYS)
+Writes tools/soak_heavy_tail.json (merging rows per (query, mult));
+BASELINE.md records the table.
 """
 
 from __future__ import annotations
@@ -53,7 +58,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = Path(__file__).resolve().parent / "soak_heavy_tail.json"
+def _out_path(mult: int) -> Path:
+    here = Path(__file__).resolve().parent
+    return here / (
+        "soak_heavy_tail.json" if mult == 10 else f"soak_heavy_tail_m{mult}.json"
+    )
 WORK = Path(os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/spark-graft-soak"))
 
 HEAVY_KEYS = [
@@ -85,7 +94,7 @@ def build_scaled_dir(spark, mult: int) -> str:
     )
 
     out = WORK / f"m{mult}"
-    if (out / "_DONE").exists():
+    if (out / "_DONE").exists() and (out / "orders.parquet").exists():
         return str(out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
@@ -142,6 +151,16 @@ def build_scaled_dir(spark, mult: int) -> str:
         ]
     ).write.parquet(str(out / "part.parquet"))
 
+    orders = read_table(spark, SF_DIR, "orders")
+    _union(
+        [
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + c * KEY_SHIFT
+            ).withColumn("o_custkey", F.col("o_custkey") + c * KEY_SHIFT)
+            for c in range(mult)
+        ]
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
     ev = read_events(spark, SF_DIR)
     _union(
         [
@@ -178,6 +197,7 @@ def _mul(x, s):
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else HEAVY_KEYS
 
     from data_ingestion_tool_spark.queries import QUERIES
     from data_ingestion_tool_spark.session import get_spark
@@ -218,13 +238,70 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n_vecs"))
         )
 
-    rows = []
-    for key in HEAVY_KEYS:
-        q = (
-            semantic_resolve_scaled
-            if key == "dedup_semantic_resolve"
-            else QUERIES[key]
+    def cdc_scd2_state_rows(spark, d):
+        """stream_cdc_scd2_apply's full CDC pipeline, returning the
+        SCD2 INTERVAL TABLE itself instead of the 4-row summary, so
+        the soak's row count IS the state size: growth must track the
+        change-key count (2 rows per non-open order, 1 per open), never
+        the event volume, proving merge state is bounded by keys."""
+        import os as _os
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from data_ingestion_tool_spark.queries.sources_sinks import _scratch
+        from data_ingestion_tool_spark.sources.parquet_io import read_table
+        from data_ingestion_tool_spark.streaming.ingest import (
+            stream_cdc_scd2_txnlog,
         )
+
+        o = read_table(spark, d, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.expr(
+                "date_add(CAST(o_orderdate AS DATE),"
+                " CAST(o_orderkey % 60 + 1 AS INT))"
+            ).alias("d1"),
+        )
+        ins = o.select(
+            "k", F.lit("O").alias("status"), F.col("d0").alias("eff_ts")
+        )
+        upd = o.filter(F.col("o_orderstatus") != "O").select(
+            "k",
+            F.col("o_orderstatus").alias("status"),
+            F.col("d1").alias("eff_ts"),
+        )
+        scratch = _scratch("scd2soak")
+        src = _os.path.join(scratch, "src")
+        now = _t.time()
+        for i, b in enumerate(
+            [
+                ins.filter(F.col("k") % 2 == 0),
+                ins.filter(F.col("k") % 2 == 1),
+                upd.filter(F.col("k") % 2 == 0),
+                upd.filter(F.col("k") % 2 == 1),
+            ]
+        ):
+            bd = _os.path.join(src, f"b{i}")
+            b.coalesce(4).write.parquet(bd)
+            ts = now - 3600 + i * 60
+            for root, _, files in _os.walk(bd):
+                for f in files:
+                    _os.utime(_os.path.join(root, f), (ts, ts))
+        t = stream_cdc_scd2_txnlog(
+            spark, src, "k bigint, status string, eff_ts date",
+            _os.path.join(scratch, "table"),
+        )
+        return t.snapshot()
+
+    special = {
+        "dedup_semantic_resolve": semantic_resolve_scaled,
+        "stream_cdc_scd2_apply": cdc_scd2_state_rows,
+    }
+    rows = []
+    for key in keys:
+        q = special.get(key) or QUERIES[key]
         per = {}
         for m, d in dirs.items():
             best = None
@@ -250,10 +327,16 @@ def main() -> None:
         print(f"{key}: {per[1][0]}s @1x -> {per[mult][0]}s @{mult}x "
               f"(x{ratio})", file=sys.stderr)
 
-    OUT.write_text(
-        json.dumps({"sf_dir": SF_DIR, "mult": mult, "rows": rows}, indent=1)
-        + "\n"
-    )
+    out_p = _out_path(mult)
+    merged = {"sf_dir": SF_DIR, "mult": mult, "rows": rows}
+    if out_p.exists():
+        prior = json.loads(out_p.read_text())
+        if prior.get("mult") == mult and prior.get("sf_dir") == SF_DIR:
+            new_keys = {r["query"] for r in rows}
+            merged["rows"] = [
+                r for r in prior["rows"] if r["query"] not in new_keys
+            ] + rows
+    out_p.write_text(json.dumps(merged, indent=1) + "\n")
     print(json.dumps({"mult": mult, "rows": rows}))
 
 
