@@ -786,6 +786,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     cents: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, score each query only against its ``n_probe``
@@ -812,12 +813,20 @@ def ivf_topk(
 
     if cents is None:
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = _assign_cells(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-        ),
-        "cv", cents, 1, "cids",
-    ).withColumn("cid", F.col("cids")[0]).drop("cids")
+    if assigned is not None:
+        # probe a PERSISTED index (columns neighbor_id, cv, cid) — the
+        # index-once/probe-many pattern made literal: the assignment
+        # scan is skipped entirely and, when the index is written
+        # partitionBy(cid), the cid join key prunes cell directories.
+        c = assigned.select("neighbor_id", "cv", "cid")
+    else:
+        c = _assign_cells(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(vec_col).alias("cv"),
+            ),
+            "cv", cents, 1, "cids",
+        ).withColumn("cid", F.col("cids")[0]).drop("cids")
     q = _assign_cells(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")

@@ -4774,3 +4774,231 @@ def orders_rolling_3mo_distinct_customers(
         .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_customers_3mo"))
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution with exact credits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_position_based",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.pid, p.value, t.touch_type, t.tts, t.tid
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 1 HOUR
+    ),
+    r AS (
+      SELECT pid, value, touch_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pid
+                                     ORDER BY tts, tid) AS BIGINT) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      FROM j
+    ),
+    cr AS (
+      SELECT touch_type, value,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN pos = 1 OR pos = n THEN
+                       CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                  ELSE CAST(200000 // (n - 2) AS BIGINT)
+                       + CASE WHEN pos = 2 THEN 200000 % (n - 2)
+                              ELSE 0 END
+             END AS micro
+      FROM r
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(micro) AS BIGINT) AS micro_total,
+           CAST(SUM(CAST(value * micro / 1000000.0 AS DECIMAL(18,6)))
+                AS DOUBLE) AS attributed_value
+    FROM cr GROUP BY touch_type
+    """,
+)
+def events_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase's credit gives 40% to the first and 40% to the last
+    click/view touch in the preceding hour, the middles sharing 20% —
+    the industry-standard shape between first-touch and linear (both
+    already registered).
+
+    Determinism: credits are EXACT INTEGER MICRO-UNITS (always summing
+    to 1,000,000 per purchase): 40/40 to the endpoints, middles get
+    ⌊200000/(n−2)⌋ each with the integer remainder assigned to the
+    FIRST middle — no fractional credit ever touches a float. The
+    touch order carries the (tts, tid) unique tie-break; dollar
+    attribution quantizes each value·micro/1e6 share to DECIMAL(18,6)
+    before summing (the linear-attribution precedent).
+
+    Scale shape: same single user_id equi-join with a 1-hour band as
+    linear attribution; position/count windows run on the joined
+    credit set partitioned by purchase id.
+    """
+    e = read_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = purchases.join(touches, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    wp = Window.partitionBy("pid")
+    r = j.select(
+        "pid",
+        "value",
+        "touch_type",
+        F.row_number()
+        .over(wp.orderBy("tts", "tid"))
+        .cast("bigint")
+        .alias("pos"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    micro = (
+        F.when(F.col("n") == 1, F.lit(1000000).cast("bigint"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, 500000).otherwise(400000).cast("bigint"),
+        )
+        .otherwise(
+            F.expr("CAST(200000 DIV (n - 2) AS BIGINT)")
+            + F.when(
+                F.col("pos") == 2, F.expr("200000 % (n - 2)")
+            ).otherwise(0)
+        )
+    )
+    cr = r.select("touch_type", "value", micro.alias("micro"))
+    return cr.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("micro").cast("bigint").alias("micro_total"),
+        F.sum(
+            (F.col("value") * F.col("micro") / F.lit(1000000.0)).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector on the hourly value mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_page_hinkley_drift",
+    oracle="""
+    WITH byh AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s_h
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT h, n_h, s_h,
+             CAST(SUM(n_h) OVER w AS BIGINT) AS cn,
+             CAST(SUM(s_h) OVER w AS BIGINT) AS cs
+      FROM byh
+      WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT h,
+             CAST(CAST(s_h AS DOUBLE) / n_h / 100.0
+                  - CAST(cs AS DOUBLE) / cn / 100.0
+                  AS DECIMAL(28,12)) AS term
+      FROM seq
+    ),
+    m AS (
+      SELECT h, SUM(term) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS mt
+      FROM t
+    ),
+    g AS (
+      SELECT h, mt, MIN(mt) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS mmin
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN mt - mmin > 20.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           ROUND(CAST(MAX(mt - mmin) AS DOUBLE), 6) AS max_gap,
+           MIN(CASE WHEN mt - mmin > 20.0 THEN h END) AS first_alarm_hour
+    FROM g
+    """,
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector over the hourly mean
+    event value: PH_t = Σ_{i≤t}(x_i − x̄_i), alarm when PH_t −
+    min_{u≤t} PH_u exceeds λ=20 — the streaming-monitoring companion
+    to the CUSUM key, detecting sustained upward mean drift with a
+    single pass over the hourly series.
+
+    Determinism: hourly sums/counts are exact int64 cents; x_i and the
+    running mean x̄_i are identical-expression doubles of exact
+    integers; each PH increment is quantized to DECIMAL(28,12) BEFORE
+    the cumulative sum so PH_t, its running min, and the λ threshold
+    comparison are all EXACT decimal arithmetic (engines' windowed
+    double-sum trees differ; decimals don't). Only max_gap rounds at
+    emission.
+
+    Scale shape: one map-side-combinable hourly rollup (720 rows at any
+    sf), then windows over the tiny hour domain; the raw table is
+    scanned once.
+    """
+    ev = read_events(spark, sf_dir)
+    byh = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_h"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    seq = byh.select(
+        "h",
+        "n_h",
+        "s_h",
+        F.sum("n_h").over(w).cast("bigint").alias("cn"),
+        F.sum("s_h").over(w).cast("bigint").alias("cs"),
+    )
+    t = seq.select(
+        "h",
+        (
+            F.col("s_h").cast("double") / F.col("n_h") / F.lit(100.0)
+            - F.col("cs").cast("double") / F.col("cn") / F.lit(100.0)
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    m = t.select("h", F.sum("term").over(w).alias("mt"))
+    g = m.select("h", "mt", F.min("mt").over(w).alias("mmin"))
+    gap = F.col("mt") - F.col("mmin")
+    alarm = gap > F.lit(20.0).cast("decimal(28,12)")
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("bigint").alias("n_alarms"),
+        F.round(F.max(gap).cast("double"), 6).alias("max_gap"),
+        F.min(F.when(alarm, F.col("h"))).alias("first_alarm_hour"),
+    )

@@ -2216,3 +2216,60 @@ def embedding_dim_variance_profile(
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once on disk, probe from the index only
+# ---------------------------------------------------------------------------
+
+
+@query("similarity_ivf_index_persist", oracle=_BRUTE_TOPK_ORACLE)
+def similarity_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTED to storage, then probed: the index build
+    (codebook + cell assignment) writes a parquet table partitioned by
+    cell id — `partitionBy(cid)` makes every cell its own directory —
+    and the probe phase runs :func:`ivf_topk` against ONLY the
+    persisted index, never re-touching the raw corpus. This is the
+    index-once/probe-many pattern made literal for a 100 TB corpus:
+    one assignment pass amortizes over every future query batch, and a
+    pruned probe (n_probe < n_centroids) reads n_probe/n_centroids of
+    the index DIRECTORIES (partition pruning on the cid join key).
+
+    Probing ALL cells here makes the result exactly brute force, so
+    the full build→persist→read→probe machinery is hash-verified
+    against the exact-cosine SQL oracle (the no-pruning-invariant
+    discipline; scores ROUND 9 for BLAS-vs-fold ulps).
+    """
+    import os
+
+    from ..plans.pin import pin
+    from .sources_sinks import _scratch
+
+    emb = pin(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cents = SIM.ivf_centroids(emb, n_centroids=16)
+    assigned = SIM._assign_cells(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            SIM._as_double("embedding").alias("cv"),
+        ),
+        "cv",
+        cents,
+        1,
+        "cids",
+    ).withColumn("cid", F.col("cids")[0]).drop("cids")
+    path = os.path.join(_scratch("ivfidx"), "index")
+    assigned.write.partitionBy("cid").parquet(path)
+    idx = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.ivf_topk(
+        emb,
+        queries,
+        k=TOP_K,
+        n_centroids=16,
+        n_probe=16,
+        cents=cents,
+        assigned=idx,
+    )
+    return out.withColumn("score", F.round("score", 9))

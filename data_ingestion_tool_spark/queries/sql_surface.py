@@ -777,3 +777,77 @@ def window_nth_value_from_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_latest_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured surface: parse_json + typed path extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_variant_json_surface",
+    oracle="""
+    WITH j AS (
+      SELECT '{"id": ' || event_id || ', "typ": "' || event_type
+             || '", "k": ' || CAST(json_extract(props, '$.k') AS BIGINT)
+             || ', "arr": [' || event_id % 7 || ', '
+             || CAST(json_extract(props, '$.k') AS BIGINT) * 2 || ']}'
+             AS doc
+      FROM events
+    ),
+    x AS (
+      SELECT CAST(json_extract(doc, '$.id') AS BIGINT) AS id,
+             CAST(json_extract_string(doc, '$.typ') AS VARCHAR) AS typ,
+             CAST(json_extract(doc, '$.k') AS BIGINT) AS k,
+             CAST(json_extract(doc, '$.arr[1]') AS BIGINT) AS arr1
+      FROM j
+    )
+    SELECT typ,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(arr1) AS BIGINT) AS sum_arr1,
+           CAST(SUM(id % 1000) AS BIGINT) AS idmod_checksum
+    FROM x GROUP BY typ
+    """,
+)
+def scalar_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4's open-format answer to
+    schemaless JSON columns): build a nested JSON document per event
+    with plain string concatenation (so both engines parse IDENTICAL
+    bytes), ingest it with ``parse_json`` into a VariantType column,
+    and extract typed scalars and an array element with
+    ``variant_get`` path expressions — the shredding step a lakehouse
+    runs before wide JSON becomes queryable at scan speed. The DuckDB
+    twin replays the same paths with ``json_extract`` casts.
+
+    Determinism: every extracted value is an exact integer or enum
+    string; aggregates are int64 sums.
+
+    Scale shape: per-row variant parse/extract on the scan (whole-stage
+    codegen'd binary variant representation — no Python), one
+    map-side-combinable groupBy on the small type domain.
+    """
+    ev = read_events(spark, sf_dir)
+    j = ev.select(
+        F.expr(
+            """concat('{"id": ', CAST(event_id AS STRING),
+                      ', "typ": "', event_type,
+                      '", "k": ', CAST(get_json_object(props, '$.k') AS BIGINT),
+                      ', "arr": [', CAST(event_id % 7 AS STRING), ', ',
+                      CAST(CAST(get_json_object(props, '$.k') AS BIGINT) * 2
+                           AS STRING), ']}')"""
+        ).alias("doc")
+    )
+    v = j.select(F.parse_json(F.col("doc")).alias("var"))
+    x = v.select(
+        F.expr("variant_get(var, '$.id', 'bigint')").alias("id"),
+        F.expr("variant_get(var, '$.typ', 'string')").alias("typ"),
+        F.expr("variant_get(var, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(var, '$.arr[1]', 'bigint')").alias("arr1"),
+    )
+    return x.groupBy("typ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum("arr1").cast("bigint").alias("sum_arr1"),
+        F.sum(F.col("id") % 1000).cast("bigint").alias("idmod_checksum"),
+    )

@@ -6825,3 +6825,338 @@ def events_dispersion_index_hourly(
         f"ROUND({_DISP['crit']}, 6) AS chi2_crit_95",
         f"CAST({_DISP['chi2']} > {_DISP['crit']} AS INT) AS overdispersed",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across order priorities (rank-based one-way ANOVA)
+# ---------------------------------------------------------------------------
+
+# Shared final-expression fragments (the _ols2_exprs discipline): the
+# H computation composes divisions of near-equal magnitudes, so ONLY a
+# bit-identical expression shape on both engines survives. Upstream
+# inputs (n_g, s2_g, tie_sum, k, n) are exact int64 on both sides.
+_KW_DEV = "(CAST(s2_g AS DOUBLE) / (2.0 * n_g) - (n + 1) / 2.0)"
+_KW_SUMTERM = f"SUM(CAST(n_g AS DOUBLE) * {_KW_DEV} * {_KW_DEV})"
+_KW_H = "(12.0 * sum_term / (CAST(n AS DOUBLE) * (n + 1)))"
+_KW_C = (
+    "(1.0 - CAST(tie_sum AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "stats_kruskal_wallis_h",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             {_SQL_CENTS.format(col='o_totalprice')} AS cents
+      FROM orders
+    ),
+    grain AS (
+      SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY grp, cents
+    ),
+    vg AS (
+      SELECT cents, CAST(SUM(cnt) AS BIGINT) AS t_cnt
+      FROM grain GROUP BY cents
+    ),
+    g AS (
+      SELECT cents,
+             2 * CAST(SUM(t_cnt) OVER (ORDER BY cents) AS BIGINT)
+               - t_cnt + 1 AS r2,
+             t_cnt
+      FROM vg
+    ),
+    per AS (
+      SELECT grp,
+             CAST(SUM(cnt) AS BIGINT) AS n_g,
+             CAST(SUM(cnt * r2) AS BIGINT) AS s2_g
+      FROM grain JOIN g USING (cents) GROUP BY grp
+    ),
+    ties AS (
+      SELECT CAST(SUM(t_cnt * t_cnt * t_cnt - t_cnt) AS BIGINT) AS tie_sum
+      FROM vg
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
+      FROM per
+    ),
+    dev AS (
+      SELECT MAX(k) AS k, MAX(n) AS n, {_KW_SUMTERM} AS sum_term
+      FROM per, tot
+    )
+    SELECT k AS k_groups, n AS n_total, tie_sum,
+           ROUND({_KW_H} / {_KW_C}, 6) AS h_stat,
+           ROUND(({_KW_H} / {_KW_C} - k + 1)
+                 / (CAST(n AS DOUBLE) - k), 9) AS epsilon_sq
+    FROM dev, ties
+    """,
+)
+def stats_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (rank-based one-way ANOVA) of order totals
+    across the five order priorities, tie-corrected. Average ranks are
+    held EXACTLY in integers on the value grain — for a distinct value
+    with t occurrences after b smaller rows, 2·avg_rank = 2b + t + 1
+    (the Mann-Whitney construction generalized to k groups) — so the
+    per-group rank sums S2_g = Σ cnt·(2b+t+1) are exact int64 and the
+    only float work is the final closed form, computed in the
+    cancellation-free centered shape H = 12/(N(N+1))·Σ n_g·(r̄_g −
+    (N+1)/2)² from shared SQL fragments interpolated verbatim into
+    both engines (fp error ~1e-13 ≪ the 1e-6 rounding grain even at
+    100x sf0.1).
+
+    Scale shape: value-grain groupBy (map-side combinable), ONE
+    distributed range shuffle for the global cumulative tie counts
+    (`with_global_prefix_sum` — no single-task window), then all math
+    on k=5 group rows.
+    """
+    from ..operators.ranking import with_global_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    grain = o.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    grain = pin(grain)  # consumed by the tie grain AND the rank join
+    vg = grain.groupBy("cents").agg(
+        F.sum("cnt").cast("bigint").alias("t_cnt")
+    )
+    vg = pin(vg)
+    g = with_global_prefix_sum(vg, ["cents"], "t_cnt", rn="__rn", cum="cum_t")
+    g = g.select(
+        "cents",
+        (2 * F.col("cum_t") - F.col("t_cnt") + 1).cast("bigint").alias("r2"),
+    )
+    per = (
+        grain.join(g, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("r2")).cast("bigint").alias("s2_g"),
+        )
+    )
+    ties = vg.agg(
+        F.sum(
+            F.col("t_cnt") * F.col("t_cnt") * F.col("t_cnt") - F.col("t_cnt")
+        )
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+    )
+    dev = (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr("k", "n", "n_g", "s2_g")
+        .groupBy()
+        .agg(
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+            F.expr(_KW_SUMTERM).alias("sum_term"),
+        )
+    )
+    return dev.crossJoin(F.broadcast(ties)).selectExpr(
+        "k AS k_groups",
+        "n AS n_total",
+        "tie_sum",
+        f"ROUND({_KW_H} / {_KW_C}, 6) AS h_stat",
+        f"ROUND(({_KW_H} / {_KW_C} - k + 1)"
+        " / (CAST(n AS DOUBLE) - k), 9) AS epsilon_sq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (complement to the KM estimator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_nelson_aalen_cumhaz",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    seq AS (
+      SELECT o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    dur AS (
+      SELECT CASE WHEN nxt IS NOT NULL
+                  THEN date_diff('day', o_orderdate, nxt)
+                  ELSE date_diff('day', o_orderdate, (SELECT mxd FROM mx))
+             END AS gap_days,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM seq
+    ),
+    byw AS (
+      SELECT CAST(gap_days // 7 AS INT) AS week,
+             CAST(SUM(is_event) AS BIGINT) AS d_events,
+             CAST(SUM(1 - is_event) AS BIGINT) AS c_censored
+      FROM dur GROUP BY 1
+    ),
+    na AS (
+      SELECT week, d_events, c_censored,
+             CAST(SUM(d_events + c_censored) OVER ()
+                  - SUM(d_events + c_censored) OVER
+                      (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+                  + (d_events + c_censored) AS BIGINT) AS n_risk
+      FROM byw
+    )
+    SELECT week, n_risk, d_events,
+           ROUND(CAST(SUM(CAST(CAST(d_events AS DOUBLE) / n_risk
+                          AS DECIMAL(28,12)))
+                 OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE), 6) AS cum_hazard,
+           ROUND(CAST(SUM(CAST(CAST(d_events AS DOUBLE)
+                          / (CAST(n_risk AS DOUBLE) * n_risk)
+                          AS DECIMAL(28,12)))
+                 OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE), 9) AS cum_haz_var
+    FROM na ORDER BY week
+    """,
+)
+def stats_nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{u≤t} d_u/n_u (with its
+    variance Σ d_u/n_u²) over the same censored repeat-purchase-gap
+    grain as stats_kaplan_meier_survival — the estimator that stays
+    stable when KM's product hits small risk sets, and the additive
+    form churn-hazard models consume directly.
+
+    Determinism: durations/counts are exact integer date math; each
+    hazard increment d/n is ONE correctly-rounded double division of
+    identical integers, quantized to DECIMAL(28,12) BEFORE the window
+    sum so the cumulative is exact decimal addition (order-free —
+    engines' windowed double summation trees differ), then rounded at
+    emission.
+
+    Scale shape: identical to KM — one o_custkey shuffle for the lead
+    window, a map-side week-grain rollup, windows over the ~350-row
+    week domain only.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dur = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+            )
+            .otherwise(F.datediff("mxd", "o_orderdate"))
+            .alias("gap_days"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias(
+                "is_event"
+            ),
+        )
+        .select(
+            F.expr("CAST(gap_days DIV 7 AS INT)").alias("week"), "is_event"
+        )
+    )
+    byw = dur.groupBy("week").agg(
+        F.sum("is_event").cast("bigint").alias("d_events"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("c_censored"),
+    )
+    cum = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    at = F.col("d_events") + F.col("c_censored")
+    na = byw.withColumn(
+        "n_risk",
+        (F.sum(at).over(tot) - F.sum(at).over(cum) + at).cast("bigint"),
+    )
+    inc = (F.col("d_events").cast("double") / F.col("n_risk")).cast(
+        "decimal(28,12)"
+    )
+    inc_var = (
+        F.col("d_events").cast("double")
+        / (F.col("n_risk").cast("double") * F.col("n_risk"))
+    ).cast("decimal(28,12)")
+    return (
+        na.withColumn(
+            "cum_hazard", F.round(F.sum(inc).over(cum).cast("double"), 6)
+        )
+        .withColumn(
+            "cum_haz_var", F.round(F.sum(inc_var).over(cum).cast("double"), 9)
+        )
+        .select("week", "n_risk", "d_events", "cum_hazard", "cum_haz_var")
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test: completion rate across ordinal priorities
+# ---------------------------------------------------------------------------
+
+# One shared fragment for the z statistic: T/sqrt(p(1-p)·Sxx) over the
+# five exact int64 sufficient statistics (n, r, s1, s2, sr). Every
+# operation is a correctly-rounded IEEE op on identical inputs, so the
+# result is bit-equal cross-engine with no rounding fudge (the
+# stats_kendall_tau_brand precedent).
+_CA_Z = (
+    "((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * s1 / n)"
+    " / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)"
+    "        * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)))"
+)
+
+
+@query(
+    "orders_cochran_armitage_trend",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+             CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END AS ev
+      FROM orders
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ev) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS s1,
+             CAST(SUM(s * s) AS BIGINT) AS s2,
+             CAST(SUM(s * ev) AS BIGINT) AS sr
+      FROM c
+    )
+    SELECT n AS n_total, r AS n_events,
+           {_CA_Z} AS z_trend,
+           {_CA_Z} * {_CA_Z} AS chi2_trend
+    FROM suff
+    """,
+)
+def orders_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the order-completion rate
+    (status ≠ 'O') trend monotonically across the ORDINAL priority
+    scale 1-URGENT … 5-LOW? The binary-outcome-vs-ordered-groups test
+    a dose-response / severity analysis runs, stronger than the
+    unordered chi-square when the alternative is a trend.
+
+    Determinism: the five sufficient statistics (N, R, Σs, Σs², Σs·ev)
+    are exact int64 map-side aggregates; z is ONE shared-fragment
+    double expression over them — bit-equal cross-engine, no rounding
+    needed.
+
+    Scale shape: a single map-side-combinable aggregate over the scan
+    (no shuffle beyond the 1-row combine); nothing downstream touches
+    raw rows.
+    """
+    o = read_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(substr(o_orderpriority, 1, 1) AS INT) AS s",
+        "CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END AS ev",
+    )
+    suff = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ev").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s2"),
+        F.sum(F.col("s") * F.col("ev")).cast("bigint").alias("sr"),
+    )
+    return suff.selectExpr(
+        "n AS n_total",
+        "r AS n_events",
+        f"{_CA_Z} AS z_trend",
+        f"{_CA_Z} * {_CA_Z} AS chi2_trend",
+    )

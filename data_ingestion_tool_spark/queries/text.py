@@ -2807,3 +2807,67 @@ def filter_lm_perplexity_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokens-per-byte compression proxy by source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokens_per_byte_by_source",
+    oracle="""
+    SELECT source,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9 ]')) * 1000000 // strlen(text))
+                AS BIGINT) AS sum_tpb_micro,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS DOUBLE)
+             / SUM(strlen(text)) AS tokens_per_byte
+    FROM documents
+    WHERE strlen(text) > 0
+    GROUP BY source
+    """,
+)
+def text_tokens_per_byte_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokens-per-byte by source — the fertility/compression proxy a
+    tokenizer-budget planner reads before mixing sources: sources whose
+    text yields more BPE-ish tokens per byte cost more context budget
+    per stored byte. Uses the registered BPE-ish pre-tokenizer class
+    (letter runs | digits | punctuation, text_token_estimate_regex) and
+    BYTE length (octet_length == DuckDB strlen).
+
+    Determinism: token and byte counts are exact integers; the corpus
+    ratio is one division of identical int64 sums; the per-doc ratio
+    ships as an exact integer micro-units sum (floor division of
+    positive ints agrees across engines).
+
+    Scale shape: per-row regexp_count/octet_length on the scan, one
+    map-side-combinable groupBy on the small source domain.
+    """
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") > 0)
+        .select(
+            "source",
+            F.octet_length("text").cast("bigint").alias("nb"),
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]")
+            )
+            .cast("bigint")
+            .alias("nt"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("(nt * 1000000) DIV nb")).cast("bigint").alias(
+            "sum_tpb_micro"
+        ),
+        (F.sum("nt").cast("double") / F.sum("nb")).alias("tokens_per_byte"),
+    )
