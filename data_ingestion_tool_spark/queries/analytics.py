@@ -5002,3 +5002,70 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(gap).cast("double"), 6).alias("max_gap"),
         F.min(F.when(alarm, F.col("h"))).alias("first_alarm_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive active-month streaks per customer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_active_month_islands",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) - 1 AS BIGINT) AS midx
+      FROM orders
+    ),
+    g AS (
+      SELECT o_custkey, midx,
+             midx - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY midx) AS BIGINT) AS grp
+      FROM am
+    ),
+    isl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM g GROUP BY o_custkey, grp
+    )
+    SELECT island_len,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM isl GROUP BY island_len ORDER BY island_len
+    """,
+)
+def orders_active_month_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the distribution of consecutive-active-month
+    streak lengths per customer (an island = a maximal run of calendar
+    months each containing ≥1 order) — the classic SQL islands
+    construction (month_index − row_number is constant within a run)
+    powering engagement-streak and churn-risk features.
+
+    Determinism: month indexes and run arithmetic are exact integers;
+    row_number runs over the DEDUPLICATED (customer, month) grain where
+    midx is unique per partition, so ranks are value-determined.
+
+    Scale shape: distinct on (cust, month) collapses the fact table
+    (map-side combinable), one o_custkey shuffle for the per-customer
+    window over ≤ ~84 month rows each, then two tiny aggregates.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("midx"),
+    )
+    am = o.distinct()
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    g = am.withColumn(
+        "grp", F.col("midx") - F.row_number().over(w).cast("bigint")
+    )
+    isl = g.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("island_len")
+    )
+    return (
+        isl.groupBy("island_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"))
+        .orderBy("island_len")
+    )

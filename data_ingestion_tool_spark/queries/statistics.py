@@ -7160,3 +7160,71 @@ def orders_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{_CA_Z} AS z_trend",
         f"{_CA_Z} * {_CA_Z} AS chi2_trend",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs max-deviation outlier statistic on event values
+# ---------------------------------------------------------------------------
+
+# G = max(|x_max - mean|, |mean - x_min|) / s from five exact int64
+# sufficient statistics (n, s1=Σc, q=Σc², maxc, minc) — one shared
+# fragment, bit-equal cross-engine (cents ≤ 1e5 so q ≤ n·1e10 stays
+# int64-safe past sf1).
+_GRUBBS_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_GRUBBS_SD = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+    " / (CAST(n AS DOUBLE) - 1.0))"
+)
+_GRUBBS_G = (
+    f"(CASE WHEN maxc - {_GRUBBS_MEAN} >= {_GRUBBS_MEAN} - minc"
+    f"      THEN maxc - {_GRUBBS_MEAN} ELSE {_GRUBBS_MEAN} - minc END"
+    f" / {_GRUBBS_SD})"
+)
+
+
+@query(
+    "stats_grubbs_max_outlier",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_SQL_CENTS.format(col='value')} AS cents FROM events
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS q,
+             CAST(MAX(cents) AS BIGINT) AS maxc,
+             CAST(MIN(cents) AS BIGINT) AS minc
+      FROM c
+    )
+    SELECT n AS n_rows, maxc AS max_cents, minc AS min_cents,
+           {_GRUBBS_G} AS g_stat
+    FROM suff
+    """,
+)
+def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs (extreme studentized deviate) statistic for the single
+    most extreme event value: G = max(|x_(n) − x̄|, |x̄ − x_(1)|)/s —
+    the classical one-outlier screen that complements the IQR/MAD keys
+    (those flag counts; Grubbs scores THE extreme).
+
+    Determinism: five exact int64 sufficient statistics (value is
+    exactly 2-decimal; Σc² ≤ n·1e10 stays int64-safe beyond sf1) feed
+    one shared-fragment double expression — bit-equal cross-engine, no
+    rounding needed.
+
+    Scale shape: one map-side-combinable aggregate over the scan.
+    """
+    ev = read_events(spark, sf_dir).select(_cents("value").alias("cents"))
+    suff = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        F.max("cents").cast("bigint").alias("maxc"),
+        F.min("cents").cast("bigint").alias("minc"),
+    )
+    return suff.selectExpr(
+        "n AS n_rows",
+        "maxc AS max_cents",
+        "minc AS min_cents",
+        f"{_GRUBBS_G} AS g_stat",
+    )

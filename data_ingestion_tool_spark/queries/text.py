@@ -2871,3 +2871,93 @@ def text_tokens_per_byte_by_source(
         ),
         (F.sum("nt").cast("double") / F.sum("nb")).alias("tokens_per_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram coverage curve: how much of the corpus the top-k vocab covers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_coverage_curve",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM tok GROUP BY term),
+    r AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS rn
+      FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rn <= 10 THEN freq ELSE 0 END) AS BIGINT)
+             AS top10_tokens,
+           CAST(SUM(CASE WHEN rn <= 100 THEN freq ELSE 0 END) AS BIGINT)
+             AS top100_tokens,
+           CAST(SUM(CASE WHEN rn <= 1000 THEN freq ELSE 0 END) AS BIGINT)
+             AS top1000_tokens,
+           CAST(SUM(CASE WHEN rn <= 10 THEN freq ELSE 0 END) * 1000000
+                // SUM(freq) AS BIGINT) AS top10_ppm,
+           CAST(SUM(CASE WHEN rn <= 100 THEN freq ELSE 0 END) * 1000000
+                // SUM(freq) AS BIGINT) AS top100_ppm,
+           CAST(SUM(CASE WHEN rn <= 1000 THEN freq ELSE 0 END) * 1000000
+                // SUM(freq) AS BIGINT) AS top1000_ppm
+    FROM r
+    """,
+)
+def text_unigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-10/100/1000 most frequent terms cover — the Zipf companion
+    a tokenizer-vocab sizing pass reads (if 1000 types cover 95%, a
+    small vocab + byte-fallback wins). Rank order is (freq DESC, term)
+    — term is unique at the vocab grain, so ranks are value-determined.
+
+    Determinism: pure integer counts; coverage ships as exact
+    parts-per-million via integer floor division.
+
+    Scale shape: tokenize → one (term) groupBy (map-side combinable);
+    the ranked cumulative runs on the VOCAB grain via one distributed
+    range shuffle (`with_global_row_number`), never a single-task
+    window; the final row is a map-side-combined conditional aggregate.
+    """
+    from ..operators.ranking import with_global_row_number
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    r = with_global_row_number(
+        tf.select("freq", "term"), [F.col("freq").desc(), F.col("term")],
+        rn="rn",
+    )
+    c10 = F.sum(F.when(F.col("rn") <= 10, F.col("freq")).otherwise(0))
+    c100 = F.sum(F.when(F.col("rn") <= 100, F.col("freq")).otherwise(0))
+    c1000 = F.sum(F.when(F.col("rn") <= 1000, F.col("freq")).otherwise(0))
+    tot = F.sum("freq")
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        tot.cast("bigint").alias("total_tokens"),
+        c10.cast("bigint").alias("top10_tokens"),
+        c100.cast("bigint").alias("top100_tokens"),
+        c1000.cast("bigint").alias("top1000_tokens"),
+        (c10 * 1000000).cast("bigint").alias("__n10"),
+        (c100 * 1000000).cast("bigint").alias("__n100"),
+        (c1000 * 1000000).cast("bigint").alias("__n1000"),
+    ).selectExpr(
+        "vocab_size",
+        "total_tokens",
+        "top10_tokens",
+        "top100_tokens",
+        "top1000_tokens",
+        "CAST(__n10 DIV total_tokens AS BIGINT) AS top10_ppm",
+        "CAST(__n100 DIV total_tokens AS BIGINT) AS top100_ppm",
+        "CAST(__n1000 DIV total_tokens AS BIGINT) AS top1000_ppm",
+    )
