@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..operators import text as TX
 from ..plans.pin import pin
 from ..sources.parquet_io import read_table
-from .registry import query
+from .registry import QUERIES, query
 
 # DuckDB twin of operators.text.token_count (same as text_token_count's
 # oracle): whitespace split, empties dropped.
@@ -1577,3 +1577,128 @@ def mix_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("bucket", F.lit(-1).cast("int")), F.col("bucket")
     )
     return per_bucket.unionByName(total).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split: split by DEDUP CLUSTER, not by doc
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 2
+            >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    r AS (
+      SELECT src AS node, src AS reach FROM e
+      UNION
+      SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cid
+      FROM r GROUP BY node
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(comp.cid, d.doc_id) AS cid,
+             CAST(CAST('0x' || substr(md5(CAST(COALESCE(comp.cid, d.doc_id)
+                       AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0 AS INT)
+               AS is_test,
+             CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 10 = 0 AS INT) AS naive_test
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    ),
+    per_c AS (
+      SELECT cid,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(is_test) - MIN(is_test) AS INT) AS cluster_leak,
+             CAST(MAX(naive_test) - MIN(naive_test) AS INT) AS naive_leak
+      FROM lab GROUP BY cid
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST((SELECT SUM(is_test) FROM lab) AS BIGINT) AS n_test_docs,
+           CAST(SUM(cluster_leak) AS BIGINT) AS leaky_clusters,
+           CAST(SUM(naive_leak) AS BIGINT) AS naive_leaky_clusters
+    FROM per_c
+    """,
+)
+def mix_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: assign each NEAR-DUP CLUSTER (not
+    each document) to a split with a deterministic md5 hash, so a
+    document and its near-duplicate can never land on opposite sides —
+    the contamination failure mode of naive per-doc splits that
+    inflates eval scores. Clusters come from the fully-replayable
+    prefix-blocked exact-Jaccard graph (dedup_clusters_prefix_jaccard);
+    singletons are their own cluster. The output audits BOTH policies:
+    cluster-level split leakage is 0 BY CONSTRUCTION, while the naive
+    per-doc md5 split's leaky-cluster count is reported as the
+    counterfactual.
+
+    Determinism: md5-of-decimal-string bucketing is identical
+    cross-engine (hex→int via conv == '0x' cast, CLAUDE.md rule);
+    leak flags are integer max−min per cluster.
+
+    Scale shape: pair generation is the bucketed join; label
+    propagation runs on the pair graph only; the split/audit is one
+    broadcast-join of cluster ids plus a cluster-grain aggregate.
+    """
+    from ..operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = QUERIES["dedup_prefix_bucket_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cid")
+    )
+    lab = (
+        d.join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cid"), F.col("doc_id")).alias("cid"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cid",
+            "CAST(CAST(conv(substring(md5(CAST(cid AS STRING)), 1, 4),"
+            " 16, 10) AS BIGINT) % 10 = 0 AS INT) AS is_test",
+            "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4),"
+            " 16, 10) AS BIGINT) % 10 = 0 AS INT) AS naive_test",
+        )
+    )
+    lab = pin(lab)  # consumed by the cluster audit AND the doc count
+    per_c = lab.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("is_test") - F.min("is_test")).cast("int").alias(
+            "cluster_leak"
+        ),
+        (F.max("naive_test") - F.min("naive_test")).cast("int").alias(
+            "naive_leak"
+        ),
+    )
+    tot_test = lab.agg(F.sum("is_test").cast("bigint").alias("n_test_docs"))
+    return per_c.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_leak").cast("bigint").alias("leaky_clusters"),
+        F.sum("naive_leak").cast("bigint").alias("naive_leaky_clusters"),
+    ).crossJoin(F.broadcast(tot_test)).select(
+        "n_docs", "n_clusters", "n_test_docs",
+        "leaky_clusters", "naive_leaky_clusters",
+    )

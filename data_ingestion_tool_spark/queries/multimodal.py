@@ -962,3 +962,101 @@ def multimodal_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dc", "phash", "n_same_hash")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient energy (edge strength) over real decoded pixels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_gradient_energy",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars % 30 + 5 AS w, doc_id % 20 + 4 AS h
+      FROM documents WHERE doc_id < {N_BMP_DOCS}
+    ),
+    fy AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM d
+    ),
+    fj AS (
+      SELECT doc_id, w, h, y,
+             unnest(generate_series(0, 3 * w - 1)) AS j
+      FROM fy
+    ),
+    px AS (
+      SELECT doc_id, w, h, y, j,
+             (j + y * 7 + doc_id) % 256 AS b
+      FROM fj
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN j < 3 * w - 1 THEN
+                abs(((j + 1 + y * 7 + doc_id) % 256) - b) ELSE 0 END)
+                AS BIGINT) AS grad_x,
+           CAST(SUM(CASE WHEN y < h - 1 THEN
+                abs(((j + (y + 1) * 7 + doc_id) % 256) - b) ELSE 0 END)
+                AS BIGINT) AS grad_y,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_gradient_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gradient energy (Σ|∂x| and Σ|∂y| of the decoded byte plane) per
+    image — the blur/flat-image detector a vision-data quality filter
+    runs (near-zero gradient energy ⇒ blank or synthetic-flat frames;
+    the same synthesized 24-bpp BMPs and real ``bmp_decode_pixels``
+    path as the tile-stats key, so row order/orientation bugs in the
+    codec shift the vertical term and break the hash).
+
+    Determinism: pixels are exact closed-form bytes; gradients are
+    integer absolute differences summed as int64 — the oracle
+    recomputes the closed form positionally, never touching the codec.
+
+    Scale shape: synthesize → decode → two np.diff reductions inside
+    one Arrow-batched mapInPandas pass; one fixed-width row per image
+    leaves the worker.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import bmp_decode_pixels
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_BMP_DOCS
+    ).select("doc_id", "n_chars")
+
+    def grad_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = int(n_chars) % 30 + 5
+                h = doc_id % 20 + 4
+                stride = (w * 3 + 3) & ~3
+                img = np.zeros((h, stride), dtype=np.uint8)
+                j = np.arange(3 * w, dtype=np.int64)
+                for y in range(h):
+                    img[y, : 3 * w] = (j + y * 7 + doc_id) % 256
+                    img[y, 3 * w :] = 0xAB
+                data = img.tobytes()
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(data), 2835, 2835, 0, 0)
+                )
+                vis = bmp_decode_pixels(hdr + data).astype(np.int64)
+                gx = int(np.abs(np.diff(vis, axis=1)).sum())
+                gy = int(np.abs(np.diff(vis, axis=0)).sum())
+                rows.append((doc_id, gx, gy, int(vis.size)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "grad_x", "grad_y", "n_px"]
+            )
+
+    return d.mapInPandas(
+        grad_batches, "doc_id long, grad_x long, grad_y long, n_px long"
+    )

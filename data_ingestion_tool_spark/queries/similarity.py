@@ -2273,3 +2273,118 @@ def similarity_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned=idx,
     )
     return out.withColumn("score", F.round("score", 9))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation distortion: cosine drift when keeping d/2 dims
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_matryoshka_truncation_error",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (embedding::DOUBLE[])[1:32] AS vh
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a,
+             CAST(ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 9)
+               AS DECIMAL(18,9)) AS cos_full,
+             CAST(ROUND(list_dot_product(a.vh, b.vh)
+               / (sqrt(list_dot_product(a.vh, a.vh))
+                  * sqrt(list_dot_product(b.vh, b.vh))), 9)
+               AS DECIMAL(18,9)) AS cos_half
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(abs(cos_full - cos_half) AS DECIMAL(18,9)))
+                AS DOUBLE) AS total_abs_drift,
+           CAST(MAX(CAST(abs(cos_full - cos_half) AS DECIMAL(18,9)))
+                AS DOUBLE) AS max_abs_drift,
+           CAST(SUM(CASE WHEN (cos_full >= 0.5) <> (cos_half >= 0.5)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS threshold_flips
+    FROM p
+    """,
+)
+def embedding_matryoshka_truncation_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation audit: how much does cosine
+    similarity drift when keeping only the FIRST 32 of 64 dims — the
+    measurement behind MRL-truncated retrieval indexes (store d/2,
+    re-rank at d). Pairs are the deterministic adjacent-id chain
+    (vec_id, vec_id+1): corpus-linear, no all-pairs.
+
+    Determinism: each cosine is a left-fold dot product (identical
+    array order both engines) rounded to 9 decimals and QUANTIZED to
+    DECIMAL(18,9), so the |full − half| drifts, their sum/max, and the
+    0.5-threshold flip count are exact decimal arithmetic.
+
+    Scale shape: a self-join on vec_id+1 (one shuffle, or co-located
+    under id bucketing); per-row JVM HOF folds, no Python, no window.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, 32), lambda x: x.cast("double")
+        ).alias("vh"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vh").alias("vha"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("v").alias("vb"),
+        F.col("vh").alias("vhb"),
+    )
+    p = a.join(b, "id_a").select(
+        "id_a",
+        F.round(
+            dot(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(dot(F.col("va"), F.col("va")))
+                * F.sqrt(dot(F.col("vb"), F.col("vb")))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("cos_full"),
+        F.round(
+            dot(F.col("vha"), F.col("vhb"))
+            / (
+                F.sqrt(dot(F.col("vha"), F.col("vha")))
+                * F.sqrt(dot(F.col("vhb"), F.col("vhb")))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("cos_half"),
+    )
+    drift = F.abs(F.col("cos_full") - F.col("cos_half")).cast(
+        "decimal(18,9)"
+    )
+    flip = (F.col("cos_full") >= 0.5) != (F.col("cos_half") >= 0.5)
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(drift).cast("double").alias("total_abs_drift"),
+        F.max(drift).cast("double").alias("max_abs_drift"),
+        F.sum(F.when(flip, 1).otherwise(0)).cast("bigint").alias(
+            "threshold_flips"
+        ),
+    )

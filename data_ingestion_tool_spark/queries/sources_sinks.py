@@ -2417,3 +2417,99 @@ def ingest_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-like sentinel scan: the disguised-missing-value audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_sentinel_value_scan",
+    oracle="""
+    WITH cells AS (
+      SELECT 'lang' AS col_name, lang AS v FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(CASE WHEN v <> '' AND trim(v) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blank,
+           CAST(SUM(CASE WHEN lower(v) IN
+                ('null', 'none', 'n/a', 'na', 'nan', '-', '?', 'unknown')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinel
+    FROM cells GROUP BY col_name ORDER BY col_name
+    """,
+)
+def quality_sentinel_value_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disguised-missing-value audit: per string column, how many cells
+    are real NULL, empty string, whitespace-only, or a null-LIKE
+    sentinel token ('null', 'n/a', '-', 'unknown', …) — the data-
+    quality scan that catches the reference's own `na_filter=False`
+    policy (empty CSV cells become '' not NULL, SURVEY §1.2) leaking
+    disguised missingness into a lake. SQL `trim` strips spaces only
+    (CLAUDE.md), identically on both engines.
+
+    Determinism: pure integer predicate counts over exact strings.
+
+    Scale shape: per-column predicates fold into ONE pass per table
+    via the unpivoted cell stream (map-side combinable counts on a
+    5-row output domain); no shuffle of raw data beyond the tiny
+    grouped combine.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        d.select(F.lit("lang").alias("col_name"), F.col("lang").alias("v"))
+        .unionByName(
+            d.select(F.lit("source").alias("col_name"), F.col("source").alias("v"))
+        )
+        .unionByName(
+            d.select(F.lit("text").alias("col_name"), F.col("text").alias("v"))
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderstatus").alias("col_name"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderpriority").alias("col_name"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+    )
+    sentinels = ["null", "none", "n/a", "na", "nan", "-", "?", "unknown"]
+    return (
+        cells.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(F.when(F.col("v") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty"),
+            F.sum(
+                F.when(
+                    (F.col("v") != "") & (F.trim(F.col("v")) == ""), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_blank"),
+            F.sum(
+                F.when(F.lower(F.col("v")).isin(sentinels), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sentinel"),
+        )
+        .orderBy("col_name")
+    )
