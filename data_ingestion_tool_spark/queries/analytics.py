@@ -5069,3 +5069,129 @@ def orders_active_month_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"))
         .orderBy("island_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window sweep: funnel conversion at 4 windows from ONE pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_window_sweep",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS tts FROM events WHERE event_type = 'click'
+    ),
+    nearest AS (
+      SELECT p.pid, MAX(c.tts) AS last_click
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.tts < p.pts
+       AND c.tts >= p.pts - INTERVAL 24 HOUR
+      GROUP BY p.pid
+    ),
+    gaps AS (
+      SELECT p.pid,
+             CASE WHEN n.last_click IS NULL THEN NULL
+                  ELSE date_diff('second', n.last_click, p.pts) END AS gap_s
+      FROM purchases p LEFT JOIN nearest n ON n.pid = p.pid
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM gaps),
+    w AS (
+      SELECT * FROM (VALUES (1, 'w_010min', 600), (2, 'w_1hour', 3600),
+                            (3, 'w_6hours', 21600), (4, 'w_24hours', 86400))
+        AS t(ord, window_label, cap_s)
+    )
+    SELECT w.window_label,
+           CAST(w.cap_s AS BIGINT) AS window_seconds,
+           tot.n_purchases,
+           CAST(SUM(CASE WHEN gap_s IS NOT NULL AND gap_s <= w.cap_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN gap_s IS NOT NULL AND gap_s <= w.cap_s
+                         THEN 1 ELSE 0 END) * 1000000
+                // tot.n_purchases AS BIGINT) AS rate_ppm
+    FROM gaps, tot, w
+    GROUP BY w.window_label, w.cap_s, tot.n_purchases
+    ORDER BY w.cap_s
+    """,
+)
+def events_conversion_window_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity sweep: what fraction of purchases
+    had a click within 10min / 1h / 6h / 24h before them — FOUR
+    operating points from ONE join pass (the ivf_topk_sweep
+    index-once discipline applied to funnel analytics: join at the
+    max window, classify gaps, and each narrower window is a
+    conditional count, not a re-join).
+
+    Determinism: gaps are exact integer seconds (µs-truncated
+    timestamps both engines); rates ship as exact ppm via integer
+    floor division.
+
+    Scale shape: one user_id equi-join with the 24h band + a per-
+    purchase max (map-side combinable), then a 4-row broadcast cross
+    classify. The raw table is scanned twice (purchases, clicks) —
+    filter-pushed scans, no rescan of the joined grain.
+    """
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("tts")
+    )
+    nearest = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("pid")
+        .agg(F.max("tts").alias("last_click"))
+    )
+    gaps = purchases.join(nearest, "pid", "left").select(
+        "pid",
+        F.when(
+            F.col("last_click").isNotNull(),
+            F.unix_timestamp("pts") - F.unix_timestamp("last_click"),
+        ).alias("gap_s"),
+    )
+    gaps = pin(gaps)  # consumed by the total AND the sweep classify
+    tot = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    wspec = spark.createDataFrame(
+        [
+            (1, "w_010min", 600),
+            (2, "w_1hour", 3600),
+            (3, "w_6hours", 21600),
+            (4, "w_24hours", 86400),
+        ],
+        "ord int, window_label string, cap_s bigint",
+    )
+    conv = F.sum(
+        F.when(
+            F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.col("cap_s")),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        gaps.crossJoin(F.broadcast(wspec))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("window_label", "cap_s", "n_purchases")
+        .agg(conv.alias("n_converted"))
+        .selectExpr(
+            "window_label",
+            "CAST(cap_s AS BIGINT) AS window_seconds",
+            "n_purchases",
+            "n_converted",
+            "CAST(n_converted * 1000000 DIV n_purchases AS BIGINT)"
+            " AS rate_ppm",
+        )
+        .orderBy("window_seconds")
+    )

@@ -7228,3 +7228,159 @@ def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minc AS min_cents",
         f"{_GRUBBS_G} AS g_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: do event types rank consistently across day blocks?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_SQL_CENTS.format(col='value')}) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+    full_days AS (
+      SELECT day FROM cell GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    c AS (SELECT cell.* FROM cell JOIN full_days USING (day)),
+    r AS (
+      SELECT a.day, a.event_type,
+             CAST(2 * SUM(CASE WHEN b.s * a.n < a.s * b.n THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN b.s * a.n = a.s * b.n THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS r2
+      FROM c a JOIN c b ON a.day = b.day
+      GROUP BY a.day, a.event_type
+    ),
+    per AS (
+      SELECT event_type, CAST(SUM(r2) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM r GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(n_days) AS BIGINT) AS n
+      FROM per
+    ),
+    agg AS (
+      SELECT tot.k, tot.n,
+             CAST(SUM((s2 - tot.n * (tot.k + 1))
+                      * (s2 - tot.n * (tot.k + 1))) AS BIGINT) AS sum_d2
+      FROM per, tot GROUP BY tot.k, tot.n
+    )
+    SELECT k AS k_treatments, n AS n_blocks, sum_d2,
+           3.0 * sum_d2 / (CAST(n AS DOUBLE) * k * (k + 1)) AS chi2_friedman,
+           3.0 * sum_d2 / (CAST(n AS DOUBLE) * k * (k + 1))
+             / (CAST(n AS DOUBLE) * (k - 1)) AS kendalls_w
+    FROM agg
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (rank-based repeated-measures ANOVA): do the
+    event types keep the same mean-value ordering across day blocks?
+    Each complete day ranks its k types by daily mean value; χ² =
+    3·Σ d_j²/(n·k·(k+1)) with d_j = (2·rank-sum)_j − n(k+1), plus
+    Kendall's W concordance.
+
+    Determinism: ALL-INTEGER ranks — within a block, mean comparisons
+    s_a/n_a vs s_b/n_b are done as exact cross-multiplications
+    (s_a·n_b vs s_b·n_a, CLAUDE.md threshold rule), and tie-aware
+    average ranks use the 2·rank = 2·smaller + equal + 1 construction,
+    so the statistic is one double division of exact int64s — bit-equal
+    cross-engine, no rounding.
+
+    Scale shape: one map-side-combinable (day, type) rollup; the
+    within-block rank join is k² rows per day over the tiny cell grain
+    (k=5); everything downstream is k rows.
+    """
+    ev = read_events(spark, sf_dir)
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(_cents("value")).cast("bigint").alias("s"),
+    )
+    cell = pin(cell)  # consumed by k-count, completeness gate, rank join
+    k_val = cell.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    full_days = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(k_val))
+        .filter(F.col("__c") == F.col("k"))
+        .select("day")
+    )
+    c = cell.join(F.broadcast(full_days), "day")
+    a = c.select("day", "event_type", "n", "s")
+    b = c.select(
+        F.col("day").alias("day"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    r = (
+        a.join(b, "day")
+        .groupBy("day", "event_type")
+        .agg(
+            (
+                2
+                * F.sum(
+                    F.when(
+                        F.col("sb") * F.col("n") < F.col("s") * F.col("nb"),
+                        1,
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("sb") * F.col("n") == F.col("s") * F.col("nb"),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    per = r.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    # d_j needs n and k, both aggregates of the same 5-row frame; a
+    # second tiny pass keeps it relational instead of array-wrangling
+    per = pin(per)
+    agg = (
+        per.crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("k"),
+                    F.max("n_days").cast("bigint").alias("n"),
+                )
+            )
+        )
+        .select(
+            "k",
+            "n",
+            (
+                (F.col("s2") - F.col("n") * (F.col("k") + 1))
+                * (F.col("s2") - F.col("n") * (F.col("k") + 1))
+            ).alias("d2"),
+        )
+        .groupBy("k", "n")
+        .agg(F.sum("d2").cast("bigint").alias("sum_d2"))
+    )
+    return agg.selectExpr(
+        "k AS k_treatments",
+        "n AS n_blocks",
+        "sum_d2",
+        "3.0 * sum_d2 / (CAST(n AS DOUBLE) * k * (k + 1)) AS chi2_friedman",
+        "3.0 * sum_d2 / (CAST(n AS DOUBLE) * k * (k + 1))"
+        " / (CAST(n AS DOUBLE) * (k - 1)) AS kendalls_w",
+    )
