@@ -7384,3 +7384,88 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3.0 * sum_d2 / (CAST(n AS DOUBLE) * k * (k + 1))"
         " / (CAST(n AS DOUBLE) * (k - 1)) AS kendalls_w",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford MAD conformity verdict (Nigrini bands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_benford_mad_conformity",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+    dev AS (
+      SELECT CAST(abs(CAST(cnt AS DOUBLE) / t.n
+                      - ln(1.0 + 1.0 / digit) / ln(10.0))
+                  AS DECIMAL(18,12)) AS ad,
+             t.n
+      FROM g, t
+    )
+    SELECT MAX(n) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_digits,
+           CAST(SUM(ad) AS DOUBLE) / 9.0 AS mad,
+           CAST(SUM(ad) <= CAST(0.054 AS DECIMAL(18,12)) AS INT)
+             AS close_conformity,
+           CAST(SUM(ad) <= CAST(0.135 AS DECIMAL(18,12)) AS INT)
+             AS acceptable_conformity
+    FROM dev
+    """,
+)
+def histogram_benford_mad_conformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford conformity VERDICT via Nigrini's mean-absolute-deviation
+    bands: MAD = mean |observed share − log10(1+1/d)| over the 9 first
+    digits, with the standard ≤0.006 (close) and ≤0.015 (acceptable)
+    fences — turning the histogram_benford_first_digit screen into a
+    single auditable flag.
+
+    Determinism: digits come from exact cents strings; each |obs−exp|
+    deviation is an identical double expression (ln on BOTH sides —
+    DuckDB log() is base-10, CLAUDE.md) QUANTIZED to DECIMAL(18,12), so
+    the MAD sum and both threshold comparisons are exact decimal
+    arithmetic; only the MAD itself casts to double at emission.
+
+    Scale shape: map-side-combinable groupBy to 9 rows; everything
+    after is constant-size.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        " AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    g = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = g.agg(F.sum("cnt").cast("bigint").alias("n"))
+    ad = F.abs(
+        F.col("cnt").cast("double") / F.col("n")
+        - F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    ).cast("decimal(18,12)")
+    dev = g.crossJoin(F.broadcast(t)).select(ad.alias("ad"), "n")
+    # threshold on the UNDIVIDED decimal sum (9·MAD) and divide only at
+    # emission in double: engines' decimal-division result scales differ
+    sum_ad = F.sum("ad")
+    return dev.agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_digits"),
+        (sum_ad.cast("double") / F.lit(9.0)).alias("mad"),
+        (sum_ad <= F.lit(0.054).cast("decimal(18,12)")).cast("int").alias(
+            "close_conformity"
+        ),
+        (sum_ad <= F.lit(0.135).cast("decimal(18,12)")).cast("int").alias(
+            "acceptable_conformity"
+        ),
+    )
