@@ -1060,3 +1060,118 @@ def multimodal_image_gradient_energy(
     return d.mapInPandas(
         grad_batches, "doc_id long, grad_x long, grad_y long, n_px long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence-run detection on int8 PCM payloads (gaps-and-islands on audio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio_silence_runs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(strlen(text) AS BIGINT) AS len
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, len, i,
+             CASE WHEN ub >= 128 THEN ub - 256 ELSE ub END AS v
+      FROM (
+        SELECT doc_id, len, i,
+               CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS ub
+        FROM b, LATERAL unnest(generate_series(0, len - 1)) AS u(i)
+        WHERE len > 0)
+    ),
+    q AS (SELECT doc_id, len, i FROM x WHERE abs(v) < 33),
+    isl AS (
+      SELECT doc_id, MAX(len) AS len,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM q GROUP BY doc_id, i
+    ),
+    runs AS (
+      SELECT doc_id, MAX(len) AS len, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(MAX(len) AS BIGINT) AS n_samples,
+           CAST(SUM(run_len) AS BIGINT) AS n_quiet,
+           CAST(MAX(run_len) AS BIGINT) AS longest_quiet_run,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY doc_id
+    """,
+)
+def multimodal_audio_silence_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Silence-run profile on int8-PCM-interpreted payloads: per clip,
+    the quiet-sample count (|v| < 33, i.e. ASCII space/control when text bytes stand in for PCM), the number of maximal quiet
+    RUNS, and the longest run — the trim/VAD preprocessing signal an
+    audio-data curation pass computes before cutting leading/trailing
+    silence (gaps-and-islands applied to the sample axis). Clips with
+    no quiet samples drop (both engines) — they need no trimming.
+
+    Determinism: bytes → signed int8 → integer runs; the oracle
+    recomputes positionally from hex(encode(text)) slices.
+
+    Scale shape: one Arrow-batched mapInPandas pass; runs are found
+    with a vectorized numpy mask-diff per clip (no per-sample Python),
+    and one fixed-width row per clip leaves the worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import with_binary_payload
+
+    d = with_binary_payload(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+    ).select("doc_id", "payload")
+
+    def run_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(payload), dtype=np.int8)
+                if v.size == 0:
+                    continue
+                quiet = np.abs(v.astype(np.int64)) < 33
+                nq = int(quiet.sum())
+                if nq == 0:
+                    continue
+                # run-length encode the quiet mask: run starts where the
+                # mask turns on
+                edges = np.diff(quiet.astype(np.int8))
+                starts = 1 + np.flatnonzero(edges == 1)
+                ends = 1 + np.flatnonzero(edges == -1)
+                if quiet[0]:
+                    starts = np.concatenate(([0], starts))
+                if quiet[-1]:
+                    ends = np.concatenate((ends, [quiet.size]))
+                lens = ends - starts
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(v.size),
+                        nq,
+                        int(lens.max()),
+                        int(lens.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_quiet",
+                    "longest_quiet_run",
+                    "n_runs",
+                ],
+            )
+
+    return d.mapInPandas(
+        run_batches,
+        "doc_id long, n_samples long, n_quiet long,"
+        " longest_quiet_run long, n_runs long",
+    )
