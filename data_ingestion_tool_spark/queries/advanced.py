@@ -1188,7 +1188,11 @@ def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional format, the same plan runs as MERGE INTO with the
     latest-wins dedup as the source subquery.
     """
-    o = read_table(spark, sf_dir, "orders")
+    from ..plans.pin import pin
+
+    # one materialization for the 4 change-log branches + the base join
+    # (measured 25-30% faster than 5 re-scans at sf0.1, round 11)
+    o = pin(read_table(spark, sf_dir, "orders"))
     key = F.col("o_orderkey")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     u1 = o.filter(key % 5 == 3).select(

@@ -523,7 +523,11 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: Spark plans NOT IN as a null-aware anti join (BHJ with
     the null check) and NOT EXISTS as a plain left-anti — both
-    broadcast here, both shuffle-free.
+    broadcast here, both shuffle-free. The orders x5 static-plan
+    rescan is inherent to this key's purpose: the SQL TEXT must stay
+    identical on both engines, and each subquery is a narrow
+    filter-pushed scan (0.1-0.3 s at bench scale) — pinning would
+    change the surface under test (triaged round 11).
     """
     _register(spark, sf_dir)
     return spark.sql(SQL_NOT_IN_NULL_SEMANTICS)
