@@ -5195,3 +5195,103 @@ def events_conversion_window_sweep(
         )
         .orderBy("window_seconds")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate per day over gap-based sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    s AS (
+      SELECT user_id, session_id,
+             CAST(MIN(ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM s GROUP BY day ORDER BY day
+    """,
+)
+def events_session_bounce_rate_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily bounce rate over gap-based sessions: the share of sessions
+    (30-min inactivity rule, same construction as sessionize_events)
+    containing exactly ONE event, keyed to the session's start day —
+    the engagement-quality KPI on every product dashboard.
+
+    Determinism: session boundaries are exact integer µs gap compares
+    with (ts, event_id) tie-broken ordering; bounce shares ship as
+    exact ppm integer floor division.
+
+    Scale shape: ONE shuffle on user_id reused by both windows, a
+    (user, session) rollup, then a tiny day-grain aggregate.
+    """
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1800000000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    s = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        s.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            (bounce * 1000000).cast("bigint").alias("__bm"),
+        )
+        .selectExpr(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            "CAST(__bm DIV n_sessions AS BIGINT) AS bounce_ppm",
+        )
+        .orderBy("day")
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
 from ..sources.parquet_io import read_table
-from .registry import query
+from .registry import QUERIES, query
 
 N_QUERY_VECS = 10
 TOP_K = 5
@@ -2387,4 +2387,66 @@ def embedding_matryoshka_truncation_error(
         F.sum(F.when(flip, 1).otherwise(0)).cast("bigint").alias(
             "threshold_flips"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN symmetrization: reciprocity of the within-label kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _mutual_knn_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH knn AS ({ORACLES["similarity_knn_within_label"]})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           CAST(SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 2
+                AS BIGINT) AS n_mutual_pairs,
+           CAST(SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS reciprocity_ppm
+    FROM knn e LEFT JOIN knn m
+      ON m.vec_id = e.neighbor_id AND m.neighbor_id = e.vec_id
+    """
+
+
+@query("similarity_mutual_knn_pairs", oracle=_mutual_knn_oracle())
+def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN symmetrization: how many directed top-3 edges of the
+    within-label kNN graph are RECIPROCATED (a in b's top-3 AND b in
+    a's top-3) — the standard graph-cleaning step before density-based
+    dedup/clustering (mutual edges are far more precise than one-way
+    neighbors). Reuses the hash-oracled blocked kNN construction; the
+    oracle composes that key's SQL verbatim as a CTE, so both layers
+    stay in lockstep.
+
+    Determinism: edge membership is rank-determined with the
+    (score desc, neighbor_id) tie-break already pinned by the kNN key;
+    counts are exact integers, reciprocity ships as exact ppm.
+
+    Scale shape: the kNN frame (corpus × k rows) self-joins once on
+    the swapped pair key — a shuffle of the EDGE LIST only, never the
+    corpus; per-label blocks bound candidate generation upstream.
+    """
+    knn = QUERIES["similarity_knn_within_label"](spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    from ..plans.pin import pin
+
+    knn = pin(knn)  # both sides of the reciprocity self-join
+    m = knn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("vec_id"),
+        F.lit(1).alias("__m"),
+    )
+    j = knn.join(m, ["vec_id", "neighbor_id"], "left")
+    hit = F.sum(F.coalesce(F.col("__m"), F.lit(0)))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        (hit / 2).cast("bigint").alias("n_mutual_pairs"),
+        (hit * 1000000).cast("bigint").alias("__hm"),
+    ).selectExpr(
+        "n_directed_edges",
+        "n_mutual_pairs",
+        "CAST(__hm DIV n_directed_edges AS BIGINT) AS reciprocity_ppm",
     )

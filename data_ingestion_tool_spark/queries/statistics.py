@@ -7469,3 +7469,168 @@ def histogram_benford_mad_conformity(
             "acceptable_conformity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlier ensemble: z-score, IQR, and MAD votes on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_outlier_ensemble_votes",
+    oracle=f"""
+    WITH byd AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_SQL_CENTS.format(col='o_totalprice')}) // 100
+                  AS BIGINT) AS d
+      FROM orders GROUP BY 1
+    ),
+    qs AS (
+      SELECT CAST(MAX(CASE WHEN rn = lo THEN d END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN rn = hi THEN d END) AS BIGINT) AS q3,
+             CAST(MAX(CASE WHEN rn = md THEN d END) AS BIGINT) AS med
+      FROM (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               (COUNT(*) OVER () + 3) // 4 AS lo,
+               (3 * (COUNT(*) OVER ()) + 3) // 4 AS hi,
+               (COUNT(*) OVER () + 1) // 2 AS md
+        FROM byd)
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d - qs.med) AS BIGINT) AS s1c,
+             CAST(SUM((d - qs.med) * (d - qs.med)) AS BIGINT) AS qc
+      FROM byd, qs
+    ),
+    madv AS (
+      SELECT CAST(MAX(CASE WHEN rn = md2 THEN ad END) AS BIGINT) AS mad
+      FROM (
+        SELECT abs(d - qs.med) AS ad,
+               ROW_NUMBER() OVER (ORDER BY abs(d - qs.med)) AS rn,
+               (COUNT(*) OVER () + 1) // 2 AS md2
+        FROM byd, qs)
+    ),
+    votes AS (
+      SELECT day,
+             CASE WHEN (CAST(d - med AS DOUBLE) - CAST(s1c AS DOUBLE) / n)
+                       * (CAST(d - med AS DOUBLE) - CAST(s1c AS DOUBLE) / n)
+                       * (n - 1)
+                  > 9.0 * (CAST(qc AS DOUBLE)
+                           - CAST(s1c AS DOUBLE) * s1c / n)
+                  THEN 1 ELSE 0 END AS v_z,
+             CASE WHEN d * 2 > q3 * 5 - q1 * 3
+                    OR d * 2 < q1 * 5 - q3 * 3
+                  THEN 1 ELSE 0 END AS v_iqr,
+             CASE WHEN abs(d - med) > 5 * mad THEN 1 ELSE 0 END AS v_mad
+      FROM byd, suff, qs, madv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(v_z) AS BIGINT) AS n_z_flags,
+           CAST(SUM(v_iqr) AS BIGINT) AS n_iqr_flags,
+           CAST(SUM(v_mad) AS BIGINT) AS n_mad_flags,
+           CAST(SUM(CASE WHEN v_z + v_iqr + v_mad >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consensus
+    FROM votes
+    """,
+)
+def quality_outlier_ensemble_votes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Outlier-detector ENSEMBLE on daily revenue (whole dollars):
+    three independent flags per day — z-score (|x−x̄| > 3s), Tukey IQR
+    (outside [Q1−1.5·IQR, Q3+1.5·IQR]), and MAD (|x−med| > 5·MAD) —
+    with the ≥2-votes consensus count: the robust-screen composition a
+    production data-quality monitor pages on (each single method has a
+    known blind spot).
+
+    Determinism: moments are MEDIAN-CENTERED exact int64 (Σ(d−med),
+    Σ(d−med)² — raw Σd² overflows int64 at the daily-revenue scale;
+    centering by an exact integer reference is the CLAUDE.md move),
+    the z fence compares squared identical-expression doubles of those
+    ints (no sqrt), the IQR fence is the exact integer
+    cross-multiplication 2x > 5·Q3 − 3·Q1, and the MAD fence is pure
+    integers; quantiles/medians are value-at-index.
+
+    Scale shape: one map-side day-grain rollup (~2400 rows), then
+    constant-size windows/aggregates over the day domain only.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    byd = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            f"CAST(SUM({_SQL_CENTS.format(col='o_totalprice')}) DIV 100"
+            " AS BIGINT)"
+        ).alias("d")
+    )
+    byd = pin(byd)  # consumed by quantiles, moments, MAD, and the votes
+    wall = Window.partitionBy(F.lit(1))
+    ranked = byd.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        ((F.count(F.lit(1)).over(wall) + 3) / 4).cast("bigint").alias("lo"),
+        ((3 * F.count(F.lit(1)).over(wall) + 3) / 4)
+        .cast("bigint")
+        .alias("hi"),
+        ((F.count(F.lit(1)).over(wall) + 1) / 2).cast("bigint").alias("md"),
+    )
+    qs = ranked.agg(
+        F.max(F.when(F.col("rn") == F.col("lo"), F.col("d")))
+        .cast("bigint")
+        .alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("hi"), F.col("d")))
+        .cast("bigint")
+        .alias("q3"),
+        F.max(F.when(F.col("rn") == F.col("md"), F.col("d")))
+        .cast("bigint")
+        .alias("med"),
+    )
+    withmed = byd.crossJoin(F.broadcast(qs)).select(
+        "day", "d", "q1", "q3", "med",
+        (F.col("d") - F.col("med")).alias("dev"),
+        F.abs(F.col("d") - F.col("med")).alias("ad"),
+    )
+    withmed = pin(withmed)
+    suff = withmed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dev").cast("bigint").alias("s1c"),
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("qc"),
+    )
+    madr = withmed.select(
+        "ad",
+        F.row_number().over(Window.orderBy("ad")).alias("rn"),
+        ((F.count(F.lit(1)).over(wall) + 1) / 2).cast("bigint").alias("md2"),
+    )
+    madv = madr.agg(
+        F.max(F.when(F.col("rn") == F.col("md2"), F.col("ad")))
+        .cast("bigint")
+        .alias("mad")
+    )
+    votes = (
+        withmed.crossJoin(F.broadcast(suff))
+        .crossJoin(F.broadcast(madv))
+        .selectExpr(
+            "day",
+            "CASE WHEN (CAST(dev AS DOUBLE) - CAST(s1c AS DOUBLE) / n)"
+            "        * (CAST(dev AS DOUBLE) - CAST(s1c AS DOUBLE) / n)"
+            "        * (n - 1)"
+            "     > 9.0 * (CAST(qc AS DOUBLE) - CAST(s1c AS DOUBLE) * s1c / n)"
+            "     THEN 1 ELSE 0 END AS v_z",
+            "CASE WHEN d * 2 > q3 * 5 - q1 * 3"
+            "       OR d * 2 < q1 * 5 - q3 * 3"
+            "     THEN 1 ELSE 0 END AS v_iqr",
+            "CASE WHEN ad > 5 * mad THEN 1 ELSE 0 END AS v_mad",
+        )
+    )
+    return votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("v_z").cast("bigint").alias("n_z_flags"),
+        F.sum("v_iqr").cast("bigint").alias("n_iqr_flags"),
+        F.sum("v_mad").cast("bigint").alias("n_mad_flags"),
+        F.sum(
+            F.when(
+                F.col("v_z") + F.col("v_iqr") + F.col("v_mad") >= 2, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_consensus"),
+    )
