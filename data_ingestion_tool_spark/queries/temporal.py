@@ -1043,3 +1043,84 @@ def temporal_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
         ).cast("bigint").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows: per-event inactivity timeout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000000 ELSE 900000000 END AS e
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, t, e, event_id,
+             CASE WHEN MAX(e) OVER wprev IS NULL
+                       OR t >= MAX(e) OVER wprev
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s AS (
+      SELECT user_id, ts, e,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           make_timestamp(MAX(e)) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming session windows with a DYNAMIC per-event gap: purchase
+    events hold the session open 60 minutes, everything else 15 — the
+    engagement-weighted sessionization ``session_window(ts, gap_expr)``
+    exists for (a checkout should not be cut off by the browse
+    timeout). State-store session merging is the same as the fixed-gap
+    key; only the window length is data-dependent.
+
+    Determinism: the batch oracle replays the merge rule exactly — a
+    new session starts when an event's µs timestamp reaches the running
+    MAX of prior (ts + own-gap) interval ends (Spark merges on interval
+    OVERLAP, so the boundary comparison is >=); all integer µs with
+    (ts, event_id) tie-broken order, session_end = max interval end via
+    make_timestamp/timestamp_micros.
+
+    Scale shape: state is per-user merged session intervals; the
+    shuffle is the groupBy(user) the fixed-gap key already pays —
+    the dynamic gap is a per-row expression, not extra state.
+    """
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        e = normalize_ts(stream, "ts")
+        gap = F.when(
+            F.col("event_type") == "purchase", F.lit("60 minutes")
+        ).otherwise(F.lit("15 minutes"))
+        return (
+            e.withWatermark("ts", "60 minutes")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return run_stream_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, transform
+    )
