@@ -7634,3 +7634,145 @@ def quality_outlier_ensemble_votes(
         .cast("bigint")
         .alias("n_consensus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-digit uniformity chi-square (fabrication screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_last_digit_uniformity_chi2",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_SQL_CENTS.format(col='o_totalprice')} % 10 AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit
+    ),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n_digits
+      FROM g
+    )
+    SELECT n AS n_rows, n_digits,
+           (10.0 * ss - CAST(n AS DOUBLE) * n) / n AS chi2_uniform,
+           CAST((10.0 * ss - CAST(n AS DOUBLE) * n) / n > 16.919 AS INT)
+             AS rejected_95
+    FROM s
+    """,
+)
+def histogram_last_digit_uniformity_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-digit uniformity screen: unlike FIRST digits (Benford),
+    the LAST digit of organic amounts should be ~uniform — humans
+    fabricating numbers over-use round/repeated endings. χ² against
+    uniform reduces to (10·Σc²_d − n²)/n over exact integer digit
+    counts (Σ(c−n/10)²/(n/10) expanded), one identical double
+    expression; the 9-df 95% critical value 16.919 makes the verdict a
+    comparison of IDENTICAL doubles.
+
+    Scale shape: map-side-combinable groupBy to 10 digit rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    g = (
+        o.where(F.col("o_totalprice") > 0)
+        .select((_cents("o_totalprice") % 10).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    s = g.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_digits"),
+    )
+    return s.selectExpr(
+        "n AS n_rows",
+        "n_digits",
+        "(10.0 * ss - CAST(n AS DOUBLE) * n) / n AS chi2_uniform",
+        "CAST((10.0 * ss - CAST(n AS DOUBLE) * n) / n > 16.919 AS INT)"
+        " AS rejected_95",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness index of repeat-purchase interarrival gaps
+# ---------------------------------------------------------------------------
+
+# B = (σ − μ)/(σ + μ) ∈ [−1, 1]: −1 periodic, 0 Poisson, →1 bursty.
+# From three exact int64 sums (n, Σg, Σg²) — shared fragment.
+_BURST_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_BURST_SD = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+    " / CAST(n AS DOUBLE))"
+)
+_BURST_B = (
+    f"(({_BURST_SD} - {_BURST_MEAN}) / ({_BURST_SD} + {_BURST_MEAN}))"
+)
+
+
+@query(
+    "orders_interarrival_burstiness",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day', LAG(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders
+    ),
+    g AS (SELECT CAST(gap AS BIGINT) AS gap FROM seq WHERE gap IS NOT NULL),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(gap * gap) AS BIGINT) AS q
+      FROM g
+    )
+    SELECT n AS n_gaps, s1 AS sum_gap_days,
+           {_BURST_B} AS burstiness,
+           {_BURST_SD} / {_BURST_MEAN} AS cv
+    FROM suff
+    """,
+)
+def orders_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) of repeat-purchase
+    interarrival gaps (−1 = metronome, 0 = Poisson, →1 = bursty) plus
+    the coefficient of variation — the single-number temporal-pattern
+    signature behind demand forecasting and bot detection.
+
+    Determinism: gaps are exact integer day differences with the
+    (o_orderdate, o_orderkey) tie-broken lag; B and CV are
+    shared-fragment double expressions of three exact int64 sums
+    (gap ≤ ~2500 days ⇒ Σg² int64-safe far past sf1) — bit-equal
+    cross-engine.
+
+    Scale shape: one o_custkey shuffle for the lag window, one
+    map-side-combinable sufficient-statistics aggregate.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+        .select(F.col("gap").cast("bigint").alias("gap"))
+    )
+    suff = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("q"),
+    )
+    return suff.selectExpr(
+        "n AS n_gaps",
+        "s1 AS sum_gap_days",
+        f"{_BURST_B} AS burstiness",
+        f"{_BURST_SD} / {_BURST_MEAN} AS cv",
+    )
