@@ -7776,3 +7776,104 @@ def orders_interarrival_burstiness(
         f"{_BURST_B} AS burstiness",
         f"{_BURST_SD} / {_BURST_MEAN} AS cv",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effects (within) estimator: price-on-quantity slope within customer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_fixed_effects_within_slope",
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_custkey AS c,
+             CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             {_SQL_CENTS.format(col='l.l_extendedprice')} AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM j GROUP BY c
+    ),
+    terms AS (
+      SELECT CAST(CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy / n AS DECIMAL(38,6)) AS num,
+             CAST(CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx / n AS DECIMAL(38,6)) AS den,
+             n
+      FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE), 9)
+             AS within_slope
+    FROM terms
+    """,
+)
+def stats_fixed_effects_within_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Panel fixed-effects (within) estimator: the slope of line-item
+    price on quantity after demeaning WITHIN each customer — the
+    econometric workhorse that removes per-customer level effects a
+    pooled OLS would confound (agg_regr_slope_intercept is the pooled
+    twin).
+
+    Determinism: per-customer sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are exact int64 (cents-scaled; per-group Σxy ≤ ~1e13);
+    each group's demeaned num/den is an identical-expression double of
+    those ints QUANTIZED to DECIMAL(38,6), so the cross-group sums are
+    exact decimal addition (order-free across 15k+ groups where raw
+    double summation trees diverge); the slope is one double division
+    rounded to 9 (the decimal→double cast of a >2^53-int-form sum
+    differs in the last ulp cross-engine, CLAUDE.md).
+
+    Scale shape: one join shuffled on orderkey, one customer-grain
+    aggregate (map-side combinable), then a constant-width rollup —
+    no window, no second pass over the fact table.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("x"),
+        _cents("l_extendedprice").alias("y"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_custkey").alias("c"),
+    )
+    j = li.join(o, "l_orderkey")
+    per = j.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    terms = per.select(
+        "n",
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+        )
+        .cast("decimal(38,6)")
+        .alias("num"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        .cast("decimal(38,6)")
+        .alias("den"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("num").cast("double") / F.sum("den").cast("double"), 9
+        ).alias("within_slope"),
+    )
