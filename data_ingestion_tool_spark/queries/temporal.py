@@ -1124,3 +1124,71 @@ def stream_session_window_dynamic_gap(
     return run_stream_to_table(
         spark, os.path.join(sf_dir, "events.parquet"), schema, transform
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware day bucketing (IANA zones, not fixed offsets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_timezone_day_bucketing",
+    oracle="""
+    WITH z AS (
+      SELECT * FROM (VALUES ('America/New_York'), ('Asia/Kolkata'),
+                            ('UTC')) AS t(tz)
+    ),
+    loc AS (
+      SELECT z.tz,
+             CAST((e.ts AT TIME ZONE 'UTC') AT TIME ZONE z.tz AS DATE)
+               AS local_day,
+             CAST(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS BIGINT) AS cents
+      FROM events e, z
+    )
+    SELECT tz, local_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM loc GROUP BY tz, local_day ORDER BY tz, local_day
+    """,
+)
+def temporal_timezone_day_bucketing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IANA-timezone day bucketing: the same UTC event stream rolled up
+    to LOCAL calendar days in New York (DST zone, −5/−4), Kolkata
+    (+5:30 half-hour offset — the case that breaks fixed-offset
+    arithmetic), and UTC — the reporting-correctness surface every
+    multi-region dashboard needs (a 'daily revenue' number is wrong for
+    half the world if days are cut at UTC midnight). Both engines
+    resolve zone rules from the IANA tzdb (`from_utc_timestamp` vs
+    `AT TIME ZONE`), verified to agree across DST boundaries.
+
+    Determinism: day assignment is exact integer µs + tzdb lookup;
+    sums are exact cents.
+
+    Scale shape: the 3-row zone dim broadcast cross-joins the scan
+    (a per-row expression ×3, not a data blowup at the aggregate —
+    output is days×zones); one map-side-combinable groupBy.
+    """
+    ev = read_events(spark, sf_dir)
+    zones = spark.createDataFrame(
+        [("America/New_York",), ("Asia/Kolkata",), ("UTC",)], "tz string"
+    )
+    loc = ev.crossJoin(F.broadcast(zones)).select(
+        "tz",
+        F.from_utc_timestamp(F.col("ts"), F.col("tz"))
+        .cast("date")
+        .alias("local_day"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return (
+        loc.groupBy("tz", "local_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("tz", "local_day")
+    )
