@@ -459,3 +459,20 @@ def test_pareto_skyline_windows_run_on_histogram_grain(q):
     assert "broadcast" in [s.lower() for s in join_strategies(df)] or any(
         "Broadcast" in s for s in join_strategies(df)
     )
+
+
+def test_ann_index_once_no_corpus_rescans(q):
+    """Round-11: the pruned ANN wrappers pin the projected corpus, so
+    the FINAL plan must not re-scan embeddings.parquet at all — the
+    round-10 verdict flagged x4-5 corpus rescans as the one plan shape
+    not shippable at 100 TB (a full corpus read per consumer branch).
+    The pin shows up as a single materialized RDD scan instead."""
+    for name in (
+        "similarity_topk_ivf",
+        "similarity_topk_pq",
+        "similarity_topk_ivfpq",
+    ):
+        plan = (
+            q(name)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("embeddings.parquet") == 0, (name, plan[:2000])
