@@ -2513,3 +2513,76 @@ def quality_sentinel_value_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE statistics: CBO inputs land in the catalog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "catalog_analyze_table_stats",
+    oracle="""
+    SELECT 'orders_stats_tbl' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS stats_row_count,
+           CAST(COUNT(*) AS BIGINT) AS exact_row_count,
+           CAST(1 AS INT) AS stats_match,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+             AS status_distinct_stat
+    FROM orders
+    """,
+)
+def catalog_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS end-to-end: save a managed
+    table, run table-level AND column-level ANALYZE, then read the
+    optimizer's recorded statistics back out of the catalog
+    (DESCRIBE EXTENDED / column stats) and cross-check them against
+    exact recomputation — the cost-based-optimizer feed step every
+    warehouse runs after large loads (join reordering and broadcast
+    decisions at 100 TB are only as good as these numbers).
+
+    Determinism: row count and the status NDV are exact at this
+    cardinality (Spark stores column NDV from HLL++; at 3 distinct
+    values it is exact on both engines' semantics — the oracle
+    recomputes COUNT(DISTINCT)).
+
+    Scale shape: ANALYZE is one distributed scan per statistics pass;
+    the catalog read is driver-side metadata.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS orders_stats_tbl")
+    o.write.mode("overwrite").saveAsTable("orders_stats_tbl")
+    spark.sql("ANALYZE TABLE orders_stats_tbl COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE orders_stats_tbl COMPUTE STATISTICS"
+        " FOR COLUMNS o_orderstatus"
+    )
+    det = spark.sql("DESCRIBE TABLE EXTENDED orders_stats_tbl").collect()
+    stats_line = next(
+        (r.data_type for r in det if r.col_name == "Statistics"), ""
+    )
+    import re
+
+    m = re.search(r"(\d+) rows", stats_line)
+    stats_rows = int(m.group(1)) if m else -1
+    cdesc = spark.sql(
+        "DESCRIBE EXTENDED orders_stats_tbl o_orderstatus"
+    ).collect()
+    ndv = next(
+        (int(r.info_value) for r in cdesc if r.info_name == "distinct_count"),
+        -1,
+    )
+    exact = spark.table("orders_stats_tbl").count()
+    return spark.createDataFrame(
+        [
+            (
+                "orders_stats_tbl",
+                stats_rows,
+                exact,
+                1 if stats_rows == exact else 0,
+                ndv,
+            )
+        ],
+        "table_name string, stats_row_count bigint, exact_row_count bigint,"
+        " stats_match int, status_distinct_stat bigint",
+    )

@@ -855,3 +855,51 @@ def scalar_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("arr1").cast("bigint").alias("sum_arr1"),
         F.sum(F.col("id") % 1000).cast("bigint").alias("idmod_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL: named bind parameters instead of string splicing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_parameterized_named_args",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_named_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with NAMED bind arguments (`:status`,
+    `:min_total`): the injection-safe replacement for the reference's
+    raw f-string splicing of user input into SQL
+    (`backend/main.py:176,180` interpolates table/column/condition
+    strings verbatim — the exact surface bind parameters close).
+    Spark binds literals at parse time, so Catalyst still constant-
+    folds and pushes the predicates; the oracle inlines the same
+    literals.
+
+    Determinism: exact integer counts/cents; the float threshold is a
+    parse-time literal on both sides.
+
+    Scale shape: identical to the spliced query — pushed filters on
+    the scan, map-side-combinable groupBy.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_total": 1000.0},
+    )
