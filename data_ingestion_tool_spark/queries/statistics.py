@@ -7877,3 +7877,129 @@ def stats_fixed_effects_within_slope(
             F.sum("num").cast("double") / F.sum("den").cast("double"), 9
         ).alias("within_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the brand co-purchase graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_R = (
+    "((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    "        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+)
+
+
+@query(
+    "graph_degree_assortativity_brands",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    und AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    n AS (SELECT COUNT(*) AS n FROM und),
+    th AS (
+      SELECT cnt AS theta FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, u, v) AS rk
+        FROM und
+      ) WHERE rk = (SELECT CAST(CEIL(0.1 * n) AS BIGINT) FROM n)
+    ),
+    e0 AS (SELECT u, v FROM und WHERE cnt >= (SELECT theta FROM th)),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    de AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.w = e.u JOIN deg dv ON dv.w = e.v
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM de
+    )
+    SELECT m AS n_directed_edges,
+           {_ASSORT_R} AS assortativity
+    FROM suff
+    """,
+)
+def graph_degree_assortativity_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the thresholded brand
+    co-purchase graph: do high-degree brands link to other hubs
+    (r > 0) or to the periphery (r < 0)? The one-number mixing-pattern
+    summary behind recommendation-graph health checks; same top-10%
+    edge fence as the other graph_* keys so all graph statistics
+    describe ONE graph.
+
+    Determinism: degrees and the six sufficient statistics are exact
+    int64 over the bounded 25-node brand graph; r is one
+    shared-fragment double expression — bit-equal cross-engine.
+
+    Scale shape: the fact table collapses to the (order, brand) grain
+    before any pairing; everything after runs on the ≤625-row brand
+    graph (broadcast-sized).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select(F.col("ok"), F.col("brand").alias("u"))
+    b = ob.select(F.col("ok"), F.col("brand").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    und = pin(und)  # threshold quantile AND edge filter read it
+    nrow = und.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        und.crossJoin(F.broadcast(nrow))
+        .select(
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "u", "v"))
+            .alias("rk"),
+            F.expr("CAST(CEIL(0.1 * n) AS BIGINT)").alias("kth"),
+        )
+        .filter(F.col("rk") == F.col("kth"))
+        .select(F.col("cnt").alias("theta"))
+    )
+    e0 = und.crossJoin(F.broadcast(th)).filter(
+        F.col("cnt") >= F.col("theta")
+    ).select("u", "v")
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e = pin(e)  # degree count AND both endpoint joins
+    deg = e.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    de = (
+        e.join(deg.select(F.col("w").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("w").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    suff = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return suff.selectExpr(
+        "m AS n_directed_edges",
+        f"{_ASSORT_R} AS assortativity",
+    )

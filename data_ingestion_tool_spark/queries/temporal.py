@@ -1192,3 +1192,49 @@ def temporal_timezone_day_bucketing(
         )
         .orderBy("tz", "local_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO-week rollup: the week-boundary semantics that break naive reports
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_iso_week_rollup",
+    oracle=f"""
+    SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def temporal_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week rollup with the ISO YEAR pairing — the
+    cross-year-boundary semantics every weekly report gets wrong when
+    it pairs weekofyear with the CALENDAR year (Jan 1 can belong to
+    week 52 of the PREVIOUS iso-year, Dec 30 to week 1 of the NEXT;
+    both engines' ISO rules verified to agree on exactly those
+    boundary days). weekofyear/YEAROFWEEK vs week()/isoyear().
+
+    Determinism: integer date-part extraction + exact decimal revenue.
+
+    Scale shape: per-row date parts on the scan, one
+    map-side-combinable groupBy onto ~365 (iso_year, week) rows.
+    """
+    from .registry import dsum
+
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("CAST(extract(YEAROFWEEK FROM o_orderdate) AS INT)")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
