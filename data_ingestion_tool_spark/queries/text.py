@@ -2961,3 +2961,91 @@ def text_unigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(__n100 DIV total_tokens AS BIGINT) AS top100_ppm",
         "CAST(__n1000 DIV total_tokens AS BIGINT) AS top1000_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness: variance-to-mean of per-doc term counts (Church-Gale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_word_burstiness_vmr",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT term,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS total_sq,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY term
+    ),
+    top AS (
+      SELECT term, total, total_sq, df,
+             ROW_NUMBER() OVER (ORDER BY total DESC, term) AS rk
+      FROM tf
+    )
+    SELECT term, total AS n_occurrences, df AS n_docs_containing,
+           (CAST(total_sq AS DOUBLE) * n_docs
+            - CAST(total AS DOUBLE) * total)
+             / (CAST(total AS DOUBLE) * n_docs) AS vmr
+    FROM top, nd WHERE rk <= 20 ORDER BY term
+    """,
+)
+def text_word_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale word burstiness for the 20 most frequent terms:
+    the variance-to-mean ratio of per-document occurrence counts
+    (zeros included — docs not containing the term). VMR ≈ 1 means
+    Poisson scatter (function words); VMR ≫ 1 means the term BURSTS
+    in topical documents — the signal separating content words from
+    glue, used by keyword extractors and topical-dedup passes.
+
+    Determinism: per-doc counts are exact ints; with zeros included,
+    VMR = (n·Σc² − (Σc)²)/(n·Σc) over three exact int64 sums — one
+    identical double expression, bit-equal cross-engine. Top-20 rank
+    order is value-determined (total DESC, term).
+
+    Scale shape: tokenize → (doc, term) count → term-grain rollup
+    (both map-side combinable); the top-k ranking runs on the term
+    vocabulary grain; zeros never materialize (the closed form adds
+    them analytically).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dt = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tf = dt.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("total_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    top = tf.select(
+        "term", "total", "total_sq", "df",
+        F.row_number()
+        .over(Window.orderBy(F.desc("total"), "term"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 20)
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "term",
+            "total AS n_occurrences",
+            "df AS n_docs_containing",
+            "(CAST(total_sq AS DOUBLE) * n_docs"
+            " - CAST(total AS DOUBLE) * total)"
+            " / (CAST(total AS DOUBLE) * n_docs) AS vmr",
+        )
+        .orderBy("term")
+    )
