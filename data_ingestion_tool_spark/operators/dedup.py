@@ -302,7 +302,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
-    scheme: str = "chunk_pairs",
+    scheme: str = "chunk_triples",
     allow_recall_loss: bool = False,
     hash_expr=None,
     nbits: int = 64,
@@ -324,14 +324,23 @@ def simhash_near_dup_pairs(
       chunk intact. Chance candidates ~ 4·n²/2^16: fine to ~10^5 docs
       (the soak table in PLANS.md measures it) but QUADRATIC beyond —
       kept only for the candidate-volume comparison studies.
-    - ``chunk_pairs`` (default since round 7, the measured 100 TB
-      choice): six ~nbits/6-bit chunks, bucket on every PAIR of
-      chunks (C(6,2)=15 keys/doc) — hamming<=3 leaves >=3 chunks
-      intact, hence >=3 intact pairs, so recall stays exact while a
-      chance collision now needs ~21-22 matching bits instead of 16:
-      ~15·n²/2^21.3, an order of magnitude fewer false candidates for
-      ~4x more (tiny) bucket rows (PLANS.md soak: 527k vs 60k
-      candidates at 125k docs).
+    - ``chunk_pairs`` (round-7 default): six ~nbits/6-bit chunks,
+      bucket on every PAIR of chunks (C(6,2)=15 keys/doc) —
+      hamming<=3 leaves >=3 chunks intact, hence >=3 intact pairs, so
+      recall stays exact while a chance collision now needs ~21-22
+      matching bits instead of 16: ~15·n²/2^21.3, an order of
+      magnitude fewer false candidates for ~4x more (tiny) bucket
+      rows (PLANS.md soak: 527k vs 60k candidates at 125k docs).
+    - ``chunk_triples`` (default since round 12, the 100 TB choice):
+      same six chunks, bucket on every TRIPLE (C(6,3)=20 keys/doc) —
+      hamming<=3 leaves >=3 intact chunks, hence >=1 intact triple
+      (recall still exact by pigeonhole), while a chance collision
+      now needs ~30-33 matching bits: background ~20·n²/2^31, another
+      ~2^10 cut over chunk_pairs for only 1.33x more bucket rows.
+      The round-11 soak showed chunk_pairs' background term tracking
+      its n²/2^21.3 prediction (527k→8.2M at 4x); triples push the
+      n² crossover past ~10^8 docs and the soak back to true-pair
+      (linear) growth.
 
     ``hash_expr`` (shingle-string Column -> int64 Column) defaults to
     ``F.xxhash64`` (production: full 64-bit ring, JVM-native). The
@@ -369,12 +378,14 @@ def simhash_near_dup_pairs(
         starts = [sum(widths[:i]) for i in range(4)]
         bounds = list(zip(starts, widths))
         guaranteed = 3  # 4 chunks: hamming<=3 leaves >=1 chunk intact
-    elif scheme == "chunk_pairs":
+    elif scheme in ("chunk_pairs", "chunk_triples"):
         w6, r6 = divmod(nbits, 6)
         widths = [w6 + 1] * r6 + [w6] * (6 - r6)
         starts = [sum(widths[:i]) for i in range(6)]
         bounds = list(zip(starts, widths))
-        guaranteed = 4  # 6 chunks: hamming<=4 leaves >=2 intact => >=1 pair
+        # pairs: hamming<=4 leaves >=2 intact chunks => >=1 intact pair
+        # triples: hamming<=3 leaves >=3 intact chunks => >=1 intact triple
+        guaranteed = 4 if scheme == "chunk_pairs" else 3
     else:
         raise ValueError(f"unknown simhash scheme: {scheme!r}")
     if max_hamming > guaranteed and not allow_recall_loss:
@@ -397,16 +408,22 @@ def simhash_near_dup_pairs(
             for i, (s, w) in enumerate(bounds)
         ]
     else:
+        from itertools import combinations
+
+        m = 2 if scheme == "chunk_pairs" else 3
         singles = [chunk_key(s, w) for s, w in bounds]
+
+        def combo_key(idxs: tuple[int, ...]) -> Column:
+            # combined key: concatenated disjoint chunk bits,
+            # k_i·2^(w_j+w_l+..) + k_j·2^(w_l+..) + ... (<=33 bits)
+            k = singles[idxs[0]]
+            for j in idxs[1:]:
+                k = k * (2 ** bounds[j][1]) + singles[j]
+            return k
+
         keys = [
-            F.struct(
-                F.lit(pi).alias("chunk"),
-                # combined pair key: k_i·2^width_j + k_j (disjoint bits)
-                (singles[i] * (2 ** bounds[j][1]) + singles[j]).alias("key"),
-            )
-            for pi, (i, j) in enumerate(
-                (i, j) for i in range(6) for j in range(i + 1, 6)
-            )
+            F.struct(F.lit(ci).alias("chunk"), combo_key(idxs).alias("key"))
+            for ci, idxs in enumerate(combinations(range(6), m))
         ]
 
     chunks = bits.select(

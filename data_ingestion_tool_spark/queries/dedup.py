@@ -204,8 +204,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash → per-bit sign-of-sum → fingerprint) is replayed exactly by the
     DuckDB twin. Production keeps xxhash64/64-bit via the operator
     default; this query pins the SAME bucketed pipeline
-    (scheme=chunk_pairs: C(6,2)=15 pair-buckets, hamming<=3 recall
-    exact by pigeonhole) on the oracle-able hash.
+    (scheme=chunk_triples, the round-12 default: C(6,3)=20
+    triple-buckets with ~30-bit keys, hamming<=3 recall exact by
+    pigeonhole) on the oracle-able hash.
 
     The oracle computes ALL-PAIRS hamming over the 60-bit fingerprints
     (fine at oracle scale; 5000 docs at sf0.1), so a hash match proves
@@ -221,7 +222,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         hash_expr=md5_prefix60,
         nbits=60,
-        scheme="chunk_pairs",
+        scheme="chunk_triples",
     ).orderBy("id_a", "id_b")
 
 

@@ -1584,21 +1584,18 @@ def mix_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "mix_leakage_safe_split",
-    oracle="""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
-             list_distinct(list_filter(
-               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
-      FROM documents
-    ),
+def _leakage_split_oracle() -> str:
+    """Compose the upstream pair-generation SQL from
+    ORACLES['dedup_prefix_bucket_jaccard'] verbatim (the
+    _mutual_knn_oracle pattern) so a future edit to the dedup key's
+    threshold/bucket can never silently desynchronize this audit from
+    the pipeline it audits — round-11 advice item 2."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE cand AS ({ORACLES["dedup_prefix_bucket_jaccard"]}),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM t a JOIN t b
-        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks)) * 2
-            >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+      SELECT doc_a, doc_b FROM cand
     ),
     e AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1636,8 +1633,10 @@ def mix_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cluster_leak) AS BIGINT) AS leaky_clusters,
            CAST(SUM(naive_leak) AS BIGINT) AS naive_leaky_clusters
     FROM per_c
-    """,
-)
+    """
+
+
+@query("mix_leakage_safe_split", oracle=_leakage_split_oracle())
 def mix_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: assign each NEAR-DUP CLUSTER (not
     each document) to a split with a deterministic md5 hash, so a

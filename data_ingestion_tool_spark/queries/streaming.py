@@ -970,11 +970,12 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     update (o_orderkey % 60 + 1) days later for every non-open order)
     streams one file per micro-batch into
     ``stream_cdc_scd2_txnlog`` — each batch MERGES into the interval
-    table (close the touched key's open row, append the new open row)
-    and commits one idempotent overwrite version.  The final intervals
-    must equal the direct batch SCD2 construction: the lakehouse
-    dimension-maintenance loop (Delta MERGE + CDC) end-to-end on this
-    repo's txn-log format.
+    table touched-keys-only (MoR equality tombstone + append of the
+    refolded keys, idempotent per batch id; round-12 rewrite of the
+    full-overwrite commit whose total work was quadratic in the feed).
+    The final intervals must equal the direct batch SCD2 construction:
+    the lakehouse dimension-maintenance loop (Delta MERGE + CDC)
+    end-to-end on this repo's txn-log format.
 
     Determinism: all keys, statuses and day-grain interval bounds are
     exact integers/dates, and the merge refolds each touched key's
@@ -983,10 +984,12 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     case); the mtime spacing below only makes the batch sequence
     reproducible for the idempotency metadata.
 
-    Scale shape: each micro-batch merge is one anti/inner join of
-    current state against the batch key set (broadcast-able) plus a
-    union; commits are distributed parquet writes; the summary is one
-    map-side-combined aggregate + a deduped distinct-key count."""
+    Scale shape: each micro-batch WRITE is O(touched keys) — one
+    tombstone batch + one refolded-interval batch — never a table
+    rewrite; the read side is a snapshot scan with a broadcast
+    semi-join on the batch key set; compaction folds tombstones in at
+    stream end; the summary is one map-side-combined aggregate + a
+    deduped distinct-key count."""
     import os
     import tempfile
     import time as _time
@@ -1039,7 +1042,7 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
         os.path.join(scratch, "table"),
     )
-    scd = t.snapshot()
+    scd = t.snapshot_mor("k")
     return (
         scd.groupBy(
             "status", F.col("valid_to").isNull().cast("int").alias("is_current")

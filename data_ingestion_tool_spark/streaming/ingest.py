@@ -137,29 +137,44 @@ def stream_cdc_scd2_txnlog(
     status_col: str = "status",
     ts_col: str = "eff_ts",
     max_files_per_trigger: int = 1,
+    compact_every: int = 16,
 ):
     """Stream a CDC change feed into an SCD TYPE-2 dimension on the
     transaction-log format: each micro-batch MERGES its changes into
-    the current interval table (close the open row of every touched
-    key at the change's effective timestamp, append the new open row)
-    and commits the merged state as one overwrite version tagged with
-    the micro-batch id — idempotent under foreachBatch replay via the
-    same ``has_meta`` guard as :func:`stream_ingest_txnlog`.
+    the current interval table TOUCHED-KEYS-ONLY — a MoR equality
+    tombstone (``commit_deletes``) retires every touched key's prior
+    rows and an append commit lands only those keys' refolded
+    intervals, tagged with the micro-batch id — idempotent under
+    foreachBatch replay via the same ``has_meta`` guard as
+    :func:`stream_ingest_txnlog` (a replayed batch re-tombstones, a
+    harmless no-op over already-retired rows).
 
-    The merge is ORDER-INSENSITIVE across micro-batches: for each
-    touched key the current table rows are rewound to their underlying
-    change events (``valid_from``/status pairs), unioned with the
-    batch's incoming changes, and the key's intervals are refolded by
-    effective-ts order (lead() closes each but the last). A late batch
-    carrying an EARLIER change therefore splices into history correctly
-    instead of silently closing the wrong row — no reliance on file
-    mtime / FileStreamSource arrival order.
+    The merge is ORDER-INSENSITIVE across micro-batches AND idempotent
+    under duplicate delivery: for each touched key the current rows
+    are rewound to their underlying change events
+    (``valid_from``/status pairs), unioned with the batch's incoming
+    changes, DEDUPED on (key, status, valid_from) — an at-least-once
+    feed re-delivering the same change in a different micro-batch
+    would otherwise duplicate the history row — and the key's
+    intervals are refolded by effective-ts order (lead() closes each
+    but the last). A late batch carrying an EARLIER change therefore
+    splices into history correctly instead of silently closing the
+    wrong row — no reliance on file mtime / FileStreamSource arrival
+    order.
 
-    Scale: the merge is one join of current-state against the batch's
-    key set plus a union — on a partitioned production table this
-    rewrites only matched partitions (Delta MERGE semantics); the
-    overwrite commit here is the small-dimension case where full
-    rewrite IS the partition."""
+    Scale: per batch the WRITE is O(touched keys), never O(table) —
+    the Iceberg equality-delete MERGE shape (the round-11 code
+    committed a full-table overwrite per batch: total work quadratic
+    in the feed). Tombstones are EXACT (derived from the prior rows
+    that actually exist, so insert-only batches tombstone nothing and
+    later anti-joins never carry useless key sets); ``prior`` is a
+    touched-keys-bounded persist reused by the tombstone, the
+    emptiness probe and the fold. The read side is one snapshot scan
+    with an AQE-chosen semi-join on the batch key set. Like
+    Delta/Iceberg, stream end does NOT compact — consumers read
+    :meth:`TxnLogTable.snapshot_mor`; compaction is the separate
+    maintenance op (auto-triggered only when ``compact_every`` delete
+    batches accumulate, bounding live-file count on long streams)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -175,35 +190,64 @@ def stream_cdc_scd2_txnlog(
 
     out_cols = [key_col, status_col, "valid_from", "valid_to"]
 
+    def live_deletes() -> int:
+        return len(t._live_with_versions(None, "add_deletes"))
+
+    def compact() -> None:
+        # fold MoR tombstones into one data batch; overwrite retires
+        # both the superseded data batches and the delete batches
+        t.commit(
+            t.snapshot_mor(key_col).select(out_cols), mode="overwrite"
+        )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if t.has_meta("src_batch", batch_id):
             return  # replayed micro-batch: already merged
         changes = batch_df.select(
             key_col, status_col, F.col(ts_col).alias("valid_from")
         )
-        untouched = None
+        prior = None
         if t.versions():
-            cur = t.snapshot()
-            touched_keys = changes.select(key_col).distinct()
-            untouched = cur.join(touched_keys, key_col, "left_anti")
+            cur = t.snapshot_mor(key_col)
+            tk = changes.select(key_col).distinct()
             # rewind touched keys' intervals to their change events and
             # refold with the incoming changes — valid_to is fully
             # determined by the per-key ts order, so the result is the
-            # batch SCD2 construction regardless of arrival order
-            prior = cur.join(touched_keys, key_col, "left_semi").select(
+            # batch SCD2 construction regardless of arrival order.
+            # No broadcast hint: AQE picks broadcast while the key set
+            # is small and a shuffle join once it isn't.
+            prior = cur.join(tk, key_col, "left_semi").select(
                 key_col, status_col, "valid_from"
             )
+            # touched-keys-bounded cache: prior feeds the tombstone,
+            # the emptiness probe AND the fold — one materialization
+            prior = prior.persist()
+            # EXACT tombstone — only keys that actually have prior rows
+            # (an insert-only batch tombstones nothing, so later
+            # snapshot_mor anti-joins never carry useless key sets)
+            if prior.limit(1).count():
+                t.commit_deletes(prior.select(key_col).distinct())
             changes = prior.unionByName(changes)
         w = Window.partitionBy(key_col).orderBy("valid_from", status_col)
-        folded = changes.withColumn(
-            "valid_to", F.lead("valid_from").over(w)
-        ).select(out_cols)
-        merged = (
-            folded
-            if untouched is None
-            else untouched.select(out_cols).unionByName(folded)
+        # dedup duplicate (key, status, valid_from) deliveries INSIDE
+        # the fold's window sort (duplicates are adjacent under w) —
+        # an at-least-once feed re-delivering a change in a different
+        # micro-batch must not duplicate the history row, and a
+        # separate dropDuplicates would cost a second shuffle
+        dup = (F.lag("valid_from").over(w) == F.col("valid_from")) & (
+            F.lag(status_col).over(w) == F.col(status_col)
         )
-        t.commit(merged, mode="overwrite", meta={"src_batch": batch_id})
+        folded = (
+            changes.withColumn("__dup", F.coalesce(dup, F.lit(False)))
+            .filter(~F.col("__dup"))
+            .withColumn("valid_to", F.lead("valid_from").over(w))
+            .select(out_cols)
+        )
+        t.commit(folded, mode="append", meta={"src_batch": batch_id})
+        if prior is not None:
+            prior.unpersist()
+        if live_deletes() >= compact_every:
+            compact()
 
     ckpt = os.path.join(
         tempfile.gettempdir(), "spark-graft-ckpt", f"scd2-{uuid.uuid4().hex}"

@@ -162,12 +162,17 @@ def test_simhash_schemes_agree_and_pairs_prune(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in simhash_near_dup_pairs(d, scheme="chunk_pairs").collect()
     }
-    assert p4 == p6 and len(p4) > 0
+    p20 = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(d, scheme="chunk_triples").collect()
+    }
+    assert p4 == p6 == p20 and len(p4) > 0
     # candidate volume: max_hamming=64 disables the verify filter, so
     # the counts expose raw candidate sets
     c4 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunks", allow_recall_loss=True).count()
     c6 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunk_pairs", allow_recall_loss=True).count()
-    assert c6 <= c4
+    c20 = simhash_near_dup_pairs(d, max_hamming=64, scheme="chunk_triples", allow_recall_loss=True).count()
+    assert c20 <= c6 <= c4
 
 
 def test_simhash_rejects_bound_beyond_pigeonhole_guarantee(spark):
@@ -183,8 +188,11 @@ def test_simhash_rejects_bound_beyond_pigeonhole_guarantee(spark):
         simhash_near_dup_pairs(d, max_hamming=4, scheme="chunks")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(d, max_hamming=5, scheme="chunk_pairs")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(d, max_hamming=4, scheme="chunk_triples")
     # within guarantee: fine
     simhash_near_dup_pairs(d, max_hamming=4, scheme="chunk_pairs")
+    simhash_near_dup_pairs(d, max_hamming=3, scheme="chunk_triples")
     # explicit opt-out: fine
     simhash_near_dup_pairs(d, max_hamming=6, scheme="chunks", allow_recall_loss=True)
 

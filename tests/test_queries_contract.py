@@ -109,6 +109,26 @@ def test_ordered_puts_window_head_first():
     assert set(ordered) == set(QUERIES)
 
 
+def test_driver_window_can_catch_up_this_round():
+    """Round-11 verdict item 6: the driver checks 50 keys per round, so
+    the number of registry keys WITHOUT any driver verdict (plus keys
+    re-windowed for failure / stale-promotion) must never exceed 50 —
+    otherwise some keys stay driver-unattested forever because each
+    round's additions displace last round's. Enforced at commit time:
+    adding a 51st never-seen key fails this test, which is the signal
+    to stop adding and let the window catch up."""
+    import __spark_entry__ as E
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    seen, failed, stale = E._driver_verdicts()
+    unattested = [k for k in QUERIES if k not in seen]
+    backlog = len(set(unattested) | failed | stale)
+    assert backlog <= 50, (
+        f"{backlog} keys need a driver verdict but the window holds 50: "
+        f"{sorted(set(unattested) | failed | stale)[:60]}"
+    )
+
+
 def test_recall_fence_flags_broken_ann(spark):
     """The ANN recall fence must actually trip: an index that drops a
     query's rows breaks n_result_rows, and one returning junk

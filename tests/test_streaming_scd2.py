@@ -47,7 +47,7 @@ def _run(spark, tmp_path, name, batches):
     )
     return sorted(
         (r.k, r.status, r.valid_from, r.valid_to)
-        for r in t.snapshot().collect()
+        for r in t.snapshot_mor("k").collect()
     )
 
 

@@ -138,6 +138,23 @@ def main() -> None:
             {"op": "simhash_pairs", "mult": mult, "n_rows": n_docs,
              "secs": secs, "candidates": cands, "pairs": pairs}
         )
+        # chunk_triples (round-12 default): C(6,3)=20 triple buckets,
+        # ~30-33-bit keys — background term ~20·n²/2^31, so the
+        # candidate count should track TRUE pair growth (linear), not
+        # the banding background
+        secs, pairs = timed_count(
+            simhash_near_dup_pairs(docs, scheme="chunk_triples")
+        )
+        _, cands = timed_count(
+            simhash_near_dup_pairs(
+                docs, max_hamming=64, scheme="chunk_triples",
+                allow_recall_loss=True,
+            )
+        )
+        rows.append(
+            {"op": "simhash_triples", "mult": mult, "n_rows": n_docs,
+             "secs": secs, "candidates": cands, "pairs": pairs}
+        )
         # prefix-bucket Jaccard (round-5): candidates = same-20-char-
         # prefix pairs. The WORD-SUFFIX scaling is wrong for a prefix
         # blocking key: suffixing lengthens every word, so the 20-char

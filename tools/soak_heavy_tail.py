@@ -293,7 +293,7 @@ def main() -> None:
             spark, src, "k bigint, status string, eff_ts date",
             _os.path.join(scratch, "table"),
         )
-        return t.snapshot()
+        return t.snapshot_mor("k")
 
     special = {
         "dedup_semantic_resolve": semantic_resolve_scaled,
@@ -336,6 +336,16 @@ def main() -> None:
             merged["rows"] = [
                 r for r in prior["rows"] if r["query"] not in new_keys
             ] + rows
+        else:
+            # round-11 advice item 3: never silently erase earlier soak
+            # evidence (BASELINE.md may cite it) on a sf_dir/mult change
+            print(
+                f"WARNING: {out_p} holds results for "
+                f"sf_dir={prior.get('sf_dir')} mult={prior.get('mult')} "
+                f"but this run is sf_dir={SF_DIR} mult={mult}; the prior "
+                f"rows are being FULLY REPLACED, not merged",
+                file=sys.stderr,
+            )
     out_p.write_text(json.dumps(merged, indent=1) + "\n")
     print(json.dumps({"mult": mult, "rows": rows}))
 

@@ -77,6 +77,13 @@ _MAG_EXTRA = {
     "embedding_silhouette_per_label",
     "similarity_centroid_assign_counts",
     "orders_concentration_hhi_by_nation",
+    # pruned-ANN recall fences: the recall_ok margin is data-dependent
+    # (hits vs floor), so any constant churn must re-verify at sf0.1
+    # (round-11 verdict item 7)
+    "similarity_topk_pq",
+    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
+    "similarity_recall_vs_nprobe_curve",
 }
 
 
