@@ -1701,3 +1701,151 @@ def mix_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_clusters", "n_test_docs",
         "leaky_clusters", "naive_leaky_clusters",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: temperature sweep + exact-dedup discount report
+# ---------------------------------------------------------------------------
+
+# Shared textual shape for the sweep's weight math: w_s ∝ n_s^tau via
+# exp(tau·ln n_s) — identical expression on both engines; the entropy
+# and effective-source-count compose from it and ROUND 6 absorbs the
+# (sum-order-sensitive) normalization.
+_TEMP_W = "exp(tau * ln(CAST(n_docs AS DOUBLE)))"
+
+
+@query(
+    "mix_temperature_sweep_effective_sources",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    sw AS (
+      SELECT tau, source, n_docs, {_TEMP_W} AS w
+      FROM n,
+           (SELECT CAST(unnest([0.3, 0.5, 0.7, 1.0]) AS DOUBLE) AS tau)),
+    tot AS (
+      SELECT tau, SUM(w) AS z, CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM sw GROUP BY tau),
+    ent AS (
+      SELECT sw.tau, tot.n_sources,
+             -SUM((sw.w / tot.z) * ln(sw.w / tot.z)) AS h
+      FROM sw JOIN tot ON tot.tau = sw.tau
+      GROUP BY sw.tau, tot.n_sources)
+    SELECT tau, n_sources,
+           ROUND(h, 6) AS weight_entropy,
+           ROUND(exp(h), 6) AS effective_sources
+    FROM ent ORDER BY tau
+    """,
+)
+def mix_temperature_sweep_effective_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-sampling sweep: for τ ∈ {0.3, 0.5, 0.7, 1.0} the
+    source weights w_s ∝ n_s^τ, reported as weight entropy H and
+    effective source count e^H — the knob-tuning table behind
+    multilingual/multi-source mixing (τ→0 flattens toward uniform,
+    τ=1 is proportional; mix_temperature_weights is the single-τ
+    sibling that emits the weights themselves). Weight math is ONE
+    shared exp/ln fragment; ROUND 6 absorbs the sum-order-sensitive
+    normalization (composed-float rule).
+
+    Scale shape: one source-grain aggregate; the sweep is a 4×sources
+    broadcast frame."""
+    n = read_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    taus = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (1.0,)], "tau double"
+    )
+    sw = n.crossJoin(F.broadcast(taus)).selectExpr(
+        "tau", "source", "n_docs", f"{_TEMP_W} AS w"
+    )
+    tot = sw.groupBy("tau").agg(
+        F.sum("w").alias("z"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    ent = (
+        sw.join(tot, "tau")
+        .groupBy("tau", "n_sources")
+        .agg(
+            (-F.sum(
+                (F.col("w") / F.col("z"))
+                * F.log(F.col("w") / F.col("z"))
+            )).alias("h")
+        )
+    )
+    return ent.select(
+        "tau",
+        "n_sources",
+        F.round("h", 6).alias("weight_entropy"),
+        F.round(F.exp("h"), 6).alias("effective_sources"),
+    ).orderBy("tau")
+
+
+@query(
+    "mix_dedup_discount_report",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS ntok
+      FROM documents),
+    keep AS (
+      SELECT h, MIN(doc_id) AS keeper FROM tok GROUP BY h)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN k.keeper = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN k.keeper = t.doc_id THEN t.ntok ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept,
+           CAST((SUM(t.ntok)
+                 - SUM(CASE WHEN k.keeper = t.doc_id THEN t.ntok ELSE 0 END))
+                * 1000000 // SUM(t.ntok) AS BIGINT) AS discount_ppm
+    FROM tok t JOIN keep k ON k.h = t.h
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def mix_dedup_discount_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup token-discount report: per source, how many docs and
+    tokens survive md5-exact dedup (keeper = min doc_id per hash) and
+    the removed-token rate in ppm — THE number a data-mixing plan
+    needs before setting epoch weights (upsampling a source whose
+    tokens are 30% duplicates silently overtrains the unique 70%).
+    All counts exact int64; ppm is integer floor-division (both
+    engines' // on non-negative ints agrees).
+
+    Scale shape: one scan computes hash + token count; the hash-grain
+    keeper aggregate is the only data-sized shuffle (the same shape as
+    dedup_exact_docs); the report is a source-grain fold."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(TX.tokens("text")).cast("bigint").alias("ntok"),
+    )
+    tok = pin(tok)  # keeper aggregate AND report join read it
+    keep = tok.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = tok.join(keep, "h")
+    kept = F.col("keeper") == F.col("doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("ntok")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .withColumn(
+            "discount_ppm",
+            F.expr(
+                "CAST((n_tokens - n_tokens_kept) * 1000000"
+                " DIV n_tokens AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )

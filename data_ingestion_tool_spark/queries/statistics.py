@@ -8003,3 +8003,394 @@ def graph_degree_assortativity_brands(
         "m AS n_directed_edges",
         f"{_ASSORT_R} AS assortativity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: McNemar / sign test / ACF ladder / partial corr /
+# Durbin-Watson
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mcnemar_urgency_shift",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS a94,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a95,
+             MAX(CASE WHEN year(o_orderdate) = 1994
+                       AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS u94,
+             MAX(CASE WHEN year(o_orderdate) = 1995
+                       AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS u95
+      FROM orders
+      WHERE year(o_orderdate) IN (1994, 1995)
+      GROUP BY o_custkey),
+    paired AS (SELECT * FROM per WHERE a94 = 1 AND a95 = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_paired_customers,
+           CAST(SUM(CASE WHEN u94 = 1 AND u95 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_lost_urgency,
+           CAST(SUM(CASE WHEN u94 = 0 AND u95 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_gained_urgency,
+           CAST((CAST(SUM(CASE WHEN u94 = 1 AND u95 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT)
+                 - CAST(SUM(CASE WHEN u94 = 0 AND u95 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT))
+                * (CAST(SUM(CASE WHEN u94 = 1 AND u95 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+                   - CAST(SUM(CASE WHEN u94 = 0 AND u95 = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT)) AS DOUBLE)
+             / CAST(CAST(SUM(CASE WHEN u94 = 1 AND u95 = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT)
+                    + CAST(SUM(CASE WHEN u94 = 0 AND u95 = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS DOUBLE) AS mcnemar_chi2
+    FROM paired
+    """,
+)
+def stats_mcnemar_urgency_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: among customers
+    active in BOTH 1994 and 1995, did the share placing an URGENT
+    order change? Only the discordant cells matter (b = urgent in '94
+    only, c = '95 only); chi2 = (b−c)²/(b+c). Every count is exact
+    int64 and the statistic is ONE division of exact integers —
+    bit-identical cross-engine, no rounding.
+
+    Scale shape: one scan with a year pushdown, one customer-grain
+    map-side-combined aggregate, one global fold."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1994, 1995)
+    )
+    y94 = F.year("o_orderdate") == 1994
+    urg = F.col("o_orderpriority") == "1-URGENT"
+    per = o.groupBy("o_custkey").agg(
+        F.max(y94.cast("int")).alias("a94"),
+        F.max((~y94).cast("int")).alias("a95"),
+        F.max((y94 & urg).cast("int")).alias("u94"),
+        F.max(((~y94) & urg).cast("int")).alias("u95"),
+    ).filter((F.col("a94") == 1) & (F.col("a95") == 1))
+    b = F.sum(((F.col("u94") == 1) & (F.col("u95") == 0)).cast("int")).cast(
+        "bigint"
+    )
+    c = F.sum(((F.col("u94") == 0) & (F.col("u95") == 1)).cast("int")).cast(
+        "bigint"
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paired_customers"),
+        b.alias("b_lost_urgency"),
+        c.alias("c_gained_urgency"),
+        (((b - c) * (b - c)).cast("double") / (b + c).cast("double")).alias(
+            "mcnemar_chi2"
+        ),
+    )
+
+
+@query(
+    "stats_sign_test_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT cents - LAG(cents) OVER (ORDER BY mon) AS diff FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up,
+           CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+           CAST(CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                - CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+             / sqrt(CAST(COUNT(*) AS DOUBLE)) AS sign_z
+    FROM d WHERE diff IS NOT NULL
+    """,
+)
+def stats_sign_test_monthly_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sign test on month-over-month revenue direction: n_up vs n_down
+    over consecutive-month transitions, with the normal-approximation
+    z = (n_up − n_down)/√n — the distribution-free "is revenue
+    trending" check (the parametric siblings are Mann-Kendall /
+    Cochran-Armitage, already registered). Monthly revenue is
+    exact-cents int64, so every diff sign is exact and z is one
+    identical expression over exact integers.
+
+    Scale shape: month-grain aggregate (map-side combined), then a
+    window over the bounded month frame."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wmon = Window.orderBy("mon")  # bounded: one row per month
+    d = m.select(
+        (F.col("cents") - F.lag("cents").over(wmon)).alias("diff")
+    ).filter(F.col("diff").isNotNull())
+    n_up = F.sum((F.col("diff") > 0).cast("int")).cast("bigint")
+    n_down = F.sum((F.col("diff") < 0).cast("int")).cast("bigint")
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        n_up.alias("n_up"),
+        n_down.alias("n_down"),
+        (
+            (n_up - n_down).cast("double")
+            / F.sqrt(F.count(F.lit(1)).cast("double"))
+        ).alias("sign_z"),
+    )
+
+
+# Pearson r over exact-integer moment sums, shared textual shape for
+# the ACF ladder (counts are small ints, so every product stays well
+# inside int64 and the final expression is identical doubles).
+_ACF_R = (
+    "CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE))"
+)
+
+
+@query(
+    "events_acf_lags_1_to_5",
+    oracle=f"""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY h) AS t FROM hr),
+    lagged AS (
+      SELECT k, s.x AS x,
+             LEAD(s.x, k) OVER (PARTITION BY k ORDER BY t) AS y
+      FROM s, (SELECT unnest(generate_series(1, 5)) AS k)),
+    mom AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY k)
+    SELECT CAST(k AS INT) AS lag, n AS n_pairs, {_ACF_R} AS acf
+    FROM mom ORDER BY lag
+    """,
+)
+def events_acf_lags_1_to_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation ladder of the hourly event-count series at lags
+    1–5 (the seasonality/burst diagnostic one lag can't show —
+    events_autocorr_lag1 is the single-point sibling). ACF here is the
+    Pearson r of (x_t, x_{t+k}) pairs; every moment is an exact-int64
+    sum of small counts, so the r expression is identical doubles on
+    both engines — no rounding.
+
+    Scale shape: one hour-grain aggregate (map-side combined), then
+    windows over the bounded hour frame (≤ a few thousand rows), five
+    lags sharing one pinned frame."""
+    from ..plans.pin import pin
+
+    e = read_events(spark, sf_dir)
+    hr = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wt = Window.orderBy("h")  # bounded: one row per hour
+    s = hr.select("x", F.row_number().over(wt).alias("t"))
+    s = pin(s)  # five lag branches read one materialization
+    wk = Window.orderBy("t")
+    parts = []
+    for k in range(1, 6):
+        parts.append(
+            s.select(
+                F.lit(k).alias("k"),
+                F.col("x"),
+                F.lead("x", k).over(wk).alias("y"),
+            ).filter(F.col("y").isNotNull())
+        )
+    lagged = parts[0]
+    for p in parts[1:]:
+        lagged = lagged.unionByName(p)
+    mom = lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return mom.selectExpr(
+        "CAST(k AS INT) AS lag", "n AS n_pairs", f"{_ACF_R} AS acf"
+    ).orderBy("lag")
+
+
+# Partial correlation composed over NAMED moment columns: both engines
+# aggregate the same fixed-point-exact moments into columns (n, sx, …)
+# and then evaluate ONE shared textual expression — the only way a
+# composition this deep stays bit-aligned (stats_ols_two_factor rule).
+_PC_RXY = (
+    "((n * sxy - sx * sy)"
+    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))"
+)
+_PC_RXZ = (
+    "((n * sxz - sx * sz)"
+    " / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)))"
+)
+_PC_RYZ = (
+    "((n * syz - sy * sz)"
+    " / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)))"
+)
+_PC_PARTIAL = (
+    f"ROUND(({_PC_RXY} - {_PC_RXZ} * {_PC_RYZ})"
+    f" / sqrt((1.0 - {_PC_RXZ} * {_PC_RXZ})"
+    f"        * (1.0 - {_PC_RYZ} * {_PC_RYZ})), 6)"
+)
+
+
+def _partial_corr_oracle() -> str:
+    from .registry import sql_fsum
+
+    return f"""
+    WITH mom AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_fsum('l_quantity', 0)} AS sx,
+             {sql_fsum('l_extendedprice')} AS sy,
+             {sql_fsum('l_discount')} AS sz,
+             {sql_fsum('l_quantity * l_extendedprice')} AS sxy,
+             {sql_fsum('l_quantity * l_discount')} AS sxz,
+             {sql_fsum('l_extendedprice * l_discount', 4)} AS syz,
+             {sql_fsum('l_quantity * l_quantity', 0)} AS sxx,
+             {sql_fsum('l_extendedprice * l_extendedprice', 4)} AS syy,
+             {sql_fsum('l_discount * l_discount', 4)} AS szz
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND({_PC_RXY}, 6) AS r_qty_price,
+           {_PC_PARTIAL} AS partial_r_given_discount
+    FROM mom ORDER BY l_returnflag
+    """
+
+
+@query("stats_partial_corr_qty_price", oracle=_partial_corr_oracle())
+def stats_partial_corr_qty_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation: qty↔price with discount
+    partialled out, r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    per return flag — the confounder-controlled sibling of
+    agg_corr_from_moments. All ten moments take the fsum fast path
+    (exact scaled-integer accumulates); both engines then evaluate the
+    SAME textual composition over the named moment columns, ROUND 6.
+
+    Scale shape: one lineitem scan, map-side-combined moment
+    partials, a 3-row fold — nothing but the scan is data-sized."""
+    from .registry import fsum
+
+    l = read_table(spark, sf_dir, "lineitem")
+    mom = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fsum("l_quantity", 0).alias("sx"),
+        fsum("l_extendedprice").alias("sy"),
+        fsum("l_discount").alias("sz"),
+        fsum(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("sxy"),
+        fsum(F.col("l_quantity") * F.col("l_discount"), 2).alias("sxz"),
+        fsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("syz"),
+        fsum(F.col("l_quantity") * F.col("l_quantity"), 0).alias("sxx"),
+        fsum(
+            F.col("l_extendedprice") * F.col("l_extendedprice"), 4
+        ).alias("syy"),
+        fsum(F.col("l_discount") * F.col("l_discount"), 4).alias("szz"),
+    )
+    return mom.selectExpr(
+        "l_returnflag",
+        "n",
+        f"ROUND({_PC_RXY}, 6) AS r_qty_price",
+        f"{_PC_PARTIAL} AS partial_r_given_discount",
+    ).orderBy("l_returnflag")
+
+
+# Durbin-Watson over hourly-count OLS residuals: slope/intercept from
+# exact integer moments, residuals as ONE shared double expression,
+# DW rounded 6 (the residual sums are order-sensitive doubles — the
+# composed-float rule; the exact-integer moments keep a & b aligned).
+_DW_B_NUM = "CAST(n * sty - st * sy AS DOUBLE)"
+_DW_DEN = "CAST(n * stt - st * st AS DOUBLE)"
+_DW_E = (
+    f"(CAST(x AS DOUBLE) - (CAST(sy AS DOUBLE) / n"
+    f" - ({_DW_B_NUM} / {_DW_DEN}) * (CAST(st AS DOUBLE) / n))"
+    f" - ({_DW_B_NUM} / {_DW_DEN}) * CAST(t AS DOUBLE))"
+)
+
+
+@query(
+    "stats_durbin_watson_hourly",
+    oracle=f"""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t
+      FROM hr),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sy,
+             CAST(SUM(t * x) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM s),
+    res AS (
+      SELECT t, {_DW_E} AS e FROM s, mom),
+    diffs AS (
+      SELECT e, e - LAG(e) OVER (ORDER BY t) AS de FROM res)
+    SELECT (SELECT n FROM mom) AS n_hours,
+           ROUND(SUM(de * de) / SUM(e * e), 6) AS durbin_watson
+    FROM diffs
+    """,
+)
+def stats_durbin_watson_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from an OLS fit of
+    hourly event counts on the hour index — the classic
+    autocorrelation-of-residuals diagnostic (DW≈2 none, →0 positive,
+    →4 negative) that tells you whether a linear detrend left serial
+    structure an i.i.d. assumption would miss. Slope/intercept come
+    from exact int64 moments; each residual is ONE shared double
+    expression; DW rounds to 6 (residual sums are order-sensitive
+    doubles — composed-float rule).
+
+    Scale shape: hour-grain aggregate, bounded-frame window for the
+    lag, one scalar fold."""
+    from ..plans.pin import pin
+
+    e = read_events(spark, sf_dir)
+    hr = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wt = Window.orderBy("h")  # bounded: one row per hour
+    s = hr.select(
+        "x", F.row_number().over(wt).cast("bigint").alias("t")
+    )
+    s = pin(s)  # moments AND residuals read one materialization
+    mom = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    res = s.crossJoin(F.broadcast(mom)).selectExpr(
+        "t", "n", f"{_DW_E} AS e"
+    )
+    wlag = Window.orderBy("t")
+    diffs = res.select(
+        "n", "e", (F.col("e") - F.lag("e").over(wlag)).alias("de")
+    )
+    return diffs.groupBy("n").agg(
+        F.round(
+            F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")),
+            6,
+        ).alias("durbin_watson")
+    ).select(F.col("n").alias("n_hours"), "durbin_watson")

@@ -224,6 +224,11 @@ class TxnLogTable:
         if not data:
             raise ValueError("empty table has no snapshot")
         dels = self._live_with_versions(version, "add_deletes")
+        if not dels:
+            # tombstone-free table: ONE multi-path parquet scan (no
+            # per-batch version tagging, no anti-join) — snapshot_mor
+            # is then exactly snapshot, so callers can always use it
+            return self.snapshot(version)
 
         def read_tagged(batches, tag):
             parts = [

@@ -162,19 +162,33 @@ def stream_cdc_scd2_txnlog(
     wrong row — no reliance on file mtime / FileStreamSource arrival
     order.
 
-    Scale: per batch the WRITE is O(touched keys), never O(table) —
-    the Iceberg equality-delete MERGE shape (the round-11 code
-    committed a full-table overwrite per batch: total work quadratic
-    in the feed). Tombstones are EXACT (derived from the prior rows
-    that actually exist, so insert-only batches tombstone nothing and
-    later anti-joins never carry useless key sets); ``prior`` is a
-    touched-keys-bounded persist reused by the tombstone, the
-    emptiness probe and the fold. The read side is one snapshot scan
-    with an AQE-chosen semi-join on the batch key set. Like
-    Delta/Iceberg, stream end does NOT compact — consumers read
-    :meth:`TxnLogTable.snapshot_mor`; compaction is the separate
-    maintenance op (auto-triggered only when ``compact_every`` delete
-    batches accumulate, bounding live-file count on long streams)."""
+    Scale — ADAPTIVE copy-on-write vs merge-on-read, decided per batch
+    (the Delta/Iceberg MERGE strategy choice, round 12) from two
+    near-free numbers: the batch's row count and the table's
+    parquet-footer rows (driver-side metadata, no probe job),
+
+    - **MoR** when the batch is a small slice (batch_rows·3 <
+      table_rows): EXACT equality tombstones (derived from the prior
+      rows that actually exist, so insert-only batches tombstone
+      nothing and later anti-joins never carry useless key sets) +
+      an append of only the refolded touched keys — WRITE is
+      O(touched keys), the 100 TB dimension-maintenance regime, where
+      the round-11 full-overwrite made total work quadratic in the
+      feed.
+    - **CoW overwrite** when the batch is a large fraction (the
+      bulk-restate regime): untouched rows pass through an anti-join
+      and ONE overwrite commit rewrites the table — cheaper than
+      tombstoning half the key space, and it auto-compacts.
+
+    On the MoR path ``prior`` is a touched-keys-bounded persist reused
+    by the emptiness probe, the tombstone and the fold. Joins carry no
+    broadcast hint —
+    AQE picks broadcast while the key set is small and a shuffle join
+    once it isn't. Stream end does NOT force compaction — consumers
+    read :meth:`TxnLogTable.snapshot_mor` (which IS ``snapshot`` when
+    no tombstones are live); compaction triggers when
+    ``compact_every`` delete batches accumulate, bounding live-file
+    count on long streams."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -200,34 +214,24 @@ def stream_cdc_scd2_txnlog(
             t.snapshot_mor(key_col).select(out_cols), mode="overwrite"
         )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if t.has_meta("src_batch", batch_id):
-            return  # replayed micro-batch: already merged
-        changes = batch_df.select(
-            key_col, status_col, F.col(ts_col).alias("valid_from")
-        )
-        prior = None
-        if t.versions():
-            cur = t.snapshot_mor(key_col)
-            tk = changes.select(key_col).distinct()
-            # rewind touched keys' intervals to their change events and
-            # refold with the incoming changes — valid_to is fully
-            # determined by the per-key ts order, so the result is the
-            # batch SCD2 construction regardless of arrival order.
-            # No broadcast hint: AQE picks broadcast while the key set
-            # is small and a shuffle join once it isn't.
-            prior = cur.join(tk, key_col, "left_semi").select(
-                key_col, status_col, "valid_from"
-            )
-            # touched-keys-bounded cache: prior feeds the tombstone,
-            # the emptiness probe AND the fold — one materialization
-            prior = prior.persist()
-            # EXACT tombstone — only keys that actually have prior rows
-            # (an insert-only batch tombstones nothing, so later
-            # snapshot_mor anti-joins never carry useless key sets)
-            if prior.limit(1).count():
-                t.commit_deletes(prior.select(key_col).distinct())
-            changes = prior.unionByName(changes)
+    def table_rows() -> int:
+        """Live-row UPPER BOUND from parquet footers — driver-side
+        metadata only, no Spark job (tombstoned rows overcount, fine
+        for the CoW/MoR heuristic)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        n = 0
+        for b in t.live_batches():
+            for f in _glob.glob(
+                os.path.join(table_root, "data", b, "**", "*.parquet"),
+                recursive=True,
+            ):
+                n += pq.ParquetFile(f).metadata.num_rows
+        return n
+
+    def fold(changes: DataFrame) -> DataFrame:
         w = Window.partitionBy(key_col).orderBy("valid_from", status_col)
         # dedup duplicate (key, status, valid_from) deliveries INSIDE
         # the fold's window sort (duplicates are adjacent under w) —
@@ -237,14 +241,61 @@ def stream_cdc_scd2_txnlog(
         dup = (F.lag("valid_from").over(w) == F.col("valid_from")) & (
             F.lag(status_col).over(w) == F.col(status_col)
         )
-        folded = (
+        return (
             changes.withColumn("__dup", F.coalesce(dup, F.lit(False)))
             .filter(~F.col("__dup"))
             .withColumn("valid_to", F.lead("valid_from").over(w))
             .select(out_cols)
         )
-        t.commit(folded, mode="append", meta={"src_batch": batch_id})
-        if prior is not None:
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if t.has_meta("src_batch", batch_id):
+            return  # replayed micro-batch: already merged
+        changes = batch_df.select(
+            key_col, status_col, F.col(ts_col).alias("valid_from")
+        )
+        if not t.versions():
+            t.commit(fold(changes), mode="append",
+                     meta={"src_batch": batch_id})
+            return
+        cur = t.snapshot_mor(key_col)
+        tk = changes.select(key_col).distinct()
+        # rewind touched keys' intervals to their change events and
+        # refold with the incoming changes — valid_to is fully
+        # determined by the per-key ts order, so the result is the
+        # batch SCD2 construction regardless of arrival order
+        prior = cur.join(tk, key_col, "left_semi").select(
+            key_col, status_col, "valid_from"
+        )
+        # CoW/MoR decision from two near-free numbers: the batch's own
+        # row count (a columnless count over the batch files) and the
+        # table's footer rows — no table-sized probe job either way
+        if batch_df.count() * 3 >= table_rows():
+            # CoW: bulk-restate batch — rewriting the table once beats
+            # tombstoning a large slice of the key space (and the
+            # overwrite retires any accumulated tombstones for free)
+            untouched = cur.join(tk, key_col, "left_anti")
+            t.commit(
+                untouched.select(out_cols).unionByName(
+                    fold(prior.unionByName(changes))
+                ),
+                mode="overwrite",
+                meta={"src_batch": batch_id},
+            )
+        else:
+            # touched-keys-bounded cache: prior feeds the emptiness
+            # probe, the tombstone AND the fold — one materialization
+            prior = prior.persist()
+            if prior.count():
+                # EXACT tombstone — only keys with prior rows, so an
+                # insert-only batch tombstones nothing and later
+                # anti-joins never carry useless key sets
+                t.commit_deletes(prior.select(key_col).distinct())
+            t.commit(
+                fold(prior.unionByName(changes)),
+                mode="append",
+                meta={"src_batch": batch_id},
+            )
             prior.unpersist()
         if live_deletes() >= compact_every:
             compact()

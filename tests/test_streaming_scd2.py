@@ -102,3 +102,42 @@ def test_one_batch_per_change_any_order(spark, tmp_path):
     rng.shuffle(shuffled)
     batches = [[c] for c in shuffled]
     assert _run(spark, tmp_path, "shuf", batches) == EXPECTED
+
+
+def test_small_batches_take_mor_path_and_merge_correctly(spark, tmp_path):
+    """Round-12 adaptive CoW/MoR: a batch much smaller than the table
+    must take the merge-on-read branch (equality tombstones + touched-
+    keys-only append, NO table rewrite), and duplicate re-delivery of
+    the same change in a later batch must stay idempotent."""
+    from data_ingestion_tool_spark.sources.txnlog import TxnLogTable
+
+    # batch 0: 40 keys (the bulk load); batches 1-2: one-key updates
+    bulk = [(k, "A", _d(1)) for k in range(1, 41)]
+    upd1 = [(1, "B", _d(5))]
+    dup = [(1, "B", _d(5)), (2, "B", _d(6))]  # re-delivers (1,B,d5)
+    src = _feed(spark, tmp_path, "mor", [bulk, upd1, dup])
+    t = stream_cdc_scd2_txnlog(
+        spark, src, SCHEMA, str(tmp_path / "mor" / "table")
+    )
+    # MoR evidence: tombstone batches live, no overwrite wiped them
+    assert t._live_with_versions(None, "add_deletes"), (
+        "small batches should tombstone, not rewrite the table"
+    )
+    rows = sorted(
+        (r.k, r.status, r.valid_from, r.valid_to)
+        for r in t.snapshot_mor("k").collect()
+    )
+    expected = sorted(
+        [(1, "A", _d(1), _d(5)), (1, "B", _d(5), None),
+         (2, "A", _d(1), _d(6)), (2, "B", _d(6), None)]
+        + [(k, "A", _d(1), None) for k in range(3, 41)]
+    )
+    assert rows == expected
+    # compaction folds tombstones in and snapshot() then agrees
+    TxnLogTable(spark, str(tmp_path / "mor" / "table")).commit(
+        t.snapshot_mor("k"), mode="overwrite"
+    )
+    assert sorted(
+        (r.k, r.status, r.valid_from, r.valid_to)
+        for r in t.snapshot().collect()
+    ) == expected
