@@ -1254,3 +1254,159 @@ def dedup_char_shingle_memorization(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: cross-engine-exact MinHash signatures + estimate-vs-exact error
+# ---------------------------------------------------------------------------
+
+# k=12 universal-hash permutations h_j(x) = (a_j·x + b_j) mod p over the
+# Mersenne prime p = 2^31−1, with x = md5int60(token) mod p — every
+# number is a non-negative int64 well inside 2^63, and md5 is the one
+# per-token hash both engines compute bit-identically, so the WHOLE
+# signature replays in DuckDB (production minhash keeps xxhash64 via
+# operators/dedup.py; this query pins the same machinery on the
+# oracle-able hash — the dedup_simhash promotion pattern).
+_MH_P = 2_147_483_647
+_MH_PERMS = [(999_983 * j + 17, 104_729 * j + 31) for j in range(1, 13)]
+
+
+def _mh_perm(a: int, b: int):
+    """One-ARG lambda factory for F.transform (PySpark dispatches on
+    lambda arity — default-arg closures break HOFs, CLAUDE.md rule)."""
+
+    def f(v):
+        return (a * v + b) % _MH_P
+
+    return f
+
+
+def _minhash_error_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(x, v -> ({a} * v + {b}) % {_MH_P}))"
+        f" AS s{j}"
+        for j, (a, b) in enumerate(_MH_PERMS)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END"
+        for j in range(len(_MH_PERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, bucket, toks,
+             list_transform(toks,
+               tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                      % {_MH_P}) AS x
+      FROM t),
+    sig AS (
+      SELECT doc_id, bucket, toks,
+             {sig_cols}
+      FROM h),
+    pairs AS (
+      SELECT ({eqs}) AS matches,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT CAST(matches AS INT) AS sig_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(i * 1000000 // u) AS BIGINT) AS sum_jaccard_ppm,
+           CAST(SUM(abs(matches * 1000000 // {len(_MH_PERMS)}
+                        - i * 1000000 // u)) AS BIGINT) AS sum_abs_err_ppm
+    FROM pairs GROUP BY matches ORDER BY sig_matches
+    """
+
+
+@query("dedup_minhash_signature_error", oracle=_minhash_error_oracle())
+def dedup_minhash_signature_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash accuracy census, fully hash-oracled: over the
+    deterministic prefix-blocked candidate pairs, compare the k=12
+    signature-agreement Jaccard estimate against the EXACT distinct-
+    token Jaccard, grouped by match count — the calibration table that
+    says what an LSH threshold actually buys (E[matches]/k = J; the
+    per-band tables live in dedup_lsh_calibration_sweep). All integer
+    math: md5-derived token hashes mod 2^31−1, int64 permutation mins,
+    ppm floor-divisions.
+
+    Scale shape: signatures are one per-row array fold (tokens travel
+    once); the pair join is the bounded prefix-block self-join;
+    everything after is a 13-group fold."""
+    from ..operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 20).alias("bucket"),
+        F.array_distinct(TX.tokens("text")).alias("toks"),
+    ).withColumn(
+        "x",
+        F.transform(
+            F.col("toks"),
+            lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+            .cast("long")
+            % _MH_P,
+        ),
+    )
+    sig = t.select(
+        "doc_id",
+        "bucket",
+        "toks",
+        *[
+            F.array_min(
+                F.transform(F.col("x"), _mh_perm(a, b))
+            ).alias(f"s{j}")
+            for j, (a, b) in enumerate(_MH_PERMS)
+        ],
+    )
+    sig = pin(sig)  # both sides of the self-join read one frame
+    a, b = sig.alias("a"), sig.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = (
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    )
+    matches = None
+    for j in range(len(_MH_PERMS)):
+        term = (F.col(f"a.s{j}") == F.col(f"b.s{j}")).cast("int")
+        matches = term if matches is None else matches + term
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        matches.alias("matches"),
+        inter.cast("bigint").alias("i"),
+        union.cast("bigint").alias("u"),
+    )
+    k = len(_MH_PERMS)
+    return (
+        pairs.groupBy("matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("i * 1000000 DIV u"))
+            .cast("bigint")
+            .alias("sum_jaccard_ppm"),
+            F.sum(
+                F.abs(
+                    F.expr(f"matches * 1000000 DIV {k}")
+                    - F.expr("i * 1000000 DIV u")
+                )
+            )
+            .cast("bigint")
+            .alias("sum_abs_err_ppm"),
+        )
+        .select(
+            F.col("matches").cast("int").alias("sig_matches"),
+            "n_pairs",
+            "sum_jaccard_ppm",
+            "sum_abs_err_ppm",
+        )
+        .orderBy("sig_matches")
+    )

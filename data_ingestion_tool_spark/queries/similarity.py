@@ -2450,3 +2450,115 @@ def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mutual_pairs",
         "CAST(__hm DIV n_directed_edges AS BIGINT) AS reciprocity_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: unit-norm audit + per-dimension magnitude profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_unit_norm_audit",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) * 1000000
+                         AS BIGINT)
+                    * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) * 1000000
+                           AS BIGINT))) AS nsq
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(abs(nsq - 1000000000000)) AS BIGINT)
+             AS max_abs_drift_int,
+           CAST(SUM(CASE WHEN abs(nsq - 1000000000000) > 10000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_tol
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def embedding_unit_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization audit of the embedding corpus: per label, the
+    max |‖v‖² − 1| drift and the count beyond a 10⁻⁵ tolerance — the
+    data-quality gate before any cosine machinery (an unnormalized
+    batch silently corrupts dot-product ≡ cosine shortcuts). Vectors
+    quantize through the int-SRP decimal(9,6)→·10⁶→int64 path, so ‖v‖²
+    is an exact int64 (64·(10⁶)² ≪ 2^53) and every drift/threshold is
+    integer math.
+
+    Scale shape: one scan, per-row array fold, label-grain aggregate."""
+    from ..operators.similarity import quantize_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = quantize_vec("embedding")
+    nsq = F.aggregate(
+        q,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    drift = F.abs(nsq - F.lit(10**12))
+    return (
+        emb.select("label", drift.alias("drift"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max("drift").cast("bigint").alias("max_abs_drift_int"),
+            F.sum((F.col("drift") > 10**7).cast("int"))
+            .cast("bigint")
+            .alias("n_out_of_tol"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_dim_mean_abs_profile",
+    oracle="""
+    WITH vq AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                  * 1000000 AS BIGINT) AS x
+      FROM embeddings)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(abs(x)) AS BIGINT) AS sum_abs_int,
+           CAST(SUM(abs(x)) AS BIGINT)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_abs
+    FROM vq GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_mean_abs_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension mean |x| over the corpus — the dead/dominant-
+    dimension profile that decides Matryoshka truncation points and
+    flags collapsed dimensions after a bad fine-tune (the variance
+    sibling is embedding_dim_variance_profile). Components quantize to
+    exact int64, so the sums are exact and mean_abs is one identical
+    division.
+
+    Scale shape: posexplode → 64-group map-side-combined aggregate;
+    nothing wider than (dim) shuffles."""
+    from ..operators.similarity import quantize_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(quantize_vec("embedding")).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.abs("x")).cast("bigint").alias("sum_abs_int"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_abs_int",
+            (
+                F.col("sum_abs_int")
+                / (F.col("n").cast("double") * F.lit(1000000.0))
+            ).alias("mean_abs"),
+        )
+        .orderBy("dim")
+    )

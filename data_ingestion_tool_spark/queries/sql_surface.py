@@ -903,3 +903,36 @@ def sql_parameterized_named_args(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_total": 1000.0},
     )
+
+
+# FILTER (WHERE ...) aggregate modifier — identical text both engines;
+# all sums are exact-integer (cents / counts), so no rounding.
+SQL_FILTER_CLAUSE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+         AS n_bulk,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+            FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS discounted_cents,
+       CAST(MIN(l_shipdate) FILTER (WHERE l_returnflag = 'R') AS DATE)
+         AS first_return_ship
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("sql_filter_clause_aggregates", oracle=SQL_FILTER_CLAUSE)
+def sql_filter_clause_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate modifier — the standard
+    form of conditional aggregation (the CASE-WHEN-inside-SUM idiom's
+    successor), one identical SQL text on both engines. Counts and
+    cents sums are exact integers; the filtered MIN is a date.
+
+    Scale shape: one scan, map-side-combined partials per modifier —
+    FILTER compiles to the same conditional-accumulate as CASE, no
+    extra pass."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_FILTER_CLAUSE)
