@@ -84,6 +84,13 @@ _MAG_EXTRA = {
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",
     "similarity_recall_vs_nprobe_curve",
+    # round-12 composed-float additions (ROUND-6 outputs whose drift
+    # only shows at scale: log-log OLS, exp/ln weight sweep, PMI top-k
+    # boundary)
+    "text_heaps_law_fit",
+    "text_bigram_pmi_topk",
+    "mix_temperature_sweep_effective_sources",
+    "events_acf_lags_1_to_5",
 }
 
 
