@@ -5295,3 +5295,89 @@ def events_session_bounce_rate_daily(
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: sessionization gap-sensitivity sweep
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_gap_sweep",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS dt_us
+      FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM d),
+    sw AS (
+      SELECT g.gap_minutes,
+             CAST(SUM(CASE WHEN d.dt_us IS NULL
+                            OR d.dt_us > CAST(g.gap_minutes AS BIGINT)
+                                         * 60000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      FROM d, (SELECT CAST(unnest([5, 15, 30, 60]) AS INT) AS gap_minutes) g
+      GROUP BY g.gap_minutes)
+    SELECT gap_minutes, n_sessions,
+           CAST(tot.n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             AS avg_events_per_session
+    FROM sw, tot ORDER BY gap_minutes
+    """,
+)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-sensitivity sweep: session counts under
+    inactivity gaps of 5/15/30/60 minutes — the calibration table
+    behind any single-gap sessionizer (sessionize_events pins 30 min;
+    this shows what that choice costs). A session starts where the
+    same-user gap exceeds g (or at the user's first event), so
+    n_sessions(g) = Σ start-flags — exact integer counts over exact
+    microsecond gaps; events-per-session is one identical division.
+
+    Scale shape: ONE window pass computes the gap column (the flag is
+    gap-independent arithmetic over it); the sweep is a 4-way
+    conditional aggregate over the same frame — no per-gap re-sort."""
+    from ..plans.pin import pin
+
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = e.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    ).select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("dt_us")
+    )
+    d = pin(d)  # the total AND all four gap aggregates read one frame
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    gaps = spark.createDataFrame(
+        [(5,), (15,), (30,), (60,)], "gap_minutes int"
+    )
+    sw = (
+        d.crossJoin(F.broadcast(gaps))
+        .groupBy("gap_minutes")
+        .agg(
+            F.sum(
+                (
+                    F.col("dt_us").isNull()
+                    | (
+                        F.col("dt_us")
+                        > F.col("gap_minutes").cast("long") * 60000000
+                    )
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_sessions")
+        )
+    )
+    return (
+        sw.crossJoin(F.broadcast(tot))
+        .select(
+            "gap_minutes",
+            "n_sessions",
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("gap_minutes")
+    )

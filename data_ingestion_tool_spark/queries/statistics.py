@@ -8394,3 +8394,143 @@ def stats_durbin_watson_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("durbin_watson")
     ).select(F.col("n").alias("n_hours"), "durbin_watson")
+
+
+# Bartlett's test composed over NAMED per-group moment columns; the
+# group variances are identical doubles from exact integer moments,
+# and the k-row fold rounds to 6 (composed-float rule).
+_BT_S2 = (
+    "(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+)
+_BT_T = (
+    "ROUND(((nn - k) * ln(s2p) - sls)"
+    " / (1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 6)"
+)
+
+
+@query(
+    "stats_bartlett_variance_test",
+    oracle=f"""
+    WITH mom AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+      FROM lineitem GROUP BY l_returnflag),
+    g AS (
+      SELECT l_returnflag, n, {_BT_S2} AS s2 FROM mom),
+    fold AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM((n - 1) * s2) AS ss,
+             SUM((n - 1) * ln(s2)) AS sls,
+             SUM(1.0 / (n - 1)) AS sinv
+      FROM g),
+    t AS (
+      SELECT nn, k, ss / (nn - k) AS s2p, sls, sinv FROM fold)
+    SELECT nn AS n_rows, k AS n_groups,
+           ROUND(s2p, 6) AS pooled_variance,
+           {_BT_T} AS bartlett_t
+    FROM t
+    """,
+)
+def stats_bartlett_variance_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's test for variance homogeneity of l_quantity across
+    return flags — the parametric sibling of the registered
+    Levene/Brown-Forsythe (Bartlett is more powerful under normality,
+    notoriously fragile otherwise; shipping both is the honest kit).
+    Group variances come from exact int64 moments (quantity is
+    integral), the k-row fold and statistic are ONE shared textual
+    composition, ROUND 6.
+
+    Scale shape: one scan, 3-group map-side-combined moments, a 3-row
+    fold — scan-bound at any scale."""
+    l = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    mom = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("sx"),
+        F.sum(q * q).cast("bigint").alias("sxx"),
+    )
+    g = mom.selectExpr("l_returnflag", "n", f"{_BT_S2} AS s2")
+    fold = g.selectExpr(
+        "n", "s2"
+    ).agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("ss"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sls"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("sinv"),
+    )
+    t = fold.selectExpr("nn", "k", "ss / (nn - k) AS s2p", "sls", "sinv")
+    return t.selectExpr(
+        "nn AS n_rows",
+        "k AS n_groups",
+        "ROUND(s2p, 6) AS pooled_variance",
+        f"{_BT_T} AS bartlett_t",
+    )
+
+
+@query(
+    "stats_two_proportion_ztest",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority),
+    w AS (
+      SELECT MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN x END) AS x1,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS n1,
+             MAX(CASE WHEN o_orderpriority = '5-LOW' THEN x END) AS x2,
+             MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n END) AS n2
+      FROM c)
+    SELECT x1, n1, x2, n2,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z
+    FROM w
+    """,
+)
+def stats_two_proportion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test: is the fulfilled-order ('F') rate
+    different between URGENT and LOW priority orders? Pooled-variance
+    z over exact integer counts — the A/B-test workhorse (the
+    one-sample interval sibling is stats_wilson_ci_return_rate).
+    Every input is an exact int64 count and z is one identical
+    expression — no rounding.
+
+    Scale shape: one scan with an IN pushdown, 2-group fold, 1-row
+    pivot."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    w = c.agg(
+        F.max(F.when(urgent, F.col("x"))).alias("x1"),
+        F.max(F.when(urgent, F.col("n"))).alias("n1"),
+        F.max(F.when(low, F.col("x"))).alias("x2"),
+        F.max(F.when(low, F.col("n"))).alias("n2"),
+    )
+    return w.selectExpr(
+        "x1", "n1", "x2", "n2",
+        "(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+        "        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+        "        * (1.0 / n1 + 1.0 / n2)) AS z",
+    )
