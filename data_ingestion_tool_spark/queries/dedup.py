@@ -1410,3 +1410,64 @@ def dedup_minhash_signature_error(
         )
         .orderBy("sig_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: cluster-size histogram over the deterministic dedup graph
+# ---------------------------------------------------------------------------
+
+
+def _cluster_size_hist_oracle() -> str:
+    """Composed verbatim from ORACLES['dedup_clusters_prefix_jaccard']
+    (the round-11-advice CTE-composition discipline): the histogram can
+    never desynchronize from the cluster construction it summarizes."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE cc AS ({ORACLES["dedup_clusters_prefix_jaccard"]}),
+    singles AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM singles GROUP BY cluster_id)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz ORDER BY sz
+    """
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_size_hist_oracle())
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution of the deterministic near-dup graph
+    (singletons included) — the planning histogram for dedup policy:
+    keep-one-per-cluster removes Σ(size−1) docs, and a fat tail says
+    boilerplate flooding, not pairwise noise. Reuses the hash-oracled
+    cluster construction; the oracle composes that key's SQL verbatim
+    as a CTE, so both layers stay in lockstep by construction.
+
+    Scale shape: label propagation on the pair graph only; the
+    histogram is a two-level bounded aggregate."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    cc = QUERIES["dedup_clusters_prefix_jaccard"](spark, sf_dir)
+    singles = d.join(cc, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = singles.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n_clusters") * F.col("sz"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

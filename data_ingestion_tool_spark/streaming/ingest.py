@@ -268,9 +268,21 @@ def stream_cdc_scd2_txnlog(
             key_col, status_col, "valid_from"
         )
         # CoW/MoR decision from two near-free numbers: the batch's own
-        # row count (a columnless count over the batch files) and the
-        # table's footer rows — no table-sized probe job either way
-        if batch_df.count() * 3 >= table_rows():
+        # row count and the table's rows, BOTH from parquet footers
+        # (driver-side metadata; a file-source micro-batch exposes its
+        # backing files) — zero probe jobs either way
+        def batch_rows() -> int:
+            import pyarrow.parquet as pq
+
+            files = [
+                f[7:] if f.startswith("file://") else f
+                for f in batch_df.inputFiles()
+            ]
+            if not files:
+                return batch_df.count()  # non-file source: one count job
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+        if batch_rows() * 3 >= table_rows():
             # CoW: bulk-restate batch — rewriting the table once beats
             # tombstoning a large slice of the key space (and the
             # overwrite retires any accumulated tombstones for free)
