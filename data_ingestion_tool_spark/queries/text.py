@@ -3239,12 +3239,17 @@ _HEAPS_LNK = (
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS tok
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
       FROM documents),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+             AS u(i)),
     per_doc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
-      FROM tok GROUP BY doc_id),
+      FROM tri GROUP BY doc_id),
     docs AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
@@ -3256,36 +3261,54 @@ _HEAPS_LNK = (
       FROM (SELECT unnest(generate_series(1, 10)) AS i), n, docs d
       WHERE d.rn = CAST(CEIL(CAST(i * n.nd AS DOUBLE) / 10.0) AS BIGINT)),
     ft AS (
-      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
-      FROM tok GROUP BY tok),
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM tri GROUP BY g),
     pts AS (
       SELECT c.i, c.cum_tokens,
              CAST(COUNT(*) AS BIGINT) AS cum_types
       FROM cuts c JOIN ft ON ft.first_doc <= c.cut
       GROUP BY c.i, c.cum_tokens),
     fit AS (
-      SELECT ROUND({_HEAPS_BETA}, 6) AS heaps_beta,
-             ROUND({_HEAPS_LNK}, 6) AS heaps_lnk
+      SELECT ROUND({_HEAPS_BETA}, 6) + 0.0 AS heaps_beta,
+             ROUND({_HEAPS_LNK}, 6) + 0.0 AS heaps_lnk
       FROM pts)
     SELECT i, cum_tokens, cum_types, heaps_beta, heaps_lnk
     FROM pts, fit ORDER BY i
     """,
 )
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β estimated by OLS
-    on (ln cumulative tokens, ln cumulative vocabulary) at 10 corpus
-    checkpoints (doc_id order) — the planning curve for tokenizer
-    vocab sizing and dedup-value forecasting (β≈0.5 for natural text;
-    β drifting toward 1 flags unbounded novel-token junk, toward 0
-    heavy duplication). Checkpoint counts are exact int64; the fit
-    interpolates ONE shared SQL fragment into both engines and rounds
-    to 6 decimals (composed-float rule).
+    """Heaps'-law vocabulary-growth fit over word-TRIGRAM types:
+    V(n) ≈ K·n^β by OLS on (ln cumulative trigrams, ln cumulative
+    trigram vocabulary) at 10 corpus checkpoints (doc_id order) — the
+    planning curve for tokenizer vocab sizing and dedup-value
+    forecasting (β→1 flags unbounded novel-sequence junk, β→0 heavy
+    duplication). The unit is trigrams because the synthetic corpus's
+    UNIGRAM vocabulary is ~31 words — saturated by the first
+    checkpoint, which made the round-12 first cut fit a degenerate
+    β = ±0.0 whose SIGNED ZERO flipped with Spark's sum order (the
+    gate caught it); trigram vocabulary genuinely grows (16k types at
+    sf0.01, 27k at sf0.1). Checkpoint counts are exact int64; the fit
+    interpolates ONE shared SQL fragment into both engines, rounds to
+    6, and adds +0.0 so a rounded −0.0 can never hash-differ from 0.0.
 
-    Scale shape: token explode → (first-doc per type, per-doc counts);
-    cumulative sums ride a doc-grain window (docs ≪ tokens); the
-    10-row checkpoint join against the type table is one broadcast."""
+    Scale shape: trigram explode → (first-doc per type, per-doc
+    counts); cumulative sums ride a doc-grain window (docs ≪ tokens);
+    the 10-row checkpoint join against the type table is one
+    broadcast."""
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    toks = TX.tokens("text")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.zip_with(
+        bi,
+        F.slice(toks, 3, n2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    tok = d.select("doc_id", F.explode(tri).alias("g"))
     tok = pin(tok, eager=False)  # feeds per-doc counts AND first-doc
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("ntok")
@@ -3311,7 +3334,7 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", F.col("doc_id").alias("cut"),
                 F.col("cumtok").alias("cum_tokens"))
     )
-    ft = tok.groupBy("tok").agg(
+    ft = tok.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )
     pts = (
@@ -3321,8 +3344,8 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = pin(pts)  # 10 rows: consumed by the fit AND the output
     fit = pts.selectExpr(
-        f"ROUND({_HEAPS_BETA}, 6) AS heaps_beta",
-        f"ROUND({_HEAPS_LNK}, 6) AS heaps_lnk",
+        f"ROUND({_HEAPS_BETA}, 6) + 0.0 AS heaps_beta",
+        f"ROUND({_HEAPS_LNK}, 6) + 0.0 AS heaps_lnk",
     )
     return (
         pts.crossJoin(F.broadcast(fit))
