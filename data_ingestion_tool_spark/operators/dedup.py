@@ -402,16 +402,26 @@ def simhash_near_dup_pairs(
             lambda acc, x: acc * 2 + x,
         )
 
+    # evaluate each chunk's bit-fold ONCE as a column — combo keys are
+    # then plain integer arithmetic; embedding the interpreted HOF fold
+    # inside every combo re-ran it m·C(k,m) times per row (the
+    # round-12 triples bench regression: 60 folds/row instead of 6)
+    bits = bits.select(
+        "id",
+        "bits",
+        *[chunk_key(s, w).alias(f"_c{i}") for i, (s, w) in enumerate(bounds)],
+    )
+    singles = [F.col(f"_c{i}") for i in range(len(bounds))]
+
     if scheme == "chunks":
         keys = [
-            F.struct(F.lit(i).alias("chunk"), chunk_key(s, w).alias("key"))
-            for i, (s, w) in enumerate(bounds)
+            F.struct(F.lit(i).alias("chunk"), singles[i].alias("key"))
+            for i in range(len(bounds))
         ]
     else:
         from itertools import combinations
 
         m = 2 if scheme == "chunk_pairs" else 3
-        singles = [chunk_key(s, w) for s, w in bounds]
 
         def combo_key(idxs: tuple[int, ...]) -> Column:
             # combined key: concatenated disjoint chunk bits,
@@ -426,11 +436,14 @@ def simhash_near_dup_pairs(
             for ci, idxs in enumerate(combinations(range(6), m))
         ]
 
+    # bucket rows carry ONLY (id, chunk, key): the 60-element bits
+    # array would multiply the self-join shuffle by the key count
+    # (20 for triples — the round-12 bench regression); candidates are
+    # orders of magnitude fewer, so fingerprints join back per side
     chunks = bits.select(
         "id",
-        "bits",
         F.explode(F.array(*keys)).alias("ck"),
-    ).select("id", "bits", "ck.chunk", "ck.key")
+    ).select("id", "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -442,10 +455,15 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        bits.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a")),
+        "id_a",
+    ).join(
+        bits.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b")),
+        "id_b",
     )
     ham = F.size(
         F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda d: d)
