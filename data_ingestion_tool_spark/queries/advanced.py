@@ -961,53 +961,74 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pearson-from-moments shared expression: every moment enters through a
+# scale-0 CAST(. AS DOUBLE) (exact-int conversion, correctly rounded on
+# both engines — never a DECIMAL(.,s>0)→double division).
+def _cfm_d(c: str) -> str:
+    return f"CAST({c} AS DOUBLE)"
+
+
+_CFM_R = (
+    f"ROUND(({_cfm_d('n')} * {_cfm_d('sxy')} - {_cfm_d('sx')} * {_cfm_d('sy')})"
+    f" / (SQRT({_cfm_d('n')} * {_cfm_d('sxx')} - {_cfm_d('sx')} * {_cfm_d('sx')})"
+    f" * SQRT({_cfm_d('n')} * {_cfm_d('syy')} - {_cfm_d('sy')} * {_cfm_d('sy')})),"
+    f" 6)"
+)
+
+
 @query(
     "agg_corr_from_moments",
     oracle=f"""
-    SELECT l_returnflag,
-           ROUND((COUNT(*) * {sql_fsum('l_quantity * l_extendedprice')}
-                  - {sql_fsum('l_quantity', 0)} * {sql_fsum('l_extendedprice')})
-                 / (SQRT(COUNT(*) * {sql_fsum('l_quantity * l_quantity', 0)}
-                         - {sql_fsum('l_quantity', 0)} * {sql_fsum('l_quantity', 0)})
-                    * SQRT(COUNT(*) * {sql_fsum('l_extendedprice * l_extendedprice', 4)}
-                           - {sql_fsum('l_extendedprice')} * {sql_fsum('l_extendedprice')})),
-                 6) AS corr_qty_price,
-           COUNT(*) AS n
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    WITH iu AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem),
+    mom AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(18,0))) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(18,0))) AS syy
+      FROM iu GROUP BY l_returnflag)
+    SELECT l_returnflag, {_CFM_R} AS corr_qty_price, n
+    FROM mom ORDER BY l_returnflag
     """,
 )
 def agg_corr_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation composed from fixed-point-exact raw moments —
-    NOT F.corr: engines disagree in final ulps on one-pass vs two-pass
+    """Pearson correlation composed from exact raw moments — NOT
+    F.corr: engines disagree in final ulps on one-pass vs two-pass
     corr, but n·Sxy−Sx·Sy over exact sums is the same arithmetic on
-    both sides. All five moments take the fsum fast path (3x faster
-    than decimal sums): qty is integral, price exactly 2-decimal, so
-    qty·price has exactly 2 and price² exactly 4 decimals — the scaled
-    values are exact integers (never rounding ties), and the price²
-    sum (~4e16 at sf0.1) converts long→double identically on both
-    engines (single int64, IEEE round-to-nearest — unlike wide
-    DECIMAL, whose int/10^scale division double-rounds). ROUND 6
-    absorbs the final composition. One scan, map-side partials,
+    both sides. Round-13 overflow fix: correlation is scale-invariant,
+    so moments are taken in INTEGER units (qty, price CENTS) and the
+    y-bearing sums accumulate as DECIMAL(28,0) — the old fsum(price²,4)
+    bigint accumulator sat at ~7.4e18 (80% of int64) at sf0.1 and would
+    overflow at ~1.25× that volume; decimal(28,0) has headroom to
+    ~sf 140,000 (the 100 TB regime) while per-row products stay int64
+    (y² ≤ 1.2e14). Both engines evaluate the SAME textual composition
+    over the named moments via scale-0 CAST(. AS DOUBLE); ROUND 6
+    absorbs the final float composition. One scan, map-side partials,
     3-group shuffle."""
     l = read_table(spark, sf_dir, "lineitem")
-    n = F.count(F.lit(1))
-    sx = fsum("l_quantity", 0)
-    sy = fsum("l_extendedprice")
-    sxy = fsum(F.col("l_quantity") * F.col("l_extendedprice"), 2)
-    sxx = fsum(F.col("l_quantity") * F.col("l_quantity"), 0)
-    syy = fsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 4)
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(
-                (n * sxy - sx * sy)
-                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-                6,
-            ).alias("corr_qty_price"),
-            n.cast("bigint").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    iu = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     )
+    d18 = "decimal(18,0)"
+    mom = iu.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast(d18)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d18)).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d18)).alias("syy"),
+    )
+    return mom.selectExpr(
+        "l_returnflag", f"{_CFM_R} AS corr_qty_price", "n"
+    ).orderBy("l_returnflag")
 
 
 @query(

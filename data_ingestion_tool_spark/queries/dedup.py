@@ -1296,13 +1296,14 @@ def _minhash_error_oracle() -> str:
       SELECT doc_id, substring(lower(text), 1, 20) AS bucket,
              list_distinct(list_filter(
                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
-      FROM documents),
+      FROM documents)
+      , tnz AS (SELECT * FROM t WHERE len(toks) > 0),
     h AS (
       SELECT doc_id, bucket, toks,
              list_transform(toks,
                tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
                       % {_MH_P}) AS x
-      FROM t),
+      FROM tnz),
     sig AS (
       SELECT doc_id, bucket, toks,
              {sig_cols}
@@ -1346,6 +1347,12 @@ def dedup_minhash_signature_error(
         "doc_id",
         F.substring(F.lower("text"), 1, 20).alias("bucket"),
         F.array_distinct(TX.tokens("text")).alias("toks"),
+    ).filter(
+        # empty-token guard (round-13 advice): a whitespace-only text
+        # yields array_min over [] = NULL signatures → a NULL matches
+        # group and u=0 NULL ppm divisions that DuckDB's CASE maps
+        # differently; such docs carry no tokens to estimate over
+        F.size("toks") > 0
     ).withColumn(
         "x",
         F.transform(

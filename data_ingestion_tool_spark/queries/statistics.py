@@ -8229,20 +8229,38 @@ def events_acf_lags_1_to_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Partial correlation composed over NAMED moment columns: both engines
-# aggregate the same fixed-point-exact moments into columns (n, sx, …)
-# and then evaluate ONE shared textual expression — the only way a
-# composition this deep stays bit-aligned (stats_ols_two_factor rule).
+# aggregate the same EXACT moments into columns (n, sx, …) and then
+# evaluate ONE shared textual expression — the only way a composition
+# this deep stays bit-aligned (stats_ols_two_factor rule).
+#
+# Round-13 overflow fix: correlation is invariant under affine
+# rescaling, so the moments are taken in INTEGER units (qty, price
+# CENTS, discount PERCENT points) and the y-bearing sums accumulate as
+# DECIMAL — the old fsum(price², 4) bigint sat at 7.4e18 (80% of int64)
+# at sf0.1 and would overflow at ~1.25× that volume. Per-row products
+# stay int64 (y² ≤ 1.2e14); SUM(CAST(prod AS DECIMAL(18,0))) →
+# decimal(28,0), headroom to ~sf 140,000 (the 100 TB regime). Each
+# moment enters the shared expression through CAST(. AS DOUBLE) —
+# scale-0 exact-int conversion, correctly rounded on both engines
+# (never a DECIMAL(.,s>0)→double division).
+def _pcd(c: str) -> str:
+    return f"CAST({c} AS DOUBLE)"
+
+
 _PC_RXY = (
-    "((n * sxy - sx * sy)"
-    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))"
+    f"(({_pcd('n')} * {_pcd('sxy')} - {_pcd('sx')} * {_pcd('sy')})"
+    f" / (sqrt({_pcd('n')} * {_pcd('sxx')} - {_pcd('sx')} * {_pcd('sx')})"
+    f" * sqrt({_pcd('n')} * {_pcd('syy')} - {_pcd('sy')} * {_pcd('sy')})))"
 )
 _PC_RXZ = (
-    "((n * sxz - sx * sz)"
-    " / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)))"
+    f"(({_pcd('n')} * {_pcd('sxz')} - {_pcd('sx')} * {_pcd('sz')})"
+    f" / (sqrt({_pcd('n')} * {_pcd('sxx')} - {_pcd('sx')} * {_pcd('sx')})"
+    f" * sqrt({_pcd('n')} * {_pcd('szz')} - {_pcd('sz')} * {_pcd('sz')})))"
 )
 _PC_RYZ = (
-    "((n * syz - sy * sz)"
-    " / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)))"
+    f"(({_pcd('n')} * {_pcd('syz')} - {_pcd('sy')} * {_pcd('sz')})"
+    f" / (sqrt({_pcd('n')} * {_pcd('syy')} - {_pcd('sy')} * {_pcd('sy')})"
+    f" * sqrt({_pcd('n')} * {_pcd('szz')} - {_pcd('sz')} * {_pcd('sz')})))"
 )
 _PC_PARTIAL = (
     f"ROUND(({_PC_RXY} - {_PC_RXZ} * {_PC_RYZ})"
@@ -8252,22 +8270,26 @@ _PC_PARTIAL = (
 
 
 def _partial_corr_oracle() -> str:
-    from .registry import sql_fsum
-
     return f"""
-    WITH mom AS (
+    WITH iu AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS z
+      FROM lineitem),
+    mom AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             {sql_fsum('l_quantity', 0)} AS sx,
-             {sql_fsum('l_extendedprice')} AS sy,
-             {sql_fsum('l_discount')} AS sz,
-             {sql_fsum('l_quantity * l_extendedprice')} AS sxy,
-             {sql_fsum('l_quantity * l_discount')} AS sxz,
-             {sql_fsum('l_extendedprice * l_discount', 4)} AS syz,
-             {sql_fsum('l_quantity * l_quantity', 0)} AS sxx,
-             {sql_fsum('l_extendedprice * l_extendedprice', 4)} AS syy,
-             {sql_fsum('l_discount * l_discount', 4)} AS szz
-      FROM lineitem GROUP BY l_returnflag)
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             SUM(CAST(x * y AS DECIMAL(18,0))) AS sxy,
+             CAST(SUM(x * z) AS BIGINT) AS sxz,
+             SUM(CAST(y * z AS DECIMAL(18,0))) AS syz,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(18,0))) AS syy,
+             CAST(SUM(z * z) AS BIGINT) AS szz
+      FROM iu GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            ROUND({_PC_RXY}, 6) AS r_qty_price,
            {_PC_PARTIAL} AS partial_r_given_discount
@@ -8282,28 +8304,35 @@ def stats_partial_corr_qty_price(
     """First-order partial correlation: qty↔price with discount
     partialled out, r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
     per return flag — the confounder-controlled sibling of
-    agg_corr_from_moments. All ten moments take the fsum fast path
-    (exact scaled-integer accumulates); both engines then evaluate the
-    SAME textual composition over the named moment columns, ROUND 6.
+    agg_corr_from_moments. Moments are exact integer-unit sums (qty /
+    price-cents / discount-points — correlation is scale-invariant),
+    DECIMAL-accumulated where int64 lacks headroom (y², x·y, y·z:
+    decimal(28,0) holds to ~sf 140,000 ≈ 100 TB, vs the old bigint
+    accumulator that sat at 80% of int64 at sf0.1); both engines then
+    evaluate the SAME textual composition over the named moment
+    columns via scale-0 CAST(. AS DOUBLE), ROUND 6.
 
     Scale shape: one lineitem scan, map-side-combined moment
     partials, a 3-row fold — nothing but the scan is data-sized."""
-    from .registry import fsum
-
     l = read_table(spark, sf_dir, "lineitem")
-    mom = l.groupBy("l_returnflag").agg(
+    iu = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("z"),
+    )
+    d18 = "decimal(18,0)"
+    mom = iu.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        fsum("l_quantity", 0).alias("sx"),
-        fsum("l_extendedprice").alias("sy"),
-        fsum("l_discount").alias("sz"),
-        fsum(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("sxy"),
-        fsum(F.col("l_quantity") * F.col("l_discount"), 2).alias("sxz"),
-        fsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("syz"),
-        fsum(F.col("l_quantity") * F.col("l_quantity"), 0).alias("sxx"),
-        fsum(
-            F.col("l_extendedprice") * F.col("l_extendedprice"), 4
-        ).alias("syy"),
-        fsum(F.col("l_discount") * F.col("l_discount"), 4).alias("szz"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast(d18)).alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum((F.col("x") * F.col("y")).cast(d18)).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(d18)).alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d18)).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
     )
     return mom.selectExpr(
         "l_returnflag",

@@ -186,6 +186,57 @@ class TxnLogTable:
                 v = self.versions()[-1] + 1
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def commit_merge(
+        self,
+        data_df: DataFrame,
+        delete_keys_df: DataFrame,
+        meta: dict | None = None,
+        max_retries: int = 5,
+    ) -> tuple[int, str]:
+        """ATOMIC MoR merge commit: ONE log entry carrying both the
+        refolded-rows append (``add``) and the equality tombstone
+        (``add_deletes``), plus the writer ``meta`` idempotency token.
+
+        Two separate commits (``commit_deletes`` then ``commit``) are
+        not crash-atomic: a writer dying between them leaves an
+        orphaned tombstone that already hides the touched keys' prior
+        rows, so a replay that rebuilds its merge input from
+        ``snapshot_mor`` sees those keys as absent and permanently
+        loses their history. One ``_put_entry`` makes tombstone+append
+        all-or-nothing — ``_live_with_versions`` already resolves both
+        the ``add`` and ``add_deletes`` lists per entry.
+
+        Sequence semantics: both sides carry the SAME version v, and
+        :meth:`snapshot_mor` applies a tombstone only to data batches
+        with strictly smaller version (``_del_v > _data_v``), so the
+        entry's own append is never hidden by its own tombstone while
+        every prior batch's touched rows are."""
+        versions = self.versions()
+        v = (versions[-1] + 1) if versions else 0
+        batch = f"batch-{v:05d}-{os.urandom(4).hex()}"
+        dbatch = f"batch-{v:05d}-del-{os.urandom(4).hex()}"
+        data_df.write.mode("error").parquet(
+            os.path.join(self.root, "data", batch)
+        )
+        delete_keys_df.write.mode("error").parquet(
+            os.path.join(self.root, "data", dbatch)
+        )
+        for _ in range(max_retries):
+            entry = {
+                "version": v,
+                "add": [batch],
+                "add_deletes": [dbatch],
+                "remove": [],
+            }
+            if meta:
+                entry["meta"] = meta
+            try:
+                self._put_entry(v, entry)
+                return v, batch
+            except CommitConflict:
+                v = self.versions()[-1] + 1
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def _live_with_versions(
         self, version: int | None, key: str
     ) -> list[tuple[str, int]]:

@@ -141,13 +141,17 @@ def stream_cdc_scd2_txnlog(
 ):
     """Stream a CDC change feed into an SCD TYPE-2 dimension on the
     transaction-log format: each micro-batch MERGES its changes into
-    the current interval table TOUCHED-KEYS-ONLY — a MoR equality
-    tombstone (``commit_deletes``) retires every touched key's prior
-    rows and an append commit lands only those keys' refolded
-    intervals, tagged with the micro-batch id — idempotent under
-    foreachBatch replay via the same ``has_meta`` guard as
-    :func:`stream_ingest_txnlog` (a replayed batch re-tombstones, a
-    harmless no-op over already-retired rows).
+    the current interval table TOUCHED-KEYS-ONLY — ONE ATOMIC log
+    entry (:meth:`TxnLogTable.commit_merge`) carries both the MoR
+    equality tombstone retiring every touched key's prior rows AND the
+    append of those keys' refolded intervals, tagged with the
+    micro-batch id. Atomicity matters: with tombstone and append as
+    two log versions, a driver dying between them leaves an orphaned
+    tombstone hiding the touched keys' prior rows, so the replay
+    (which sees ``has_meta=False`` and rebuilds its input from
+    ``snapshot_mor``) would permanently lose those keys' history.
+    With one entry the replay either sees the full merge (skipped via
+    ``has_meta``) or a table without any trace of it.
 
     The merge is ORDER-INSENSITIVE across micro-batches AND idempotent
     under duplicate delivery: for each touched key the current rows
@@ -301,13 +305,20 @@ def stream_cdc_scd2_txnlog(
             if prior.count():
                 # EXACT tombstone — only keys with prior rows, so an
                 # insert-only batch tombstones nothing and later
-                # anti-joins never carry useless key sets
-                t.commit_deletes(prior.select(key_col).distinct())
-            t.commit(
-                fold(prior.unionByName(changes)),
-                mode="append",
-                meta={"src_batch": batch_id},
-            )
+                # anti-joins never carry useless key sets. Tombstone +
+                # refolded append land as ONE atomic log entry so a
+                # crash between them cannot orphan the tombstone.
+                t.commit_merge(
+                    fold(prior.unionByName(changes)),
+                    prior.select(key_col).distinct(),
+                    meta={"src_batch": batch_id},
+                )
+            else:
+                t.commit(
+                    fold(prior.unionByName(changes)),
+                    mode="append",
+                    meta={"src_batch": batch_id},
+                )
             prior.unpersist()
         if live_deletes() >= compact_every:
             compact()

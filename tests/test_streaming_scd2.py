@@ -123,6 +123,18 @@ def test_small_batches_take_mor_path_and_merge_correctly(spark, tmp_path):
     assert t._live_with_versions(None, "add_deletes"), (
         "small batches should tombstone, not rewrite the table"
     )
+    # crash-atomicity invariant (round-13): every entry that carries a
+    # tombstone ALSO carries its refolded append and the src_batch
+    # idempotency meta — a tombstone can never exist without the append
+    # it belongs to, so a driver crash cannot hide keys a replay then
+    # fails to rebuild
+    for v in t.versions():
+        e = t._entry(v)
+        if e.get("add_deletes"):
+            assert e.get("add"), f"orphanable tombstone at v{v}: {e}"
+            assert "src_batch" in e.get("meta", {}), (
+                f"tombstone entry without idempotency meta at v{v}: {e}"
+            )
     rows = sorted(
         (r.k, r.status, r.valid_from, r.valid_to)
         for r in t.snapshot_mor("k").collect()

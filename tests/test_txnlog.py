@@ -156,6 +156,35 @@ def test_streaming_sink_skips_replayed_batch(spark, tmp_path):
     assert t2.snapshot().count() == 20
 
 
+def test_commit_merge_is_one_atomic_version(spark, tmp_path):
+    """commit_merge lands tombstone + append as ONE log entry (crash
+    can never orphan the tombstone), carries the meta token, and the
+    same-version tombstone hides only strictly-older batches — never
+    its own append."""
+    from pyspark.sql import functions as F
+
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10).select(F.col("id").alias("k")))  # v0
+    n_before = len(t.versions())
+    v, _ = t.commit_merge(
+        spark.range(3).select((F.col("id") + 100).alias("k")),
+        spark.range(3).select(F.col("id").alias("k")),
+        meta={"src_batch": 7},
+    )
+    assert len(t.versions()) == n_before + 1  # exactly one new version
+    e = t._entry(v)
+    assert e["add"] and e["add_deletes"] and e["meta"] == {"src_batch": 7}
+    assert t.has_meta("src_batch", 7)
+    out = sorted(r.k for r in t.snapshot_mor("k").collect())
+    # 0..2 tombstoned from v0; 3..9 survive; 100..102 appended at v —
+    # NOT hidden by the same-version tombstone (strict _del_v > _data_v)
+    assert out == [3, 4, 5, 6, 7, 8, 9, 100, 101, 102]
+    # overwrite compaction retires the merge's data AND delete batches
+    t.commit(t.snapshot_mor("k"), mode="overwrite")
+    assert t._live_with_versions(None, "add_deletes") == []
+    assert sorted(r.k for r in t.snapshot_mor("k").collect()) == out
+
+
 def test_mor_delete_is_sequence_aware(spark, tmp_path):
     t = TxnLogTable(spark, str(tmp_path / "t"))
     t.commit(spark.range(10))                       # v0: keys 0..9

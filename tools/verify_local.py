@@ -38,6 +38,11 @@ TABLES = (
 # stats/quantile/moment query. Prefix families + named extras.
 _MAG_PREFIXES = ("stats_", "quantile_", "outlier_", "histogram_", "quality_")
 _MAG_EXTRA = {
+    # (stats_* keys are covered wholesale by _MAG_PREFIXES — the
+    # round-12 moment additions stats_two_proportion_ztest /
+    # stats_bartlett_variance_test / stats_partial_corr_qty_price /
+    # stats_durbin_watson_hourly are magnitude-checked via the prefix)
+    "events_acf_lags_1_to_5",
     "agg_regr_slope_intercept",
     "agg_spearman_corr",
     "agg_corr_from_moments",
