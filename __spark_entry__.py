@@ -150,6 +150,31 @@ def _prior_round_keys() -> set[str]:
         return set()
 
 
+def _last_attested_round() -> dict[str, int]:
+    """Round number of each key's MOST RECENT driver verdict, parsed
+    from the CORRECTNESS_r{N}.json filenames — the age signal the
+    stale-verdict rotation sorts on."""
+    import glob
+    import json
+    import re
+
+    here = Path(__file__).resolve().parent
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(Path(p).read_text())
+        except Exception:  # noqa: BLE001 - malformed artifact must not break entry
+            continue
+        if isinstance(data, dict):
+            for k in data:
+                last[k] = max(rnd, last.get(k, 0))
+    return last
+
+
 def _window_priority(all_keys) -> list[str]:
     """Current window: the static priority list until the driver has
     recorded verdicts for all of it, then automatic rotation — keys
@@ -158,8 +183,12 @@ def _window_priority(all_keys) -> list[str]:
     rows-only record despite a since-added hash oracle, then keys with
     NO driver verdict yet (long-standing keys from the prior round's
     bench before this round's new additions, registry order within
-    each class), so each round's 50-entry correctness window covers
-    fresh ground."""
+    each class), and finally — the round-13 stale-verdict rotation —
+    every remaining seen-and-passing key ordered OLDEST-ATTESTED-FIRST
+    (registry order within a round), so with the whole registry seen
+    the 50-key window re-attests the registry every ~ceil(N/50) rounds
+    instead of degrading to registry-head order and re-verifying the
+    same 50 keys forever while the other verdicts age."""
     seen, failed, stale = _driver_verdicts()
     if not seen.issuperset(_WINDOW_PRIORITY):
         return _WINDOW_PRIORITY
@@ -167,7 +196,13 @@ def _window_priority(all_keys) -> list[str]:
     refresh = [k for k in all_keys if k in failed or k in stale]
     fresh = [k for k in all_keys if k not in seen and k not in failed]
     fresh.sort(key=lambda k: k not in prior)  # stable: prior-round first
-    return refresh + fresh
+    head = refresh + fresh
+    in_head = set(head)
+    last = _last_attested_round()
+    idx = {k: i for i, k in enumerate(all_keys)}
+    rest = [k for k in all_keys if k not in in_head]
+    rest.sort(key=lambda k: (last.get(k, 0), idx[k]))
+    return head + rest
 
 
 def _ordered(mapping: dict) -> dict:

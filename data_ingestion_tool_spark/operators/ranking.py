@@ -1167,6 +1167,7 @@ def grouped_adjacent_pair_moments(
     )
     from pyspark.sql import Window
 
+    # pid grain: <=P rows (one partial row per partition) — bounded
     wb = Window.orderBy("pid")
     edges = slim.where(F.col("kind") == 1).select(
         "pid", "first_g", "first_v", "last_g", "last_v"

@@ -3360,6 +3360,9 @@ def orders_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(cents).cast("bigint").alias("cents")
     )
+    # customer-aggregate grain (docstring adjudication: at 100 TB this
+    # ntile rides operators/ranking.with_global_ntile's range-partitioned
+    # rank math; the decile boundaries are identical)
     decile = F.ntile(10).over(
         Window.orderBy(F.col("cents"), F.col("o_custkey"))
     )
@@ -3640,6 +3643,7 @@ def events_path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(">", "event_type", "e2", "e3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n_paths"))
+    # rank-filter (rn <= 20): TakeOrdered-bounded before the window
     wr = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
     return (
         paths.withColumn("rn", F.row_number().over(wr))
@@ -4083,6 +4087,7 @@ def orders_forecast_snaive_mape(
     )
     f = m.select(
         "mon", "cents",
+        # month grain: bounded (one row per month)
         F.lag("cents", 12).over(Window.orderBy("mon")).alias("forecast"),
     ).filter(F.col("forecast").isNotNull() & (F.col("cents") > 0))
     return f.agg(

@@ -695,6 +695,7 @@ def mix_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "global_pos",
             F.row_number()
+            # bounded: runs on the 200-row limited frame above
             .over(Window.orderBy("pos_in_source", "source", "doc_id"))
             .cast("bigint"),
         )

@@ -1992,6 +1992,7 @@ def similarity_recall_vs_nprobe_curve(
             (
                 F.col("hits")
                 >= F.coalesce(
+                    # n_probe sweep grain: bounded (a few probe settings)
                     F.lag("hits").over(Window.orderBy("n_probe")),
                     F.lit(0),
                 )

@@ -2322,6 +2322,7 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = s.selectExpr(
         f"stack({_BOOT_B}, {stack_expr}) AS (r, mean_cents)"
     ).select("r", F.round(F.col("mean_cents") / 100, 9).alias("m"))
+    # bounded: _BOOT_B bootstrap-replicate rows, a constant
     ranked = m.withColumn("rn", F.row_number().over(Window.orderBy("m", "r")))
     return ranked.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
@@ -3946,6 +3947,7 @@ def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.sum(_cents("value")).cast("bigint").alias("cents"))
     )
+    # day grain: bounded (one row per calendar day)
     w = Window.orderBy("d")
     signs = (
         daily.withColumn("diff", F.col("cents") - F.lag("cents").over(w))
@@ -5102,6 +5104,7 @@ def stats_benjamini_hochberg_fdr(
         f"ROUND({_BH['z']}, 6) AS z",
         f"ROUND({_BH['p']}, 9) AS p_value",
     )
+    # brand grain: bounded (25 brands)
     w_rank = Window.orderBy("p_value", "brand")
     w_all = Window.partitionBy(F.lit(1))
     rk = pv.withColumn(
@@ -5550,6 +5553,7 @@ def graph_adamic_adar_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = und.withColumn(
         "rk",
         F.row_number().over(
+            # (u,v) pair grain: bounded enum-pair domain
             Window.orderBy(F.col("cnt").desc(), "u", "v")
         ),
     )
@@ -6544,6 +6548,7 @@ def graph_clustering_coefficient_brands(
     n = und.agg(F.count(F.lit(1)).alias("n"))
     rk = und.withColumn(
         "rk",
+        # (u,v) pair grain: bounded enum-pair domain
         F.row_number().over(Window.orderBy(F.col("cnt").desc(), "u", "v")),
     )
     th = (
@@ -7566,6 +7571,7 @@ def quality_outlier_ensemble_votes(
     wall = Window.partitionBy(F.lit(1))
     ranked = byd.select(
         "d",
+        # day grain: bounded (one row per calendar day)
         F.row_number().over(Window.orderBy("d")).alias("rn"),
         ((F.count(F.lit(1)).over(wall) + 3) / 4).cast("bigint").alias("lo"),
         ((3 * F.count(F.lit(1)).over(wall) + 3) / 4)
@@ -7597,6 +7603,7 @@ def quality_outlier_ensemble_votes(
     )
     madr = withmed.select(
         "ad",
+        # value grain of per-day abs deviations: bounded (day count)
         F.row_number().over(Window.orderBy("ad")).alias("rn"),
         ((F.count(F.lit(1)).over(wall) + 1) / 2).cast("bigint").alias("md2"),
     )
@@ -7969,6 +7976,7 @@ def graph_degree_assortativity_brands(
         .select(
             "cnt",
             F.row_number()
+            # (u,v) pair grain: bounded enum-pair domain
             .over(Window.orderBy(F.desc("cnt"), "u", "v"))
             .alias("rk"),
             F.expr("CAST(CEIL(0.1 * n) AS BIGINT)").alias("kth"),
@@ -8413,6 +8421,7 @@ def stats_durbin_watson_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = s.crossJoin(F.broadcast(mom)).selectExpr(
         "t", "n", f"{_DW_E} AS e"
     )
+    # hour-index grain: bounded (one row per hour)
     wlag = Window.orderBy("t")
     diffs = res.select(
         "n", "e", (F.col("e") - F.lag("e").over(wlag)).alias("de")

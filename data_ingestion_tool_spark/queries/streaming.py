@@ -984,12 +984,16 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     case); the mtime spacing below only makes the batch sequence
     reproducible for the idempotency metadata.
 
-    Scale shape: each micro-batch WRITE is O(touched keys) — one
-    tombstone batch + one refolded-interval batch — never a table
-    rewrite; the read side is a snapshot scan with a broadcast
-    semi-join on the batch key set; compaction folds tombstones in at
-    stream end; the summary is one map-side-combined aggregate + a
-    deduped distinct-key count."""
+    Scale shape: the merge is ADAPTIVE per batch (round-13 cow_factor
+    tune) — this feed's batches each touch ~25-50% of the key space,
+    so they take the CoW overwrite (rewriting the table once beats
+    tombstone debt at that fraction; round 12 measured the MoR path
+    1.7x slower here); batches touching ≪12.5% of the table take the
+    MoR path — one atomic tombstone+append commit, WRITE O(touched
+    keys) — which `tools/soak_scd2.py` proves out on a 0.5%-touched
+    feed. The read side is a snapshot scan with a broadcast semi-join
+    on the batch key set; the summary is one map-side-combined
+    aggregate + a deduped distinct-key count."""
     import os
     import tempfile
     import time as _time

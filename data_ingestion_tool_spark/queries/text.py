@@ -774,6 +774,7 @@ def text_zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top100 = tf.orderBy(F.desc("freq"), F.asc("term")).limit(100)
     ranked = top100.withColumn(
+        # bounded: runs on the 100-row limited frame above
         "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
     )
     lx = F.log(F.col("rnk").cast("double"))
@@ -1843,6 +1844,8 @@ def text_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # rank-filter (r <= 500): Catalyst rewrites to TakeOrdered(500)
+    # BEFORE the window — the single partition sees 500 rows, bounded
     w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
     pts = (
         tc.withColumn("r", F.row_number().over(w))
@@ -3066,6 +3069,7 @@ def text_word_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.select(
         "term", "total", "total_sq", "df",
         F.row_number()
+        # rank-filter (rk <= 20): TakeOrdered-bounded before the window
         .over(Window.orderBy(F.desc("total"), "term"))
         .alias("rk"),
     ).filter(F.col("rk") <= 20)
@@ -3313,19 +3317,20 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("ntok")
     )
-    wdoc = Window.orderBy("doc_id")  # doc grain: bounded (n_docs rows)
-    docs = per_doc.select(
-        "doc_id",
-        F.row_number().over(wdoc).alias("rn"),
-        F.sum("ntok").over(wdoc).cast("bigint").alias("cumtok"),
+    # doc-grain cumulative tokens via the partition-offset prefix sum
+    # (round-13: replaces an unpartitioned Window.orderBy — at 100 TB
+    # "n_docs rows through one partition" is a real funnel; this is a
+    # range shuffle + P-row offsets, no single-partition WindowExec)
+    from ..operators.ranking import with_global_prefix_sum
+
+    docs = with_global_prefix_sum(
+        per_doc, ["doc_id"], "ntok", rn="rn", cum="cumtok", n_col="nd"
     )
-    nd = per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     cuts = (
-        spark.range(1, 11)
-        .select(F.col("id").cast("int").alias("i"))
-        .crossJoin(F.broadcast(nd))
-        .join(
-            docs,
+        docs.join(
+            F.broadcast(
+                spark.range(1, 11).select(F.col("id").cast("int").alias("i"))
+            ),
             F.col("rn")
             == F.expr(
                 "CAST(CEIL(CAST(i * nd AS DOUBLE) / 10.0) AS BIGINT)"

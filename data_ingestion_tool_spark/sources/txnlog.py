@@ -281,7 +281,40 @@ class TxnLogTable:
             # is then exactly snapshot, so callers can always use it
             return self.snapshot(version)
 
+        def _specced(batches) -> bool:
+            """True if any batch was committed with a partition spec —
+            those dirs carry partition trees that a multi-root scan
+            can't discover together (snapshot_evolved's domain)."""
+            vs = {v for (_, v) in batches}
+            return any(self._entry(v).get("spec") for v in vs)
+
         def read_tagged(batches, tag):
+            if not _specced(batches):
+                # ONE multi-path scan for ALL live batches; each row's
+                # commit version recovered from input_file_name() via a
+                # broadcast literal map — round-13: the old per-batch
+                # scan-union made every MoR snapshot O(live batches)
+                # scan nodes, so a B-batch merge feed paid O(B²) scan
+                # instantiations before compaction (measured 25-45%
+                # of MoR merge wall in tools/soak_scd2.py)
+                paths = [
+                    os.path.join(self.root, "data", b) for (b, _) in batches
+                ]
+                vmap = F.create_map(
+                    *[
+                        x
+                        for (b, v) in batches
+                        for x in (F.lit(b), F.lit(v))
+                    ]
+                )
+                return self.spark.read.parquet(*paths).withColumn(
+                    tag,
+                    vmap[
+                        F.regexp_extract(
+                            F.input_file_name(), r"/data/([^/]+)/", 1
+                        )
+                    ],
+                )
             parts = [
                 self.spark.read.parquet(
                     os.path.join(self.root, "data", b)

@@ -138,6 +138,7 @@ def stream_cdc_scd2_txnlog(
     ts_col: str = "eff_ts",
     max_files_per_trigger: int = 1,
     compact_every: int = 16,
+    cow_factor: int = 8,
 ):
     """Stream a CDC change feed into an SCD TYPE-2 dimension on the
     transaction-log format: each micro-batch MERGES its changes into
@@ -171,8 +172,8 @@ def stream_cdc_scd2_txnlog(
     near-free numbers: the batch's row count and the table's
     parquet-footer rows (driver-side metadata, no probe job),
 
-    - **MoR** when the batch is a small slice (batch_rows·3 <
-      table_rows): EXACT equality tombstones (derived from the prior
+    - **MoR** when the batch is a small slice (batch_rows·cow_factor
+      < table_rows): EXACT equality tombstones (derived from the prior
       rows that actually exist, so insert-only batches tombstone
       nothing and later anti-joins never carry useless key sets) +
       an append of only the refolded touched keys — WRITE is
@@ -182,7 +183,19 @@ def stream_cdc_scd2_txnlog(
     - **CoW overwrite** when the batch is a large fraction (the
       bulk-restate regime): untouched rows pass through an anti-join
       and ONE overwrite commit rewrites the table — cheaper than
-      tombstoning half the key space, and it auto-compacts.
+      tombstoning a large slice of the key space, and it
+      auto-compacts.
+
+    ``cow_factor`` (round-13 tune, default 8 → CoW when the batch
+    touches ≳12.5% of the table): MoR's per-batch saving is the write
+    volume (touched vs table), but it pays a second commit's overhead
+    plus tombstone read-debt on every later snapshot until compaction
+    (amortized ~table/compact_every per batch) — so the break-even is
+    touched ≪ table, not touched < table/3. Round-12's factor 3 sent
+    25%-of-keyspace batches down MoR and measured SLOWER than CoW on
+    the bench feed; ``tools/soak_scd2.py`` pins both regimes (a
+    0.5%-touched feed where MoR beats forced CoW, and the bench-shaped
+    feed where CoW wins).
 
     On the MoR path ``prior`` is a touched-keys-bounded persist reused
     by the emptiness probe, the tombstone and the fold. Joins carry no
@@ -286,7 +299,7 @@ def stream_cdc_scd2_txnlog(
                 return batch_df.count()  # non-file source: one count job
             return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
-        if batch_rows() * 3 >= table_rows():
+        if batch_rows() * cow_factor >= table_rows():
             # CoW: bulk-restate batch — rewriting the table once beats
             # tombstoning a large slice of the key space (and the
             # overwrite retires any accumulated tombstones for free)

@@ -88,13 +88,64 @@ def test_window_priority_orders_failed_then_unseen(monkeypatch):
         E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"}, set())
     )
     monkeypatch.setattr(E, "_prior_round_keys", lambda: {"a", "b", "c", "d"})
-    assert E._window_priority(keys) == ["b", "c", "e"]
+    monkeypatch.setattr(E, "_last_attested_round", lambda: {})
+    # seen-and-passing keys ('a','d') now trail as the rotation tail
+    # (round-13) instead of leaving the ordering entirely
+    assert E._window_priority(keys) == ["b", "c", "e", "a", "d"]
     # stale rows-only verdicts re-window like failures once an oracle
     # exists ('d' was last seen as no_oracle, now hash-oracled)
     monkeypatch.setattr(
         E, "_driver_verdicts", lambda: ({"a", "b", "d"}, {"b"}, {"d"})
     )
-    assert E._window_priority(keys) == ["b", "d", "c", "e"]
+    assert E._window_priority(keys) == ["b", "d", "c", "e", "a"]
+
+
+def test_window_rotates_stalest_verdicts_when_all_seen(monkeypatch):
+    """Round-12 verdict item 2: with every key seen and none
+    failed/stale, the window must NOT degrade to registry-head order —
+    remaining keys rotate oldest-attested-first (registry order within
+    a round) so the full registry re-attests every ~ceil(N/50)
+    rounds."""
+    import __spark_entry__ as E
+
+    keys = ["a", "b", "c", "d", "e"]
+    monkeypatch.setattr(E, "_WINDOW_PRIORITY", ["a"])
+    monkeypatch.setattr(
+        E, "_driver_verdicts", lambda: (set(keys), set(), set())
+    )
+    monkeypatch.setattr(E, "_prior_round_keys", lambda: set(keys))
+    # a,b attested r05; c r02; d r09; e r02 → oldest first, registry
+    # order breaking the c/e tie
+    monkeypatch.setattr(
+        E,
+        "_last_attested_round",
+        lambda: {"a": 5, "b": 5, "c": 2, "d": 9, "e": 2},
+    )
+    assert E._window_priority(keys) == ["c", "e", "a", "b", "d"]
+    # failed keys still lead the rotation
+    monkeypatch.setattr(
+        E, "_driver_verdicts", lambda: (set(keys), {"d"}, set())
+    )
+    assert E._window_priority(keys) == ["d", "c", "e", "a", "b"]
+
+
+def test_live_window_head_is_the_stalest_keys():
+    """With the real artifacts (all 507 seen, none failed), the first
+    50 queries() keys must be strictly no-younger than every key
+    outside the window — the CORRECTNESS_r13 gate then re-attests the
+    stalest verdicts."""
+    import __spark_entry__ as E
+    from data_ingestion_tool_spark.queries import QUERIES
+
+    seen, failed, stale = E._driver_verdicts()
+    unseen = [k for k in QUERIES if k not in seen]
+    if unseen or failed or stale:
+        return  # mid-round additions pending: unseen-first order rules
+    last = E._last_attested_round()
+    w = list(E.queries())
+    head_max = max(last[k] for k in w[:50])
+    tail_min = min(last[k] for k in w[50:])
+    assert head_max <= tail_min
 
 
 def test_ordered_puts_window_head_first():
