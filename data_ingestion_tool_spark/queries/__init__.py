@@ -34,6 +34,7 @@ from . import tpch  # noqa: F401
 from . import sql_surface  # noqa: F401
 from . import analytics  # noqa: F401
 from . import statistics  # noqa: F401
-from . import mixing  # noqa: F401  (last: window rotation favors older unverified keys)
+from . import mixing  # noqa: F401
+from . import sketches  # noqa: F401  (last: window rotation favors older unverified keys)
 
 __all__ = ["ORACLES", "QUERIES", "query"]

@@ -5386,3 +5386,91 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: Haar wavelet energy decomposition of the hourly series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_haar_wavelet_energy",
+    oracle="""
+    WITH hr AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rn
+      FROM hr),
+    w AS (SELECT * FROM idx WHERE rn <= 512),
+    lv AS (SELECT unnest(generate_series(1, 9)) AS l),
+    cells AS (
+      SELECT lv.l,
+             (w.rn - 1) // (CAST(1 AS BIGINT) << lv.l) AS blk,
+             ((w.rn - 1) // (CAST(1 AS BIGINT) << (lv.l - 1))) % 2 AS half,
+             w.c
+      FROM w, lv),
+    details AS (
+      SELECT l, blk,
+             CAST(SUM(CASE WHEN half = 0 THEN c ELSE -c END) AS BIGINT)
+               AS d
+      FROM cells GROUP BY l, blk)
+    SELECT CAST(l AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(d * d) AS BIGINT) AS detail_energy
+    FROM details GROUP BY l ORDER BY level
+    """,
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet energy spectrum of the hourly event-
+    count series (first 512 hours): level-ℓ detail coefficients are
+    first-half-minus-second-half sums over 2^ℓ-hour blocks, and the
+    per-level energy Σd² localizes WHERE the series' variance lives —
+    levels 4-5 (16-32 h) spiking means daily cycle, level 9 means a
+    regime shift between the two 256-hour halves. The multi-resolution
+    screen a plain ACF can't give. All integer math: counts, block
+    sums, diffs and squares are exact int64 on both engines.
+
+    Scale shape: one events scan → hour-grain counts (map-side
+    combinable); the hour index rides a bounded window (one row per
+    hour); the 9-level expansion is a 9-row broadcast cross join on
+    the HOUR frame (never the event grain), then one (level, block)
+    aggregate."""
+    e = read_events(spark, sf_dir)
+    hr = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # hour grain: bounded (one row per hour)
+    idx = hr.select(
+        "c",
+        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("rn"),
+    ).filter(F.col("rn") <= 512)
+    lv = spark.range(1, 10).select(F.col("id").cast("int").alias("l"))
+    cells = idx.crossJoin(F.broadcast(lv)).selectExpr(
+        "l",
+        "(rn - 1) DIV shiftleft(CAST(1 AS BIGINT), l) AS blk",
+        "((rn - 1) DIV shiftleft(CAST(1 AS BIGINT), l - 1)) % 2 AS half",
+        "c",
+    )
+    details = cells.groupBy("l", "blk").agg(
+        F.sum(
+            F.when(F.col("half") == 0, F.col("c")).otherwise(-F.col("c"))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    return (
+        details.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("d") * F.col("d"))
+            .cast("bigint")
+            .alias("detail_energy"),
+        )
+        .select(
+            F.col("l").cast("int").alias("level"),
+            "n_blocks",
+            "detail_energy",
+        )
+        .orderBy("level")
+    )

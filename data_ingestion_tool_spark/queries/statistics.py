@@ -8572,3 +8572,78 @@ def stats_two_proportion_ztest(
         "        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
         "        * (1.0 / n1 + 1.0 / n2)) AS z",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: extreme-value (Gumbel) fit of daily block maxima
+# ---------------------------------------------------------------------------
+
+# Method-of-moments Gumbel fit composed over NAMED exact-int moment
+# columns (n, sx, sxx over daily-max cents) — one shared textual
+# fragment both engines evaluate identically (stats_ols_two_factor
+# rule). beta = s·sqrt(6)/pi, mu = mean − gamma·beta, return level
+# R(p) = mu − beta·ln(−ln p). gamma = Euler–Mascheroni.
+_GUM_MEAN = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_GUM_SD = (
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+)
+_GUM_BETA = f"({_GUM_SD} * sqrt(6.0) / pi())"
+_GUM_MU = f"({_GUM_MEAN} - 0.57721566490153286 * {_GUM_BETA})"
+
+
+@query(
+    "stats_gumbel_block_maxima_fit",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS mx
+      FROM events GROUP BY 1),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS BIGINT) AS sx,
+             CAST(SUM(mx * mx) AS BIGINT) AS sxx
+      FROM daily)
+    SELECT n AS n_blocks,
+           ROUND({_GUM_MU}, 6) AS gumbel_mu_cents,
+           ROUND({_GUM_BETA}, 6) AS gumbel_beta_cents,
+           ROUND({_GUM_MU} - {_GUM_BETA} * ln(-ln(0.99)), 6)
+             AS return_level_p99_cents
+    FROM mom
+    """,
+)
+def stats_gumbel_block_maxima_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value analysis: Gumbel fit of DAILY BLOCK MAXIMA of the
+    event value (method of moments — β̂ = s·√6/π, μ̂ = x̄ − γβ̂) plus
+    the 99% return level μ̂ − β̂·ln(−ln 0.99), the EVT-grounded outlier
+    fence for "how big a daily spike is once-in-100-days normal" —
+    what z-score fences get wrong for max-statistics (maxima are
+    Gumbel, not normal). Block maxima are exact cents (value is
+    2-decimal); the moments are exact int64 sums over the day grain
+    (mx ≤ ~1e5 cents, mx² ≤ 1e10, days ≪ 2^43 — headroom to
+    centuries); both engines evaluate ONE shared fragment over the
+    named moments, ROUND 6.
+
+    Scale shape: one events scan → day-grain max (map-side
+    combinable) → 3-moment fold of a bounded (days) frame. Nothing
+    but the scan is data-sized."""
+    e = read_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.max(_cents("value")).alias("mx")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("sxx"),
+    )
+    return mom.selectExpr(
+        "n AS n_blocks",
+        f"ROUND({_GUM_MU}, 6) AS gumbel_mu_cents",
+        f"ROUND({_GUM_BETA}, 6) AS gumbel_beta_cents",
+        f"ROUND({_GUM_MU} - {_GUM_BETA} * ln(-ln(0.99)), 6)"
+        " AS return_level_p99_cents",
+    )
