@@ -353,3 +353,412 @@ def sketch_bitmap_index_intersection(
         .cast("int")
         .alias("bitmap_matches_exact"),
     )
+
+
+_KMV_K = 64  # minima kept per sketch — small so estimates visibly differ
+
+
+@query(
+    "sketch_kmv_theta_union",
+    oracle=f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1995),
+    b_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1996),
+    a_h AS (SELECT {_DUCK_MD5.format(x="CAST(k AS VARCHAR)")} AS h
+            FROM a_keys),
+    b_h AS (SELECT {_DUCK_MD5.format(x="CAST(k AS VARCHAR)")} AS h
+            FROM b_keys),
+    a_kmin AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+    b_kmin AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+    u_kmin AS (
+      SELECT h FROM (SELECT h FROM a_kmin UNION SELECT h FROM b_kmin)
+      ORDER BY h LIMIT {_KMV_K}),
+    thetas AS (
+      SELECT (SELECT MAX(h) FROM a_kmin) AS ta,
+             (SELECT MAX(h) FROM b_kmin) AS tb,
+             (SELECT MAX(h) FROM u_kmin) AS tu),
+    ests AS (
+      SELECT
+        CAST(FLOOR({_KMV_K - 1}.0 * 1152921504606846976.0
+             / CAST(ta AS DOUBLE)) AS BIGINT) AS kmv_a_est,
+        CAST(FLOOR({_KMV_K - 1}.0 * 1152921504606846976.0
+             / CAST(tb AS DOUBLE)) AS BIGINT) AS kmv_b_est,
+        CAST(FLOOR({_KMV_K - 1}.0 * 1152921504606846976.0
+             / CAST(tu AS DOUBLE)) AS BIGINT) AS kmv_union_est
+      FROM thetas)
+    SELECT
+      CAST((SELECT COUNT(*) FROM a_keys) AS BIGINT) AS n_a_exact,
+      kmv_a_est,
+      CAST((SELECT COUNT(*) FROM b_keys) AS BIGINT) AS n_b_exact,
+      kmv_b_est,
+      CAST((SELECT COUNT(*) FROM (SELECT k FROM a_keys UNION
+                                  SELECT k FROM b_keys)) AS BIGINT)
+        AS n_union_exact,
+      kmv_union_est,
+      CAST(kmv_a_est + kmv_b_est - kmv_union_est AS BIGINT)
+        AS kmv_intersection_est
+    FROM ests
+    """,
+)
+def sketch_kmv_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values / theta sketch (Bar-Yossef et al.; the Apache
+    DataSketches theta family) over the 1995 vs 1996 order-customer
+    sets: keep the k=64 smallest md5 hashes per set, estimate distinct
+    = (k-1)·2^60/theta_k, and MERGE the two sketches (k smallest of the
+    union of minima) for the union estimate — intersection then falls
+    out by inclusion-exclusion. Every hash, theta, and FLOOR'd estimate
+    is bit-replayed by the oracle (identical md5 → identical int60 →
+    identical IEEE division), so the driver hash pins the sketch
+    CONTENT, not an accuracy band.
+
+    Scale shape: per-set k-min is orderBy(h).limit(k) — Spark's
+    TakeOrdered (per-partition top-k, then a k-row merge), never a
+    global sort; the merge step unions two 64-row frames. The sketch
+    is the mergeable-summary pattern that replaces COUNT(DISTINCT)
+    shuffles at 100 TB."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), F.col("o_custkey").alias("k")
+    )
+    hx = _SPARK_MD5.format(x="CAST(k AS STRING)") + " AS h"
+
+    def kmin(year: int) -> DataFrame:
+        return (
+            o.filter(F.col("y") == year)
+            .select("k")
+            .distinct()
+            .selectExpr(hx)
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    a_kmin, b_kmin = kmin(1995), kmin(1996)
+    u_kmin = a_kmin.union(b_kmin).distinct().orderBy("h").limit(_KMV_K)
+
+    def theta(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.max("h").alias(name))
+
+    est = "CAST(FLOOR({k}.0 * 1152921504606846976.0 / CAST({t} AS DOUBLE)) AS BIGINT)"
+
+    def nkeys(year: int, name: str) -> DataFrame:
+        return (
+            o.filter(F.col("y") == year)
+            .select("k")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    n_union = (
+        o.filter(F.col("y") == 1995)
+        .select("k")
+        .union(o.filter(F.col("y") == 1996).select("k"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_exact"))
+    )
+    return (
+        theta(a_kmin, "ta")
+        .crossJoin(F.broadcast(theta(b_kmin, "tb")))
+        .crossJoin(F.broadcast(theta(u_kmin, "tu")))
+        .crossJoin(F.broadcast(nkeys(1995, "n_a_exact")))
+        .crossJoin(F.broadcast(nkeys(1996, "n_b_exact")))
+        .crossJoin(F.broadcast(n_union))
+        .selectExpr(
+            "n_a_exact",
+            est.format(k=_KMV_K - 1, t="ta") + " AS kmv_a_est",
+            "n_b_exact",
+            est.format(k=_KMV_K - 1, t="tb") + " AS kmv_b_est",
+            "n_union_exact",
+            est.format(k=_KMV_K - 1, t="tu") + " AS kmv_union_est",
+        )
+        .selectExpr(
+            "n_a_exact",
+            "kmv_a_est",
+            "n_b_exact",
+            "kmv_b_est",
+            "n_union_exact",
+            "kmv_union_est",
+            "CAST(kmv_a_est + kmv_b_est - kmv_union_est AS BIGINT)"
+            " AS kmv_intersection_est",
+        )
+    )
+
+
+# HLL estimate expression — interpolated VERBATIM into both engines so
+# every double op (alpha literal fold, cast, divide, ln) is bit-identical.
+# alpha_256 = 0.7213/(1 + 1.079/m); 9007199254740992 = 2^53 (the rho
+# fixed-point scale); 65536 = m^2; 640 = 2.5*m (small-range cutoff).
+_HLL_RAW = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))"
+    " * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)"
+    " / CAST(hll_t AS DOUBLE)"
+)
+# NB: every literal is CAST(... AS DOUBLE) — Spark parses bare numeric
+# literals as DECIMAL, so `0.7213 / (1.0 + ...)` would run under decimal
+# scale rules and diverge from DuckDB's double fold at the 1e-9 level.
+_HLL_EST = (
+    "CASE WHEN raw_est <= CAST(640.0 AS DOUBLE) AND n_zero_registers > 0"
+    " THEN CAST(256.0 AS DOUBLE)"
+    " * ln(CAST(256.0 AS DOUBLE) / CAST(n_zero_registers AS DOUBLE))"
+    " ELSE raw_est END"
+)
+
+
+@query(
+    "sketch_hll_register_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_DUCK_MD5.format(x="CAST(o_custkey AS VARCHAR)")} AS hv
+      FROM orders),
+    split AS (SELECT hv % 256 AS reg, hv // 256 AS suffix FROM h),
+    minsuf AS (SELECT reg, MIN(suffix) AS ms FROM split GROUP BY reg),
+    powers AS (
+      SELECT p, CAST(1 AS BIGINT) << CAST(p AS INT) AS v
+      FROM (SELECT unnest(generate_series(0, 51)) AS p)),
+    rho AS (
+      SELECT m.reg,
+             CASE WHEN m.ms = 0 THEN 53
+                  ELSE 52 - MAX(pw.p) END AS r
+      FROM minsuf m LEFT JOIN powers pw ON pw.v <= m.ms
+      GROUP BY m.reg, m.ms),
+    full_regs AS (
+      SELECT g.reg, COALESCE(rho.r, 0) AS m_j
+      FROM (SELECT unnest(generate_series(0, 255)) AS reg) g
+      LEFT JOIN rho ON rho.reg = g.reg),
+    folded AS (
+      SELECT
+        CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_j AS INT)) AS BIGINT)
+          AS hll_t,
+        CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero_registers
+      FROM full_regs),
+    est AS (
+      SELECT hll_t, n_zero_registers, {_HLL_RAW} AS raw_est FROM folded)
+    SELECT
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+        AS n_exact,
+      hll_t, n_zero_registers,
+      {_HLL_EST} AS hll_estimate
+    FROM est
+    """,
+)
+def sketch_hll_register_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built from scratch on
+    md5-derived 60-bit hashes: register = h mod 256, rho = leading-zero
+    rank of the 52-bit suffix (computed EXACTLY via a 52-row
+    powers-of-two join on MIN(suffix) — floor-log2 is monotone, so the
+    per-register min suffix carries the max rho; no float log2 at
+    power-of-two boundaries). The register fold T = sum(2^(53-M_j)) is
+    a pure bigint (<= 2^61), so the driver hash pins ALL 256 registers,
+    and the estimate — alpha_m·m²/sum(2^-M_j) with the standard
+    small-range linear-counting correction — is one shared double
+    expression both engines evaluate bit-identically.
+
+    Scale shape: ONE map-side-combinable groupBy(reg)->MIN(suffix)
+    (256 groups regardless of input rows), a 52-row broadcast join on
+    the 256-row frame, and a 256-row fold — the fixed-size mergeable
+    distinct-count summary that replaces COUNT(DISTINCT)'s full
+    shuffle at 100 TB (register-wise MAX merges across partitions for
+    free inside the MIN combine)."""
+    o = read_table(spark, sf_dir, "orders")
+    h = o.selectExpr(
+        _SPARK_MD5.format(x="CAST(o_custkey AS STRING)") + " AS hv"
+    )
+    split = h.selectExpr("hv % 256 AS reg", "hv DIV 256 AS suffix")
+    minsuf = split.groupBy("reg").agg(F.min("suffix").alias("ms"))
+    powers = spark.range(52).selectExpr(
+        "CAST(id AS INT) AS p",
+        "shiftleft(CAST(1 AS BIGINT), CAST(id AS INT)) AS v",
+    )
+    rho = (
+        minsuf.join(F.broadcast(powers), F.col("v") <= F.col("ms"), "left")
+        .groupBy("reg", "ms")
+        .agg(F.max("p").alias("lg"))
+        .selectExpr(
+            "reg",
+            "CASE WHEN ms = 0 THEN 53 ELSE 52 - lg END AS r",
+        )
+    )
+    full_regs = (
+        spark.range(256)
+        .selectExpr("CAST(id AS BIGINT) AS reg")
+        .join(rho, "reg", "left")
+        .selectExpr("COALESCE(r, 0) AS m_j")
+    )
+    folded = full_regs.agg(
+        F.expr("CAST(SUM(shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT)))"
+               " AS BIGINT)").alias("hll_t"),
+        F.expr("CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_zero_registers"),
+    )
+    exact = o.select("o_custkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        folded.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "n_exact", "hll_t", "n_zero_registers", _HLL_RAW + " AS raw_est"
+        )
+        .selectExpr(
+            "n_exact",
+            "hll_t",
+            "n_zero_registers",
+            _HLL_EST + " AS hll_estimate",
+        )
+    )
+
+
+_LC_M = 65536  # linear-counting bitmap size
+
+# shared estimate fragment (all literals CAST to DOUBLE — see _HLL_RAW
+# note): n̂ = -m·ln(V) with V the empty fraction (Whang et al. 1990).
+_LC_EST = (
+    f"CASE WHEN {_LC_M} - n_set_bits > 0"
+    f" THEN CAST({_LC_M}.0 AS DOUBLE)"
+    f" * ln(CAST({_LC_M}.0 AS DOUBLE)"
+    f" / CAST({_LC_M} - n_set_bits AS DOUBLE))"
+    " ELSE CAST(NULL AS DOUBLE) END"
+)
+
+
+@query(
+    "sketch_linear_counting_orderkeys",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT
+             {_DUCK_MD5.format(x="CAST(l_orderkey AS VARCHAR)")} % {_LC_M}
+               AS bit
+      FROM lineitem),
+    folded AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits FROM bits)
+    SELECT
+      CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+        AS n_exact,
+      n_set_bits,
+      CAST({_LC_M} - n_set_bits AS BIGINT) AS n_empty_bits,
+      {_LC_EST} AS lc_estimate
+    FROM folded
+    """,
+)
+def sketch_linear_counting_orderkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear counting (Whang-Vander-Zanden-Taylor 1990): hash every
+    lineitem orderkey into an m=65536-slot bitmap and estimate the
+    distinct count from the EMPTY fraction, n̂ = m·ln(m/empty) — the
+    load factor crosses 1 between sf0.01 (~15k keys) and sf0.1 (~150k
+    keys), so the estimator is exercised under real bitmap saturation,
+    and the guard yields NULL if the bitmap ever fills. The set-bit
+    count is exact integer state (pinned by the hash); the estimate is
+    one shared all-DOUBLE expression.
+
+    Scale shape: the bitmap is a distinct over md5%m — at most m=65536
+    rows survive the partial-distinct map-side combine no matter the
+    input size; the exact count exists only to expose the estimator's
+    error. The fixed-size bitmap is register-wise OR-mergeable across
+    partitions (what the distinct's partial aggregation does)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bits = (
+        li.selectExpr(
+            _SPARK_MD5.format(x="CAST(l_orderkey AS STRING)")
+            + f" % {_LC_M} AS bit"
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    )
+    exact = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return bits.crossJoin(F.broadcast(exact)).selectExpr(
+        "n_exact",
+        "n_set_bits",
+        f"CAST({_LC_M} - n_set_bits AS BIGINT) AS n_empty_bits",
+        _LC_EST + " AS lc_estimate",
+    )
+
+
+_AMS_J = 16  # independent +-1 estimators
+
+
+@query(
+    "sketch_ams_f2_user_events",
+    oracle=f"""
+    WITH js AS (SELECT unnest(generate_series(0, {_AMS_J - 1})) AS j),
+    signed AS (
+      SELECT js.j,
+             1 - 2 * ({_DUCK_MD5.format(
+                 x="js.j || '~' || CAST(e.user_id AS VARCHAR)")} % 2)
+               AS sgn
+      FROM events e, js),
+    z AS (SELECT j, CAST(SUM(sgn) AS BIGINT) AS zj FROM signed GROUP BY j),
+    est AS (
+      SELECT j, CAST(zj * zj AS BIGINT) AS ej,
+             row_number() OVER (ORDER BY zj * zj, j) AS rn
+      FROM z),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rn IN ({_AMS_J // 2}, {_AMS_J // 2 + 1})
+                           THEN ej ELSE 0 END) AS BIGINT) AS ams_med2x
+      FROM est),
+    f2 AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id))
+    SELECT f2_exact, ams_med2x,
+           CAST(ams_med2x AS DOUBLE)
+             / (CAST(2.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio
+    FROM f2, med
+    """,
+)
+def sketch_ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch (Alon-Matias-Szegedy 1996) for the second frequency
+    moment F2 = Σ cnt(user)² — the self-join-size / skew statistic a
+    planner wants BEFORE shuffling a join on user_id. Sixteen ±1
+    four-wise-style estimators from md5 parity: Z_j = Σ_rows sign_j,
+    E[Z_j²] = F2; the reported statistic is the median pair
+    (sum of the two middle order statistics, kept as exact bigint —
+    never a .5-rounding float). Everything is integer except the final
+    ratio, a single shared double division.
+
+    Scale shape: the sketch is one groupBy(j) over 16 groups — a
+    map-side-combined ±1 sum, so the sketch state is 16 longs per
+    partition regardless of input rows (the streaming-sketch property
+    that makes F2 estimable in one pass at 100 TB); the 16-row median
+    window is constant-bounded. The exact F2 groupBy exists only to
+    expose the estimator's error."""
+    e = read_events(spark, sf_dir).select("user_id")
+    js = spark.range(_AMS_J).selectExpr("CAST(id AS BIGINT) AS j")
+    signed = e.crossJoin(F.broadcast(js)).selectExpr(
+        "j",
+        "1 - 2 * ("
+        + _SPARK_MD5.format(x="concat(j, '~', CAST(user_id AS STRING))")
+        + " % 2) AS sgn",
+    )
+    z = signed.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("zj"))
+    # 16-row grain: the unpartitioned window is constant-bounded
+    est = z.selectExpr(
+        "j",
+        "CAST(zj * zj AS BIGINT) AS ej",
+        "row_number() OVER (ORDER BY zj * zj, j) AS rn",
+    )
+    med = est.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN rn IN ({_AMS_J // 2}, {_AMS_J // 2 + 1})"
+            " THEN ej ELSE 0 END) AS BIGINT)"
+        ).alias("ams_med2x")
+    )
+    f2 = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum(F.expr("cnt * cnt")).cast("bigint").alias("f2_exact"))
+    )
+    return f2.crossJoin(F.broadcast(med)).selectExpr(
+        "f2_exact",
+        "ams_med2x",
+        "CAST(ams_med2x AS DOUBLE)"
+        " / (CAST(2.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio",
+    )
