@@ -762,3 +762,132 @@ def sketch_ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ams_med2x AS DOUBLE)"
         " / (CAST(2.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio",
     )
+
+
+def _dyadic_cover(lo: int, hi: int) -> list[tuple[int, int]]:
+    """Canonical dyadic cover of [lo, hi): greedy largest aligned
+    block. Returns (level, index) nodes with node l,a spanning
+    [a·2^l, (a+1)·2^l). Pure integer arithmetic on FIXED constants —
+    the nodes are embedded as literals into BOTH engines' query text,
+    so no engine replays the decomposition."""
+    out = []
+    while lo < hi:
+        l = 0
+        while (
+            lo % (1 << (l + 1)) == 0 and lo + (1 << (l + 1)) <= hi
+        ):
+            l += 1
+        out.append((l, lo >> l))
+        lo += 1 << l
+    return out
+
+
+_DY_LO, _DY_HI = 10, 117
+_DY_COVER = _dyadic_cover(_DY_LO, _DY_HI)
+_DY_L = 12  # levels built: user_id < 2^12 at the test SFs (see doc)
+_DY_W = 128  # counters per (level, hash-row)
+_DY_D = 2  # hash rows
+
+_DY_COVER_SQL = ", ".join(f"({l}, {a})" for l, a in _DY_COVER)
+
+
+@query(
+    "sketch_cms_dyadic_range_count",
+    oracle=f"""
+    WITH lv AS (SELECT unnest(generate_series(0, {_DY_L - 1})) AS l),
+    js AS (SELECT unnest(generate_series(0, {_DY_D - 1})) AS j),
+    hashed AS (
+      SELECT lv.l, js.j,
+             {_DUCK_MD5.format(
+                 x="lv.l || ':' || CAST(e.user_id // (CAST(1 AS BIGINT) << "
+                   "CAST(lv.l AS INT)) AS VARCHAR) || ':' || js.j")}
+               % {_DY_W} AS bucket
+      FROM events e, lv, js),
+    sketch AS (
+      SELECT l, j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY l, j, bucket),
+    cover AS (SELECT * FROM (VALUES {_DY_COVER_SQL}) AS t(l, a)),
+    probes AS (
+      SELECT c.l, c.a, js.j,
+             {_DUCK_MD5.format(
+                 x="c.l || ':' || CAST(c.a AS VARCHAR) || ':' || js.j")}
+               % {_DY_W} AS bucket
+      FROM cover c, js),
+    node_est AS (
+      SELECT p.l, p.a, MIN(COALESCE(s.cnt, 0)) AS node_cnt
+      FROM probes p LEFT JOIN sketch s
+        ON s.l = p.l AND s.j = p.j AND s.bucket = p.bucket
+      GROUP BY p.l, p.a),
+    est AS (SELECT CAST(SUM(node_cnt) AS BIGINT) AS cms_range_estimate
+            FROM node_est),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM events
+      WHERE user_id >= {_DY_LO} AND user_id < {_DY_HI})
+    SELECT n_exact,
+           cms_range_estimate,
+           CAST({len(_DY_COVER)} AS BIGINT) AS n_cover_nodes,
+           CAST(cms_range_estimate - n_exact AS BIGINT) AS overestimate
+    FROM exact, est
+    """,
+)
+def sketch_cms_dyadic_range_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dyadic count-min range counting (Cormode-Muthukrishnan 2005):
+    one CMS per dyadic level l over node key user_id >> l, so ANY range
+    count decomposes into <= 2·log(U) node probes — here the canonical
+    8-node cover of [10, 117), computed once in Python on fixed
+    constants (``_dyadic_cover``) and embedded as literals in BOTH
+    engines. The estimate (sum of per-node CMS minima) is >= exact by
+    the CMS one-sided guarantee, visible in `overestimate`. Levels
+    stop at 2^12 — the test corpora's user-id domain; a 64-bit-keyed
+    deployment builds 64 levels at the same fixed width each.
+
+    Scale shape: the sketch build is one map-side-combinable groupBy
+    over (level, row, bucket) — L·d·w = 3072 cells total regardless of
+    input rows; probes are 8·d rows joined against those cells.
+    Range-count queries then never rescan the fact table."""
+    e = read_events(spark, sf_dir).select("user_id")
+    lv = spark.range(_DY_L).selectExpr("CAST(id AS BIGINT) AS l")
+    js = spark.range(_DY_D).selectExpr("CAST(id AS BIGINT) AS j")
+    hashed = e.crossJoin(F.broadcast(lv)).crossJoin(
+        F.broadcast(js)
+    ).selectExpr(
+        "l",
+        "j",
+        _SPARK_MD5.format(
+            x="concat(l, ':', CAST(user_id DIV shiftleft(CAST(1 AS BIGINT),"
+            " CAST(l AS INT)) AS STRING), ':', j)"
+        )
+        + f" % {_DY_W} AS bucket",
+    )
+    sketch = hashed.groupBy("l", "j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cover = spark.createDataFrame(
+        [(l, a) for l, a in _DY_COVER], "l bigint, a bigint"
+    )
+    probes = cover.crossJoin(F.broadcast(js)).selectExpr(
+        "l",
+        "a",
+        "j",
+        _SPARK_MD5.format(x="concat(l, ':', CAST(a AS STRING), ':', j)")
+        + f" % {_DY_W} AS bucket",
+    )
+    node_est = (
+        probes.join(F.broadcast(sketch), ["l", "j", "bucket"], "left")
+        .groupBy("l", "a")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("node_cnt"))
+    )
+    est = node_est.agg(
+        F.sum("node_cnt").cast("bigint").alias("cms_range_estimate")
+    )
+    exact = e.filter(
+        (F.col("user_id") >= _DY_LO) & (F.col("user_id") < _DY_HI)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).selectExpr(
+        "n_exact",
+        "cms_range_estimate",
+        f"CAST({len(_DY_COVER)} AS BIGINT) AS n_cover_nodes",
+        "CAST(cms_range_estimate - n_exact AS BIGINT) AS overestimate",
+    )

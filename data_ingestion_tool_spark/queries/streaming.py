@@ -1062,3 +1062,83 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "is_current")
     )
+
+
+@query(
+    "stream_bitmap_distinct_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           1 AS bitmap_matches_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_bitmap_distinct_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT streaming distinct-user counting per event type via
+    bitmap-word state — Spark forbids COUNT(DISTINCT) on streams
+    (unbounded per-key state), and stream_hll_window_distinct answers
+    with a sketch; this is the LOSSLESS alternative when the key domain
+    is dense integers: user ids pack into 63-bit words (id DIV 63 /
+    id MOD 63, sign bit clear — same packing as
+    sketch_bitmap_index_intersection), and the streaming aggregation
+    keeps one bit_or-merged word per (type, word) across micro-batches
+    — bit_or is order- and duplicate-insensitive, so the complete-mode
+    result is batch-equivalent by construction. Popcount over the final
+    words IS the exact distinct count; the oracle pins it EQUAL to
+    COUNT(DISTINCT) (both value columns and the comparison flag).
+
+    Scale shape: streaming state is n_types · ceil(domain/63) words —
+    ~8 bytes per 63 users per type, 10^9 users ≈ 127 MB of state
+    across ALL state partitions; each micro-batch's update is a
+    map-side-combined bit_or, never a distinct shuffle. The batch twin
+    count_distinct exists only as the oracle's ground truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    enable_nanos_as_long(spark)
+    schema = read_table(spark, sf_dir, "events").schema
+
+    def transform(stream):
+        return (
+            normalize_ts(stream, "ts")
+            .selectExpr(
+                "event_type",
+                "CAST(user_id DIV 63 AS BIGINT) AS word",
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+                " AS b",
+            )
+            .groupBy("event_type", "word")
+            .agg(F.expr("bit_or(b)").alias("bitmap"))
+        )
+
+    words = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        schema,
+        transform,
+        output_mode="complete",
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bitmap)")).cast("bigint").alias(
+            "n_users_bitmap"
+        )
+    )
+    exact = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users_exact")
+        )
+    )
+    return bm.join(exact, "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact"))
+        .cast("int")
+        .alias("bitmap_matches_exact"),
+    )
