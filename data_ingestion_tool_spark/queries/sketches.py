@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.pin import pin
 from ..sources.parquet_io import read_events, read_table
 from .registry import query
 
@@ -424,11 +425,17 @@ def sketch_kmv_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hx = _SPARK_MD5.format(x="CAST(k AS STRING)") + " AS h"
 
+    # one pruned scan → distinct (year, custkey) pairs, pinned: the
+    # per-set k-mins, both exact counts, and the union count all branch
+    # off this frame (unpinned, each branch re-derived the orders scan
+    # + distinct — PLANS.md flagged ordersx4)
+    yk = pin(
+        o.filter(F.col("y").isin(1995, 1996)).distinct()
+    )
+
     def kmin(year: int) -> DataFrame:
         return (
-            o.filter(F.col("y") == year)
-            .select("k")
-            .distinct()
+            yk.filter(F.col("y") == year)
             .selectExpr(hx)
             .orderBy("h")
             .limit(_KMV_K)
@@ -442,18 +449,16 @@ def sketch_kmv_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est = "CAST(FLOOR({k}.0 * 1152921504606846976.0 / CAST({t} AS DOUBLE)) AS BIGINT)"
 
-    def nkeys(year: int, name: str) -> DataFrame:
-        return (
-            o.filter(F.col("y") == year)
-            .select("k")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
-        )
-
+    counts = yk.agg(
+        F.sum(F.when(F.col("y") == 1995, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a_exact"),
+        F.sum(F.when(F.col("y") == 1996, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b_exact"),
+    )
     n_union = (
-        o.filter(F.col("y") == 1995)
-        .select("k")
-        .union(o.filter(F.col("y") == 1996).select("k"))
+        yk.select("k")
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_exact"))
     )
@@ -461,8 +466,7 @@ def sketch_kmv_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta(a_kmin, "ta")
         .crossJoin(F.broadcast(theta(b_kmin, "tb")))
         .crossJoin(F.broadcast(theta(u_kmin, "tu")))
-        .crossJoin(F.broadcast(nkeys(1995, "n_a_exact")))
-        .crossJoin(F.broadcast(nkeys(1996, "n_b_exact")))
+        .crossJoin(F.broadcast(counts))
         .crossJoin(F.broadcast(n_union))
         .selectExpr(
             "n_a_exact",
@@ -696,21 +700,22 @@ _AMS_J = 16  # independent +-1 estimators
                AS sgn
       FROM events e, js),
     z AS (SELECT j, CAST(SUM(sgn) AS BIGINT) AS zj FROM signed GROUP BY j),
-    est AS (
-      SELECT j, CAST(zj * zj AS BIGINT) AS ej,
-             row_number() OVER (ORDER BY zj * zj, j) AS rn
-      FROM z),
+    grp AS (
+      SELECT j // 4 AS g, CAST(SUM(zj * zj) AS BIGINT) AS gsum
+      FROM z GROUP BY j // 4),
+    ranked AS (
+      SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rn FROM grp),
     med AS (
-      SELECT CAST(SUM(CASE WHEN rn IN ({_AMS_J // 2}, {_AMS_J // 2 + 1})
-                           THEN ej ELSE 0 END) AS BIGINT) AS ams_med2x
-      FROM est),
+      SELECT CAST(SUM(CASE WHEN rn IN (2, 3)
+                           THEN gsum ELSE 0 END) AS BIGINT) AS ams_med2x
+      FROM ranked),
     f2 AS (
       SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt
         FROM events GROUP BY user_id))
     SELECT f2_exact, ams_med2x,
            CAST(ams_med2x AS DOUBLE)
-             / (CAST(2.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio
+             / (CAST(8.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio
     FROM f2, med
     """,
 )
@@ -718,18 +723,20 @@ def sketch_ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS sketch (Alon-Matias-Szegedy 1996) for the second frequency
     moment F2 = Σ cnt(user)² — the self-join-size / skew statistic a
     planner wants BEFORE shuffling a join on user_id. Sixteen ±1
-    four-wise-style estimators from md5 parity: Z_j = Σ_rows sign_j,
-    E[Z_j²] = F2; the reported statistic is the median pair
-    (sum of the two middle order statistics, kept as exact bigint —
-    never a .5-rounding float). Everything is integer except the final
-    ratio, a single shared double division.
+    estimators from md5 parity (Z_j = Σ_rows sign_j, E[Z_j²] = F2) in
+    the classic median-of-means composition: 4 groups of 4, group
+    statistic = Σ Z² (4× the group mean, kept as exact bigint), report
+    the median PAIR of group sums (sum of the 2nd+3rd order statistics
+    ≈ 8·F2 — never a .5-rounding float; a bare median of single Z²
+    draws would sit near the χ²₁ median, 0.45·F2, not F2). Everything
+    is integer except the final ratio, one shared double division.
 
     Scale shape: the sketch is one groupBy(j) over 16 groups — a
     map-side-combined ±1 sum, so the sketch state is 16 longs per
     partition regardless of input rows (the streaming-sketch property
-    that makes F2 estimable in one pass at 100 TB); the 16-row median
+    that makes F2 estimable in one pass at 100 TB); the 4-row median
     window is constant-bounded. The exact F2 groupBy exists only to
-    expose the estimator's error."""
+    expose the estimator's error (tests/test_sketches.py bands it)."""
     e = read_events(spark, sf_dir).select("user_id")
     js = spark.range(_AMS_J).selectExpr("CAST(id AS BIGINT) AS j")
     signed = e.crossJoin(F.broadcast(js)).selectExpr(
@@ -739,16 +746,17 @@ def sketch_ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " % 2) AS sgn",
     )
     z = signed.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("zj"))
-    # 16-row grain: the unpartitioned window is constant-bounded
-    est = z.selectExpr(
-        "j",
-        "CAST(zj * zj AS BIGINT) AS ej",
-        "row_number() OVER (ORDER BY zj * zj, j) AS rn",
+    grp = z.groupBy(F.expr("j DIV 4").alias("g")).agg(
+        F.sum(F.expr("zj * zj")).cast("bigint").alias("gsum")
     )
-    med = est.agg(
+    # 4-row grain: the unpartitioned window is constant-bounded
+    ranked = grp.selectExpr(
+        "gsum", "row_number() OVER (ORDER BY gsum, g) AS rn"
+    )
+    med = ranked.agg(
         F.expr(
-            f"CAST(SUM(CASE WHEN rn IN ({_AMS_J // 2}, {_AMS_J // 2 + 1})"
-            " THEN ej ELSE 0 END) AS BIGINT)"
+            "CAST(SUM(CASE WHEN rn IN (2, 3)"
+            " THEN gsum ELSE 0 END) AS BIGINT)"
         ).alias("ams_med2x")
     )
     f2 = (
@@ -760,7 +768,7 @@ def sketch_ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2_exact",
         "ams_med2x",
         "CAST(ams_med2x AS DOUBLE)"
-        " / (CAST(2.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio",
+        " / (CAST(8.0 AS DOUBLE) * CAST(f2_exact AS DOUBLE)) AS ams_ratio",
     )
 
 
