@@ -1343,16 +1343,23 @@ def dedup_minhash_signature_error(
     from ..operators import text as TX
 
     d = read_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, 20).alias("bucket"),
-        F.array_distinct(TX.tokens("text")).alias("toks"),
-    ).filter(
+    t = d.filter(
         # empty-token guard (round-13 advice): a whitespace-only text
         # yields array_min over [] = NULL signatures → a NULL matches
         # group and u=0 NULL ppm divisions that DuckDB's CASE maps
-        # differently; such docs carry no tokens to estimate over
-        F.size("toks") > 0
+        # differently; such docs carry no tokens to estimate over.
+        # Predicated on the RAW text (contains any non-whitespace ⟺
+        # \s+-tokens non-empty) so the filter runs before tokenization
+        # instead of collapsing into the token projection. Measured
+        # cost of the guard in either form: ~0.3s solo at sf0.1
+        # (1.19 → 1.45-1.54s), inside the boot-variance band — the
+        # round-13 bench flag vs the 0.83s prior-suite figure is
+        # position/boot noise on top of that (BASELINE.md round-13).
+        F.col("text").rlike(r"\S")
+    ).select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 20).alias("bucket"),
+        F.array_distinct(TX.tokens("text")).alias("toks"),
     ).withColumn(
         "x",
         F.transform(

@@ -858,19 +858,30 @@ def sketch_cms_dyadic_range_count(
     e = read_events(spark, sf_dir).select("user_id")
     lv = spark.range(_DY_L).selectExpr("CAST(id AS BIGINT) AS l")
     js = spark.range(_DY_D).selectExpr("CAST(id AS BIGINT) AS j")
-    hashed = e.crossJoin(F.broadcast(lv)).crossJoin(
-        F.broadcast(js)
-    ).selectExpr(
+    # pre-aggregate to (level, node) counts BEFORE hashing: the node
+    # grain is ~2x the distinct-key count (sum over levels of n/2^l),
+    # so the md5 work drops from rows·L·d to nodes·d (bench: 4.8->1.4s;
+    # the counters are identical — a CMS cell is the SUM of its nodes'
+    # counts either way, which is why the row-grain oracle still
+    # hash-matches)
+    nodes = (
+        e.crossJoin(F.broadcast(lv))
+        .selectExpr(
+            "l",
+            "user_id DIV shiftleft(CAST(1 AS BIGINT), CAST(l AS INT)) AS a",
+        )
+        .groupBy("l", "a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("node_cnt"))
+    )
+    hashed = nodes.crossJoin(F.broadcast(js)).selectExpr(
         "l",
         "j",
-        _SPARK_MD5.format(
-            x="concat(l, ':', CAST(user_id DIV shiftleft(CAST(1 AS BIGINT),"
-            " CAST(l AS INT)) AS STRING), ':', j)"
-        )
+        "node_cnt",
+        _SPARK_MD5.format(x="concat(l, ':', CAST(a AS STRING), ':', j)")
         + f" % {_DY_W} AS bucket",
     )
     sketch = hashed.groupBy("l", "j", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        F.sum("node_cnt").cast("bigint").alias("cnt")
     )
     cover = spark.createDataFrame(
         [(l, a) for l, a in _DY_COVER], "l bigint, a bigint"
