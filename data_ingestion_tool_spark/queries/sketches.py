@@ -928,3 +928,134 @@ def sketch_cms_dyadic_range_count(
         f"CAST({len(_DY_COVER)} AS BIGINT) AS n_cover_nodes",
         "CAST(cms_range_estimate - n_exact AS BIGINT) AS overestimate",
     )
+
+
+@query(
+    "sketch_ams_join_size_estimate",
+    oracle=f"""
+    WITH ha AS (
+      SELECT {_DUCK_MD5.format(x="CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'click'),
+    hb AS (
+      SELECT {_DUCK_MD5.format(x="CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'purchase'),
+    js AS (SELECT unnest(generate_series(0, {_AMS_J - 1})) AS j),
+    za AS (
+      SELECT js.j,
+             CAST(SUM(1 - 2 * CAST((ha.h >> CAST(js.j AS INT)) % 2 AS INT))
+                  AS BIGINT) AS zj
+      FROM ha, js GROUP BY js.j),
+    zb AS (
+      SELECT js.j,
+             CAST(SUM(1 - 2 * CAST((hb.h >> CAST(js.j AS INT)) % 2 AS INT))
+                  AS BIGINT) AS zj
+      FROM hb, js GROUP BY js.j),
+    prod AS (
+      SELECT za.j, CAST(za.zj * zb.zj AS BIGINT) AS pj
+      FROM za JOIN zb ON zb.j = za.j),
+    grp AS (
+      SELECT j // 4 AS g, CAST(SUM(pj) AS BIGINT) AS gsum
+      FROM prod GROUP BY j // 4),
+    ranked AS (
+      SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rn FROM grp),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rn IN (2, 3)
+                           THEN gsum ELSE 0 END) AS BIGINT) AS ams_med2x
+      FROM ranked),
+    exact AS (
+      SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS join_size_exact FROM
+        (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+         WHERE event_type = 'click' GROUP BY user_id) a
+        JOIN
+        (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id) b
+        ON b.user_id = a.user_id)
+    SELECT join_size_exact, ams_med2x,
+           CAST(ams_med2x AS DOUBLE)
+             / (CAST(8.0 AS DOUBLE) * CAST(join_size_exact AS DOUBLE))
+             AS ams_ratio
+    FROM exact, med
+    """,
+)
+def sketch_ams_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AMS join-size estimation (Alon-Matias-Szegedy-Gibbons 1999) —
+    the ORIGINAL planner application of the F2 sketch: the inner
+    product of two ±1 sketches estimates |A ⋈ B| on the join key,
+    E[Z_A,j·Z_B,j] = Σ_k cntA(k)·cntB(k), here click-rows ⋈
+    purchase-rows on user_id. Same one-md5-per-row bit-j estimators and
+    exact-bigint median-of-means composition as
+    sketch_ams_f2_user_events; the exact join size (what the sketch
+    spares the planner from computing) is the grouped product-sum,
+    never a row-level join.
+
+    Scale shape: each side folds to 16 longs in one map-side-combined
+    pass over ITS OWN scan — the two relations never meet until the
+    16-row sketch join, which is how a planner prices a 100 TB ⋈
+    100 TB join without executing it. The exact twin exists only to
+    expose the estimator's error."""
+    e = read_events(spark, sf_dir).select("user_id", "event_type")
+
+    def side(etype: str) -> DataFrame:
+        h = e.filter(F.col("event_type") == etype).selectExpr(
+            _SPARK_MD5.format(x="CAST(user_id AS STRING)") + " AS h"
+        )
+        zrow = h.agg(
+            *[
+                F.sum(
+                    F.expr(f"1 - 2 * CAST(shiftright(h, {j}) % 2 AS INT)")
+                )
+                .cast("bigint")
+                .alias(f"z{j}")
+                for j in range(_AMS_J)
+            ]
+        )
+        return zrow.selectExpr(
+            f"stack({_AMS_J}, "
+            + ", ".join(
+                f"CAST({j} AS BIGINT), z{j}" for j in range(_AMS_J)
+            )
+            + ") AS (j, zj)"
+        )
+
+    za = side("click")
+    zb = side("purchase").selectExpr("j", "zj AS zbj")
+    prod = za.join(zb, "j").selectExpr(
+        "j", "CAST(zj * zbj AS BIGINT) AS pj"
+    )
+    grp = prod.groupBy(F.expr("j DIV 4").alias("g")).agg(
+        F.sum("pj").cast("bigint").alias("gsum")
+    )
+    # 4-row grain: the unpartitioned window is constant-bounded
+    ranked = grp.selectExpr(
+        "gsum", "row_number() OVER (ORDER BY gsum, g) AS rn"
+    )
+    med = ranked.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN rn IN (2, 3) THEN gsum ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("ams_med2x")
+    )
+
+    def cnts(etype: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    exact = (
+        cnts("click", "ca")
+        .join(cnts("purchase", "cb"), "user_id")
+        .agg(
+            F.sum(F.expr("ca * cb")).cast("bigint").alias("join_size_exact")
+        )
+    )
+    return exact.crossJoin(F.broadcast(med)).selectExpr(
+        "join_size_exact",
+        "ams_med2x",
+        "CAST(ams_med2x AS DOUBLE)"
+        " / (CAST(8.0 AS DOUBLE) * CAST(join_size_exact AS DOUBLE))"
+        " AS ams_ratio",
+    )

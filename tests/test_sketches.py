@@ -101,6 +101,14 @@ def test_ams_f2_band(spark):
     assert row.ams_med2x > 0
 
 
+def test_ams_join_size_band(spark):
+    row = QUERIES["sketch_ams_join_size_estimate"](spark, SF).collect()[0]
+    # inner-product estimator, same composition/band as the F2 sketch
+    # (realized 1.96/0.91/0.52 across the three SFs)
+    assert 0.2 <= row.ams_ratio <= 3.0
+    assert row.join_size_exact > 0
+
+
 def test_cms_range_one_sided_and_close(spark):
     row = QUERIES["sketch_cms_dyadic_range_count"](spark, SF).collect()[0]
     assert row.n_cover_nodes == len(_DY_COVER)
