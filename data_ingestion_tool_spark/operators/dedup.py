@@ -83,14 +83,7 @@ def shingles(col, n: int = 3) -> Column:
     return F.array_distinct(F.filter(grams, lambda s: s != ""))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Small local inputs arrive as 1-2 partitions; fan out so the
-    signature stage uses every core. No-op shape at cluster scale where
-    the scan already has many partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .partitioning import spread as _spread  # canonical home (round 13)
 
 
 def hashed_shingles(

@@ -52,38 +52,48 @@ def connected_components(
         .repartition(parts, "u")
         .persist()
     )
+    # Round-13 iteration diet (guide §2.4, §1.2): the old loop paid 3
+    # shuffles + 2 jobs per round (nbr re-shuffle of sym by v, the
+    # left-join re-shuffle, and a separate old-vs-new JOIN just to
+    # detect convergence). Now:
+    #   * labels START one round ahead — min(self, neighbors) is the
+    #     node set (distinct included) AND propagation round 1, fused
+    #     into one aggregation of the persisted sym;
+    #   * each round joins sym on u (its persisted partitioning),
+    #     aggregates min over the neighbor side, and carries the OLD
+    #     label as a column so convergence is a filter over the pinned
+    #     result, not a join.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+        .transform(pin, eager=True)
     )
     for _ in range(max_iter):
-        # min neighbor label per node, then min with own label
+        # min label reachable via one hop: send each node's label to
+        # every neighbor along the u→v orientation (sym is symmetric)
         nbr = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
+            sym.join(labels, sym.u == labels.node)
+            .groupBy("v")
             .agg(F.min("comp").alias("nbr_comp"))
         )
         new_labels = (
-            labels.join(nbr, labels.node == nbr.u, "left")
+            labels.join(nbr, labels.node == nbr.v, "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("old_comp"),
             )
             .transform(pin, eager=True)  # cut lineage each round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            new_labels.filter(F.col("comp") != F.col("old_comp"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     else:

@@ -2283,8 +2283,16 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection so the 64 aggregates share them instead of
     re-deriving the digit per condition.
     """
+    from ..operators.partitioning import spread
+
     li = read_table(spark, sf_dir, "lineitem")
-    h = li.select(
+    # spread the 3-column projection first: the per-row md5 + 8 hex
+    # digit extractions + 64 conditional aggregates otherwise all run
+    # inside the single-row-group scan task (guide §2.5)
+    h = spread(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        by=["l_orderkey", "l_linenumber"],
+    ).select(
         _cents("l_extendedprice").alias("cents"),
         F.md5(
             F.concat(
@@ -6099,6 +6107,8 @@ def stats_permutation_test_mean_diff(
     each permutation reduces map-side to one (s1p, stot) row."""
     from ..operators.ranking import with_grouped_global_row_number
 
+    from ..operators.partitioning import spread
+
     ev = (
         read_events(spark, sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -6109,6 +6119,12 @@ def stats_permutation_test_mean_diff(
                 "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
             ).alias("cents"),
         )
+        # single-row-group scan → 1 task; the 40× perm explode and its
+        # 1.6M md5s would otherwise run on one core (guide §2.5) —
+        # spread the 3-column projection before pinning so every branch
+        # reads a cores-wide checkpoint (keyed: skips the round-robin
+        # local sort)
+        .transform(lambda f: spread(f, by=["event_id"]))
         .transform(pin, eager=False)
     )
     base = ev.agg(

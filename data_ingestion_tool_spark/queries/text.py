@@ -2393,9 +2393,13 @@ def text_langid_trigram_agreement(
     (explode + map-side-combinable count + per-lang top-20 window on
     the aggregated vocab); scoring joins DISTINCT doc trigrams to the
     |langs|·20-row broadcast profile."""
+    from ..operators.partitioning import spread
     from ..operators.text import lang_id
 
-    d = read_table(spark, sf_dir, "documents")
+    # the raw scan is one row-group = one task; both trigram explodes
+    # and the stopword tokenization would serialize on one core —
+    # spread once, every downstream map stage is cores-wide (§2.5)
+    d = spread(read_table(spark, sf_dir, "documents"))
     lowered = d.select(
         "doc_id", "lang", F.lower("text").alias("lt")
     ).filter(F.length("lt") >= 3)
@@ -2418,10 +2422,20 @@ def text_langid_trigram_agreement(
         .filter(F.col("rn") <= 20)
         .select(F.col("lang").alias("cand"), "tg")
     )
-    doc_tris = tris.select("doc_id", "tg").distinct()
-    scores = doc_tris.join(F.broadcast(prof), "tg").groupBy(
-        "doc_id", "cand"
-    ).agg(F.count(F.lit(1)).alias("h"))
+    # filter BEFORE the distinct (guide §2.3): the broadcast profile
+    # join keeps only trigrams in some language's top-20, so the
+    # distinct shuffles the tiny match set instead of every (doc,
+    # trigram) pair of the corpus. distinct over (doc, cand, tg) ==
+    # distinct (doc, tg) then join: both count each matching distinct
+    # trigram once per language containing it.
+    scores = (
+        tris.select("doc_id", "tg")
+        .join(F.broadcast(prof), "tg")
+        .select("doc_id", "cand", "tg")
+        .distinct()
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
     best_tri = (
         d.select("doc_id")
         .join(scores, "doc_id", "left")
