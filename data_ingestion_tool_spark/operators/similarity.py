@@ -621,13 +621,18 @@ def _nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int) -> Col
     return F.slice(F.array_sort(scored), 1, n).getField("cid")
 
 
-# Above this many codebook literals (n_centroids × dim) the expression
-# path stops being viable: Catalyst folds the whole codebook into the
-# plan and codegen degrades super-linearly (a production 65k×768
-# codebook would be ~50M literals). Past the budget, cell assignment
-# switches to a numpy scorer in mapInPandas with the codebook held in
-# the task closure — same answer, plan stays O(1) in codebook size.
-IVF_MAX_CODEBOOK_LITERALS = 4096
+# Above this many codebook literals (n_centroids × dim) cell
+# assignment switches from column expressions to a numpy scorer in
+# mapInPandas with the codebook in the task closure — same answer
+# (tests/test_temporal.py pins path equivalence), plan stays O(1) in
+# codebook size. Round-13 measurement: the numpy path wins ALREADY at
+# 1024 literals (16×64 codebook: 1.77s → 0.27s on the 2000-row
+# corpus) — Catalyst analysis + codegen of the ~2k-node distance tree
+# dominates long before the old 4096 budget; guide §4.2's "one
+# vectorized batch op beats a chain of JVM expressions" applies. The
+# expression path stays for genuinely tiny codebooks where a Python
+# worker round-trip isn't worth spinning up.
+IVF_MAX_CODEBOOK_LITERALS = 128
 
 
 def _assign_cells(
