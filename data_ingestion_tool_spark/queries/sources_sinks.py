@@ -27,6 +27,7 @@ from ..sources import (
     write_csv,
 )
 from .registry import dsum, query, sql_dsum
+from ..session import scratch_base
 
 
 _SCRATCH_TTL_SECONDS = 2 * 3600
@@ -44,7 +45,7 @@ def _scratch(name: str) -> str:
     re-evaluate a DataFrame hours after its scratch was written.
     Residual risk is confined to a >TTL-old dir of another STILL-LIVE
     process re-evaluating late — acceptable for test scratch."""
-    root = os.path.join(tempfile.gettempdir(), "spark-graft-scratch")
+    root = os.path.join(scratch_base(), "spark-graft-scratch")
     now = time.time()
     try:
         for entry in os.scandir(root):

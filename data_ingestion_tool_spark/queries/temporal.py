@@ -24,6 +24,7 @@ from ..sources.parquet_io import (
 from ..streaming.windows import run_stream_to_table
 from .registry import dsum, fsum, query, sql_dsum, sql_fsum
 from .similarity import _RECALL_FENCE_ORACLE
+from ..session import scratch_base
 
 
 @query(
@@ -115,7 +116,7 @@ def ingest_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter prunes whole directories at planning time (zero I/O for
     other partitions) — the layout choice that replaces the reference's
     ``ORDER BY tuple()`` no-layout policy for 100 TB tables."""
-    out = os.path.join(tempfile.gettempdir(), "ditspark_part_orders")
+    out = os.path.join(scratch_base(), "ditspark_part_orders")
     o = read_table(spark, sf_dir, "orders")
     (
         o.write.mode("overwrite")

@@ -54,6 +54,65 @@ def _default_local_dir() -> str:
     return "/tmp"
 
 
+def scratch_base() -> str:
+    """Root for ENGINE SCRATCH — streaming checkpoints, sink-roundtrip
+    outputs, partitioned-write fixtures. Same tmpfs election (and 4 GB
+    capacity gate) as :func:`_default_local_dir`: local-mode fsync
+    throughput on whatever disk backs /tmp varies ~3x across host
+    boots, and streaming state checkpoints + small-file sinks are
+    exactly the fsync-heavy pattern that absorbed that lottery (the
+    round-10 spark.local.dir finding, applied to the remaining disk
+    paths in round 13). A real deployment pins checkpoints to durable
+    shared storage — this is local TEST scratch placement, overridable
+    via ``SPARK_GRAFT_SCRATCH_DIR``."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if os.path.isdir(shm) and st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            return f"{shm}/spark-graft-scratchfs"
+    except OSError:
+        pass
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
+# Scratch checkpoints older than this are prunable: no bench/verify/test
+# stream runs longer than a few minutes; 1h leaves a 20x margin.
+_CKPT_TTL_SEC = 3600
+
+
+def ckpt_dir(prefix: str) -> str:
+    """Fresh streaming-checkpoint dir under the scratch base, pruning
+    SIBLING checkpoints older than the TTL first (same leak discipline
+    as the sink-scratch helper: on a tmpfs base, leaked state stores
+    would otherwise accumulate in RAM across bench runs). Dirs made by
+    THIS process are never pruned."""
+    import time
+    import uuid
+
+    root = os.path.join(scratch_base(), "spark-graft-ckpt")
+    now = time.time()
+    tag = f"-pid{os.getpid()}-"
+    try:
+        for entry in os.scandir(root):
+            if tag in entry.name:
+                continue
+            try:
+                if now - entry.stat().st_mtime > _CKPT_TTL_SEC:
+                    import shutil
+
+                    shutil.rmtree(entry.path, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return os.path.join(root, f"{prefix}{tag}{uuid.uuid4().hex}")
+
+
 def get_spark(
     app_name: str = "data-ingestion-tool-spark",
     master: str | None = None,
@@ -85,7 +144,10 @@ def get_spark(
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    scratch_base(), f"spark-graft-warehouse-{os.getpid()}"
+                ),
             ),
         )
         # Shuffle/spill scratch on tmpfs when available: local-mode

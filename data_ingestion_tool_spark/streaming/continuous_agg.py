@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .windows import DEFAULT_STATE_PARTITIONS
+from ..session import ckpt_dir
 
 
 def continuous_rollup(
@@ -87,9 +88,7 @@ def continuous_rollup(
             .parquet(dest_path)
         )
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(), "spark-graft-ckpt", f"cagg-{uuid.uuid4().hex}"
-    )
+    ckpt = ckpt_dir("cagg")
     # State-store width must be set through the SESSION conf before the
     # stream starts (the partition count is frozen into the checkpoint
     # at creation) — a writeStream .option() of the same key is

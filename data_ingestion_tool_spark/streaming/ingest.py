@@ -23,6 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import ckpt_dir
 
 
 def stream_ingest_parquet(
@@ -64,9 +65,7 @@ def stream_ingest_parquet(
             .parquet(dest_path)
         )
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(), "spark-graft-ckpt", f"ingest-{uuid.uuid4().hex}"
-    )
+    ckpt = ckpt_dir("ingest")
     q = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -115,9 +114,7 @@ def stream_ingest_txnlog(
             return  # replayed micro-batch: already committed
         t.commit(batch_df, meta={"src_batch": batch_id})
 
-    ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), "spark-graft-ckpt", f"txn-{uuid.uuid4().hex}"
-    )
+    ckpt = checkpoint or ckpt_dir("txn")
     q = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -336,9 +333,7 @@ def stream_cdc_scd2_txnlog(
         if live_deletes() >= compact_every:
             compact()
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(), "spark-graft-ckpt", f"scd2-{uuid.uuid4().hex}"
-    )
+    ckpt = ckpt_dir("scd2")
     q = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)

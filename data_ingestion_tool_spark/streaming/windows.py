@@ -20,6 +20,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import ckpt_dir
 
 
 def tumbling_window_counts(
@@ -79,9 +80,7 @@ def run_stream_to_table(
         source_path = os.path.dirname(source_path)
     stream = reader.parquet(source_path)
     out = transform(stream)
-    ckpt = os.path.join(
-        tempfile.gettempdir(), "spark-graft-ckpt", uuid.uuid4().hex
-    )
+    ckpt = ckpt_dir("win")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
