@@ -431,9 +431,13 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding miss fails the hash loudly); the CC loop shuffles only the
     near-dup PAIR list, never the corpus."""
     from ..operators.graph import dedup_clusters
+    from ..operators.partitioning import spread
     from ..operators.text import lang_id, quality_features
 
-    d = read_table(spark, sf_dir, "documents")
+    # single-row-group scan: the langid tokenization + quality features
+    # (per-token HOF folds over every doc) would run on one core before
+    # the gate (guide §2.5) — spread the scan once, keyed by doc_id
+    d = spread(read_table(spark, sf_dir, "documents"), by=["doc_id"])
     # The gated frame feeds THREE consumers (pair generation, cluster
     # resolution, the keeper join) — pin the filtered slim projection
     # once so the langid/quality expression tree runs a single pass

@@ -1898,6 +1898,49 @@ def quantile_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph: triangle count / clustering coefficient on brand co-occurrence
 # ---------------------------------------------------------------------------
 
+# Ordered brand pairs (u < v) from a per-order sorted brand-set array —
+# shared by every graph_*_brands query below.
+_BRAND_PAIR_EXPR = (
+    "flatten(transform(bs, (x, i) -> "
+    "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS u, y AS v))))"
+)
+
+
+def _order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ok, bs): the sorted DISTINCT brand set per order — the shared
+    first stage of the graph_*_brands family. Round-13 rewrite (guide
+    §2.3/§2.4): ONE keyed spread + ONE grouped collect_set replace the
+    old (ok, brand) DISTINCT + ob⋈ob self-join — two fact-scale
+    shuffles and a join became one shuffle whose map side also runs
+    cores-wide instead of inside the single-row-group scan task
+    (edge build measured 1.8s → 1.0s at sf0.1). collect_set dedups
+    per group exactly like the retired DISTINCT; downstream pair
+    explosion is quadratic only in ORDER SIZE (≤ ~7 brands)."""
+    from ..operators.partitioning import spread
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        spread(li, by=["l_orderkey"])
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+
+
+def _brand_pair_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) with u < v, ONE ROW PER ORDER containing both brands —
+    `.distinct()` of this is the unweighted edge list; groupBy(u, v)
+    count is the co-occurrence weight (both identical to the old
+    ob⋈ob formulations, which the oracles replay)."""
+    return (
+        _order_brand_sets(spark, sf_dir)
+        .select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
+        .select("p.u", "p.v")
+    )
+
 
 @query(
     "graph_triangle_count_brands",
@@ -1947,20 +1990,7 @@ def graph_triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table work is the lineitem⋈part scan and the (order, brand)
     DISTINCT — one shuffle each.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    a = ob.alias("a")
-    b = ob.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
-        .select(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
-        .distinct()
-    )
+    edges = _brand_pair_occurrences(spark, sf_dir).distinct()
     edges = F.broadcast(edges.transform(pin, eager=False))
     deg = (
         edges.select(F.col("u").alias("brand"))
@@ -2075,18 +2105,9 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle joins per iteration + localCheckpoint per round —
     operators/graph.py's label-propagation pattern.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    a = ob.alias("a")
-    b = ob.alias("b")
     und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        _brand_pair_occurrences(spark, sf_dir)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = und.select("u", "v", "cnt").unionAll(
@@ -3428,26 +3449,17 @@ def graph_brand_neighborhood_jaccard(
     brand-domain-bounded (≤ |brands|² rows) and broadcast onto the
     aggregate. Same graph grain as graph_triangle_count_brands.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
+    sets = pin(_order_brand_sets(spark, sf_dir), eager=False)
+    sz = (
+        sets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("s"))
     )
-    sz = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
-    a, b = ob.alias("a"), ob.alias("b")
     com = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        sets.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+            F.col("p.u").alias("brand_a"),
+            F.col("p.v").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -4184,18 +4196,9 @@ def graph_kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle joins with localCheckpoint per round (operators/graph.py
     pattern); convergence detection would swap the fixed rounds for a
     driver-side empty-diff test on a count() per round."""
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    a, b = ob.alias("a"), ob.alias("b")
     und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        _brand_pair_occurrences(spark, sf_dir)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     tot = und.agg(
@@ -4853,24 +4856,10 @@ def graph_bfs_levels_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math as _math
 
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-        .transform(pin, eager=False)
-    )
-    a, b = ob.alias("a"), ob.alias("b")
+    sets = pin(_order_brand_sets(spark, sf_dir), eager=False)
     und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        sets.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     # Bounded collect: <= |brand-domain|^2 rows (625 at any SF).
@@ -4898,7 +4887,7 @@ def graph_bfs_levels_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = spark.createDataFrame(
         [(bd, lvl.get(bd, -1)) for bd in brands], "brand string, lvl int"
     )
-    all_brands = ob.select("brand").distinct()
+    all_brands = sets.select(F.explode("bs").alias("brand")).distinct()
     return (
         all_brands.join(F.broadcast(levels), "brand", "left")
         .select("brand", F.coalesce(F.col("lvl"), F.lit(-1)).alias("lvl"))
@@ -5536,24 +5525,9 @@ def graph_adamic_adar_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose traversal is inherently sequential.  On a bigger label
     domain the wedge join fans out as sum_w deg(w)^2 — the standard
     AA cost, bounded by sparsification first."""
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-        .transform(pin, eager=False)
-    )
-    a, b = ob.alias("a"), ob.alias("b")
     und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        _brand_pair_occurrences(spark, sf_dir)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .transform(pin, eager=False)
     )
@@ -5694,24 +5668,10 @@ def graph_harmonic_closeness_brands(
     CLAUDE.md)."""
     import math as _math
 
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-        .transform(pin, eager=False)
-    )
-    a, b = ob.alias("a"), ob.alias("b")
+    sets = pin(_order_brand_sets(spark, sf_dir), eager=False)
     und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        sets.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     # Bounded collect: <= |brand-domain|^2 rows (625 at any SF).
@@ -5756,7 +5716,7 @@ def graph_harmonic_closeness_brands(
             6,
         ).alias("harmonic"),
     )
-    all_brands = ob.select("brand").distinct()
+    all_brands = sets.select(F.explode("bs").alias("brand")).distinct()
     return (
         all_brands.join(
             F.broadcast(harm), all_brands.brand == harm.src, "left"
@@ -6540,24 +6500,9 @@ def graph_clustering_coefficient_brands(
     DISTINCT; the wedge/cycle joins run on the brand-domain-bounded
     edge list (<= |brands|^2), fully distributed — cost sum_w deg(w)^2,
     the standard triangle bound, after top-10%-weight sparsification."""
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-        .transform(pin, eager=False)
-    )
-    a, b = ob.alias("a"), ob.alias("b")
     und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(F.col("a.brand").alias("u"), F.col("b.brand").alias("v"))
+        _brand_pair_occurrences(spark, sf_dir)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .transform(pin, eager=False)
     )
@@ -7970,18 +7915,8 @@ def graph_degree_assortativity_brands(
     before any pairing; everything after runs on the ≤625-row brand
     graph (broadcast-sized).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    a = ob.select(F.col("ok"), F.col("brand").alias("u"))
-    b = ob.select(F.col("ok"), F.col("brand").alias("v"))
     und = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
+        _brand_pair_occurrences(spark, sf_dir)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

@@ -1023,20 +1023,24 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _scratch("scd2")
     src = os.path.join(scratch, "src")
-    batches = [
-        ins.filter(F.col("k") % 2 == 0),
-        ins.filter(F.col("k") % 2 == 1),
-        upd.filter(F.col("k") % 2 == 0),
-        upd.filter(F.col("k") % 2 == 1),
-    ]
+    # ONE write job for the whole 4-batch feed (round 13): union the
+    # batches under a feed-position column and let partitionBy fan them
+    # into per-batch directories — the old per-batch
+    # scan→filter→coalesce(1)→write loop paid 4 full scan+commit jobs
+    # for the same bytes. Same batch membership (b0=ins even, b1=ins
+    # odd, b2=upd even, b3=upd odd).
+    feed = ins.withColumn("b", (F.col("k") % 2).cast("int")).unionByName(
+        upd.withColumn("b", (F.col("k") % 2 + 2).cast("int"))
+    )
+    feed.coalesce(1).write.partitionBy("b").parquet(src)
     now = _time.time()
-    for i, b in enumerate(batches):
-        d = os.path.join(src, f"b{i}")
-        b.coalesce(1).write.parquet(d)
+    for i in range(4):
+        d = os.path.join(src, f"b={i}")
+        os.rename(d, os.path.join(src, f"b{i}"))
         # reproducible batch sequence via mtime; correctness does NOT
         # depend on it (the merge refolds per-key history by eff_ts)
         ts = now - 3600 + i * 60
-        for root, _, files in os.walk(d):
+        for root, _, files in os.walk(os.path.join(src, f"b{i}")):
             for f in files:
                 os.utime(os.path.join(root, f), (ts, ts))
     schema = "k bigint, status string, eff_ts date"
