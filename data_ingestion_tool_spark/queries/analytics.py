@@ -1249,21 +1249,24 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-sized). Classic a-priori first pass, no all-pairs over
     the catalog.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+    from .statistics import _BRAND_PAIR_EXPR, _order_brand_sets
+
+    # round-13: basket sets come from the shared one-shuffle
+    # collect_set helper (see _order_brand_sets) instead of the
+    # (ok, brand) DISTINCT + ob⋈ob self-join; supports and pairs
+    # explode from the pinned per-order array
+    sets = pin(_order_brand_sets(spark, sf_dir), eager=False)
+    n_df = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sup = (
+        sets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ob = ob.transform(pin, eager=False)
-    n_df = ob.agg(F.count_distinct("ok").alias("n_orders"))
-    sup = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a = ob.alias("a")
-    b = ob.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        sets.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
+        .groupBy(
+            F.col("p.u").alias("brand_a"), F.col("p.v").alias("brand_b")
+        )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
     )
     sa = sup.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
@@ -3435,31 +3438,26 @@ def orders_frequent_brand_triples(
     in join form. All joins shuffle on the basket key, so the triple
     enumeration is partition-local per order; the census groupBy on the
     25³-bounded triple key is broadcast-scale."""
-    li = read_table(spark, sf_dir, "lineitem")
-    pt = read_table(spark, sf_dir, "part")
-    items = (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
-        .transform(pin, eager=False)
+    from .statistics import _order_brand_sets
+
+    # round-13: per-order sorted brand sets from the shared
+    # one-shuffle helper; ordered triples enumerate ARRAY-SIDE
+    # (C(k,3) per basket, k ≤ ~7) instead of a 3-way self-join of the
+    # (ok, brand) frame — two fact-scale join shuffles removed
+    sets = pin(_order_brand_sets(spark, sf_dir), eager=False)
+    nb = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    triple_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "flatten(transform(slice(bs, i + 2, size(bs)), (y, j) -> "
+        "transform(slice(bs, i + j + 3, size(bs)), "
+        "z -> struct(x AS a, y AS b, z AS c))))))"
     )
-    nb = items.agg(F.count_distinct("ok").alias("n_baskets"))
-    i1, i2, i3 = items.alias("i1"), items.alias("i2"), items.alias("i3")
     triples = (
-        i1.join(
-            i2,
-            (F.col("i2.ok") == F.col("i1.ok"))
-            & (F.col("i2.b") > F.col("i1.b")),
-        )
-        .join(
-            i3,
-            (F.col("i3.ok") == F.col("i1.ok"))
-            & (F.col("i3.b") > F.col("i2.b")),
-        )
+        sets.select(F.explode(F.expr(triple_expr)).alias("t"))
         .groupBy(
-            F.col("i1.b").alias("brand_a"),
-            F.col("i2.b").alias("brand_b"),
-            F.col("i3.b").alias("brand_c"),
+            F.col("t.a").alias("brand_a"),
+            F.col("t.b").alias("brand_b"),
+            F.col("t.c").alias("brand_c"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )

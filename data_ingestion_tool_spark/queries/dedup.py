@@ -11,6 +11,17 @@ from ..plans.pin import pin
 from .registry import QUERIES, query
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, spread cores-wide (round 13): the single-row-
+    group local file makes every scan one task, serializing the
+    tokenize/shingle/decode map stages this family fuses into it
+    (guide §2.5). `spread` is a plan no-op at cluster scale."""
+    from ..operators.partitioning import spread
+
+    return spread(read_table(spark, sf_dir, "documents"), by=["doc_id"])
+
+
+
 @query(
     "dedup_exact_docs",
     oracle="""
@@ -315,7 +326,7 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist-per-round lineage cuts; the census is |sizes| rows."""
     from ..operators.graph import dedup_clusters
 
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     pairs = _exact_verified_pairs(spark, sf_dir, num=2, den=1).select(
         "id_a", "id_b"
     )
@@ -431,13 +442,11 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding miss fails the hash loudly); the CC loop shuffles only the
     near-dup PAIR list, never the corpus."""
     from ..operators.graph import dedup_clusters
-    from ..operators.partitioning import spread
     from ..operators.text import lang_id, quality_features
 
-    # single-row-group scan: the langid tokenization + quality features
-    # (per-token HOF folds over every doc) would run on one core before
-    # the gate (guide §2.5) — spread the scan once, keyed by doc_id
-    d = spread(read_table(spark, sf_dir, "documents"), by=["doc_id"])
+    # _docs spreads the single-row-group scan so the langid
+    # tokenization + quality HOF folds run cores-wide (guide §2.5)
+    d = _docs(spark, sf_dir)
     # The gated frame feeds THREE consumers (pair generation, cluster
     # resolution, the keeper join) — pin the filtered slim projection
     # once so the langid/quality expression tree runs a single pass
@@ -571,7 +580,7 @@ def dedup_prefix_bucket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the join, and the Jaccard math is array-function codegen, no
     Python.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     from ..operators import text as TX
 
     t = d.select(
@@ -827,7 +836,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
 
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = (
         _spread(d)
         .select(
@@ -1469,7 +1478,7 @@ def dedup_cluster_size_histogram(
 
     Scale shape: label propagation on the pair graph only; the
     histogram is a two-level bounded aggregate."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
     cc = QUERIES["dedup_clusters_prefix_jaccard"](spark, sf_dir)
     singles = d.join(cc, "doc_id", "left").select(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")

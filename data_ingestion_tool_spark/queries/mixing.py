@@ -26,6 +26,17 @@ from ..plans.pin import pin
 from ..sources.parquet_io import read_table
 from .registry import QUERIES, query
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, spread cores-wide (round 13): the single-row-
+    group local file makes every scan one task, serializing the
+    tokenize/shingle/decode map stages this family fuses into it
+    (guide §2.5). `spread` is a plan no-op at cluster scale."""
+    from ..operators.partitioning import spread
+
+    return spread(read_table(spark, sf_dir, "documents"), by=["doc_id"])
+
+
 # DuckDB twin of operators.text.token_count (same as text_token_count's
 # oracle): whitespace split, empties dropped.
 _SQL_NTOK = (
@@ -558,7 +569,7 @@ def sample_weighted_reservoir_ares(spark: SparkSession, sf_dir: str) -> DataFram
     (per-partition heads merged on the driver's limit) — no full sort,
     no shuffle of the corpus, k·partitions rows move.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     t = d.select(
         "doc_id", "source", TX.token_count("text").alias("n_tokens")
     ).where(F.col("n_tokens") > 0)
@@ -1135,7 +1146,7 @@ def mix_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     count frames reuse that aggregate (pinned), and the scoring join is
     on the 1024-key feature column — broadcast-sized by construction —
     so the corpus is never reshuffled."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -1660,7 +1671,7 @@ def mix_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
     pairs = QUERIES["dedup_prefix_bucket_jaccard"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )

@@ -15,6 +15,8 @@ from ..sources.parquet_io import read_table
 from .registry import query
 
 
+
+
 @query(
     "multimodal_binary_meta",
     oracle="""

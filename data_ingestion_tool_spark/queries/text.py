@@ -11,6 +11,17 @@ from ..plans.pin import pin
 from .registry import query
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, spread cores-wide (round 13): the single-row-
+    group local file makes every scan one task, serializing the
+    tokenize/shingle/decode map stages this family fuses into it
+    (guide §2.5). `spread` is a plan no-op at cluster scale."""
+    from ..operators.partitioning import spread
+
+    return spread(read_table(spark, sf_dir, "documents"), by=["doc_id"])
+
+
+
 @query(
     "text_tokenize_wordcount",
     oracle="""
@@ -69,7 +80,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: length, token count, stopword ratio — all
     codegen'd column expressions (see operators.text.quality_features
     for the full feature set)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     return d.select(
         "doc_id",
@@ -132,7 +143,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classifier is an identical closed-form argmax on both engines
     (ties break by the (hits, lang) tuple order — Spark array_max over
     structs == DuckDB MAX over structs)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         TX.lang_id(d)
         .groupBy("pred_lang")
@@ -250,7 +261,7 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices) — zero per-document shuffle, unlike the oracle's
     LEAD-window formulation which must cluster by doc; only the final
     bigram count shuffles, partial-aggregated."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     # zip_with over two slices — NOT transform with get(toks, i+1),
     # which re-embeds the whole tokenize expression per element and
@@ -289,7 +300,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-token ratio per document — the boilerplate/stuffing
     signal quality filters gate on. Pure column expressions, no
     shuffle at all."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -335,7 +346,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (eval suites stay small at any corpus scale); the
     corpus explodes locally and never shuffles before the per-doc
     aggregate."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
     return TX.contamination_scores(train, bench)
@@ -422,7 +433,7 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row codegen — counting regex matches never
     materializes the match arrays into a shuffle.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_sent = F.greatest(
         F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast("bigint"),
         F.lit(1),
@@ -527,7 +538,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (token → logp) join is broadcast-size for real vocabularies;
     the final per-doc sum shares the doc_id grouping with the explode.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freqs.agg(F.sum("cnt").cast("bigint").alias("total"))
@@ -591,7 +602,7 @@ def text_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you'd pre-hash chunks to 128-bit digests so the shuffle
     carries 16-byte keys, which is the only change this plan needs.
     Exact string equality both sides; counts are integers."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     d2 = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     nch = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
     chunks = F.when(
@@ -635,7 +646,7 @@ def text_token_estimate_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-word count that correlates with subword splits. Pure
     ``regexp_count`` codegen (the identical RE2-compatible class on
     both engines), no explode, no shuffle — per-row scan math."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     low = F.lower(F.col("text"))
     return d.select(
         "doc_id",
@@ -688,7 +699,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vocabulary frame is the only shuffled data after the first
     aggregate; raw text never moves twice.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tf = (
         d.select("lang", F.explode(TX.tokens("text")).alias("term"))
         .groupBy("lang", "term")
@@ -766,7 +777,7 @@ def text_zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100-row frame. QUALIFY-style rank windows never see the full
     vocabulary on the Spark side.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tf = (
         d.select(F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term")
@@ -851,7 +862,7 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. Per-source vocab sizes broadcast back onto the pair
     list.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = (
         d.select("source", F.explode(TX.tokens("text")).alias("term"))
         .distinct()
@@ -949,7 +960,7 @@ def text_kl_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized, source/total aggregates broadcast back). No per-row
     second pass over documents.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = d.select("source", F.explode(TX.tokens("text")).alias("term"))
     cst = tok.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_st")
@@ -1024,7 +1035,7 @@ def text_trigram_novelty_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     trigram key, both partial-aggregated; no corpus-sized window, no
     driver-side state.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n2 = F.greatest(F.size(toks) - 2, F.lit(0))
     tri = F.zip_with(
@@ -1196,7 +1207,7 @@ def text_bigram_conditional_entropy(
     y) and (source, x) counts are map-side-combinable aggregates; the
     marginal joins back on the aggregated bigram-type grain (vocab²
     bounded), never the raw corpus."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -1363,7 +1374,7 @@ def quality_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     folds inside F.aggregate on the scan); only the |sources|-row
     census shuffles. The 100 TB quality-gate pass is therefore
     scan-bound, which is the point of the hashing trick."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     scored = d.select(
         "source", TX.hashed_linear_score(F.col("text")).alias("score")
     ).filter(F.size(TX.tokens("text")) > 0)
@@ -1442,7 +1453,7 @@ def filter_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all five rules are codegen'd expressions over the
     token array of a single scan — no explode, no join, no per-doc
     shuffle; only the |sources|-row census aggregates."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n = F.size(toks).cast("bigint")
     sumlen = F.aggregate(
@@ -1525,7 +1536,7 @@ def text_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     this chunk/stride ratio but stays partition-local); at 100 TB the
     chunker is the map stage feeding the embedding UDF, and the digest
     keeps downstream dedup shuffles at 8 bytes/key."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_chunks = (
         (F.length("text") - 1) / F.lit(96)
     ).cast("int") + F.lit(1)
@@ -1692,7 +1703,7 @@ def text_tfidf_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-compressed tf frame (pinned, reused for df and scoring);
     the top-k window partitions by doc_id — embarrassingly parallel,
     no global sort."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tf = (
         d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -1767,7 +1778,7 @@ def quality_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back onto the doc rows. The former row-grain
     ``Window.orderBy`` put every document through one task — the
     single-task wall at 100 TB."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     f = d.select(
         "doc_id",
         F.size(F.array_distinct(TX.tokens("text")))
@@ -1908,7 +1919,7 @@ def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffles once with map-side partial aggregation and the
     top-20 is a TakeOrdered, never a full sort. Further merge rounds
     at cluster scale re-run the same shape over a re-paired corpus."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     words = d.select(F.explode(TX.tokens("text")).alias("word")).filter(
         F.length("word") >= 2
     )
@@ -1962,7 +1973,7 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row codegen string work on the scan — no
     shuffle, runs at I/O speed; the md5 doubles as the exact-dedup key
     for the cleaned corpus downstream."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     c1 = d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("raw_len"),
@@ -2036,7 +2047,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: classify per doc (codegen HOFs over the token array),
     then one map-side-combinable groupBy to ≤ |langs|² cells."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         TX.lang_id(d)
         .groupBy(F.col("lang").alias("actual"), "pred_lang")
@@ -2085,7 +2096,7 @@ def stats_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the langid classification is per-doc codegen HOF work;
     ONE map-side-combinable groupBy to <= |langs|^2 cells, and all
     kappa math runs on that tiny domain frame."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     cells = (
         TX.lang_id(d)
         .groupBy(F.col("lang").alias("actual"), "pred_lang")
@@ -2163,7 +2174,7 @@ def filter_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-row codegen HOFs over the token array, no
     shuffle until the per-source rollup; a blocklist too large for a
     literal array becomes a broadcast hash join on exploded tokens."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     bl = F.array(*[F.lit(w) for w in ["merge", "panic", "leak", "deadlock"]])
     hits = d.select(
         "source",
@@ -2220,7 +2231,7 @@ def filter_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: ONE scan with codegen'd token counting → a ≤10-row
     histogram; the sweep itself is a broadcast theta-join of two tiny
     frames (10 x ≤10 rows). Adding thresholds costs nothing."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     sw = F.array(*[F.lit(w) for w in TX.ENGLISH_STOPWORDS])
     feats = d.select(
@@ -2290,7 +2301,7 @@ def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with text_repetition_ratio.
 
     Scale shape: pure per-row array work in codegen; no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select("doc_id", TX.tokens("text").alias("t")).where(
         F.size("t") >= 50
     )
@@ -2393,13 +2404,11 @@ def text_langid_trigram_agreement(
     (explode + map-side-combinable count + per-lang top-20 window on
     the aggregated vocab); scoring joins DISTINCT doc trigrams to the
     |langs|·20-row broadcast profile."""
-    from ..operators.partitioning import spread
     from ..operators.text import lang_id
 
-    # the raw scan is one row-group = one task; both trigram explodes
-    # and the stopword tokenization would serialize on one core —
-    # spread once, every downstream map stage is cores-wide (§2.5)
-    d = spread(read_table(spark, sf_dir, "documents"))
+    # _docs spreads the scan: both trigram explodes and the stopword
+    # tokenization run cores-wide (guide §2.5)
+    d = _docs(spark, sf_dir)
     lowered = d.select(
         "doc_id", "lang", F.lower("text").alias("lt")
     ).filter(F.length("lt") >= 3)
@@ -2612,7 +2621,7 @@ def text_bigram_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join runs type-grain against type-grain, never over
     the raw corpus.  Per-source decimal sums stay ~1e6 (int form 1e15
     < 2^53) through sf1; past that, drop the quantization scale to 6."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -2768,7 +2777,7 @@ def filter_lm_perplexity_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     types (fact-scale but map-side-combinable aggregates + two hash
     joins); the threshold is ONE tiny rank pick over the scored-docs
     frame, then a per-source rollup."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -3068,7 +3077,7 @@ def text_word_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary grain; zeros never materialize (the closed form adds
     them analytically).
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dt = (
         d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
@@ -3313,7 +3322,7 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts); cumulative sums ride a doc-grain window (docs ≪ tokens);
     the 10-row checkpoint join against the type table is one
     broadcast."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n2 = F.greatest(F.size(toks) - 2, F.lit(0))
     bi = F.zip_with(
@@ -3427,7 +3436,7 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigrams pair array-side (zip_with over two slices, no
     per-doc shuffle); unigram/bigram count grains are the only
     shuffles; the top-k is a LIMIT over a bounded ordered frame."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
