@@ -165,28 +165,27 @@ def hierarchy_closure(
         pending = state.filter(~F.col("done")).limit(1).count()
         if pending == 0:
             break
+        # Frontier split (round 13, guide §2.3): DONE rows pass through
+        # unchanged — routing them around the join means only the
+        # shrinking unresolved frontier pays the two join shuffles each
+        # round (the union concatenates partitions, no shuffle). The
+        # jump TARGET side stays the full state: pointers resolve onto
+        # already-done roots.
+        act = state.filter(~F.col("done"))
+        res = state.filter(F.col("done"))
         tgt = state.select(
             F.col("node").alias("t_node"),
             F.col("ptr").alias("t_ptr"),
             F.col("dist").alias("t_dist"),
             F.col("done").alias("t_done"),
         )
-        state = (
-            state.join(tgt, state.ptr == tgt.t_node, "left")
-            .select(
-                "node",
-                F.when(F.col("done"), F.col("ptr"))
-                .otherwise(F.col("t_ptr"))
-                .alias("ptr"),
-                F.when(F.col("done"), F.col("dist"))
-                .otherwise(F.col("dist") + F.col("t_dist"))
-                .alias("dist"),
-                F.when(F.col("done"), F.lit(True))
-                .otherwise(F.col("t_done"))
-                .alias("done"),
-            )
-            .transform(pin, eager=True)
+        stepped = act.join(tgt, act.ptr == tgt.t_node, "left").select(
+            "node",
+            F.col("t_ptr").alias("ptr"),
+            (F.col("dist") + F.col("t_dist")).alias("dist"),
+            F.col("t_done").alias("done"),
         )
+        state = res.unionByName(stepped).transform(pin, eager=True)
     else:
         # The loop checks convergence at the TOP of each round, so a
         # forest that resolves exactly on round max_iter exits the
