@@ -197,6 +197,30 @@ def main() -> None:
     # survive any line/byte cap (r1+r2 both recorded parsed:null when a
     # long line sat last).
     print(json.dumps(full))
+    # Round-13 verdict item 1 (per-query visibility): the driver parses
+    # the last complete JSON line inside a ~2000-char stdout tail
+    # (BENCH_r01/r02 recorded parsed:null when the only line was the
+    # ~3.6 KB full artifact; BENCH_r03+ parsed once a short line sat
+    # last). The full per-query dict serializes to ~17 KB for 519 keys
+    # — it physically cannot cross that pipe in one line, and chunking
+    # doesn't help because only the tail survives. What CAN fit, and
+    # now does, is a per-family + slowest-keys line immediately before
+    # the headline: both lines together stay under ~1800 chars, so the
+    # driver's stored tail carries family-level perf and the worst
+    # offenders even when PERF's per_query (prev-vs-now at full key
+    # grain) stays empty. BENCH.json on disk keeps the full dict.
+    slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:15])
+    print(
+        json.dumps(
+            {
+                "metric": "family_suite_seconds",
+                "families": {k: v["sec"] for k, v in families.items()},
+                "slowest": slowest,
+            }
+        )
+    )
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    loud_regr = dict(sorted(regressions.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
@@ -207,8 +231,12 @@ def main() -> None:
                 "n_queries": full["n_queries"],
                 "reps": REPS,
                 "sentinel_sec": sentinel,
-                "failed": sorted(k for k, v in timings.items() if v < 0),
-                "regressions_over_2x": regressions,
+                # capped at 10/12 entries so this line can never outgrow
+                # the driver's tail window, whatever happens upstream
+                "failed": failed[:12],
+                "n_failed": len(failed),
+                "regressions_over_2x": loud_regr,
+                "n_regressions_over_2x": len(regressions),
                 "queries_file": "BENCH.json",
             }
         )

@@ -21,7 +21,7 @@ grows superlinearly).
 """
 
 from __future__ import annotations
-from ..plans.pin import pin
+from ..plans.pin import pin, unpin
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +69,7 @@ def connected_components(
         .select(F.col("u").alias("node"), "comp")
         .transform(pin, eager=True)
     )
+    prev_pinned = labels
     for _ in range(max_iter):
         # min label reachable via one hop: send each node's label to
         # every neighbor along the u→v orientation (sym is symmetric)
@@ -94,6 +95,11 @@ def connected_components(
             .count()
         )
         labels = new_labels.select("node", "comp")
+        # the new round is materialized (eager pin) — the previous
+        # round's blocks are dead; free them instead of accumulating
+        # one block set per round for the life of the loop
+        unpin(prev_pinned)
+        prev_pinned = new_labels
         if changed == 0:
             break
     else:
@@ -185,7 +191,9 @@ def hierarchy_closure(
             (F.col("dist") + F.col("t_dist")).alias("dist"),
             F.col("t_done").alias("done"),
         )
+        prev_pinned = state
         state = res.unionByName(stepped).transform(pin, eager=True)
+        unpin(prev_pinned)  # freed once the new round is materialized
     else:
         # The loop checks convergence at the TOP of each round, so a
         # forest that resolves exactly on round max_iter exits the

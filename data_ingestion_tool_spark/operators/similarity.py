@@ -623,9 +623,14 @@ def _nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int) -> Col
 
 # Above this many codebook literals (n_centroids × dim) cell
 # assignment switches from column expressions to a numpy scorer in
-# mapInPandas with the codebook in the task closure — same answer
-# (tests/test_temporal.py pins path equivalence), plan stays O(1) in
-# codebook size. Round-13 measurement: the numpy path wins ALREADY at
+# mapInPandas with the codebook in the task closure; plan stays O(1)
+# in codebook size. The two paths agree on tie-robust data
+# (tests/test_temporal.py pins agreement on the test corpora), but the
+# numpy path's expanded distance form (v·v − 2v·c + c·c) can differ
+# from the expression path's fold of (x−y)² in final ulps, so an EXACT
+# distance tie may assign across paths differently — the pruned
+# consumers stay safe because they are fenced by recall/fullprobe
+# oracles, not by bit-identical cell assignment (round-13 ADVICE). Round-13 measurement: the numpy path wins ALREADY at
 # 1024 literals (16×64 codebook: 1.77s → 0.27s on the 2000-row
 # corpus) — Catalyst analysis + codegen of the ~2k-node distance tree
 # dominates long before the old 4096 budget; guide §4.2's "one

@@ -55,3 +55,19 @@ def pin(df: DataFrame, eager: bool = False, mode: str | None = None) -> DataFram
     if m == "reliable" or (m == "auto" and has_dir):
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def unpin(df: DataFrame) -> None:
+    """Best-effort release of a :func:`pin`'d frame's storage.
+
+    Iterated loops that pin every round (connected components,
+    hierarchy closure) otherwise accumulate one materialized block set
+    per round for the life of the loop (round-13 ADVICE). A pinned
+    frame's plan is a ``LogicalRDD`` over the persisted/checkpointed
+    internal RDD; unpersisting that RDD frees the blocks immediately
+    instead of waiting for the JVM-side reference to be GC'd. Failures
+    are swallowed — this is hygiene, never correctness."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - private accessor; best-effort only
+        pass

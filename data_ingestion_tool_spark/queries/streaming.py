@@ -1036,7 +1036,15 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = _time.time()
     for i in range(4):
         d = os.path.join(src, f"b={i}")
-        os.rename(d, os.path.join(src, f"b{i}"))
+        tgt = os.path.join(src, f"b{i}")
+        if os.path.isdir(d):
+            os.rename(d, tgt)
+        else:
+            # partitionBy writes NO directory for an empty partition —
+            # a tiny/filtered fixture with an empty feed batch must
+            # yield an empty batch dir, not a FileNotFoundError
+            # (round-13 ADVICE)
+            os.makedirs(tgt, exist_ok=True)
         # reproducible batch sequence via mtime; correctness does NOT
         # depend on it (the merge refolds per-key history by eff_ts)
         ts = now - 3600 + i * 60

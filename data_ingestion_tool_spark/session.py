@@ -102,7 +102,20 @@ def ckpt_dir(prefix: str) -> str:
             if tag in entry.name:
                 continue
             try:
-                if now - entry.stat().st_mtime > _CKPT_TTL_SEC:
+                # A LIVE stream keeps touching its checkpoint tree
+                # (offsets/commits/state get a file per micro-batch), so
+                # judge liveness by the newest mtime across the dir and
+                # its immediate children — the top-level dir's own mtime
+                # goes stale once the layout exists. This protects a
+                # concurrent soak run streaming past the TTL, and pid
+                # reuse across boots can no longer claim a live dir
+                # (round-13 ADVICE).
+                newest = entry.stat().st_mtime
+                if entry.is_dir():
+                    with os.scandir(entry.path) as kids:
+                        for kid in kids:
+                            newest = max(newest, kid.stat().st_mtime)
+                if now - newest > _CKPT_TTL_SEC:
                     import shutil
 
                     shutil.rmtree(entry.path, ignore_errors=True)

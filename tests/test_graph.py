@@ -150,3 +150,32 @@ def test_hierarchy_closure_cycle_raises(spark):
     nodes = spark.createDataFrame(rows, "id long, parent long")
     with pytest.raises(RuntimeError, match="did not resolve"):
         hierarchy_closure(nodes, "id", "parent", max_iter=5)
+
+
+def test_iterated_loops_release_per_round_pins(spark):
+    """Round-13 ADVICE: the per-round eager pins in connected_components
+    and hierarchy_closure must be freed as the loop advances — only the
+    final frame's blocks may remain, however many rounds ran."""
+    from data_ingestion_tool_spark.operators.graph import (
+        connected_components,
+        hierarchy_closure,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges, max_iter=50)
+    cc.count()
+    after_cc = jsc.getPersistentRDDs().size()
+    # one pinned frame (the returned labels) is expected; a long chain
+    # runs many rounds, so an unreleased loop would leave many more
+    assert after_cc - before <= 1, (before, after_cc)
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 120)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    hierarchy_closure(nodes, "id", "parent", max_iter=10).count()
+    after_hc = jsc.getPersistentRDDs().size()
+    assert after_hc - after_cc <= 1, (after_cc, after_hc)

@@ -36,7 +36,7 @@ def main() -> None:
         "--plan",
         default=None,
         metavar="TAG",
-        help="write plans/r13/<query>_<TAG>.txt with explain('formatted')",
+        help="write plans/<round>/<query>_<TAG>.txt (round from $SPARK_GRAFT_ROUND, default r14) with explain('formatted')",
     )
     ap.add_argument("--no-time", action="store_true", help="plan capture only")
     args = ap.parse_args()
@@ -48,7 +48,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_ROUND", "r14")
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     def run_once(fn) -> float:
