@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
 from ..sources.parquet_io import read_table
 from .registry import davg, fsum, query, sql_davg, sql_fsum
 
@@ -169,10 +170,21 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     so disc_price has 4 and charge 6 exact decimals), the rounded
     scaled values are the same integer in both engines, and group sums
     x 10^scale stay < 2^53 through sf0.1. avgs derive from the same
-    exact sums."""
-    l = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= "2000-09-02"
+    exact sums.
+
+    Round 14: keyed :func:`spread` after the narrowest projection —
+    the single-row-group local scan otherwise runs all 7 fixed-point
+    accumulations' map side on one core (guide §2.5; plan no-op on a
+    multi-row-group cluster layout). A/B solo: 0.958 → 0.865 s."""
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2000-09-02")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_orderkey", "l_linenumber",
+        )
     )
+    l = spread(l, by=["l_orderkey", "l_linenumber"])
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     cnt = F.count(F.lit(1))
@@ -363,12 +375,18 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     lineitem then BROADCASTS back as a semi-join filter (bound: ~1% of
     orders even at 100 TB, well under broadcast limits; quantities are
     integral doubles so the >200 compare is exact). Tie-break on
-    o_orderkey makes the LIMIT deterministic."""
+    o_orderkey makes the LIMIT deterministic.
+
+    Round 14: the HAVING branch spreads its 2-column projection before
+    the per-order partial agg (guide §2.5 + §2.3 — the single-row-group
+    scan ran the whole map-side combine on one core; plan no-op at
+    cluster layouts). A/B solo: 1.271 → 1.041 s."""
     l = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     big = (
-        l.groupBy("l_orderkey")
+        spread(l.select("l_orderkey", "l_quantity"), by=["l_orderkey"])
+        .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 200)
         .select("l_orderkey")
@@ -685,9 +703,15 @@ def tpch_q21_suppliers_who_kept_waiting(
     >60 days after order date): suppliers who were the SOLE late
     supplier on a finished multi-supplier order. The classic
     EXISTS/NOT-EXISTS pair decorrelates to two aggregates — per
-    (order, supplier) lateness, then per-order counts — so the whole
-    query is two shuffles over (orderkey, suppkey) pairs instead of
-    two correlated lineitem self-probes."""
+    (order, supplier) lateness, then per-order counts. Round 14 (guide
+    §2.4 — two operations keyed the same way share one exchange): the
+    per-order counts ride a WINDOW over the (order, supplier) frame
+    instead of a second aggregate joined back — the old shape paid an
+    extra exchange of the pair frame plus a sort-merge join; the window
+    computes the identical exact-integer counts on one orderkey
+    exchange, join gone."""
+    from pyspark.sql import Window
+
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
@@ -700,16 +724,19 @@ def tpch_q21_suppliers_who_kept_waiting(
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("supp_late"))
     )
-    po = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late"),
     )
     return (
-        lo.filter(F.col("supp_late") == 1)
-        .join(
-            po,
-            (F.col("l_orderkey") == F.col("po_orderkey"))
+        lo.filter(
+            (F.col("supp_late") == 1)
             & (F.col("n_supp") >= 2)
-            & (F.col("n_late") == 1),
+            & (F.col("n_late") == 1)
         )
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -790,25 +817,52 @@ _SQL_PARTSUPP = """
 """
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ps_availqty(pk: F.Column, sk: F.Column) -> F.Column:
+    """partsupp availqty — a pure hash formula of the (part, supp) key
+    pair (module comment). Being key-determined, any equi-join against
+    partsupp on the full pair key can attach it WITHOUT the join: the
+    round-14 q9/q20 rewrites compute it in place (guide §2.4 — the
+    distinct + join was a no-op enrichment because every lineitem pair
+    is, by construction, present in the derived partsupp)."""
+    return (pk * 17 + sk * 31) % 9999 + 1
+
+
+def _ps_supplycost_cents(pk: F.Column, sk: F.Column) -> F.Column:
+    """partsupp supplycost — same key-determined formula discipline as
+    :func:`_ps_availqty`."""
+    return (pk * 7919 + sk * 104729) % 99900 + 100
+
+
+def _partsupp(
+    spark: SparkSession, sf_dir: str, pre_filter=None
+) -> DataFrame:
     """Derived partsupp (see module comment): distinct traded pairs +
     hash-formula attributes. One distinct shuffle on the pair key;
-    at 100 TB this is the same shape as any pair-grain dedup."""
+    at 100 TB this is the same shape as any pair-grain dedup.
+
+    ``pre_filter(pairs) -> pairs`` applies a ROW-LEVEL restriction
+    (semi-join on a key subset) BEFORE the distinct — filters commute
+    with DISTINCT, so consumers that only need a key-sliced partsupp
+    (q2's filtered parts × EUROPE suppliers, q11's one-nation
+    suppliers) shuffle only the surviving pairs (guide §2.3: shuffle
+    fewer bytes — filter before the exchange)."""
     li = read_table(spark, sf_dir, "lineitem")
     pairs = li.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
+    )
+    if pre_filter is not None:
+        pairs = pre_filter(pairs)
+    pairs = pairs.distinct()
     return pairs.select(
         "ps_partkey",
         "ps_suppkey",
-        ((F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 31) % 9999 + 1).alias(
+        _ps_availqty(F.col("ps_partkey"), F.col("ps_suppkey")).alias(
             "ps_availqty"
         ),
-        (
-            (F.col("ps_partkey") * 7919 + F.col("ps_suppkey") * 104729) % 99900
-            + 100
-        ).alias("ps_supplycost_cents"),
+        _ps_supplycost_cents(F.col("ps_partkey"), F.col("ps_suppkey")).alias(
+            "ps_supplycost_cents"
+        ),
     )
 
 
@@ -845,12 +899,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualify). Costs are exact integers, the ORDER BY carries a full
     tie-break chain, LIMIT 100.
 
-    Scale shape: supplier⋈nation⋈region is a broadcast chain onto the
-    partsupp scan; the per-part MIN is map-side combinable; the final
-    equality join reuses the part key. Top-100 is TakeOrdered, no
-    global sort. (partsupp is the derived table — module comment.)
+    Scale shape (round 14, guide §2.3 — filter before the exchange):
+    the part filter (p_size/p_type, ~1/250 of parts) and the EUROPE
+    supplier restriction both commute with the pair DISTINCT — they are
+    row-level key predicates — so they push BELOW it as broadcast
+    semi-joins via ``_partsupp(pre_filter=...)``: the distinct shuffles
+    only surviving pairs instead of every traded pair. Per-part MIN is
+    unchanged (groups survive whole: the part filter drops whole
+    groups, the supplier filter is the same EU restriction the oracle's
+    ``eu`` applies before its MIN). The min join-back broadcasts.
+    Top-100 is TakeOrdered, no global sort. (partsupp is the derived
+    table — module comment.)
     """
-    ps = _partsupp(spark, sf_dir)
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -859,28 +919,42 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+
+    def keep(pairs: DataFrame) -> DataFrame:
+        return pairs.join(
+            F.broadcast(p.select("p_partkey")),
+            pairs.ps_partkey == F.col("p_partkey"),
+            "left_semi",
+        ).join(
+            F.broadcast(sn.select("s_suppkey")),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir, pre_filter=keep)
     eu = ps.join(F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey).select(
         "ps_partkey", "ps_suppkey", "ps_supplycost_cents",
         "s_acctbal", "s_name", "n_name",
     )
-    m = eu.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost_cents").alias("min_cost")
+    # correlated MIN as a window over the (already tiny) filtered pair
+    # frame: one exchange on ps_partkey, no second derivation of eu, no
+    # min join-back (the old agg + equality join re-derived the whole
+    # pre-filtered distinct lineage on both branches)
+    min_cost = F.min("ps_supplycost_cents").over(
+        Window.partitionBy("ps_partkey")
     )
-    p = read_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
-    )
-    e = eu.alias("e")
     out = (
-        e.join(
-            m.alias("m"),
-            (F.col("e.ps_partkey") == F.col("m.ps_partkey"))
-            & (F.col("e.ps_supplycost_cents") == F.col("m.min_cost")),
-        )
-        .join(F.broadcast(p), F.col("e.ps_partkey") == p.p_partkey)
+        eu.withColumn("min_cost", min_cost)
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.col("e.ps_suppkey").alias("ps_suppkey"),
-            F.col("e.ps_supplycost_cents").alias("ps_supplycost_cents"),
+            "ps_suppkey", "ps_supplycost_cents",
         )
     )
     return out.orderBy(
@@ -914,22 +988,28 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fsum discipline applied to a difference. Group sums stay < 2^53
     at sf0.1×100 margins; switch to the decimal path beyond.
 
-    Scale shape: part (filtered) and supplier/nation broadcast; the
-    only fact-fact shuffles are lineitem⋈orders and lineitem⋈partsupp
-    (pair-grain). Output is nations × years.
+    Scale shape (round 14, guide §2.4 — remove shuffles outright): the
+    lineitem⋈partsupp pair join is GONE. partsupp's attributes are pure
+    hash formulas of the (partkey, suppkey) pair, and partsupp IS the
+    distinct pairs of this same lineitem, so the inner equi-join on the
+    full pair key matched every row exactly once and attached a value
+    computable in place — supplycost is now :func:`_ps_supplycost_cents`
+    over lineitem's own columns (bit-identical values, one fewer fact
+    scan, no pair-distinct shuffle, no pair broadcast). The only
+    remaining fact-fact join is lineitem⋈orders.
     """
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     o = read_table(spark, sf_dir, "orders")
-    ps = _partsupp(spark, sf_dir)
+    cost_cents = _ps_supplycost_cents(F.col("l_partkey"), F.col("l_suppkey"))
     amount = (
         F.round(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
         ).cast("bigint")
         - F.round(
-            (F.col("ps_supplycost_cents") / 100.0) * F.col("l_quantity") * 10000,
+            (cost_cents / 100.0) * F.col("l_quantity") * 10000,
             0,
         ).cast("bigint")
     )
@@ -937,10 +1017,6 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(
-            ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
-        )
         .join(o, li.l_orderkey == o.o_orderkey)
     )
     return j.groupBy(
@@ -975,12 +1051,14 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction at the boundary); stock value is exact integer
     cents·units.
 
-    Scale shape: supplier⋈nation broadcasts onto the partsupp scan;
-    per-part sum is map-side combinable; the total is a 1-row
-    broadcast back onto the part-grain frame (the BNLJ-scalar
-    pattern).
+    Scale shape (round 14, guide §2.3): the NATION_7 supplier
+    restriction is a row-level suppkey predicate, so it commutes with
+    the pair DISTINCT and pushes BELOW it via
+    ``_partsupp(pre_filter=...)`` — the distinct shuffles only that
+    nation's pairs (~1/n_nations of the traded pairs). Per-part sum is
+    map-side combinable; the total is a 1-row broadcast back onto the
+    part-grain frame (the BNLJ-scalar pattern).
     """
-    ps = _partsupp(spark, sf_dir)
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_7"
@@ -988,9 +1066,17 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey"
     )
+    ps = _partsupp(
+        spark,
+        sf_dir,
+        pre_filter=lambda pairs: pairs.join(
+            F.broadcast(sn),
+            pairs.ps_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        ),
+    )
     nat = (
-        ps.join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
-        .groupBy("ps_partkey")
+        ps.groupBy("ps_partkey")
         .agg(
             F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
             .cast("bigint")
@@ -1028,12 +1114,16 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     column). NOT IN is planned as a broadcast anti-join (s_suppkey is
     non-null, so NOT-IN null semantics don't bite).
 
-    Scale shape: part (filtered) broadcasts onto partsupp; the
-    blacklist anti-join broadcasts a handful of keys; COUNT(DISTINCT)
-    shuffles (brand,type,size,suppkey) once — Expand-free single
-    distinct.
+    Scale shape (round 14, guide §2.4): the pair-grain DISTINCT of the
+    derived partsupp is REDUNDANT under COUNT(DISTINCT suppkey) — the
+    count is set-based per (brand, type, size), so raw (possibly
+    repeated) lineitem pairs yield the identical supplier sets. The
+    query now runs straight off lineitem's pair projection with the
+    part filter (8 of the sizes, ~1/6 of pairs) and the blacklist
+    anti-join applied BEFORE the one distinct-aggregate shuffle
+    (§2.3 — both commute with DISTINCT as row-level key predicates).
+    One fact-wide exchange removed, the remaining one ~6x smaller.
     """
-    ps = _partsupp(spark, sf_dir)
     p = read_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
         & (F.col("p_type") != "MEDIUM")
@@ -1042,9 +1132,13 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     bad = read_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    kept = ps.join(
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    kept = li.join(
         F.broadcast(bad),
-        ps.ps_suppkey == F.col("s_suppkey"),
+        li.ps_suppkey == F.col("s_suppkey"),
         "left_anti",
     )
     return (
@@ -1083,20 +1177,15 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     The 50% comparison is integer (availqty·2·100 vs quantity-cents);
     quantities accumulate in exact cents.
 
-    Scale shape: the 1996 demand aggregate is pair-grain map-side
-    combinable; part filter and supplier/nation broadcast; DISTINCT
-    collapses the qualifying pair hits to supplier grain.
+    Scale shape (round 14, guide §2.4 + §2.3): the partsupp⋈q pair
+    join is GONE — q's pairs are a subset of partsupp's by
+    construction (lineitem-derived), so the inner pair join attached
+    only the availqty formula, now computed in place on q's own group
+    keys. The red-part and NATION_3-supplier restrictions move BELOW
+    the demand aggregation as broadcast semi-joins (both are group-key
+    predicates — group sums are untouched), so the one remaining
+    shuffle carries only qualifying pairs.
     """
-    ps = _partsupp(spark, sf_dir)
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-    )
-    q = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("qty_cents")
-    )
     p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation").filter(
@@ -1105,13 +1194,30 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name"
     )
-    hits = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(
-            q,
-            (ps.ps_partkey == q.l_partkey) & (ps.ps_suppkey == q.l_suppkey),
-        )
-        .join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
-        .filter(F.col("ps_availqty") * 200 > F.col("qty_cents"))
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
     )
+    q = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(sn.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_cents")
+        )
+    )
+    hits = q.filter(
+        _ps_availqty(F.col("l_partkey"), F.col("l_suppkey")) * 200
+        > F.col("qty_cents")
+    ).join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
     return hits.select("s_suppkey", "s_name").distinct()
