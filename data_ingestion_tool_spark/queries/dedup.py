@@ -1108,6 +1108,14 @@ def dedup_lsh_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b2.id").alias("id_b"),
         )
         .distinct()
+        # round 14: BOTH consumers (n_caught, n_candidates) re-derived
+        # the bucket self-join + distinct; the pin guarantees one
+        # evaluation (static plan: 28 -> 20 Exchange/Scan/SMJ nodes).
+        # Local solo wall time is UNCHANGED (3.58 -> 3.62 s — the
+        # duplicate ran in otherwise-idle cores / AQE exchange reuse
+        # absorbed it); kept because a candidate pair list is tiny and
+        # at scale the duplicated subtree is real compute (guide §5)
+        .transform(pin, eager=False)
     )
     # exact truth: inverted-index join + integer Jaccard
     ex = sh.select("id", F.explode("sh").alias("g"))

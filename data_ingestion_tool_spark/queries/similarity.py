@@ -2061,7 +2061,15 @@ def similarity_triplet_hard_negatives(
     N_TRIPLET_QUERIES); the corpus never shuffles — scoring happens in
     the scan projection and the per-(query, side) argmax is ONE
     map-side-combinable aggregate (max_by via struct max), no window
-    over candidates, no candidate materialization at all."""
+    over candidates, no candidate materialization at all.
+
+    Round 14: keyed :func:`spread` of the corpus projection — the
+    single-row-group local scan ran ALL |Q|x|corpus| cosine folds on
+    one core before the first exchange (guide §2.5; no-op on cluster
+    layouts). A/B solo 2.38 → 0.81 s; scores/argmax unchanged (spread
+    only moves rows, the argmax is value-determined with an id
+    tie-break)."""
+    from ..operators.partitioning import spread
     from ..operators.similarity import _as_double, cosine
     from ..plans.pin import pin
 
@@ -2071,10 +2079,13 @@ def similarity_triplet_hard_negatives(
         F.col("label").alias("qlabel"),
         _as_double("embedding").alias("qv"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlabel"),
-        _as_double("embedding").alias("cv"),
+    c = spread(
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            _as_double("embedding").alias("cv"),
+        ),
+        by=["nid"],
     )
     scored = (
         c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
