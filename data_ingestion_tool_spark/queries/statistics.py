@@ -3293,14 +3293,19 @@ def orders_fulfillment_latency_quartiles(spark: SparkSession, sf_dir: str) -> Da
     the order statistics engine-exact (positions with duplicate values
     are value-determined — the lineitem tie rule).
 
-    Scale shape: the orders→lineitem equi-join shuffles on orderkey;
-    quartile extraction runs through the grouped PARALLEL ranking
-    operator (JVM literal-map path) — no per-priority single-task
-    sort; the rank-hit filter reduces map-side before the final
-    5-row-per-group aggregate.
+    Scale shape (round 14, the histogram-grain variant): integer day
+    latencies have a BOUNDED domain (~a few hundred distinct values —
+    measured 1:5000 distinct:rows at sf0.1), so the rank engine is a
+    (priority, days) HISTOGRAM — one map-side-combinable aggregate
+    whose output is ~600 rows — with quartiles read off the cumulative
+    counts (value at rank r = smallest days with cum ≥ r, identical to
+    the row-grain rn hit by monotonicity). This replaces the row-grain
+    range shuffle + offsets collect + rank math of
+    ``with_grouped_global_row_number`` (the right engine for
+    NEAR-UNIQUE domains like prices, where a histogram degenerates to
+    the row grain — the round-14 domain measurement is what routes
+    each key).
     """
-    from ..operators.ranking import with_grouped_global_row_number
-
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -3311,25 +3316,33 @@ def orders_fulfillment_latency_quartiles(spark: SparkSession, sf_dir: str) -> Da
         .cast("bigint")
         .alias("days"),
     )
-    ranked = with_grouped_global_row_number(
-        lat, ["grp"], ["days"], rn="rn", n_col="n"
+    hist = lat.groupBy("grp", "days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    hit = ranked.where(
-        (F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"))
-        | (F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"))
-        | (F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return hit.groupBy("grp").agg(
+    wall = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "days",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    rk = [F.expr(f"({k} * (n - 1)) DIV 4 + 1") for k in (1, 2, 3)]
+    return cum.groupBy("grp").agg(
         F.max("n").cast("bigint").alias("n"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(1 * (n - 1)) DIV 4 + 1"), F.col("days"))
-        ).cast("bigint").alias("q1_days"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(2 * (n - 1)) DIV 4 + 1"), F.col("days"))
-        ).cast("bigint").alias("q2_days"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(3 * (n - 1)) DIV 4 + 1"), F.col("days"))
-        ).cast("bigint").alias("q3_days"),
+        F.min(F.when(F.col("cum") >= rk[0], F.col("days")))
+        .cast("bigint")
+        .alias("q1_days"),
+        F.min(F.when(F.col("cum") >= rk[1], F.col("days")))
+        .cast("bigint")
+        .alias("q2_days"),
+        F.min(F.when(F.col("cum") >= rk[2], F.col("days")))
+        .cast("bigint")
+        .alias("q3_days"),
     )
 
 
