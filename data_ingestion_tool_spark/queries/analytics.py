@@ -4743,8 +4743,9 @@ def orders_rolling_3mo_distinct_customers(
     express (COUNT(DISTINCT) over a sliding frame isn't supported and
     HLL only approximates it).  The classic exact plan: dedup to the
     (month, customer) grain once, fan each pair out to the <=3 anchor
-    months it supports via a range join against the month spine, dedup
-    the (anchor, customer) grain, count.
+    months it supports via a 3-element explode (kept to data-present
+    months by a broadcast semi-join on the spine), dedup the
+    (anchor, customer) grain, count.
 
     Determinism: dates and counts are exact; the month spine is
     data-derived.
@@ -4763,12 +4764,20 @@ def orders_rolling_3mo_distinct_customers(
         .transform(pin, eager=False)
     )
     spine = mc.select("m").distinct().withColumnRenamed("m", "anchor")
+    # The range predicate m <= anchor <= add_months(m, 2) over
+    # month-truncated dates names exactly 3 candidate anchors per pair,
+    # so a 3-element explode replaces the broadcast nested-loop range
+    # join (|mc| x |spine| comparisons -> |mc| x 3 rows); the broadcast
+    # semi-join keeps only anchors that exist in the data, matching the
+    # spine-driven formulation row-for-row (A/B-proven identical).
+    fan = mc.select(
+        F.explode(
+            F.array(F.col("m"), F.add_months("m", 1), F.add_months("m", 2))
+        ).alias("anchor"),
+        "o_custkey",
+    )
     joined = (
-        mc.join(
-            F.broadcast(spine),
-            (F.col("m") <= F.col("anchor"))
-            & (F.col("m") >= F.add_months(F.col("anchor"), -2)),
-        )
+        fan.join(F.broadcast(spine), "anchor", "left_semi")
         .select("anchor", "o_custkey")
         .distinct()
     )

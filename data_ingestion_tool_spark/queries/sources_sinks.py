@@ -485,8 +485,18 @@ def ingest_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: embarrassingly parallel map + one scalar aggregate —
     runs at scan speed, no shuffle beyond the final partial-sum merge.
+    Round 14: keyed :func:`spread` of the 4 key columns fans the
+    per-row md5 off the single-row-group scan task (solo
+    1.09 -> 0.51s); a plan no-op on multi-row-group layouts.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    from ..operators.partitioning import spread
+
+    li = spread(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
+        ),
+        by=["l_orderkey", "l_linenumber"],
+    )
     canon = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),

@@ -231,11 +231,21 @@ def outlier_iqr_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     set through ONE task, serial at 100x; the 3-row quartile table
     broadcasts back onto the scan.
     """
+    from ..operators.partitioning import spread
     from ..operators.ranking import with_grouped_global_row_number
 
     li = read_table(spark, sf_dir, "lineitem")
-    c = li.select(
-        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    # Round 14: spread the raw projection keyed by the cheap bigint
+    # l_orderkey — both branches (the ranking's range-shuffle map side
+    # and the fence rejoin) otherwise run their map work, including
+    # the decimal->cents cast, inside the single-row-group scan task
+    # (solo 1.61 -> 1.44s); identical exchanges dedupe via reuse.
+    c = spread(
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        by=["l_orderkey"],
+    ).select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("cents"),
     )
     ranked = with_grouped_global_row_number(
         c, ["grp"], ["cents"], rn="rn", n_col="n"
@@ -1172,11 +1182,19 @@ def outlier_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-shuffle ranking (no per-group single-task sort), 3-row fence
     table broadcast back onto the scan.
     """
+    from ..operators.partitioning import spread
     from ..operators.ranking import with_grouped_global_row_number
 
     li = read_table(spark, sf_dir, "lineitem")
-    c = li.select(
-        F.col("l_returnflag").alias("grp"), _cents("l_extendedprice").alias("cents")
+    # Round 14: same spread as outlier_iqr_price — fan both branches'
+    # map work (decimal->cents cast included) off the single-row-group
+    # scan, keyed by the cheap bigint (solo 1.52 -> 1.22s).
+    c = spread(
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        by=["l_orderkey"],
+    ).select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("cents"),
     )
     ranked = with_grouped_global_row_number(
         c, ["grp"], ["cents"], rn="rn", n_col="n"
@@ -3195,7 +3213,20 @@ def quality_multi_column_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels through one task. The 4-row fence table broadcasts back
     onto the same pinned histogram. Columns profile in parallel.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    from ..operators.partitioning import spread
+
+    # Round 14: spread the raw 4-column projection BEFORE the 4x stack
+    # fan-out so the unpivot + cents casts + histogram partial agg run
+    # cores-wide instead of inside the single-row-group scan task
+    # (solo 2.69 -> 2.24s). Keyed by the CHEAP bigint l_orderkey so the
+    # scan task pays only one int hash per row — hashing the decimal
+    # values themselves would keep the heavy math on the starved task.
+    li = spread(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ),
+        by=["l_orderkey"],
+    )
     c = li.selectExpr(
         "stack(4,"
         " 'quantity', CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
