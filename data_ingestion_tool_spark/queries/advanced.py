@@ -1497,8 +1497,19 @@ def agg_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one pass, two conditional integer aggregates, map-
     side combinable; the sample predicate pushes into the scan at real
-    scale (hash of scan columns, no shuffle)."""
-    l = read_table(spark, sf_dir, "lineitem")
+    scale (hash of scan columns, no shuffle). Round 14: keyed
+    :func:`spread` fans the per-row md5 sample predicate off the
+    single-row-group scan task (solo 0.92 -> 0.47s locally, where the
+    one-task scan IS the bottleneck); plan no-op on multi-row-group
+    layouts."""
+    from ..operators.partitioning import spread
+
+    l = spread(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        ),
+        by=["l_orderkey", "l_linenumber"],
+    )
     cents = F.expr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     )
