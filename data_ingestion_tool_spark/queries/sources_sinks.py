@@ -106,11 +106,21 @@ def csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source table."""
     out = _scratch("csvgz")
     try:
-        o = read_table(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_orderpriority",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        from ..operators.partitioning import spread
+
+        # Round 14: keyed spread before the gzip write — one .csv.gz
+        # per task means the write AND the non-splittable read back
+        # both run cores-wide instead of at the single-row-group scan
+        # width (solo 0.82 -> 0.51s); exactly the "size write
+        # parallelism to the downstream read" rule this query documents.
+        o = spread(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            ),
+            by=["o_orderkey"],
         )
         write_csv(o, out, compression="gzip")
         gz = [f for f in os.listdir(out) if f.endswith(".csv.gz")]

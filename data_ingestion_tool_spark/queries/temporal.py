@@ -1170,9 +1170,17 @@ def temporal_timezone_day_bucketing(
 
     Scale shape: the 3-row zone dim broadcast cross-joins the scan
     (a per-row expression ×3, not a data blowup at the aggregate —
-    output is days×zones); one map-side-combinable groupBy.
+    output is days×zones); one map-side-combinable groupBy. Round 14:
+    keyed :func:`spread` fans the 3x tzdb conversions + decimal cast
+    off the single-row-group scan task (solo 0.77 -> 0.54s); plan
+    no-op on multi-row-group layouts.
     """
-    ev = read_events(spark, sf_dir)
+    from ..operators.partitioning import spread
+
+    ev = spread(
+        read_events(spark, sf_dir).select("event_id", "ts", "value"),
+        by=["event_id"],
+    )
     zones = spark.createDataFrame(
         [("America/New_York",), ("Asia/Kolkata",), ("UTC",)], "tz string"
     )
